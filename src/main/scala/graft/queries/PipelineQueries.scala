@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.ops.HourPivot
+
+/** The reference pipeline's capabilities re-expressed over the `events`
+  * table: hour-of-day pivot counts per (date, key), low-count filtering,
+  * and semi-structured (JSON) extraction.
+  *
+  * The hour pivot is the reference's one real query (hourly ride counts
+  * per (taxi_type, date, place) with a minimum-total filter —
+  * /root/reference/pivot_and_boostrap/pivot_utils.py:179-224). Here the
+  * grouping key is (event_date, event_type). See graft.ops.HourPivot for
+  * the operator; it is implemented as 24 `sum(when(hour===h,1))` columns
+  * in ONE hash aggregate — a single shuffle on the group keys, no
+  * distinct-value scan (what `pivot()` without explicit values costs),
+  * and the same shape works under Structured Streaming.
+  */
+object PipelineQueries {
+
+  private def hourPivotSql(having: String): String = {
+    val hourCols = (0 until 23 + 1).map(h =>
+      s"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS hour_$h")
+      .mkString(",\n        ")
+    s"""
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+        $hourCols
+      FROM events
+      GROUP BY CAST(ts AS DATE), event_type
+      $having"""
+  }
+
+  private val qPivot = QueryDef(
+    "q_hour_pivot",
+    (s, d) => HourPivot.pivot(
+      Tables.events(s, d), col("ts"), Seq("event_type"), minTotal = None),
+    Some(hourPivotSql("")),
+    headline = true)
+
+  private val qPivotMin = QueryDef(
+    "q_hour_pivot_min20",
+    (s, d) => HourPivot.pivot(
+      Tables.events(s, d), col("ts"), Seq("event_type"), minTotal = Some(20L)),
+    Some(hourPivotSql(
+      "HAVING CAST(COUNT(*) AS BIGINT) >= 20")))
+
+  private val qJson = QueryDef(
+    "q_events_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k")),
+    Some("""
+      SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(MIN(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
+        CAST(MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+      FROM events GROUP BY event_type"""))
+
+  private val qValues = QueryDef(
+    "q_events_value_stats",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double")
+            .as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("user_id")).as("n_users")),
+    Some("""
+      SELECT event_type, CAST(ts AS DATE) AS event_date,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        MIN(value) AS min_value,
+        MAX(value) AS max_value,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY event_type, CAST(ts AS DATE)"""))
+
+  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qJson, qValues)
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: a Spark implementation plus (when SQL-expressible)
+  * a DuckDB oracle over the same parquet tables. Column names MUST match
+  * between the two — the driver sorts columns by name and hashes values.
+  *
+  * Determinism rules used throughout the registry:
+  *  - Aggregates over non-integral doubles go through exact DECIMAL
+  *    arithmetic, then one final cast to DOUBLE (same mathematical value
+  *    on both engines → identical IEEE double → identical hash).
+  *  - Integral-valued doubles (l_quantity) sum exactly below 2^53 — safe.
+  *  - Every LIMIT carries a total ORDER BY (unique tiebreaker).
+  *  - Counts / sums of integers are CAST AS BIGINT in the oracle (DuckDB
+  *    widens integer SUM to HUGEINT otherwise).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Registry {
+  /** All query modules, assembled by SparkEntry. */
+  def all: Seq[QueryDef] =
+    RelationalQueries.all ++ PipelineQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all
+}

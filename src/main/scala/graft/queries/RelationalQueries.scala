@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** TPC-H-style relational query surface over the star-schema tables.
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension tables (region/nation/supplier, and customer at typical
+  *    star-schema ratios) are broadcast — no shuffle on the fact side.
+  *  - Fact-fact joins (orders⋈lineitem) shuffle on the join key once;
+  *    AQE handles skew splitting at runtime.
+  *  - All aggregations are hash-based with map-side partial aggregation
+  *    (Spark's HashAggregateExec partial→final) — network traffic is
+  *    ∝ distinct groups, not rows.
+  *  - Filters/projections are plain Catalyst expressions → pushed into
+  *    the parquet scan (PushedFilters / narrow ReadSchema).
+  */
+object RelationalQueries {
+
+  /** Exact money arithmetic: cast doubles-with-cents to DECIMAL so sums
+    * are order-independent, then cast the final aggregate to DOUBLE.
+    * Price magnitudes < 1e6 → DECIMAL(12,2); rates < 1 → DECIMAL(4,2).
+    */
+  private def m(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def r(c: Column): Column = c.cast(DecimalType(4, 2))
+  private val oneR: Column = lit(1).cast(DecimalType(4, 2))
+  // SQL-side twins (DuckDB): keep precisions identical in spirit; the
+  // exact intermediate precisions may differ between engines but the
+  // values are exact either way, and only the final DOUBLE is compared.
+  private val M = "DECIMAL(12,2)"
+  private val R = "DECIMAL(4,2)"
+  private def sqlM(x: String) = s"CAST($x AS $M)"
+  private def sqlR(x: String) = s"CAST($x AS $R)"
+  private val sqlOne = s"CAST(1 AS $R)"
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  // ---------------------------------------------------------------- q1
+  private val q1 = QueryDef(
+    "q1_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(m(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount")))
+            * (oneR + r(col("l_tax")))).cast("double").as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(${sqlM("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(${sqlM("l_extendedprice")} * ($sqlOne - ${sqlR("l_discount")})) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(${sqlM("l_extendedprice")} * ($sqlOne - ${sqlR("l_discount")}) * ($sqlOne + ${sqlR("l_tax")})) AS DOUBLE) AS sum_charge,
+        SUM(l_quantity) / COUNT(*) AS avg_qty,
+        CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q3
+  private val q3 = QueryDef(
+    "q3_top_orders",
+    (s, d) => {
+      val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).where(col("o_orderdate") < ts("1998-06-01"))
+      val l = Tables.lineitem(s, d).where(col("l_shipdate") > ts("1998-06-01"))
+      // customer is the small side → broadcast; orders⋈lineitem shuffles
+      // once on the order key.
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, o_orderdate,
+        CAST(SUM(${sqlM("l_extendedprice")} * ($sqlOne - ${sqlR("l_discount")})) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q5
+  private val q5 = QueryDef(
+    "q5_region_revenue",
+    (s, d) => {
+      val region = Tables.region(s, d).where(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= ts("1996-01-01") &&
+               col("o_orderdate") < ts("1998-01-01"))
+      val li = Tables.lineitem(s, d)
+      // dims (region→nation→supplier/customer) are broadcast; the single
+      // shuffle is lineitem⋈orders on the order key.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount"))))
+          .cast("double").as("revenue"))
+    },
+    Some(s"""
+      SELECT n_name,
+        CAST(SUM(${sqlM("l_extendedprice")} * ($sqlOne - ${sqlR("l_discount")})) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name"""),
+    headline = true)
+
+  // ------------------------------------------------- broadcast dim chain
+  private val qDim = QueryDef(
+    "q_region_order_stats",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val rg = Tables.region(s, d)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(m(col("o_totalprice"))).cast("double").as("total_revenue"))
+    },
+    Some("""
+      SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+      FROM orders, customer, nation, region
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+      GROUP BY r_name"""))
+
+  // ------------------------------------------------------------ semi/anti
+  private val qSemi = QueryDef(
+    "q_semi_join_big_spenders",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).where(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      GROUP BY c_mktsegment"""))
+
+  private val qAnti = QueryDef(
+    "q_anti_join_inactive",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).where(col("o_orderdate") >= ts("2000-01-01"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY c_nationkey"""))
+
+  // ------------------------------------------------------- outer join
+  private val qOuter = QueryDef(
+    "q_order_count_histogram",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""
+      WITH per_cust AS (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+      SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM per_cust GROUP BY n_orders"""))
+
+  // ---------------------------------------------------------- windows
+  private val qWinTop = QueryDef(
+    "q_window_top3_per_supplier",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+          ROW_NUMBER() OVER (PARTITION BY l_suppkey
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem)
+      WHERE rn <= 3"""))
+
+  private val qWinRun = QueryDef(
+    "q_window_running_qty",
+    (s, d) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_shipdate,
+        SUM(l_quantity) OVER (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      FROM lineitem"""))
+
+  // ------------------------------------------------------------- top-k
+  private val qTopK = QueryDef(
+    "q_topk_customers",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupBy(col("o_custkey"))
+        .agg(sum(m(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+      ORDER BY revenue DESC, o_custkey LIMIT 10"""))
+
+  // ------------------------------------------------------------ set ops
+  private val qIntersect = QueryDef(
+    "q_setop_repeat_customers",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val y95 = o.where(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1996-01-01"))
+        .select(col("o_custkey").as("custkey"))
+      val y96 = o.where(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+        .select(col("o_custkey").as("custkey"))
+      y95.intersect(y96)
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"""))
+
+  private val qExcept = QueryDef(
+    "q_setop_lapsed_customers",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val y95 = o.where(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1996-01-01"))
+        .select(col("o_custkey").as("custkey"))
+      val later = o.where(col("o_orderdate") >= ts("2000-06-01"))
+        .select(col("o_custkey").as("custkey"))
+      y95.except(later)
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'"""))
+
+  // ------------------------------------------------------ distinct aggs
+  private val qDistinct = QueryDef(
+    "q_distinct_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  // ------------------------------------------------------ rollup / cube
+  private val qRollup = QueryDef(
+    "q_rollup_lineitem",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+
+  private val qCube = QueryDef(
+    "q_cube_orders",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(m(col("o_totalprice"))).cast("double").as("revenue")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
+
+  def all: Seq[QueryDef] = Seq(
+    q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
+    qIntersect, qExcept, qDistinct, qRollup, qCube)
+}

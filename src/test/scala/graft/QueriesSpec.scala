@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape tests for the declared query surface on sf0.001.
+  * Exact value parity vs DuckDB is checked by tools/check_oracle.py /
+  * the driver's gate; here we assert structural invariants.
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("test", "4").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("all queries run and have stable schemas") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      assert(df.columns.distinct.length == df.columns.length,
+        s"$name has duplicate column names")
+      // must be executable
+      df.count()
+    }
+  }
+
+  test("hour pivot has 24 hour columns and totals equal row count") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val piv = graft.ops.HourPivot.pivot(ev, col("ts"), Seq("event_type"))
+    val hourCols = graft.ops.HourPivot.hourCols
+    assert(hourCols.forall(piv.columns.contains))
+    val total = piv.select(hourCols.map(c => sum(col(c))).reduce(_ + _))
+      .first().getLong(0)
+    assert(total == ev.count())
+  }
+
+  test("q1 aggregates exactly one row per (returnflag, linestatus)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val n = df.count()
+    assert(n == df.select("l_returnflag", "l_linestatus").distinct().count())
+  }
+}
