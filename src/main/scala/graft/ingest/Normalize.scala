@@ -1,0 +1,134 @@
+package graft.ingest
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import SchemaDetector.{Detection, LatLon, LocId}
+
+/** Schema-drift-tolerant ingestion: heterogeneous per-file schemas →
+  * one DataFrame with the canonical columns
+  * `(pickup_datetime TIMESTAMP, pickup_location STRING, src_path STRING)`.
+  *
+  * Reference behavior: per-file rename + projection + timestamp coercion
+  * (/root/reference/pivot_and_boostrap/pivot_all_files.py:100-123,
+  * :139-150). Spark-first restatement:
+  *
+  *  - Footer-only schema reads on the driver (cheap) detect each file's
+  *    dialect; undetectable files are skipped and reported, not fatal
+  *    (error isolation, pivot_all_files.py:204-216).
+  *  - Files are GROUPED BY DIALECT (same detected columns + physical
+  *    types) and each group becomes ONE multi-path scan with an aliased
+  *    select — so the number of Spark jobs is O(dialects), not O(files).
+  *    At 100 TB / thousands of files this is what keeps scheduling and
+  *    scan planning sane; a per-file loop of plans would not scale.
+  *  - `unionByName` merges the groups; Catalyst pushes the 2-3 column
+  *    projection into every parquet scan (the reference reads ALL
+  *    columns of every file — pivot_all_files.py:232 — then projects in
+  *    pandas; we never deserialize the unused columns at all).
+  *
+  * Timestamp coercion ladder (reference :139-149, `errors="coerce"`):
+  * dispatch on the DETECTED column's physical type —
+  *  - timestamp → pass through
+  *  - date → cast to timestamp
+  *  - numeric (FHV epoch) → per-row magnitude heuristic: |v| < 1e11 is
+  *    epoch SECONDS, else epoch MILLIS. (The reference tries ms first
+  *    per column and only falls back on overflow, which silently turns
+  *    epoch-seconds into 1970 dates; our spec pins the magnitude rule —
+  *    documented divergence. 1e11 s ≈ year 5138, 1e11 ms ≈ 1973.)
+  *  - string → `try_to_timestamp` (invalid → NULL, dropped downstream)
+  *
+  * Location canonicalization (our pinned formatting spec — SURVEY §7.4):
+  *  - integer/decimal location IDs cast via LONG then STRING ("132",
+  *    never pandas' "132.0"); strings pass through.
+  *  - lat/lon pairs → `round(lat,3) <"_"> round(lon,3)` with
+  *    format_number-free plain casts, e.g. "40.721_-74.005".
+  *  - no location column → empty string (pivot_all_files.py:120-122).
+  */
+object Normalize {
+
+  final case class Dialect(detection: Detection, dtType: DataType,
+      locType: Option[DataType])
+
+  final case class Skipped(path: String, reason: String)
+
+  final case class NormalizeResult(trips: Option[DataFrame], skipped: Seq[Skipped])
+
+  /** Uniform path key used to join per-file metadata onto rows:
+    * scheme + slash-run differences between Hadoop listings
+    * ("file:/a/b") and `input_file_name()` ("file:///a/b") collapse to
+    * the same key.
+    */
+  def normPathKey(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+
+  def normPathKeyCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+
+  private def coerceTimestamp(name: String, t: DataType): Column = t match {
+    case _: TimestampType => col(name)
+    case _: DateType => col(name).cast(TimestampType)
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType =>
+      val v = col(name).cast(LongType)
+      when(abs(v) < lit(100000000000L), timestamp_seconds(v))
+        .otherwise(timestamp_millis(v))
+    case _ => expr(s"try_to_timestamp(`$name`)")
+  }
+
+  private def locationCol(det: Detection, schema: StructType): Column =
+    det.location match {
+      case LocId(name) =>
+        schema(name).dataType match {
+          case _: NumericType => col(name).cast(LongType).cast(StringType)
+          case _ => col(name).cast(StringType)
+        }
+      case LatLon(lat, lon) =>
+        concat_ws("_",
+          round(col(lat).cast(DoubleType), 3).cast(StringType),
+          round(col(lon).cast(DoubleType), 3).cast(StringType))
+    }
+
+  /** Read one dialect group (all files share detected columns + types)
+    * as a single multi-path scan, normalized to the canonical schema.
+    */
+  def readDialect(spark: SparkSession, dialect: Dialect, paths: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(paths: _*)
+    val schema = df.schema
+    val dtName = dialect.detection.dtCol
+    df.select(
+      coerceTimestamp(dtName, schema(dtName).dataType).as("pickup_datetime"),
+      locationCol(dialect.detection, schema).as("pickup_location"),
+      normPathKeyCol(input_file_name()).as("src_path"))
+  }
+
+  /** Detect every file's dialect (driver-side footer reads), group by
+    * dialect, scan each group once, union by name.
+    */
+  def normalizedTrips(spark: SparkSession, files: Seq[String]): NormalizeResult = {
+    val detected: Seq[Either[Skipped, (Dialect, String)]] = files.map { f =>
+      Try(spark.read.parquet(f).schema).toEither.left
+        .map(e => Skipped(f, s"unreadable: ${e.getMessage}"))
+        .flatMap { schema =>
+          SchemaDetector.detect(schema) match {
+            case Right(det) =>
+              val locType = det.location match {
+                case LocId(n) => Some(schema(n).dataType)
+                case _ => None
+              }
+              Right((Dialect(det, schema(det.dtCol).dataType, locType), f))
+            case Left(reason) => Left(Skipped(f, reason))
+          }
+        }
+    }
+    val skipped = detected.collect { case Left(s) => s }
+    val groups = detected.collect { case Right(x) => x }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._2.head) // deterministic group order
+    val dfs = groups.map { case (dialect, paths) => readDialect(spark, dialect, paths) }
+    val unioned = dfs.reduceOption(_.unionByName(_))
+    NormalizeResult(unioned, skipped)
+  }
+}
