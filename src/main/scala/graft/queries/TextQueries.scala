@@ -1,9 +1,164 @@
 package graft.queries
 
-/** Text-analysis + dedup query surface over `documents` — filled in by
-  * graft.text operators (token counting, language ID, quality scoring,
-  * exact/near dedup).
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.{Dedup, TextFunctions => TF}
+
+/** Text-analysis + dedup query surface over `documents`.
+  *
+  * Oracle notes: DuckDB mirrors use regexp_split_to_array /
+  * list_filter lambdas; DuckDB's regexp_replace needs the 'g' flag to
+  * match Spark's global-by-default semantics. Ratio columns are a single
+  * int/int double division → bit-identical across engines. Hash-based
+  * operators (minhash/simhash/fingerprint, all on xxhash64) are not
+  * SQL-portable → no oracle, rows-only checks; their *verification*
+  * columns (true Jaccard, Hamming) are exact integer math.
   */
 object TextQueries {
-  def all: Seq[QueryDef] = Seq.empty
+
+  private val sqlTokens = """regexp_split_to_array(trim(text), '\s+')"""
+  private val sqlNTokens =
+    s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlTokens) END"
+  private val sqlStops = "('the', 'a', 'of', 'and')"
+  private val sqlNStop =
+    s"len(list_filter($sqlTokens, t -> t IN $sqlStops))"
+  private val sqlCharsNoWs = """length(regexp_replace(text, '\s', '', 'g'))"""
+
+  // --------------------------------------------------------- text stats
+  private val qStats = QueryDef(
+    "q_text_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        TF.avgTokenLength(col("text")).as("avg_token_len"),
+        TF.stopwordRatio(col("text")).as("stop_ratio"))
+    },
+    Some(s"""
+      SELECT doc_id,
+        CAST($sqlNTokens AS INT) AS n_tokens,
+        CAST(length(text) AS INT) AS len_chars,
+        CASE WHEN $sqlNTokens = 0 THEN 0.0
+             ELSE $sqlCharsNoWs / $sqlNTokens END AS avg_token_len,
+        CASE WHEN $sqlNTokens = 0 THEN 0.0
+             ELSE $sqlNStop / $sqlNTokens END AS stop_ratio
+      FROM documents"""),
+    headline = true)
+
+  // --------------------------------------------------------- language ID
+  private val qLang = QueryDef(
+    "q_lang_id_confusion",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TF.langIdGuess(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs")),
+    Some(s"""
+      WITH pred AS (
+        SELECT lang,
+          CASE WHEN $sqlNTokens = 0 THEN 'other'
+               WHEN $sqlNStop / $sqlNTokens >= 0.10 THEN 'en'
+               WHEN $sqlNStop / $sqlNTokens >= 0.03 THEN 'en-ish'
+               ELSE 'other' END AS lang_pred
+        FROM documents)
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY lang, lang_pred"""))
+
+  // ------------------------------------------------------ quality filter
+  private val qQuality = QueryDef(
+    "q_quality_score_histogram",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), TF.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"), col("q"))
+        .agg(count(lit(1)).as("n_docs")),
+    Some(s"""
+      WITH scored AS (
+        SELECT source, (
+          (CASE WHEN $sqlNTokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN $sqlNTokens > 0
+                 AND $sqlCharsNoWs / $sqlNTokens >= 2.0
+                 AND $sqlCharsNoWs / $sqlNTokens <= 12.0 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN $sqlNTokens > 0
+                 AND $sqlNStop / $sqlNTokens >= 0.01 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN $sqlCharsNoWs = 0 OR
+                 ($sqlCharsNoWs - length(regexp_replace(regexp_replace(text, '\\s', '', 'g'), '[^A-Za-z0-9]', '', 'g'))) / $sqlCharsNoWs <= 0.2
+                 THEN 1.0 ELSE 0.0 END)
+        ) / 4.0 AS q
+        FROM documents)
+      SELECT source, q, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY source, q"""))
+
+  // --------------------------------------------------------- exact dedup
+  private val qDedupExact = QueryDef(
+    "q_dedup_exact_keepers",
+    (s, d) => Dedup.exactKeepers(Tables.documents(s, d), "text", "doc_id"),
+    Some("""
+      SELECT doc_id, content_md5 FROM (
+        SELECT doc_id, md5(text) AS content_md5,
+          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1"""),
+    headline = true)
+
+  // ------------------------------------------------- n-gram Jaccard pairs
+  private val qJaccard = QueryDef(
+    "q_ngram_jaccard_sample",
+    (s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).where(col("doc_id") % 7 === 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.01),
+    Some("""
+      WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM sel WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+        common / (sa.n + sb.n - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.n + sb.n - common) >= 0.01"""))
+
+  // ---------------------------------------- hash-based near-dup (no oracle)
+  private val qMinhash = QueryDef(
+    "q_minhash_lsh_neardup",
+    (s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.01, numHashes = 32, bands = 16),
+    None,
+    headline = true)
+
+  private val qSimhash = QueryDef(
+    "q_simhash_neardup",
+    (s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 16),
+    None)
+
+  private val qFingerprint = QueryDef(
+    "q_doc_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"),
+          TF.subwordCount(col("text")).as("n_subwords")),
+    None)
+
+  def all: Seq[QueryDef] = Seq(
+    qStats, qLang, qQuality, qDedupExact, qJaccard, qMinhash, qSimhash,
+    qFingerprint)
 }

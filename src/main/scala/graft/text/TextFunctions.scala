@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, token counting, language-ID heuristics,
+  * quality scoring. All pure Catalyst expressions (builtin functions +
+  * higher-order functions) — codegen'd, no UDFs in the hot path, so they
+  * stay inside WholeStageCodegen at 100 TB.
+  *
+  * Determinism: every scoring rule is integer arithmetic followed by at
+  * most one double division, so results are bit-identical across engines
+  * given the same inputs (the DuckDB oracles mirror the exact formulas).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty/blank text → empty array (Spark's
+    * split("") yields Array("") — normalized away here).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of alternating letter/digit runs —
+    * `regexp_count`-style token estimate used when whitespace tokens are
+    * too coarse (long concatenated strings). Pure regex, codegen'd.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-z])(?=[A-Z])|[^A-Za-z0-9]+"),
+      t => length(t) > 0))
+
+  /** Ratio of stopword tokens — marker-word frequency is the classic
+    * cheap language-ID signal (n-gram heuristic over function words).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "a", "of", "and")): Column = {
+    val t = tokens(text)
+    val matches = size(filter(t, w => w.isInCollection(stopwords)))
+    when(size(t) === 0, lit(0.0)).otherwise(matches / size(t))
+  }
+
+  /** Heuristic language ID: English function-word density. Thresholds
+    * are part of the operator spec (mirrored in oracle SQL).
+    */
+  def langIdGuess(text: Column): Column = {
+    val r = stopwordRatio(text)
+    when(r >= 0.10, lit("en"))
+      .when(r >= 0.03, lit("en-ish"))
+      .otherwise(lit("other"))
+  }
+
+  /** Mean characters per token (whitespace removed / token count). */
+  def avgTokenLength(text: Column): Column = {
+    val nTokens = tokenCount(text)
+    val chars = length(regexp_replace(text, "\\s", ""))
+    when(nTokens === 0, lit(0.0)).otherwise(chars / nTokens)
+  }
+
+  /** Punctuation density over non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val chars = length(regexp_replace(text, "\\s", ""))
+    val punct = chars - length(regexp_replace(regexp_replace(text, "\\s", ""),
+      "[^A-Za-z0-9]", ""))
+    when(chars === 0, lit(0.0)).otherwise(punct / chars)
+  }
+
+  /** Composite quality score in [0,1]: length band + token-shape +
+    * stopword presence — the standard cheap pre-filter for web-scale
+    * corpora. Components are 0/1 indicators plus bounded ratios; the
+    * formula is pinned (oracle mirrors it).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok >= 10 && nTok <= 10000, lit(1.0)).otherwise(lit(0.0))
+    val avgLenOk = when(avgTokenLength(text) >= 2.0 && avgTokenLength(text) <= 12.0,
+      lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) >= 0.01, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    (lenOk + avgLenOk + stopOk + punctOk) / 4.0
+  }
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash
+    * near-dup detection. Pure HOF: sequence + transform + concat.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))))
+  }
+
+  /** Order-sensitive rolling fingerprint of the token stream: fold of
+    * xxhash64(acc, token) — a chained hash rather than a polynomial, so
+    * it needs no wrapping multiply (Spark 4 runs ANSI mode; `*` on
+    * longs throws on overflow). Not SQL-portable (xxhash64 impl is
+    * engine-specific) → declared queries using it are rows-only checks.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}

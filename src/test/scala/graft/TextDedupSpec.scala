@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Dedup, TextFunctions => TF}
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("text-test", "4").getOrCreate()
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docANear = "the quick brown fox jumps over the lazy cat again and again today"
+  private val docB = "completely different words about spark query engines and large scale data"
+
+  test("exact dedup keeps first id per identical text") {
+    val df = Seq((1L, docA), (2L, docA), (3L, docB), (4L, docA))
+      .toDF("doc_id", "text")
+    val keepers = Dedup.exactKeepers(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(keepers.toSeq == Seq(1L, 3L))
+    val stats = Dedup.exactDupStats(df, "text").collect()
+    assert(stats.length == 1 && stats(0).getAs[Long]("n_copies") == 3L)
+  }
+
+  test("word shingles: count and distinctness") {
+    val df = Seq(("a b c d e", 3)).toDF("text", "n")
+    val sh = df.select(TF.wordShingles(col("text"), 3).as("s"))
+      .selectExpr("size(s)").as[Int].first()
+    assert(sh == 3) // "a b c", "b c d", "c d e"
+    val short = Seq(("a b", 0)).toDF("text", "n")
+      .select(TF.wordShingles(col("text"), 3).as("s"))
+      .selectExpr("size(s)").as[Int].first()
+    assert(short == 0)
+  }
+
+  test("minhash LSH finds near-identical pair, verified jaccard is exact") {
+    val df = Seq((1L, docA), (2L, docANear), (3L, docB)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      threshold = 0.3, numHashes = 32, bands = 16).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val j = pairs(0).getAs[Double]("jaccard")
+    // 13 tokens → 11 shingles each; the changed word sits in 3 windows,
+    // so 8 shingles are shared: jaccard = 8 / (11 + 11 - 8)
+    assert(j === 8.0 / 14.0)
+  }
+
+  test("simhash: identical texts at hamming 0, near texts close, found by banding") {
+    val df = Seq((1L, docA), (2L, docA), (3L, docANear), (4L, docB))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs((1L, 2L)) == 0) // identical
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 16)
+  }
+
+  test("fingerprint is order-sensitive; token counts match") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+    assert(df.select(TF.tokenCount(col("text"))).as[Int].first() == 3)
+  }
+
+  test("quality score components: clean text scores 1.0, garbage scores low") {
+    val good = "the quick brown fox jumps over a lazy dog and then rests quietly"
+    val bad = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) ____ ++++"
+    val df = Seq((1L, good), (2L, bad)).toDF("doc_id", "text")
+    val scores = df.select(col("doc_id"), TF.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) == 1.0)
+    assert(scores(2L) <= 0.5)
+  }
+}
