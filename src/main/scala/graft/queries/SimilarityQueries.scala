@@ -1,8 +1,107 @@
 package graft.queries
 
-/** Vector-similarity query surface over `embeddings` — filled in by
-  * graft.sim operators (cosine top-k, LSH-bucketed ANN, near-dup).
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+import graft.sources.Tables
+
+/** Vector-similarity query surface over `embeddings`
+  * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+  *
+  * Quantized variants (component → round(x·10⁴) as LONG) make dot
+  * products exact integer sums → oracle-exact in DuckDB via
+  * unnest + generate_subscripts joins. Float variants are the fast
+  * path and rows-only. See graft.sim.Similarity for the operators.
   */
 object SimilarityQueries {
-  def all: Seq[QueryDef] = Seq.empty
+
+  private val sqlQuantFlat =
+    """SELECT vec_id,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+         generate_subscripts(embedding, 1) AS i
+       FROM embeddings"""
+
+  // ------------------------------------------------ brute-force top-k
+  private val qTopKQuant = QueryDef(
+    "q_ann_topk_quantized",
+    (s, d) =>
+      Similarity.topKByQueryId(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 20, scoreFn = Similarity.quantizedCosine),
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      qf AS (SELECT i, qv AS qqv FROM flat WHERE vec_id = 0),
+      dots AS (
+        SELECT f.vec_id, SUM(f.qv * q.qqv) AS qdot, SUM(f.qv * f.qv) AS nrm
+        FROM flat f JOIN qf q USING (i)
+        GROUP BY f.vec_id),
+      qn AS (SELECT SUM(qqv * qqv) AS nrm0 FROM qf)
+      SELECT vec_id,
+        CAST(qdot AS BIGINT) /
+          (sqrt(CAST(nrm AS BIGINT)) * sqrt(CAST(nrm0 AS BIGINT))) AS score
+      FROM dots, qn
+      WHERE vec_id <> 0
+      ORDER BY score DESC, vec_id
+      LIMIT 20"""),
+    headline = true)
+
+  private val qTopKFloat = QueryDef(
+    "q_ann_topk_cosine",
+    (s, d) =>
+      Similarity.topKByQueryId(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 20, scoreFn = Similarity.cosine),
+    None)
+
+  // ------------------------------------------------------ LSH variant
+  private val qLsh = QueryDef(
+    "q_ann_lsh_topk",
+    (s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 20, numPlanes = 32, bands = 8),
+    None,
+    headline = true)
+
+  // ----------------------------------------------- near-dup pairs (exact)
+  private val qNearDup = QueryDef(
+    "q_embedding_neardup_sample",
+    (s, d) =>
+      Similarity.nearDupPairs(
+        Tables.embeddings(s, d).where(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.35),
+    Some(s"""
+      WITH sel AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+      flat AS (
+        SELECT vec_id,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(embedding, 1) AS i
+        FROM sel),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.qv * b.qv) AS qdot
+        FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        CAST(qdot AS BIGINT) /
+          (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nb.nrm AS BIGINT))) AS cos_q
+      FROM dots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE CAST(qdot AS BIGINT) /
+          (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nb.nrm AS BIGINT))) >= 0.35"""))
+
+  // ------------------------------------------------------- centroids
+  private val qCentroids = QueryDef(
+    "q_label_centroids",
+    (s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding"),
+    Some("""
+      WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+        FROM embeddings)
+      SELECT label, CAST(pos AS INT) AS pos,
+        (CAST(SUM(qv) AS BIGINT) / COUNT(*)) / 10000.0 AS centroid,
+        CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM flat GROUP BY label, pos"""))
+
+  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qNearDup, qCentroids)
 }

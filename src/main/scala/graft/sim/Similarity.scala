@@ -1,0 +1,139 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an `ArrayType(FloatType)` embedding
+  * column: brute-force cosine top-k (the exactness baseline), a
+  * random-hyperplane LSH bucketed variant (the scale path), pairwise
+  * near-dup detection, and per-label centroids.
+  *
+  * Two arithmetic modes:
+  *  - FLOAT: plain double math via zip_with/aggregate HOFs — fast,
+  *    codegen'd, but sum order makes the low bits engine-specific →
+  *    queries built on it are rows-only checks.
+  *  - QUANTIZED: each component is rounded to a 1e-4 grid as a LONG
+  *    (`round(x·10⁴)`); dot products and norms become exact integer
+  *    sums (|x|≤1 ⇒ |q|≤10⁴ ⇒ 64-dim dot ≤ 6.4e9 « 2^63, ANSI-safe),
+  *    so results are order-independent and bit-identical in any engine —
+  *    the DuckDB oracle reproduces them exactly. Cosine then needs one
+  *    double division + sqrt on identical inputs → still deterministic.
+  *
+  * 100 TB notes: brute-force is a broadcast of the query vector — one
+  * map-side pass, no shuffle; LSH shuffles once on (band, bucket) whose
+  * cardinality is controlled by planesPerBand; near-dup's quadratic
+  * term is confined within buckets. Nothing collects to the driver.
+  */
+object Similarity {
+
+  /** Quantize one float component to the 1e-4 integer grid. */
+  private def q(x: Column): Column = round(x.cast("double") * 10000).cast("long")
+
+  /** Exact integer dot product of two quantized vectors. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => q(x) * q(y)), lit(0L), (acc, v) => acc + v)
+
+  def quantizedNormSq(a: Column): Column = quantizedDot(a, a)
+
+  /** Deterministic cosine from quantized components. */
+  def quantizedCosine(a: Column, b: Column): Column =
+    quantizedDot(a, b) / (sqrt(quantizedNormSq(a)) * sqrt(quantizedNormSq(b)))
+
+  /** Float-path dot/cosine (fast, engine-specific low bits). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-k neighbours of one stored vector: broadcast the
+    * single query row, score every vector map-side, global top-k.
+    * `scoreFn` picks the arithmetic mode.
+    */
+  def topKByQueryId(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int,
+      scoreFn: (Column, Column) => Column): DataFrame = {
+    val query = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    df.crossJoin(broadcast(query))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), scoreFn(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (fixed seed → identical plan
+    * every run; Spark requirement for resumable/replayable queries).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection band buckets: `bands` buckets per vector,
+    * each from `planesPerBand` hyperplane sign bits. Static plane
+    * literals → everything stays in whole-stage codegen.
+    */
+  def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bands: Int): Column = {
+    val perBand = planes.size / bands
+    val bits: Seq[Column] = planes.map { p =>
+      val planeCol = typedLit(p)
+      when(dot(vec, planeCol) > 0, lit(1)).otherwise(lit(0))
+    }
+    array((0 until bands).map { b =>
+      (0 until perBand).foldLeft(lit(0)) { (acc, j) =>
+        acc * 2 + bits(b * perBand + j)
+      }
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k for one stored query vector:
+    * candidates = vectors sharing ≥1 band bucket with the query, then
+    * exact re-scoring of candidates only. At 1000× data the scan is the
+    * same, but scoring work drops from N to the bucket-collision count.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, numPlanes: Int = 32, bands: Int = 8, dim: Int = 64,
+      scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val withBuckets = df.select(col(idCol), col(vecCol),
+      posexplode(lshBuckets(col(vecCol), planes, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val queryBuckets = withBuckets.where(col(idCol) === queryId)
+      .select(col("band"), col("bucket"), col(vecCol).as("__qvec"))
+    withBuckets
+      .join(broadcast(queryBuckets), Seq("band", "bucket"))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol), col("__qvec")).distinct()
+      .select(col(idCol), scoreFn(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicates above a cosine threshold over a bounded
+    * id set (sample or post-LSH candidates): quantized arithmetic so
+    * the result is oracle-exact.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        quantizedCosine(col("a.v"), col("b.v")).as("cos_q"))
+      .where(col("cos_q") >= threshold)
+  }
+
+  /** Per-label centroids in exploded (label, pos, value) form: the
+    * quantized component sum is exact, the final mean is one double
+    * division → oracle-exact and shuffle-friendly (key cardinality =
+    * labels × dim, partial aggregation map-side).
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .select(col("label"), col("pos"),
+        round(col("col").cast("double") * 10000).cast("long").as("qv"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("qv")) / count(lit(1)) / 10000.0).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("sim-test", "4").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("quantized and float cosine agree to quantization error") {
+    val emb = Tables.embeddings(spark, sf)
+    val both = emb.limit(50).select(
+      Similarity.quantizedCosine(col("embedding"), col("embedding")).as("qc"),
+      Similarity.cosine(col("embedding"), col("embedding")).as("fc"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-6)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-6)
+    }
+  }
+
+  test("brute-force top-k is ordered, excludes query, k rows") {
+    val topk = Similarity.topKByQueryId(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", 0L, 10, Similarity.quantizedCosine).collect()
+    assert(topk.length == 10)
+    assert(!topk.map(_.getLong(0)).contains(0L))
+    val scores = topk.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH top-k recall vs brute force is reasonable") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.topKByQueryId(emb, "vec_id", "embedding",
+      0L, 10, Similarity.quantizedCosine).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+      numPlanes = 32, bands = 8).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random unit vectors with no cluster structure are the worst case
+    // for sign-LSH; just require meaningfully-better-than-chance recall
+    assert(recall >= 0.3, s"recall $recall; exact=$exact approx=$approx")
+  }
+
+  test("label centroids: one row per (label, dim), counts sum to table size") {
+    val emb = Tables.embeddings(spark, sf)
+    val cent = Similarity.labelCentroids(emb, "label", "embedding")
+    val n = cent.count()
+    val labels = emb.select("label").distinct().count()
+    assert(n == labels * 64)
+    val total = cent.where(col("pos") === 0)
+      .agg(sum("n_vectors")).first().getLong(0)
+    assert(total == emb.count())
+  }
+}
