@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media ride through the engine as opaque BINARY columns
+  * with a typed metadata struct; decode / feature-extraction / resize /
+  * frame-sampling run as partition-local batched transforms.
+  *
+  * The Spark-side mechanics here are real and tested — schema, encoder
+  * round-trip, `mapPartitions` batch shape, partition sizing — but the
+  * actual codec calls are STUBBED behind `MediaDecoder`: this container
+  * has no image/audio libraries, so `StubDecoder` derives deterministic
+  * fake outputs from the payload bytes. Swapping in a real decoder
+  * (JavaCV, TwelveMonkeys, a JNI codec) changes ONE injection point and
+  * nothing in the plan shape.
+  *
+  * Why mapPartitions and not an expression: codecs are heavyweight,
+  * stateful, and want batch amortization (decoder init per PARTITION,
+  * not per row) — the documented escape hatch (d) in the operator
+  * preference order. Batches inside a partition bound peak memory:
+  * `batchSize` rows are materialized at a time, the iterator stays lazy
+  * between batches.
+  *
+  * 100 TB notes: payloads never shuffle in these transforms — they are
+  * map-side only; partition count follows the scan
+  * (`spark.sql.files.maxPartitionBytes`), and feature outputs (small
+  * arrays) are what downstream shuffles touch.
+  */
+object Multimodal {
+
+  final case class MediaMeta(kind: String, width: Int, height: Int,
+      sampleRate: Int, durationMs: Long)
+  final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String,
+      features: Array[Float], n_bytes: Int)
+  final case class FrameRow(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Decoder seam. Implementations must be deterministic per payload. */
+  trait MediaDecoder extends Serializable {
+    def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float]
+    def resize(payload: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Byte]
+    def frameOffsets(meta: MediaMeta, everyMs: Long): Seq[Long]
+  }
+
+  /** STUB: no codecs in this environment. Features are a deterministic
+    * hash-fold of the payload (NOT real embeddings); resize re-scales
+    * the byte budget; frame offsets are arithmetic on metadata. Replace
+    * with a real codec-backed implementation in production.
+    */
+  object StubDecoder extends MediaDecoder {
+    def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) {
+        h = h ^ ((h << 5) + payload(i) + (h >> 2))
+        out(math.abs((h % dim).toInt)) += 1.0f
+        i += 1
+      }
+      val n = math.max(1, payload.length)
+      out.map(_ / n)
+    }
+
+    def resize(payload: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Byte] = {
+      val srcPixels = math.max(1L, meta.width.toLong * meta.height)
+      val outLen = math.max(1L,
+        payload.length.toLong * (w.toLong * h) / srcPixels)
+        .min(payload.length.toLong).toInt
+      java.util.Arrays.copyOf(payload, outLen)
+    }
+
+    def frameOffsets(meta: MediaMeta, everyMs: Long): Seq[Long] =
+      0L.until(math.max(1L, meta.durationMs)).by(math.max(1L, everyMs))
+  }
+
+  /** Decode → feature-extract, batched within each partition. The
+    * decoder is initialized once per partition (the expensive part with
+    * a real codec), rows flow through in `batchSize` chunks.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
+      batchSize: Int = 32,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaFeatures(r.media_id, r.meta.kind,
+            decoder.features(r.payload, r.meta, dim), r.payload.length)
+        }
+      }
+    }
+  }
+
+  /** Resize transform — same batched partition-local shape. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int,
+      batchSize: Int = 32,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          r.copy(payload = decoder.resize(r.payload, r.meta, w, h),
+            meta = r.meta.copy(width = w, height = h))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame offset — the
+    * fan-out shape (flatMap) a video pipeline needs. Payload slicing is
+    * stubbed proportionally to the offset.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
+      decoder: MediaDecoder = StubDecoder): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    media.flatMap { r =>
+      decoder.frameOffsets(r.meta, everyMs).zipWithIndex.map {
+        case (_, idx) => FrameRow(r.media_id, idx, r.payload)
+      }
+    }
+  }
+
+  /** DataFrame-level entry: bytes + meta columns → features table.
+    * Keeps the typed path internal so callers stay schema-first.
+    */
+  def featuresTable(df: DataFrame, dim: Int = 64): DataFrame = {
+    import df.sparkSession.implicits._
+    val ds = df.select(
+      col("media_id").cast("long"),
+      col("payload").cast("binary"),
+      struct(
+        col("kind").cast("string").as("kind"),
+        col("width").cast("int").as("width"),
+        col("height").cast("int").as("height"),
+        col("sampleRate").cast("int").as("sampleRate"),
+        col("durationMs").cast("long").as("durationMs")).as("meta"))
+      .as[MediaRow]
+    extractFeatures(ds, dim).toDF()
+  }
+}

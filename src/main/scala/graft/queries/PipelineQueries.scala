@@ -88,5 +88,39 @@ object PipelineQueries {
         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY event_type, CAST(ts AS DATE)"""))
 
-  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qJson, qValues)
+  /** The hour pivot executed as a Structured Streaming query (complete
+    * mode over the bounded file source) — hash-checked against the SAME
+    * batch oracle, proving the streaming operator's batch equivalence.
+    */
+  private val qStream = QueryDef(
+    "q_stream_hour_pivot",
+    (s, d) => graft.streaming.StreamingHourPivot.runBatchEquivalent(s, d),
+    Some(hourPivotSql("")))
+
+  /** Gap-based sessionization (30 min) — lag + running-sum windows,
+    * integer-second bounds for engine portability.
+    */
+  private val qSessions = QueryDef(
+    "q_sessionize",
+    (s, d) => graft.streaming.Sessionize.sessions(Tables.events(s, d), 1800L),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_s,
+          CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+               THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      sess AS (
+        SELECT user_id, event_id, ts_s,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(MIN(ts_s) AS BIGINT) AS start_s,
+        CAST(MAX(ts_s) AS BIGINT) AS end_s
+      FROM sess GROUP BY user_id, session_id"""))
+
+  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qJson, qValues, qStream, qSessions)
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.HourPivot
+
+/** The hour pivot as a continuous query (Structured Streaming).
+  *
+  * The reference has no streaming surface (its "streaming" is bounded
+  * batch iteration — pivot_all_files.py:2); this is the extended
+  * engine's continuous variant (SURVEY §2.9/§7): same 24×sum(when)
+  * aggregate — `pivot()` is unsupported on streams, the sum(when) form
+  * works in both modes, which is exactly why HourPivot uses it.
+  *
+  * Two shapes:
+  *  - `pivotStream`: the unbounded transform (watermark + tumbling
+  *    date bucket) for a real deployment — caller attaches a sink and
+  *    output mode. State is bounded by the watermark: group keys older
+  *    than (max event time − delay) are finalized and evicted.
+  *  - `runBatchEquivalent`: drives the SAME streaming plan over a
+  *    bounded file source with a memory sink in complete mode and
+  *    returns the result — lets the DuckDB oracle hash-check the
+  *    streaming operator against the batch semantics.
+  */
+object StreamingHourPivot {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Events-shaped streaming source from the testdata parquet layout
+    * (ns timestamps → exact DIV rebuild, as in Tables.events).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file source requires a directory basePath; select the events
+    // file from the sf dir via glob filter
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Unbounded hour-pivot transform with a watermark for state
+    * eviction. Late rows beyond `watermarkDelay` are dropped in
+    * append/update modes.
+    */
+  def pivotStream(events: DataFrame, tsCol: Column, keys: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val withWm = events.withWatermark(tsCol.toString, watermarkDelay)
+    HourPivot.pivot(withWm, tsCol, keys)
+  }
+
+  /** Execute the streaming pivot over the bounded events file and
+    * return the final table (complete output mode, memory sink,
+    * processAllAvailable → deterministic batch-equivalent result).
+    */
+  def runBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = eventsStream(spark, sfDir)
+    val pivoted = pivotStream(stream, col("ts"), Seq("event_type"))
+    val name = s"stream_hour_pivot_${nameCounter.incrementAndGet()}"
+    val q = pivoted.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

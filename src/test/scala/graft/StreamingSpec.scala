@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Sessionize, StreamingHourPivot}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("stream-test", "4").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming hour pivot equals batch hour pivot") {
+    import graft.sources.Tables
+    val batch = graft.ops.HourPivot
+      .pivot(Tables.events(spark, sf), col("ts"), Seq("event_type"))
+      .collect().map(_.toSeq).toSet
+    val streamed = StreamingHourPivot.runBatchEquivalent(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test").start()
+    // batch 1: two rows in hour 10; advance event time far past watermark
+    input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "a"))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "a"))
+    q.processAllAvailable()
+    // batch 3: a LATE row back in hour 10 — watermark (12:50) is past
+    // the hour-10 window end (11:00): must be dropped
+    input.addData((Timestamp.valueOf("2024-01-01 10:30:00"), "a"))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-01 16:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_test")
+      .select(col("window.start").cast("string"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("2024-01-01 10:00:00") == 2L) // late row NOT counted
+  }
+
+  test("batch sessionization: gap splits sessions, counts and bounds exact") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:10:00")),
+      (1L, 3L, ts("2024-01-01 11:30:00")), // 80 min gap → new session
+      (2L, 4L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val out = Sessionize.sessions(events, 1800L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.size == 3)
+    val s1 = out((1L, 1L))
+    assert(s1._1 == 2L) // two events
+    assert(s1._3 - s1._2 == 600L) // 10-minute span
+    assert(out((1L, 2L))._1 == 1L)
+    assert(out((2L, 1L))._1 == 1L)
+  }
+
+  test("streaming sessionization emits sessions after watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessionizeStream(input.toDS(), gapSeconds = 600L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    input.addData(
+      Sessionize.Event(1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      Sessionize.Event(1L, 2L, Timestamp.valueOf("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // advance watermark far past 10:05 + 10 min
+    input.addData(Sessionize.Event(2L, 3L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    input.addData(Sessionize.Event(2L, 4L, Timestamp.valueOf("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_test").as[Sessionize.Session].collect()
+    val u1 = rows.filter(_.user_id == 1L)
+    assert(u1.length == 1)
+    assert(u1(0).n_events == 2L)
+    assert(u1(0).end_s - u1(0).start_s == 300L)
+  }
+}
