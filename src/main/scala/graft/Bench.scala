@@ -1,24 +1,52 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query on
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line.
+  *
+  * Each query is forced through the `noop` sink — a plain `count()`
+  * would let Catalyst prune the computed columns away and time a
+  * row-count instead of the query (e.g. q_text_stats would never
+  * tokenize anything). noop materializes every output row with zero
+  * sink cost.
+  *
+  * `value` is the total wall time of the headline set (the per-query
+  * map carries everything, headline and not).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // one tiny warm-up action so JVM/codegen/scan-setup costs don't
+    // land on whichever query happens to run first
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val headline = SparkEntry.headlineQueries.map(_.name).toSet
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val toRun = graft.queries.Registry.all
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = toRun.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${q.name}%-30s ${if (ok) dt else -1.0}%9.2f s")
+      (q.name, if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect {
+      case (name, t) if headline.contains(name) && t > 0 => t
+    }.sum
+    val sf = sfDir.split('/').last
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -153,7 +153,7 @@ object TextQueries {
   private val qFingerprint = QueryDef(
     "q_doc_fingerprint",
     (s, d) =>
-      Tables.documents(s, d)
+      graft.ops.Partitioning.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"),
           TF.subwordCount(col("text")).as("n_subwords")),
     None)

@@ -114,13 +114,29 @@ object Similarity {
   /** All-pairs near-duplicates above a cosine threshold over a bounded
     * id set (sample or post-LSH candidates): quantized arithmetic so
     * the result is oracle-exact.
+    *
+    * Exploded formulation, not a per-pair vector HOF: one row per
+    * (id, dim, component), norms aggregated once per id, pair dots via
+    * an equi-join on the dimension index — everything stays in codegen'd
+    * hash join/aggregate. (A `pairs × quantizedCosine(a,b)` cross join
+    * evaluates 3 interpreted array-aggregates per pair — measured ~15×
+    * slower at 400 vectors / 80k pairs.)
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        quantizedCosine(col("a.v"), col("b.v")).as("cos_q"))
+    val flat = graft.ops.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .select(col("id"), col("pos").as("i"), q(col("col")).as("qv"))
+    val norms = flat.groupBy(col("id")).agg(sum(col("qv") * col("qv")).as("nrm"))
+    val dots = flat.as("a").join(flat.as("b"),
+        col("a.i") === col("b.i") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.qv") * col("b.qv")).as("qdot"))
+    dots
+      .join(broadcast(norms.toDF("id_a", "nrm_a")), Seq("id_a"))
+      .join(broadcast(norms.toDF("id_b", "nrm_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("qdot") / (sqrt(col("nrm_a")) * sqrt(col("nrm_b")))).as("cos_q"))
       .where(col("cos_q") >= threshold)
   }
 

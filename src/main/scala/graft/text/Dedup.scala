@@ -44,37 +44,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"))
       .where(col("n_copies") > 1)
 
-  /** k minhash values over the shingle set: sig[i] = min over shingles
-    * of xxhash64(i, shingle). One aggregate HOF per hash — stays in
-    * whole-stage codegen; cost is k × |shingles| hash calls, map-side
-    * only.
+  import graft.ops.Partitioning.fanOut
+
+  /** k minhash signature columns via the inverted (exploded) form:
+    * one row per (id, shingle), then k `min(xxhash64(seed_i, s))`
+    * aggregates in ONE codegen'd hash aggregate — partial aggregation
+    * makes the shuffle carry k longs per id, never the shingles.
+    * (A transform/aggregate HOF formulation evaluates interpreted, and
+    * re-derives the shingle array per hash — ~100× slower per row.)
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(i, s))))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame = {
+    val exploded = fanOut(df)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.wordShingleHashes(col(textCol), shingleN)).as("s"))
+    exploded.groupBy(col("id"))
+      .agg(
+        min(xxhash64(lit(0), col("s"))).as("mh_0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh_$i")): _*)
+  }
 
   /** LSH candidate pairs from minhash signatures: b bands of r values;
-    * band hash = xxhash64 of the band slice; explode → group by
-    * (band, hash) bucket → within-bucket pairs via self-join.
+    * band hash = xxhash64 over the band's signature columns; explode →
+    * (band, hash) buckets → within-bucket pairs via self-join.
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+  /** Band-bucket candidate pairs from a signature frame (id, mh_*). */
+  private def candidatesFromSignatures(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(TextFunctions.wordShingles(col(textCol), shingleN),
-        numHashes).as("sig"))
-      .where(size(col("sig")) > 0)
-
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r))))))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*)
+    }
+    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
@@ -82,46 +86,93 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup pairs with exact-Jaccard verification:
-    * candidates from banding, then true shingle Jaccard ≥ threshold.
-    * The verify join ships only the candidate ids + shingle arrays.
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    candidatesFromSignatures(
+      minhashSignatures(df, idCol, textCol, shingleN, numHashes),
+      numHashes, bands)
+
+  /** MinHash-LSH near-dup pairs: banding proposes candidates, the
+    * signature-match fraction (the standard minhash Jaccard estimator)
+    * PRE-FILTERS them, and true shingle Jaccard verifies the survivors.
+    *
+    * The pre-filter is the scale lever: band collisions at 16 bands ×
+    * r=2 admit ~4% of all pairs on weakly-similar corpora, and shipping
+    * two shingle arrays per candidate dominates the job. Comparing 2×k
+    * signature longs per candidate costs ~nothing and cuts the verify
+    * join to pairs whose estimated Jaccard clears `estThreshold`
+    * (default max(threshold, 2/k) — at least 2 matching components).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
-    val sh = df.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
-    cands
+      bands: Int = 8, estThresholdOpt: Option[Double] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val estThreshold = estThresholdOpt
+      .getOrElse(math.max(threshold, 2.0 / numHashes))
+    val r = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+
+    // Carry the signature columns THROUGH the banding explode: the
+    // band self-join then yields both sides' signatures directly and
+    // the (expensive) signature subplan appears exactly once in the
+    // plan — a re-join against `sig` would recompute it per side
+    // (column renames defeat ReusedExchange).
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*)
+    }
+    val banded = sig.select(col("id") +:
+      (0 until numHashes).map(i => col(s"mh_$i")) :+
+      posexplode(array(bandCols: _*)): _*)
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val est = (0 until numHashes).map(i =>
+      when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _) / numHashes.toDouble
+    val prefiltered = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        est.as("est_jaccard"))
+      .where(col("est_jaccard") >= estThreshold)
+      .distinct()
+
+    // exact verification over hashed shingle sets (identical Jaccard,
+    // collisions negligible, no string concat/compare)
+    val sh = fanOut(df).select(col(idCol).as("id"),
+      TextFunctions.wordShingleHashes(col(textCol), shingleN).as("sh"))
+    prefiltered
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens, built entirely from HOFs: per-token
-    * xxhash64 → per-bit ±1 votes aggregated into a 64-int vector →
-    * sign → packed long. Codegen'd; no UDF.
+  /** 64-bit SimHash signatures via the inverted (exploded) form: one
+    * row per (id, token); 64 per-bit ±1 vote sums in ONE codegen'd hash
+    * aggregate (map-side partials → 64 longs per id over the wire);
+    * then a static fold packs the sign bits into a long. A HOF
+    * formulation (aggregate over a 64-int accumulator per row) runs
+    * interpreted and ~100× slower — see minhashSignatures.
     */
-  def simhash(tokensCol: Column): Column = {
-    val votes = aggregate(
-      tokensCol,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, b) => a + when(
-            call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L,
-            lit(1)).otherwise(lit(-1)))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0,
-          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = fanOut(df)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = exploded.groupBy(col("id"))
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as("v_0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L)).as(s"v_$b")): _*)
+    val packed = (0 until 64).map(b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("id"), packed.as("sh"))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit hash into 4
@@ -131,8 +182,7 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-      simhash(TextFunctions.tokens(col(textCol))).as("sh"))
+    val hashed = simhashSignatures(df, idCol, textCol)
     val banded = hashed.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), (b * 16).cast("int"))
@@ -158,11 +208,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    // Exploded, hash-keyed inverted index, persisted: it feeds three
+    // plan branches (sizes, both self-join sides) and the shingle build
+    // is the expensive part — without persist it would evaluate 3×.
+    // Size is #shingles × 16 B — MEMORY_AND_DISK spills safely at scale.
+    val ex = fanOut(df).select(col(idCol).as("id"),
+        explode(TextFunctions.wordShingleHashes(col(textCol), shingleN)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -93,6 +93,21 @@ object TextFunctions {
           i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))))
   }
 
+  /** Word n-gram shingles as 64-bit hashes (distinct): the unit for
+    * MinHash signatures, where the shingle string itself is never
+    * needed — skipping the concat + string comparisons roughly halves
+    * shingle-stage cost. Collision odds across 64 bits are negligible
+    * for any realistic shingle population.
+    */
+  def wordShingleHashes(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) < n, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(0), size(t) - n),
+          i => xxhash64((0 until n).map(k => element_at(t, i + k + 1)): _*))))
+  }
+
   /** Order-sensitive rolling fingerprint of the token stream: fold of
     * xxhash64(acc, token) — a chained hash rather than a polynomial, so
     * it needs no wrapping multiply (Spark 4 runs ANSI mode; `*` on

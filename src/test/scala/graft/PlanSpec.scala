@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB are
+  * visible in the plan at any scale factor — filters reach the parquet
+  * scan, projections prune the read schema, dimension joins broadcast,
+  * aggregates run partial→final, and nothing falls back to
+  * CartesianProduct except the deliberate broadcast-one-row cross joins.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("plan-test", "4").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan
+  }
+
+  private def planString(name: String): String =
+    executedPlan(name).toString
+
+  test("q3: filters are pushed into the parquet scans") {
+    val p = planString("q3_top_orders")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("BUILDING"), "mktsegment filter should be pushed")
+  }
+
+  test("q3: column pruning — lineitem scan reads only needed columns") {
+    val p = planString("q3_top_orders")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val liSchema = readSchemas.find(_.contains("l_orderkey")).get
+    assert(!liSchema.contains("l_quantity") && !liSchema.contains("l_tax"),
+      s"lineitem scan reads too much: $liSchema")
+  }
+
+  test("q5: dimension joins are broadcast, no shuffle on dims") {
+    val p = planString("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "region/nation/supplier/customer should all broadcast")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q1: hash aggregate runs partial then final") {
+    val p = planString("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("hour pivot is a single aggregate pair — one shuffle") {
+    val p = planString("q_hour_pivot")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"hour pivot should shuffle exactly once:\n$p")
+  }
+
+  test("text-stats hot path: vectorized scan, no UDF nodes") {
+    // Note: projections containing HOF lambdas (filter/transform) fall
+    // out of WholeStageCodegen by design (interpreted eval) — see
+    // SCALE_NOTES "Measured lessons" #2. The requirements here are a
+    // vectorized parquet scan and zero UDF/Python eval nodes.
+    val p = planString("q_text_stats")
+    assert(p.contains("Batched: true"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQL UDF"), p)
+  }
+
+  test("brute-force ANN broadcasts the query vector (no shuffle of vectors)") {
+    val p = planString("q_ann_topk_quantized")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p)
+    // global top-k via TakeOrderedAndProject, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("top-k queries use TakeOrderedAndProject, never global Sort+Limit") {
+    Seq("q3_top_orders", "q_topk_customers").foreach { q =>
+      val p = planString(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+}
