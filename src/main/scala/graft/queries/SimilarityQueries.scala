@@ -46,9 +46,13 @@ object SimilarityQueries {
 
   private val qTopKFloat = QueryDef(
     "q_ann_topk_cosine",
-    (s, d) =>
+    (s, d) => {
+      // float path on the native codegen'd expression (FloatVecDot)
+      graft.functions.VectorFunctions.register(s)
       Similarity.topKByQueryId(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 20, scoreFn = Similarity.cosine),
+        queryId = 0L, k = 20,
+        scoreFn = graft.functions.VectorFunctions.vec_cosine)
+    },
     None)
 
   // ------------------------------------------------------ LSH variant

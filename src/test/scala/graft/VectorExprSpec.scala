@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.sim.Similarity
+
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("vec-test", "4").getOrCreate()
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.5f, -0.5f, 0.0f), Array(2.0f, 2.0f, 2.0f)))
+    .toDF("id", "a", "b")
+
+  test("vec_dot matches hand computation and HOF dot exactly") {
+    VectorFunctions.register(spark)
+    val rows = df.select(col("id"),
+      VectorFunctions.vec_dot(col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).as("hof"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val m = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L)._1 == 4.0 + 10.0 + 18.0)
+    assert(m(2L)._1 == 1.0 - 1.0 + 0.0)
+    // same fp result: both sum left-to-right in doubles
+    rows.foreach { case (_, n, h) => assert(n == h) }
+  }
+
+  test("vec_dot nulls propagate") {
+    VectorFunctions.register(spark)
+    val withNull = df.select(col("id"),
+      VectorFunctions.vec_dot(col("a"),
+        when(col("id") === 1L, col("b"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!withNull(1L) && withNull(2L))
+  }
+
+  test("vec_dot participates in whole-stage codegen (HOF dot does not)") {
+    VectorFunctions.register(spark)
+    // parquet-backed (a local Seq constant-folds to LocalTableScan)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // "*(n) Project" is the WholeStageCodegen marker in simple mode
+    val codegenProject = """\*\(\d+\) Project""".r
+    val native = emb.select(
+      VectorFunctions.vec_dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(codegenProject.findFirstIn(native).isDefined, native)
+    val hof = emb.select(Similarity.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(codegenProject.findFirstIn(hof).isEmpty, hof)
+  }
+
+  test("vec_cosine of a vector with itself is 1") {
+    VectorFunctions.register(spark)
+    val c = df.select(VectorFunctions.vec_cosine(col("a"), col("a")))
+      .as[Double].collect()
+    c.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+  }
+}
