@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.AsOfJoin
+import graft.sources.Tables
+
+/** Second-wave relational coverage: as-of join, correlated/scalar
+  * subqueries (decorrelated by Catalyst), exact percentiles, bag-union,
+  * approximate distinct sketches.
+  */
+object AdvancedQueries {
+
+  /** As-of join: each purchase attached to the user's most recent
+    * prior (or same-second) click. Epoch-second timestamps per the
+    * engine-portability rule; DuckDB oracle uses its native ASOF JOIN —
+    * equal-second click ties carry identical payloads, so both engines
+    * agree even though tie-pick is arbitrary.
+    */
+  private val qAsOf = QueryDef(
+    "q_asof_purchase_click",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("purchase_ts_s"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").cast("long").as("c_ts"))
+      AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+          leftTs = "purchase_ts_s", rightTs = "c_ts",
+          rightPayload = Map("c_ts" -> "click_ts_s"))
+        .where(col("click_ts_s").isNotNull)
+        .select(col("event_id"), col("user_id"), col("purchase_ts_s"),
+          col("click_ts_s"),
+          (col("purchase_ts_s") - col("click_ts_s")).as("gap_s"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) // 1000000 AS purchase_ts_s
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS click_ts_s
+        FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.purchase_ts_s, c.click_ts_s,
+        p.purchase_ts_s - c.click_ts_s AS gap_s
+      FROM p ASOF JOIN c
+        ON p.user_id = c.user_id AND p.purchase_ts_s >= c.click_ts_s"""))
+
+  /** Scalar/correlated subquery (Catalyst decorrelates to a join):
+    * customers whose balance beats their nation's average.
+    */
+  private val qAboveAvg = QueryDef(
+    "q_above_nation_avg_balance",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+        .agg((sum(col("c_acctbal").cast(DecimalType(12, 2))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      c.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"))
+    },
+    Some("""
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_above
+      FROM customer c
+      WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      GROUP BY c_nationkey"""))
+
+  /** Exact percentiles (sort-based aggregate, linear interpolation —
+    * same definition in Spark `percentile` and DuckDB `quantile_cont`).
+    */
+  private val qPercentile = QueryDef(
+    "q_quantity_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.9)").as("price_p90")),
+    Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        quantile_cont(l_extendedprice, 0.9) AS price_p90
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** UNION ALL (bag semantics — duplicates preserved then recounted). */
+  private val qUnionAll = QueryDef(
+    "q_union_all_priorities",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val h1 = o.where(col("o_orderdate") <
+        lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderpriority"))
+      val h2 = o.where(col("o_totalprice") > 300000.0)
+        .select(col("o_orderpriority"))
+      h1.unionAll(h2)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT o_orderpriority FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        UNION ALL
+        SELECT o_orderpriority FROM orders WHERE o_totalprice > 300000.0)
+      GROUP BY o_orderpriority"""))
+
+  /** HLL approximate distinct — sketch values are engine-specific →
+    * rows-only check; SimilaritySpec-style exactness is covered by
+    * q_distinct_agg's exact counterpart.
+    */
+  private val qApprox = QueryDef(
+    "q_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts")),
+    None)
+
+  def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qUnionAll, qApprox)
+}
