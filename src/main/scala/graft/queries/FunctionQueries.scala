@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Function-surface coverage: the window-function battery, date/time
+  * breakdowns, string functions with null-handling, and schema-based
+  * JSON parsing.
+  */
+object FunctionQueries {
+
+  /** rank / dense_rank / ntile / lead / lag in one pass — full
+    * tiebreak ordering for engine-identical numbering.
+    */
+  private val qWindowFns = QueryDef(
+    "q_window_function_battery",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+        .drop("l_shipdate")
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        LAG(l_quantity, 1) OVER w AS prev_qty,
+        LEAD(l_quantity, 1) OVER w AS next_qty
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber)"""))
+
+  /** Date/time function breakdown: year / quarter / month / weekday
+    * bucketing with a months_between-style age measure.
+    */
+  private val qDates = QueryDef(
+    "q_order_date_breakdown",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(month(col("o_orderdate"))).as("n_months"),
+          min(dayofweek(col("o_orderdate"))).as("min_dow"),
+          max(to_date(col("o_orderdate"))).as("last_day")),
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(COUNT(DISTINCT EXTRACT(month FROM o_orderdate)) AS BIGINT) AS n_months,
+        CAST(MIN(EXTRACT(dow FROM o_orderdate) + 1) AS INT) AS min_dow,
+        CAST(MAX(o_orderdate) AS DATE) AS last_day
+      FROM orders GROUP BY 1, 2"""))
+
+  /** String functions + null handling: upper/substring/lpad/LIKE with
+    * coalesce/nullif over part attributes.
+    */
+  private val qStrings = QueryDef(
+    "q_part_string_ops",
+    (s, d) =>
+      Tables.part(s, d)
+        .where(col("p_type").like("%ECONOMY%") ||
+               col("p_type").startsWith("PROMO"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+          coalesce(nullif(col("p_type"), lit("")), lit("UNKNOWN")).as("type_nn"),
+          length(col("p_name")).as("name_len")),
+    Some("""
+      SELECT p_partkey,
+        upper(p_brand) AS brand_u,
+        substring(p_name, 1, 8) AS name_prefix,
+        lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        coalesce(nullif(p_type, ''), 'UNKNOWN') AS type_nn,
+        CAST(length(p_name) AS INT) AS name_len
+      FROM part
+      WHERE p_type LIKE '%ECONOMY%' OR p_type LIKE 'PROMO%'"""))
+
+  /** Schema-based JSON parsing (from_json → struct field), the typed
+    * counterpart of the regexp-extract query.
+    */
+  private val qFromJson = QueryDef(
+    "q_events_from_json",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k").cast("long")).as("sum_k"),
+          count(col("k")).as("n_parsed")),
+    Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_parsed
+      FROM events GROUP BY event_type"""))
+
+  def all: Seq[QueryDef] = Seq(qWindowFns, qDates, qStrings, qFromJson)
+}

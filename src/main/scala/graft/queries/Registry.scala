@@ -24,6 +24,6 @@ final case class QueryDef(
 object Registry {
   /** All query modules, assembled by SparkEntry. */
   def all: Seq[QueryDef] =
-    RelationalQueries.all ++ AdvancedQueries.all ++ PipelineQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all
+    RelationalQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++
+      PipelineQueries.all ++ TextQueries.all ++ SimilarityQueries.all
 }
