@@ -107,5 +107,21 @@ object SimilarityQueries {
         CAST(COUNT(*) AS BIGINT) AS n_vectors
       FROM flat GROUP BY label, pos"""))
 
-  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qNearDup, qCentroids)
+  /** Centroids as whole vectors via the typed quantized-mean Aggregator
+    * (order-independent merge; see VectorMeanAggregator). Array output →
+    * rows-only check; element-level parity vs q_label_centroids is
+    * asserted in VectorMeanSpec.
+    */
+  private val qCentroidVectors = QueryDef(
+    "q_label_centroid_vectors",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(graft.functions.VectorMeanAggregator.vec_mean(col("embedding"))
+          .as("centroid"),
+          count(lit(1)).as("n_vectors")),
+    None)
+
+  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qNearDup,
+    qCentroids, qCentroidVectors)
 }
