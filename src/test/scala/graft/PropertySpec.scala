@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.ingest.{PathMeta, SchemaDetector}
+import graft.util.SizeParser
+
+/** Property-based tests (SURVEY §5 strategy item 2) for the pure
+  * driver-side logic: detection stability and path parsing. Plain
+  * ScalaCheck Properties (the scalatest bridge isn't in the offline
+  * dependency cache).
+  */
+object PropertySpec extends Properties("graft") {
+
+  private val noiseCol: Gen[String] = Gen.alphaNumStr.suchThat { s =>
+    val l = s.toLowerCase
+    s.nonEmpty && !l.contains("pickup") && !l.contains("request") &&
+      !l.contains("location") && !l.contains("zone") &&
+      !l.contains("lat") && !l.contains("lon") && !l.contains("time") &&
+      !l.contains("date")
+  }
+
+  property("detection stable under permutation and casing") =
+    forAll(Gen.listOfN(4, noiseCol), Gen.oneOf(true, false), Gen.long) {
+      (noise, upper, seed) =>
+        val base = Seq("tpep_pickup_datetime", "PULocationID")
+        val cols = new scala.util.Random(seed).shuffle(
+          (base ++ noise).map(c => if (upper) c.toUpperCase else c))
+        SchemaDetector.detect(cols) match {
+          case Right(d) => d.dtCol.equalsIgnoreCase("tpep_pickup_datetime")
+          case Left(_) => false
+        }
+    }
+
+  property("detection never invents column names") =
+    forAll(Gen.listOfN(6, Gen.alphaNumStr.suchThat(_.nonEmpty))) { cols =>
+      SchemaDetector.detect(cols) match {
+        case Right(d) =>
+          cols.contains(d.dtCol) && (d.location match {
+            case SchemaDetector.LocId(c) => cols.contains(c)
+            case SchemaDetector.LatLon(a, o) =>
+              cols.contains(a) && cols.contains(o)
+          })
+        case Left(_) => true
+      }
+    }
+
+  property("month round-trips YYYY-MM filenames; taxi type detected") =
+    forAll(Gen.choose(1990, 2030), Gen.choose(1, 12),
+      Gen.oneOf("yellow", "green", "fhv")) { (y, m, t) =>
+      val path = f"/data/${t}_tripdata_$y-$m%02d.parquet"
+      PathMeta.monthFromPath(path).contains((y, m)) &&
+        PathMeta.taxiType(path) == t
+    }
+
+  property("hive-style year=/month= wins over earlier YYYY-MM noise") =
+    forAll(Gen.choose(1990, 2030), Gen.choose(1, 12)) { (y, m) =>
+      val path = s"/archive-1999-12/year=$y/month=$m/part-0.parquet"
+      PathMeta.monthFromPath(path).contains((y, m))
+    }
+
+  property("size parser round-trips KiB multiples") =
+    forAll(Gen.choose(1L, 4096L), Gen.oneOf("K", "M", "G")) { (n, u) =>
+      val mult = u match {
+        case "K" => 1024L
+        case "M" => 1024L * 1024
+        case "G" => 1024L * 1024 * 1024
+      }
+      SizeParser.parse(s"$n$u").contains(n * mult) &&
+        SizeParser.parse(s"$n${u}B").contains(n * mult)
+    }
+
+  property("hour pivot column list is exactly hour_0..hour_23") = Prop {
+    graft.ops.HourPivot.hourCols == (0 until 24).map(h => s"hour_$h")
+  }
+}
