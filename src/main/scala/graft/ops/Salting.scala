@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for EXTREME key skew — the cases AQE's
+  * skew-join splitting doesn't cover (single-stage aggregations where
+  * one group key holds a disproportionate share of rows, e.g. the
+  * empty-location "" bucket in taxi data or a null-ish user id).
+  *
+  * Two-stage salted aggregation: add a deterministic salt derived from
+  * the full row hash, pre-aggregate on (keys, salt) — spreading the hot
+  * key over `saltBuckets` reducers — then final-aggregate on the keys.
+  * For algebraic aggregates (count/sum/min/max) the two-stage result is
+  * exactly the direct result; the helper takes the partial→final
+  * expression pairs explicitly so that stays true by construction.
+  *
+  * Note Spark's hash aggregate already does map-side partial
+  * aggregation, which handles MOST skew; salting matters when the
+  * post-shuffle reduce of a single key is itself the bottleneck (very
+  * high distinct-input cardinality per hot key, e.g. collect-like or
+  * distinct aggregations).
+  */
+object Salting {
+
+  /** Salted count: groupBy(keys).count() with the hot-key reduce spread
+    * over saltBuckets partitions.
+    */
+  def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("count"))
+  }
+
+  /** General salted aggregation: `partials` computes per-(keys, salt)
+    * partial aggregates; `finals` folds partials per keys.
+    * Example — sum + max:
+    * {{{
+    * saltedAgg(df, Seq("k"), 32,
+    *   Seq(sum($"v").as("s"), max($"v").as("m")),
+    *   Seq(sum($"s").as("s"), max($"m").as("m")))
+    * }}}
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{MultiFormat, Tables}
+
+class MultiFormatSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("fmt-test", "4").getOrCreate()
+
+  test("csv and json round-trip the orders table") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val dir = Files.createTempDirectory("graft_fmt").toString
+
+    MultiFormat.write(orders, s"$dir/o.csv", "csv")
+    val backCsv = MultiFormat.read(spark, s"$dir/o.csv",
+      schema = Some(orders.schema))
+    assert(backCsv.count() == orders.count())
+    assert(backCsv.agg(sum("o_orderkey")).first().getLong(0) ==
+           orders.agg(sum("o_orderkey")).first().getLong(0))
+
+    MultiFormat.write(orders, s"$dir/o.json", "json")
+    val backJson = MultiFormat.read(spark, s"$dir/o.json",
+      schema = Some(orders.schema))
+    assert(backJson.count() == orders.count())
+
+    // extension dispatch without explicit format
+    assert(MultiFormat.read(spark, s"$dir/o.csv",
+      schema = Some(orders.schema)).columns.toSeq == orders.columns.toSeq)
+  }
+
+  test("partitioned write produces hive-style dirs readable with pruning") {
+    val dir = Files.createTempDirectory("graft_fmt2").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("status", col("o_orderstatus"))
+    MultiFormat.write(orders, s"$dir/part", "parquet", partitionBy = Seq("status"))
+    val back = spark.read.parquet(s"$dir/part").where(col("status") === "F")
+    assert(back.count() > 0)
+    assert(back.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(status"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Salting
+
+class SaltingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("salt-test", "4").getOrCreate()
+  import spark.implicits._
+
+  // one hot key with 10k rows + long tail
+  private def skewed = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+    (1 to 100).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+
+  test("salted count equals direct count") {
+    val direct = skewed.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedCount(skewed, Seq("k"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted sum/max equals direct; two shuffles in plan") {
+    val salted = Salting.saltedAgg(skewed, Seq("k"), 16,
+      Seq(sum($"v").as("s"), max($"v").as("m")),
+      Seq(sum($"s").as("s"), max($"m").as("m")))
+    val direct = skewed.groupBy("k").agg(sum($"v").as("s"), max($"v").as("m"))
+    val a = salted.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = direct.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+    // AQE's toString prints Final and Initial plans; count the final only
+    val plan = salted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+}

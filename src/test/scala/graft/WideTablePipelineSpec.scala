@@ -109,6 +109,24 @@ class WideTablePipelineSpec extends AnyFunSuite {
     assert(wide.count() == 0)
   }
 
+  test("corrupt parquet file is skipped with a reason, pipeline continues") {
+    import spark.implicits._
+    val in = tmpDir(); val out = tmpDir()
+    // valid file
+    (1 to 60).map(i => (Timestamp.valueOf(f"2023-01-15 08:${i % 60}%02d:00"), 5))
+      .toDF("tpep_pickup_datetime", "PULocationID")
+      .coalesce(1).write.parquet(s"$in/yellow_tripdata_2023-01.parquet")
+    // garbage bytes with a .parquet name
+    Files.write(java.nio.file.Paths.get(s"$in/green_tripdata_2023-02.parquet"),
+      "not a parquet file at all".getBytes)
+    val report = WideTablePipeline.run(spark,
+      WideTablePipeline.Config(in, out, minRides = 1L))
+    assert(report.inputRowCount == 60)
+    assert(report.skippedFiles.exists { case (f, why) =>
+      f.contains("green_tripdata") && why.startsWith("unreadable") })
+    assert(spark.read.parquet(s"$out/wide_table.parquet").count() == 1)
+  }
+
   test("epoch-seconds FHV columns coerce via magnitude heuristic") {
     import spark.implicits._
     val in = tmpDir(); val out = tmpDir()
