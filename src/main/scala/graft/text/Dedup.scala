@@ -46,6 +46,33 @@ object Dedup {
 
   import graft.ops.Partitioning.fanOut
 
+  /** Exploded distinct shingle-hash frame (id, s) built from
+    * codegen-only operators: posexplode the token array, derive each
+    * n-gram with window `lead`s over (id, position), hash, distinct.
+    * One shuffle on id (window sort), one on (id, s) (distinct) — both
+    * vectorized end-to-end. The per-row HOF array build
+    * (transform + array_distinct) evaluates interpreted and was the
+    * dominant cost of the dedup family (see SCALE_NOTES).
+    */
+  def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, distinctShingles: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = fanOut(df)
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "t0"))
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val withLeads = (1 until shingleN).foldLeft(toks) { (d, i) =>
+      d.withColumn(s"t$i", lead(col("t0"), i).over(w))
+    }
+    val hashed = withLeads
+      .where(col(s"t${shingleN - 1}").isNotNull)
+      .select(col("id"),
+        xxhash64((0 until shingleN).map(i => col(s"t$i")): _*).as("s"))
+    // min-style consumers are dup-insensitive — skip the distinct shuffle
+    if (distinctShingles) hashed.distinct() else hashed
+  }
+
   /** k minhash signature columns via the inverted (exploded) form:
     * one row per (id, shingle), then k `min(xxhash64(seed_i, s))`
     * aggregates in ONE codegen'd hash aggregate — partial aggregation
@@ -54,15 +81,15 @@ object Dedup {
     * re-derives the shingle array per hash — ~100× slower per row.)
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int): DataFrame = {
-    val exploded = fanOut(df)
-      .select(col(idCol).as("id"),
-        explode(TextFunctions.wordShingleHashes(col(textCol), shingleN)).as("s"))
+      shingleN: Int, k: Int): DataFrame =
+    minhashSignaturesFrom(
+      shingleHashFrame(df, idCol, textCol, shingleN, distinctShingles = false), k)
+
+  private def minhashSignaturesFrom(exploded: DataFrame, k: Int): DataFrame =
     exploded.groupBy(col("id"))
       .agg(
         min(xxhash64(lit(0), col("s"))).as("mh_0"),
         (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh_$i")): _*)
-  }
 
   /** LSH candidate pairs from minhash signatures: b bands of r values;
     * band hash = xxhash64 over the band's signature columns; explode →
@@ -110,7 +137,12 @@ object Dedup {
     val estThreshold = estThresholdOpt
       .getOrElse(math.max(threshold, 2.0 / numHashes))
     val r = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    // one persisted shingle frame feeds signatures AND verification;
+    // collect_set dedups for the verify arrays, min-aggs don't care
+    val ex = shingleHashFrame(df, idCol, textCol, shingleN,
+        distinctShingles = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesFrom(ex, numHashes)
 
     // Carry the signature columns THROUGH the banding explode: the
     // band self-join then yields both sides' signatures directly and
@@ -137,9 +169,8 @@ object Dedup {
       .distinct()
 
     // exact verification over hashed shingle sets (identical Jaccard,
-    // collisions negligible, no string concat/compare)
-    val sh = fanOut(df).select(col(idCol).as("id"),
-      TextFunctions.wordShingleHashes(col(textCol), shingleN).as("sh"))
+    // collisions negligible) — arrays rebuilt from the persisted frame
+    val sh = ex.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
     prefiltered
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
@@ -212,8 +243,7 @@ object Dedup {
     // plan branches (sizes, both self-join sides) and the shingle build
     // is the expensive part — without persist it would evaluate 3×.
     // Size is #shingles × 16 B — MEMORY_AND_DISK spills safely at scale.
-    val ex = fanOut(df).select(col(idCol).as("id"),
-        explode(TextFunctions.wordShingleHashes(col(textCol), shingleN)).as("s"))
+    val ex = shingleHashFrame(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").join(ex.as("b"),
