@@ -64,6 +64,14 @@ object SimilarityQueries {
     None,
     headline = true)
 
+  /** IVF variant: k-means coarse cells, probe the 4 nearest of 16. */
+  private val qIvf = QueryDef(
+    "q_ann_ivf_topk",
+    (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 20, nCells = 16, nProbe = 4),
+    None)
+
   // ----------------------------------------------- near-dup pairs (exact)
   private val qNearDup = QueryDef(
     "q_embedding_neardup_sample",
@@ -122,6 +130,6 @@ object SimilarityQueries {
           count(lit(1)).as("n_vectors")),
     None)
 
-  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qNearDup,
+  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qNearDup,
     qCentroids, qCentroidVectors)
 }

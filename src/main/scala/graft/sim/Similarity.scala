@@ -140,6 +140,77 @@ object Similarity {
       .where(col("cos_q") >= threshold)
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means cells over the
+    * embedding space (spark.ml KMeans — existing op, tier (a)), then
+    * search probes only the nProbe cells nearest the query vector.
+    *
+    * At 100 TB the cell assignment is one map-side pass (k static
+    * centroid literals through the codegen'd vec_dot expression) and
+    * would be persisted/bucketed BY cell so a query touches
+    * nProbe/nCells of the data; here assignment runs inline. Training
+    * samples the input (coarse centroids don't need every row).
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L, maxIter: Int = 5): Array[Array[Float]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(vecs)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Cell id = argmax over cells of (v·c − ‖c‖²/2) (equivalent to
+    * nearest-centroid by L2). Static centroid literals; scoring goes
+    * through the native FloatVecDot expression (codegen).
+    */
+  def assignCells(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val halfNorm = c.map(x => x.toDouble * x).sum / 2.0
+      struct(
+        (graft.functions.VectorFunctions.vec_dot(col(vecCol),
+          typedLit(c.toSeq)) - lit(halfNorm)).as("score"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell",
+      array_max(array(scored: _*)).getField("cell"))
+  }
+
+  /** IVF approximate top-k for one stored query vector. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
+    val centroids = trainCentroids(df, vecCol, nCells)
+    val assigned = assignCells(
+      graft.ops.Partitioning.fanOut(df), vecCol, centroids)
+
+    val query = assigned.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    // cells ranked by closeness to the query vector, keep nProbe best
+    val cellScores = query.select(
+      posexplode(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          (graft.functions.VectorFunctions.vec_dot(col("__qvec"),
+            typedLit(c.toSeq)) -
+            lit(c.map(x => x.toDouble * x).sum / 2.0)).as("score"),
+          lit(i).as("cell"))
+      }: _*)))
+      .select(col("col.score").as("score"), col("col.cell").as("cell"))
+      .orderBy(col("score").desc, col("cell"))
+      .limit(nProbe)
+      .select(col("cell"))
+
+    assigned
+      .join(broadcast(cellScores), Seq("cell"), "left_semi")
+      .where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col(idCol), scoreFn(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-label centroids in exploded (label, pos, value) form: the
     * quantized component sum is exact, the final mean is one double
     * division → oracle-exact and shuffle-friendly (key cardinality =

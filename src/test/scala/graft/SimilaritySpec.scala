@@ -44,6 +44,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall; exact=$exact approx=$approx")
   }
 
+  test("IVF top-k: returns k rows, recall beats random-cell baseline") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.topKByQueryId(emb, "vec_id", "embedding",
+      0L, 10, Similarity.quantizedCosine).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCells = 16, nProbe = 4).collect()
+    assert(ivf.length == 10)
+    val recall = (exact & ivf.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    // probing 4/16 cells of clusterless random vectors ≈ 25% of data;
+    // nearest-cell probing should still beat that baseline comfortably
+    assert(recall >= 0.3, s"recall $recall")
+    val scores = ivf.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cell assignment covers all rows, cells within range") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.trainCentroids(emb, "embedding", 8)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    val assigned = Similarity.assignCells(emb, "embedding", cents)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(cells.size > 1, "k-means should produce multiple populated cells")
+  }
+
   test("label centroids: one row per (label, dim), counts sum to table size") {
     val emb = Tables.embeddings(spark, sf)
     val cent = Similarity.labelCentroids(emb, "label", "embedding")
