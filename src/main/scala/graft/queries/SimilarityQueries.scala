@@ -64,6 +64,16 @@ object SimilarityQueries {
     None,
     headline = true)
 
+  /** Full-corpus embedding near-dup: LSH candidates + exact verify.
+    * Low band resolution (8 bands × 4 bits) for recall at this scale.
+    */
+  private val qLshNearDup = QueryDef(
+    "q_embedding_lsh_neardup",
+    (s, d) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.30, numPlanes = 32, bands = 8),
+    None)
+
   /** IVF variant: k-means coarse cells, probe the 4 nearest of 16. */
   private val qIvf = QueryDef(
     "q_ann_ivf_topk",
@@ -131,5 +141,5 @@ object SimilarityQueries {
     None)
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qNearDup,
-    qCentroids, qCentroidVectors)
+    qLshNearDup, qCentroids, qCentroidVectors)
 }

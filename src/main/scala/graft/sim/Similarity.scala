@@ -140,6 +140,32 @@ object Similarity {
       .where(col("cos_q") >= threshold)
   }
 
+  /** Full-corpus embedding near-dup via LSH banding: vectors sharing a
+    * sign-projection band bucket become candidate pairs; exact
+    * quantized cosine verifies. The all-pairs quadratic never happens —
+    * work is Σ bucket² over (band, bucket) groups, tuned by
+    * numPlanes/bands exactly like the text MinHash family.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 32, bands: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val banded = graft.ops.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(lshBuckets(col(vecCol), planes, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        quantizedCosine(col("va"), col("vb")).as("cos_q"))
+      .where(col("cos_q") >= threshold)
+  }
+
   /** IVF (inverted-file) coarse quantizer: k-means cells over the
     * embedding space (spark.ml KMeans — existing op, tier (a)), then
     * search probes only the nProbe cells nearest the query vector.
