@@ -101,6 +101,65 @@ object WideTablePipeline {
     }
   }
 
+  /** Incremental/per-month mode: process each (year, month) file group
+    * as its own plan writing `monthly/<yyyy>-<mm>`, then Combine the
+    * materialized monthly wide tables into the final output. This is
+    * the reference's month-ordered task layout (pivot_all_files.py:
+    * 437-446) kept for incremental refresh — a new month's arrival
+    * reprocesses ONE month + the cheap combine, not the whole corpus.
+    * The single-plan `run` remains the default for full rebuilds.
+    */
+  def runIncremental(spark: SparkSession, cfg: Config): Report = {
+    val t0 = System.nanoTime()
+    val all = Discovery.discoverParquet(spark, cfg.inputDir)
+    val files = Discovery.selectTripFiles(all, cfg.maxFiles)
+    val byMonth = files.groupBy(f =>
+      PathMeta.monthFromPath(f).getOrElse((0, 0))).toSeq.sortBy(_._1)
+
+    var inputRows = 0L; var mismatch = 0L; var groups = 0L
+    val skipped = Seq.newBuilder[(String, String)]
+    val monthDirs = byMonth.flatMap { case ((y, m), monthFiles) =>
+      plan(spark, monthFiles, minRides = 0L) match { // filter AFTER combine
+        case Some(p) =>
+          val dir = f"${cfg.outputDir}/monthly/$y%04d-$m%02d"
+          p.wide.write.mode("overwrite").parquet(dir)
+          val q = p.quality.get
+          inputRows += q("input_rows").asInstanceOf[Long]
+          mismatch += (q("month_mismatch") match {
+            case null => 0L; case x => x.asInstanceOf[Long]
+          })
+          groups += p.groups.get("n_groups").asInstanceOf[Long]
+          skipped ++= p.skipped
+          Some(dir)
+        case None =>
+          skipped ++= monthFiles.map(f => (f, "undetectable or unreadable"))
+          None
+      }
+    }
+
+    val outPath = s"${cfg.outputDir}/wide_table.parquet"
+    val monthly = monthDirs.map(spark.read.parquet(_))
+    val outputRows = graft.ops.Combine
+      .combineWideTables(monthly, minRides = Some(cfg.minRides)) match {
+      case Some(combined) =>
+        val out = if (cfg.singleFileOutput) combined.coalesce(1) else combined
+        out.write.mode("overwrite").parquet(outPath)
+        spark.read.parquet(outPath).count()
+      case None => 0L
+    }
+    // dropped = pre-filter groups minus survivors (group keys are
+    // disjoint across months only if months don't share dates; the
+    // combine may merge, so recount the combined pre-filter groups)
+    val preFilter = graft.ops.Combine
+      .combineWideTables(monthDirs.map(spark.read.parquet(_)))
+      .map(_.count()).getOrElse(0L)
+    val dropped = preFilter - outputRows
+    val report = Report(inputRows, outputRows, mismatch, dropped,
+      mismatch + dropped, skipped.result(), (System.nanoTime() - t0) / 1e9)
+    ReportSink.write(report, s"${cfg.outputDir}/${cfg.reportName}")
+    report
+  }
+
   def run(spark: SparkSession, cfg: Config): Report = {
     val t0 = System.nanoTime()
     val all = Discovery.discoverParquet(spark, cfg.inputDir)

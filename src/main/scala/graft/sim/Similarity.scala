@@ -65,21 +65,25 @@ object Similarity {
 
   /** Deterministic random hyperplanes (fixed seed → identical plan
     * every run; Spark requirement for resumable/replayable queries).
+    * Float components so the native FloatVecDot expression applies.
     */
-  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
   /** Sign-random-projection band buckets: `bands` buckets per vector,
     * each from `planesPerBand` hyperplane sign bits. Static plane
-    * literals → everything stays in whole-stage codegen.
+    * literals scored through the codegen'd vec_dot (callers must
+    * VectorFunctions.register the session) — the HOF dot here was
+    * 32 interpreted array traversals per row.
     */
-  def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bands: Int): Column = {
+  def lshBuckets(vec: Column, planes: Seq[Seq[Float]], bands: Int): Column = {
     val perBand = planes.size / bands
     val bits: Seq[Column] = planes.map { p =>
       val planeCol = typedLit(p)
-      when(dot(vec, planeCol) > 0, lit(1)).otherwise(lit(0))
+      when(graft.functions.VectorFunctions.vec_dot(vec, planeCol) > 0,
+        lit(1)).otherwise(lit(0))
     }
     array((0 until bands).map { b =>
       (0 until perBand).foldLeft(lit(0)) { (acc, j) =>
@@ -96,6 +100,7 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int, numPlanes: Int = 32, bands: Int = 8, dim: Int = 64,
       scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val planes = hyperplanes(numPlanes, dim)
     val withBuckets = df.select(col(idCol), col(vecCol),
       posexplode(lshBuckets(col(vecCol), planes, bands)))
@@ -149,21 +154,29 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 32, bands: Int = 8,
       dim: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val planes = hyperplanes(numPlanes, dim)
+    // distinct over bare id pairs (vectors re-joined afterwards — a
+    // distinct dragging two float[64] payloads through the shuffle was
+    // the dominant cost), codegen'd vec_dot for bucket signs + verify.
     val banded = graft.ops.Partitioning.fanOut(df)
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
+      .select(col(idCol).as("id"),
         posexplode(lshBuckets(col(vecCol), planes, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    banded.as("a").join(banded.as("b"),
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.toDF("id_a", "va"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "vb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        quantizedCosine(col("va"), col("vb")).as("cos_q"))
-      .where(col("cos_q") >= threshold)
+        graft.functions.VectorFunctions.vec_cosine(col("va"), col("vb"))
+          .as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   /** IVF (inverted-file) coarse quantizer: k-means cells over the
@@ -182,7 +195,8 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = df.select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .fit(vecs)
+      .setInitMode("random") // k-means|| init costs ~10 extra jobs; random
+      .fit(vecs)             // init + a few Lloyd iters suffice for coarse cells
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 

@@ -109,6 +109,26 @@ class WideTablePipelineSpec extends AnyFunSuite {
     assert(wide.count() == 0)
   }
 
+  test("incremental per-month mode produces the same wide table as single-plan") {
+    val in = tmpDir(); val out1 = tmpDir(); val out2 = tmpDir()
+    writeFixtures(in)
+    val full = WideTablePipeline.run(spark,
+      WideTablePipeline.Config(in, out1, minRides = 50L))
+    val incr = WideTablePipeline.runIncremental(spark,
+      WideTablePipeline.Config(in, out2, minRides = 50L))
+    val a = spark.read.parquet(s"$out1/wide_table.parquet")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$out2/wide_table.parquet")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(incr.inputRowCount == full.inputRowCount)
+    assert(incr.monthMismatchRows == full.monthMismatchRows)
+    assert(incr.outputRowCount == full.outputRowCount)
+    // monthly intermediates exist per month key
+    assert(new java.io.File(s"$out2/monthly").list().toSeq.sorted ==
+      Seq("2009-03", "2021-06", "2023-01"))
+  }
+
   test("corrupt parquet file is skipped with a reason, pipeline continues") {
     import spark.implicits._
     val in = tmpDir(); val out = tmpDir()
