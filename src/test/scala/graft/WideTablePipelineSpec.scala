@@ -147,6 +147,21 @@ class WideTablePipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/wide_table.parquet").count() == 1)
   }
 
+  test("unparseable datetime strings coerce to null and are dropped, not fatal") {
+    import spark.implicits._
+    val in = tmpDir(); val out = tmpDir()
+    val rows = (1 to 55).map(i => (f"2009-03-02 07:${i % 60}%02d:00", 40.7, -74.0)) ++
+      Seq(("not a date", 40.7, -74.0), ("", 40.7, -74.0))
+    rows.toDF("Trip_Pickup_DateTime", "Start_Lat", "Start_Lon")
+      .coalesce(1).write.parquet(s"$in/yellow_tripdata_2009-03.parquet")
+    val report = WideTablePipeline.run(spark,
+      WideTablePipeline.Config(in, out, minRides = 1L))
+    // errors="coerce" semantics: bad rows nulled then dropped BEFORE
+    // input_rows counting (pivot_all_files.py:150-157)
+    assert(report.inputRowCount == 55)
+    assert(report.outputRowCount == 1)
+  }
+
   test("epoch-seconds FHV columns coerce via magnitude heuristic") {
     import spark.implicits._
     val in = tmpDir(); val out = tmpDir()
