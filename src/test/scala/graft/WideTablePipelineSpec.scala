@@ -147,6 +147,22 @@ class WideTablePipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/wide_table.parquet").count() == 1)
   }
 
+  test("double-typed location IDs format via long cast: 132.0 → \"132\"") {
+    import spark.implicits._
+    val in = tmpDir(); val out = tmpDir()
+    val base = Timestamp.valueOf("2022-04-05 09:00:00").getTime
+    (1 to 60).map(i => (base + i * 1000L, 132.0))
+      .toDF("request_datetime", "PUlocationID")
+      .coalesce(1).write.parquet(s"$in/fhv_tripdata_2022-04.parquet")
+    WideTablePipeline.run(spark,
+      WideTablePipeline.Config(in, out, minRides = 1L))
+    val places = spark.read.parquet(s"$out/wide_table.parquet")
+      .select("pickup_place").as[String].collect().toSeq
+    // pinned spec (SURVEY §7.4 risk 1): numeric ids cast via LONG, so
+    // the key is "132", never pandas-style "132.0"
+    assert(places == Seq("132"))
+  }
+
   test("unparseable datetime strings coerce to null and are dropped, not fatal") {
     import spark.implicits._
     val in = tmpDir(); val out = tmpDir()
