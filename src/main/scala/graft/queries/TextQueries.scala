@@ -134,6 +134,54 @@ object TextQueries {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE common / (sa.n + sb.n - common) >= 0.01"""))
 
+  /** Connected-component dedup clustering over the deterministic
+    * sampled-Jaccard pair set: each doc labeled with its component's
+    * min id (the keeper). Spark side is iterative label propagation;
+    * the oracle is a DuckDB recursive CTE computing min reachable id —
+    * graph connectivity, hash-checked exactly.
+    */
+  private val qClusters = QueryDef(
+    "q_neardup_clusters",
+    (s, d) => {
+      val sel = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+      val pairs = Dedup.ngramJaccardPairs(sel, "doc_id", "text",
+        shingleN = 3, threshold = 0.01).select(col("id_a"), col("id_b"))
+      Dedup.nearDupClusters(sel.select(col("doc_id")), "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM sel WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      rawpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jpairs AS (
+        SELECT id_a, id_b FROM rawpairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.01),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM jpairs
+        UNION ALL SELECT id_b, id_a FROM jpairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM sel
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e, reach WHERE e.d = reach.id)
+      SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep,
+        (MIN(r) = id) AS is_keeper
+      FROM reach GROUP BY id"""))
+
   // ---------------------------------------- hash-based near-dup (no oracle)
   private val qMinhash = QueryDef(
     "q_minhash_lsh_neardup",
@@ -159,6 +207,6 @@ object TextQueries {
     None)
 
   def all: Seq[QueryDef] = Seq(
-    qStats, qLang, qQuality, qDedupExact, qJaccard, qMinhash, qSimhash,
-    qFingerprint)
+    qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,
+    qSimhash, qFingerprint)
 }

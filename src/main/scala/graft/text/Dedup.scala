@@ -232,6 +232,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected-component clustering of near-dup pairs: every document
+    * in a component gets the component's MINIMUM id as its canonical
+    * representative (the keeper). This is the step that turns pairwise
+    * near-dup evidence into an actual dedup decision.
+    *
+    * Label propagation: each node starts as its own rep; each round
+    * every node takes the min rep among itself and its neighbours;
+    * converged when no rep changes. Rounds needed = graph diameter —
+    * near-dup components are tiny (chains of a few docs), so this
+    * terminates in a handful of shuffles; `maxIters` bounds pathological
+    * chains. Deterministic: min-id is order-independent.
+    *
+    * @param pairs (id_a, id_b) undirected near-dup edges
+    * @param ids   all document ids (isolated docs are their own rep)
+    */
+  def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    // Iterative algorithms MUST truncate lineage each round: `labels`
+    // appears twice per iteration, so the logical plan doubles per
+    // round (2^iters nodes — analyzer OOM long before any data is
+    // big). localCheckpoint(eager) materializes AND cuts the plan.
+    // On a cluster prefer reliable checkpoint() with a checkpoint dir
+    // (localCheckpoint ties recovery to executor lifetimes).
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.toDF("dst", "dst_rep"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_rep")).as("nbr_rep"))
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // pointer jumping (path compression): rep := rep's rep. Neighbor
+      // steps alone converge in O(diameter) rounds — long chains blow
+      // past any fixed cap; the jump makes it O(log diameter).
+      val lookup = propagated.select(col("id").as("rep"), col("rep").as("rep2"))
+      val next = propagated.join(lookup, Seq("rep"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val diffs = next.toDF("id", "new_rep")
+        .join(labels, Seq("id"))
+        .where(col("new_rep") =!= col("rep"))
+      val changed =
+        if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) {
+          val rows = diffs.collect()
+          System.err.println(s"[cluster] iter=$i changed=${rows.length} " +
+            rows.take(5).map(r => s"${r.get(0)}:${r.get(2)}->${r.get(1)}").mkString(","))
+          rows.length.toLong
+        } else diffs.limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumn("is_keeper", (col("id") === col("rep")).cast("boolean"))
+  }
+
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
     * explode distinct shingles, equi-join on shingle, count common,
     * combine with set sizes. Quadratic only within identical-shingle

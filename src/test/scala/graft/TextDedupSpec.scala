@@ -55,6 +55,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 16)
   }
 
+  test("near-dup clustering: chains collapse to min-id rep, isolated keep themselves") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1-2-3 (transitive), pair 4-5, isolated 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = graft.text.Dedup.nearDupClusters(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L) == (1L, false)) // via transitivity, needs 2 rounds
+    assert(out(4L) == (4L, true))
+    assert(out(5L) == (4L, false))
+    assert(out(9L) == (9L, true))
+  }
+
   test("fingerprint is order-sensitive; token counts match") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
