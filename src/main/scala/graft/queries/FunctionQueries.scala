@@ -18,8 +18,12 @@ object FunctionQueries {
   private val qWindowFns = QueryDef(
     "q_window_function_battery",
     (s, d) => {
+      // (orderkey, linenumber) is NOT unique in the synthetic data;
+      // l_quantity joins the ordering so rows that still tie are
+      // output-identical (interchangeable) — engine-independent result.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
       Tables.lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_shipdate"))
@@ -39,7 +43,7 @@ object FunctionQueries {
         LEAD(l_quantity, 1) OVER w AS next_qty
       FROM lineitem
       WINDOW w AS (PARTITION BY l_suppkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber)"""))
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)"""))
 
   /** Date/time function breakdown: year / quarter / month / weekday
     * bucketing with a months_between-style age measure.

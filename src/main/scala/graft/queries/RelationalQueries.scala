@@ -235,7 +235,11 @@ object RelationalQueries {
   private val qWinRun = QueryDef(
     "q_window_running_qty",
     (s, d) => {
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      // l_quantity appended: (orderkey, linenumber) is not unique, and
+      // tied rows with differing quantities would make the running sum
+      // tie-order-dependent; ties on the full key are output-identical.
+      val order = Seq(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
@@ -246,7 +250,7 @@ object RelationalQueries {
     Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_shipdate,
         SUM(l_quantity) OVER (PARTITION BY l_suppkey
-          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
       FROM lineitem"""))
 
