@@ -64,8 +64,18 @@ object Normalize {
   def normPathKey(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
 
-  def normPathKeyCol(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+  /** All spellings of a listing path that `input_file_name()` might
+    * report for its rows. The per-row side joins on the RAW
+    * input_file_name value and the driver enumerates variants instead —
+    * a per-row regexp_replace over 50M rows measured ~30 s, pure
+    * overhead (SCALE_NOTES lesson: never spend per-row work to save
+    * per-FILE work).
+    */
+  def pathKeyVariants(p: String): Seq[String] = {
+    val noScheme = normPathKey(p)
+    Seq(p, noScheme, s"file:$noScheme", s"file://$noScheme",
+      s"file:///${noScheme.stripPrefix("/")}").distinct
+  }
 
   private def coerceTimestamp(name: String, t: DataType): Column = t match {
     case _: TimestampType => col(name)
@@ -93,39 +103,64 @@ object Normalize {
 
   /** Read one dialect group (all files share detected columns + types)
     * as a single multi-path scan, normalized to the canonical schema.
+    * `constants` lets the caller inline per-group metadata as literal
+    * columns — when a group's files share taxi_type/month, the rows
+    * need no `input_file_name()` and no metadata join at all.
     */
-  def readDialect(spark: SparkSession, dialect: Dialect, paths: Seq[String]): DataFrame = {
+  def readDialect(spark: SparkSession, dialect: Dialect, paths: Seq[String],
+      constants: Seq[(String, Column)] = Nil,
+      withSrcPath: Boolean = true): DataFrame = {
     val df = spark.read.parquet(paths: _*)
     val schema = df.schema
     val dtName = dialect.detection.dtCol
-    df.select(
+    val base = Seq(
       coerceTimestamp(dtName, schema(dtName).dataType).as("pickup_datetime"),
-      locationCol(dialect.detection, schema).as("pickup_location"),
-      normPathKeyCol(input_file_name()).as("src_path"))
+      locationCol(dialect.detection, schema).as("pickup_location"))
+    val src = if (withSrcPath) Seq(input_file_name().as("src_path")) else Nil
+    val consts = constants.map { case (n, c) => c.as(n) }
+    df.select(base ++ src ++ consts: _*)
   }
 
   /** Detect every file's dialect (driver-side footer reads), group by
     * dialect, scan each group once, union by name.
     */
-  def normalizedTrips(spark: SparkSession, files: Seq[String]): NormalizeResult = {
-    val detected: Seq[Either[Skipped, (Dialect, String)]] = files.map { f =>
-      Try(spark.read.parquet(f).schema).toEither.left
-        .map(e => Skipped(f, s"unreadable: ${e.getMessage}"))
-        .flatMap { schema =>
-          SchemaDetector.detect(schema) match {
-            case Right(det) =>
-              val locType = det.location match {
-                case LocId(n) => Some(schema(n).dataType)
-                case _ => None
+  /** Detect every file's dialect. Footer reads are driver-side but
+    * independent — run them on a bounded pool. Sequential reads at
+    * ~100 ms each turn a 400-file input into 40 s of driver idle time
+    * (measured); parallel they are seconds even at O(10k) files.
+    */
+  def detectDialects(spark: SparkSession, files: Seq[String]): (Seq[(Dialect, String)], Seq[Skipped]) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(4, files.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val detected: Seq[Either[Skipped, (Dialect, String)]] =
+      try Await.result(Future.sequence(files.map { f =>
+        Future {
+          Try(spark.read.parquet(f).schema).toEither.left
+            .map(e => Skipped(f, s"unreadable: ${e.getMessage}"))
+            .flatMap { schema =>
+              SchemaDetector.detect(schema) match {
+                case Right(det) =>
+                  val locType = det.location match {
+                    case LocId(n) => Some(schema(n).dataType)
+                    case _ => None
+                  }
+                  Right((Dialect(det, schema(det.dtCol).dataType, locType), f))
+                case Left(reason) => Left(Skipped(f, reason))
               }
-              Right((Dialect(det, schema(det.dtCol).dataType, locType), f))
-            case Left(reason) => Left(Skipped(f, reason))
-          }
+            }
         }
-    }
-    val skipped = detected.collect { case Left(s) => s }
-    val groups = detected.collect { case Right(x) => x }
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      }), Duration.Inf)
+      finally pool.shutdown()
+    (detected.collect { case Right(x) => x },
+      detected.collect { case Left(s) => s })
+  }
+
+  def normalizedTrips(spark: SparkSession, files: Seq[String]): NormalizeResult = {
+    val (ok, skipped) = detectDialects(spark, files)
+    val groups = ok.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
       .sortBy(_._2.head) // deterministic group order
     val dfs = groups.map { case (dialect, paths) => readDialect(spark, dialect, paths) }
     val unioned = dfs.reduceOption(_.unionByName(_))
