@@ -22,7 +22,12 @@ object VectorMeanAggregator {
   private val agg = new Aggregator[Array[Float], Buf, Array[Double]] {
     override def zero: Buf = Buf(Array.emptyLongArray, 0L)
 
-    private def q(x: Float): Long = math.round(x.toDouble * 10000)
+    // HALF_UP away from zero, matching Spark round() / DuckDB ROUND
+    // (Math.round is floor(x+0.5): differs on negative .5 ties)
+    private def q(x: Float): Long = {
+      val y = x.toDouble * 10000
+      if (y < 0) -math.round(-y) else math.round(y)
+    }
 
     override def reduce(b: Buf, v: Array[Float]): Buf = {
       if (v == null) return b

@@ -125,10 +125,12 @@ object SimilarityQueries {
         CAST(COUNT(*) AS BIGINT) AS n_vectors
       FROM flat GROUP BY label, pos"""))
 
-  /** Centroids as whole vectors via the typed quantized-mean Aggregator
-    * (order-independent merge; see VectorMeanAggregator). Array output →
-    * rows-only check; element-level parity vs q_label_centroids is
-    * asserted in VectorMeanSpec.
+  /** Centroids via the typed quantized-mean Aggregator
+    * (order-independent merge; see VectorMeanAggregator), posexploded to
+    * scalar (label, pos, value) rows so the driver harness can
+    * sort/hash the output (an array column crashed its canonicalizer in
+    * round 1). The quantized accumulation makes every value identical to
+    * the SQL formulation → full oracle-hash check.
     */
   private val qCentroidVectors = QueryDef(
     "q_label_centroid_vectors",
@@ -137,8 +139,19 @@ object SimilarityQueries {
         .groupBy(col("label"))
         .agg(graft.functions.VectorMeanAggregator.vec_mean(col("embedding"))
           .as("centroid"),
-          count(lit(1)).as("n_vectors")),
-    None)
+          count(lit(1)).as("n_vectors"))
+        .select(col("label"), posexplode(col("centroid")), col("n_vectors"))
+        .select(col("label"), col("pos"), col("col").as("value"),
+          col("n_vectors")),
+    Some("""
+      WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+        FROM embeddings)
+      SELECT label, CAST(pos AS INT) AS pos,
+        CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 10000.0 AS value,
+        CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM flat GROUP BY label, pos"""))
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qNearDup,
     qLshNearDup, qCentroids, qCentroidVectors)

@@ -313,9 +313,13 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
+    // NO broadcast hint on `sizes`: it is O(corpus) (one row per doc) —
+    // a forced broadcast OOMs the driver on a full corpus. The pair
+    // output is already shuffled on id; AQE picks broadcast itself when
+    // the input is actually small.
     common
-      .join(broadcast(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a"))), Seq("id_a"))
-      .join(broadcast(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b"))), Seq("id_b"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
       .withColumn("jaccard", col("common") / (col("n_a") + col("n_b") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))

@@ -62,8 +62,8 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    fails = 0
     results = {}
+    passed = {}  # single source of truth for both the label and the count
     for qdir in sorted(glob.glob(f"{out_dir}/*")):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
@@ -73,21 +73,20 @@ def main():
             ignore_index=True) if glob.glob(f"{qdir}/*.parquet") else pd.DataFrame()
         if name not in oracles:
             results[name] = f"no-oracle rows={len(spark_df)}"
-            if len(spark_df) == 0:
-                fails += 1
+            passed[name] = len(spark_df) > 0
             continue
         try:
             duck_df = con.execute(oracles[name]).df()
         except Exception as e:
             results[name] = f"DUCKDB ERROR: {e}"
-            fails += 1
+            passed[name] = False
             continue
         v = compare(name, spark_df, duck_df)
         results[name] = f"{v} rows={len(spark_df)}"
-        if not v.startswith("OK"):
-            fails += 1
+        passed[name] = v.startswith("OK")
+    fails = sum(1 for ok in passed.values() if not ok)
     for k in sorted(results):
-        print(f"{'PASS' if 'OK' in results[k] or results[k].startswith('no-oracle') else 'FAIL':4} {k}: {results[k]}")
+        print(f"{'PASS' if passed[k] else 'FAIL':4} {k}: {results[k]}")
     print(f"\n{len(results) - fails}/{len(results)} pass")
     sys.exit(1 if fails else 0)
 
