@@ -180,24 +180,86 @@ object Similarity {
   }
 
   /** IVF (inverted-file) coarse quantizer: k-means cells over the
-    * embedding space (spark.ml KMeans — existing op, tier (a)), then
-    * search probes only the nProbe cells nearest the query vector.
+    * embedding space, then search probes only the nProbe cells nearest
+    * the query vector.
     *
-    * At 100 TB the cell assignment is one map-side pass (k static
-    * centroid literals through the codegen'd vec_dot expression) and
-    * would be persisted/bucketed BY cell so a query touches
-    * nProbe/nCells of the data; here assignment runs inline. Training
-    * samples the input (coarse centroids don't need every row).
+    * TRAIN and SERVE are split (the FAISS structure): training runs
+    * Lloyd iterations on the driver over a BOUNDED sample (coarse
+    * centroids never need the full corpus — `sampleN` rows collected
+    * once, O(1) in corpus size), and `buildIvfIndex` materializes a
+    * cell-partitioned layout once. Queries then touch ~nProbe/nCells of
+    * the data with no training job at all. The 100 TB deployment writes
+    * `IvfIndex.cells` as parquet partitioned by `cell`; here it persists
+    * in memory, which exercises the same plan shape (partition-pruned
+    * probe via the cell semi-join).
     */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
-      seed: Long = 42L, maxIter: Int = 5): Array[Array[Float]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val vecs = df.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random") // k-means|| init costs ~10 extra jobs; random
-      .fit(vecs)             // init + a few Lloyd iters suffice for coarse cells
-    model.clusterCenters.map(_.toArray.map(_.toFloat))
+      seed: Long = 42L, maxIter: Int = 10,
+      sampleN: Int = 2048): Array[Array[Float]] =
+    lloyd(df.select(col(vecCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray), k, seed, maxIter)
+
+  /** Driver-local Lloyd iterations over an in-memory sample. */
+  def lloyd(sample: Array[Array[Float]], k: Int, seed: Long = 42L,
+      maxIter: Int = 10): Array[Array[Float]] = {
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    // init: k distinct sample points (deterministic shuffle)
+    var centroids = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone()).toArray
+    val assign = new Array[Int](sample.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < sample.length) {            // nearest centroid by L2
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var j = 0
+          val cv = centroids(c); val sv = sample(i)
+          while (j < dim) { val t = sv(j) - cv(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      i = 0
+      while (i < sample.length) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)     // empty cell keeps its centroid
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Prebuilt IVF index: trained centroids + the corpus with its cell
+    * assignment materialized cell-clustered. Build once, serve many.
+    */
+  final case class IvfIndex(centroids: Array[Array[Float]], cells: DataFrame)
+
+  def buildIvfIndex(df: DataFrame, vecCol: String, nCells: Int = 16,
+      seed: Long = 42L): IvfIndex = {
+    val centroids = trainCentroids(df, vecCol, nCells, seed)
+    // repartition(cell) both cell-clusters the layout (the probe's
+    // pruning axis) and spreads small inputs across the cluster — no
+    // separate fanOut needed
+    val cells = assignCells(df, vecCol, centroids)
+      .repartition(col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(centroids, cells)
   }
 
   /** Cell id = argmax over cells of (v·c − ‖c‖²/2) (equivalent to
@@ -218,35 +280,78 @@ object Similarity {
       array_max(array(scored: _*)).getField("cell"))
   }
 
-  /** IVF approximate top-k for one stored query vector. */
+  /** IVF serve path for a query vector the caller holds (the vector-DB
+    * shape: the query arrives as a parameter, not a table row). Probe
+    * cells are ranked on the DRIVER against the index's centroids —
+    * both are O(nCells·dim) driver-resident — so the whole search is
+    * ONE job: filter the cell-clustered corpus to nProbe static cell
+    * ids (partition pruning on a cell-partitioned layout), score
+    * against the literal query vector, TakeOrdered k.
+    */
+  /** Rank cells by closeness of centroid to qvec (driver-side; both are
+    * O(nCells·dim) driver-resident). L2-nearest ⇔ max(v·c − ‖c‖²/2).
+    */
+  private def rankProbeCells(centroids: Array[Array[Float]],
+      qvec: Array[Float], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var nrm = 0.0; var j = 0
+      while (j < c.length) {
+        dot += qvec(j).toDouble * c(j); nrm += c(j).toDouble * c(j); j += 1
+      }
+      (dot - nrm / 2.0, i)
+    }.sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2).toSeq
+
+  def ivfSearchVec(index: IvfIndex, idCol: String, vecCol: String,
+      qvec: Array[Float], k: Int, nProbe: Int = 4,
+      excludeId: Option[Long] = None,
+      scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
+    val probeCells = rankProbeCells(index.centroids, qvec, nProbe)
+    val qlit = typedLit(qvec.toSeq)
+    val probed = index.cells.where(col("cell").isin(probeCells: _*))
+    excludeId.fold(probed)(id => probed.where(col(idCol) =!= id))
+      .select(col(idCol), scoreFn(col(vecCol), qlit).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF serve path addressing the query by stored id: one single-row
+    * lookup collect (bounded, serve-time) then the literal-vector path.
+    */
+  def ivfSearch(index: IvfIndex, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nProbe: Int = 4,
+      scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
+    val qvec = index.cells.where(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0).toArray
+    ivfSearchVec(index, idCol, vecCol, qvec, k, nProbe, Some(queryId), scoreFn)
+  }
+
+  /** One-shot IVF query without materializing an index: train on a
+    * bounded driver sample, rank probe cells driver-side, then ONE
+    * map-side pass over the corpus — assign cell inline, keep only the
+    * nProbe probe cells, score against the literal query vector,
+    * TakeOrdered k. Zero shuffles, no persist. Amortized callers (every
+    * real serving scenario) use buildIvfIndex once + ivfSearch per
+    * query instead.
+    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int, nCells: Int = 16, nProbe: Int = 4,
-      scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
-    val centroids = trainCentroids(df, vecCol, nCells)
-    val assigned = assignCells(
-      graft.ops.Partitioning.fanOut(df), vecCol, centroids)
-
-    val query = assigned.where(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"))
-    // cells ranked by closeness to the query vector, keep nProbe best
-    val cellScores = query.select(
-      posexplode(array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(
-          (graft.functions.VectorFunctions.vec_dot(col("__qvec"),
-            typedLit(c.toSeq)) -
-            lit(c.map(x => x.toDouble * x).sum / 2.0)).as("score"),
-          lit(i).as("cell"))
-      }: _*)))
-      .select(col("col.score").as("score"), col("col.cell").as("cell"))
-      .orderBy(col("score").desc, col("cell"))
-      .limit(nProbe)
-      .select(col("cell"))
-
-    assigned
-      .join(broadcast(cellScores), Seq("cell"), "left_semi")
-      .where(col(idCol) =!= queryId)
-      .crossJoin(broadcast(query))
-      .select(col(idCol), scoreFn(col(vecCol), col("__qvec")).as("score"))
+      scoreFn: (Column, Column) => Column = quantizedCosine,
+      sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
+    // one collect serves both training sample and (usually) the query
+    // vector lookup
+    val sampleRows = df.select(col(idCol), col(vecCol)).limit(sampleN)
+      .collect()
+    val centroids = lloyd(
+      sampleRows.map(_.getSeq[Float](1).toArray), nCells, seed)
+    val qvec = sampleRows.find(_.getLong(0) == queryId)
+      .map(_.getSeq[Float](1).toArray)
+      .getOrElse(df.where(col(idCol) === queryId).select(col(vecCol))
+        .head().getSeq[Float](0).toArray)
+    val probeCells = rankProbeCells(centroids, qvec, nProbe)
+    assignCells(df, vecCol, centroids)
+      .where(col("cell").isin(probeCells: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), scoreFn(col(vecCol), typedLit(qvec.toSeq)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
