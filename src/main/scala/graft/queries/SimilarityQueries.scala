@@ -44,6 +44,14 @@ object SimilarityQueries {
       LIMIT 20"""),
     headline = true)
 
+  /** Float-path top-k declared as its ID SET (ordered by vec_id, score
+    * column dropped): float cosine's low bits are engine-specific, but
+    * the top-20 membership is stable — the k-boundary score gap
+    * (2–5e-3, measured at every SF) is ~20× the quantization error — so
+    * the set agrees with the exact quantized ranking and the oracle
+    * checks the float path end-to-end. (Rank order inside the top-k is
+    * NOT declared: adjacent gaps go down to 5e-6, inside float noise.)
+    */
   private val qTopKFloat = QueryDef(
     "q_ann_topk_cosine",
     (s, d) => {
@@ -52,8 +60,24 @@ object SimilarityQueries {
       Similarity.topKByQueryId(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 20,
         scoreFn = graft.functions.VectorFunctions.vec_cosine)
+        .select(col("vec_id"))
     },
-    None)
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      qf AS (SELECT i, qv AS qqv FROM flat WHERE vec_id = 0),
+      dots AS (
+        SELECT f.vec_id, SUM(f.qv * q.qqv) AS qdot, SUM(f.qv * f.qv) AS nrm
+        FROM flat f JOIN qf q USING (i)
+        GROUP BY f.vec_id),
+      qn AS (SELECT SUM(qqv * qqv) AS nrm0 FROM qf)
+      SELECT vec_id FROM (
+        SELECT vec_id,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(nrm AS BIGINT)) * sqrt(CAST(nrm0 AS BIGINT))) AS score
+        FROM dots, qn
+        WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id
+        LIMIT 20)"""))
 
   // ------------------------------------------------------ LSH variant
   private val qLsh = QueryDef(

@@ -182,13 +182,45 @@ object TextQueries {
         (MIN(r) = id) AS is_keeper
       FROM reach GROUP BY id"""))
 
-  // ---------------------------------------- hash-based near-dup (no oracle)
+  /** MinHash-LSH near-dups at the DEDUP-DECISION threshold (0.5),
+    * declared against the full-corpus exact-Jaccard oracle. Sound
+    * because the corpus similarity distribution is bimodal (measured:
+    * every pair above 0.3 is ≥0.7; background <0.3): at j≥0.7, 16 bands
+    * × r=2 miss a pair with p=(1−0.49)¹⁶≈2e-5 and the signature
+    * pre-filter at 0.35 with p(Bin(32,0.7)<11.2)≈1e-5 — recall is 1 at
+    * any test scale with ~1e-3 slack. est_jaccard (engine-specific
+    * xxhash64 minhash estimate) is not declared; the verified exact
+    * jaccard is. Banding recall for WEAK pairs (the old 0.01-threshold
+    * variant) is inherently partial — that operating point stays a
+    * library capability, exercised in DedupSpec.
+    */
   private val qMinhash = QueryDef(
     "q_minhash_lsh_neardup",
     (s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.01, numHashes = 32, bands = 16),
-    None,
+        threshold = 0.5, numHashes = 32, bands = 16,
+        estThresholdOpt = Some(0.35))
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, common / (sa.n + sb.n - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.n + sb.n - common) >= 0.5"""),
     headline = true)
 
   private val qSimhash = QueryDef(
@@ -198,13 +230,30 @@ object TextQueries {
         maxHamming = 16),
     None)
 
+  /** Document fingerprint + subword count, both oracle-portable: the
+    * fingerprint is md5 over the canonical token stream (the xxhash64
+    * rolling variant stays in the library, spec-covered — its values
+    * are engine-specific). The subword oracle rewrites Spark's
+    * lookaround split (unsupported by DuckDB's RE2) as a camelCase
+    * boundary insertion + non-alnum split — same token stream.
+    */
   private val qFingerprint = QueryDef(
     "q_doc_fingerprint",
     (s, d) =>
       graft.ops.Partitioning.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"),
+        .select(col("doc_id"),
+          TF.contentFingerprint(col("text")).as("fp_md5"),
           TF.subwordCount(col("text")).as("n_subwords")),
-    None)
+    Some(s"""
+      SELECT doc_id,
+        md5(CASE WHEN length(trim(text)) = 0 THEN ''
+                 ELSE array_to_string($sqlTokens, ' ') END) AS fp_md5,
+        CAST(len(list_filter(
+          regexp_split_to_array(
+            regexp_replace(text, '([a-z])([A-Z])', '\\1 \\2', 'g'),
+            '[^A-Za-z0-9]+'),
+          t -> length(t) > 0)) AS INT) AS n_subwords
+      FROM documents"""))
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,

@@ -116,4 +116,13 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Portable content fingerprint: md5 over the canonical (whitespace-
+    * normalized) token stream. Order-sensitive like the rolling hash,
+    * but reproducible in any engine with md5 → oracle-checkable. Use
+    * `fingerprint` when only intra-engine identity is needed (xxhash64
+    * is ~10× cheaper than md5); use this one at interchange boundaries.
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
 }
