@@ -23,12 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Per-ROW salt, not a row-content hash: fully identical duplicate
+    * rows (the classic extreme-skew shape — repeated empty/null
+    * records) would all hash to one bucket, defeating the spread
+    * exactly when it matters. monotonically_increasing_id is a
+    * partition-local counter → pmod round-robins rows across buckets
+    * uniformly whatever their content. Nondeterministic assignment is
+    * fine: the salt only routes rows; algebraic partial→final
+    * aggregation is invariant to the routing.
+    */
+  private def rowSalt(saltBuckets: Int): Column =
+    pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+
   /** Salted count: groupBy(keys).count() with the hot-key reduce spread
     * over saltBuckets partitions.
     */
   def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
+    val salted = df.withColumn("__salt", rowSalt(saltBuckets))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__partial"))
@@ -47,8 +58,7 @@ object Salting {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partials: Seq[Column], finals: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
+    val salted = df.withColumn("__salt", rowSalt(saltBuckets))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

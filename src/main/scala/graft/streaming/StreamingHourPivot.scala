@@ -47,11 +47,29 @@ object StreamingHourPivot {
   /** Unbounded hour-pivot transform with a watermark for state
     * eviction. Late rows beyond `watermarkDelay` are dropped in
     * append/update modes.
+    *
+    * The date bucket is `window(ts, "1 day")`, NOT `to_date(ts)`: only
+    * the window expression's output attribute carries the event-time
+    * watermark metadata through the projection, so Spark can build the
+    * state-eviction predicate (and append mode can finalize groups). A
+    * `to_date` group key loses the metadata → unbounded state and no
+    * append output. The window start is re-projected to a plain date
+    * AFTER the aggregate, which preserves eviction (the predicate is
+    * bound at the aggregation node). Hour columns stay the 24
+    * `sum(when)` aggregates — `pivot()` is unsupported on streams.
     */
   def pivotStream(events: DataFrame, tsCol: Column, keys: Seq[String],
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour",
+      dateColName: String = "event_date"): DataFrame = {
     val withWm = events.withWatermark(tsCol.toString, watermarkDelay)
-    HourPivot.pivot(withWm, tsCol, keys)
+    val aggs = (0 until 24).map(h =>
+      sum(when(col("__hour") === h, 1L).otherwise(0L)).as(s"hour_$h"))
+    withWm
+      .select((tsCol +: hour(tsCol).as("__hour") +: keys.map(col)): _*)
+      .groupBy(window(tsCol, "1 day") +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((to_date(col("window.start")).as(dateColName) +:
+        keys.map(col)) ++ HourPivot.hourCols.map(col): _*)
   }
 
   /** Execute the streaming pivot over the bounded events file and

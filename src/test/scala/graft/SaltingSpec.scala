@@ -22,6 +22,19 @@ class SaltingSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("fully identical duplicate rows spread across salt buckets") {
+    // 10k IDENTICAL rows — a content-derived salt sends them all to one
+    // bucket; the per-row salt must spread them near-uniformly
+    val dups = Seq.fill(10000)(("hot", 1L)).toDF("k", "v")
+    val perBucket = Salting.saltedCount(dups, Seq("k"), 16)
+    assert(perBucket.collect().map(r => r.getLong(1)).sum == 10000L)
+    val partials = dups.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(16L)))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(partials.length == 16, s"all 16 buckets populated: ${partials.toSeq}")
+    assert(partials.max <= 10000 / 16 + 16, s"near-uniform: ${partials.toSeq}")
+  }
+
   test("salted sum/max equals direct; two shuffles in plan") {
     val salted = Salting.saltedAgg(skewed, Seq("k"), 16,
       Seq(sum($"v").as("s"), max($"v").as("m")),

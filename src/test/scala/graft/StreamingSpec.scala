@@ -24,6 +24,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("pivotStream append mode finalizes+evicts day groups at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val pivoted = StreamingHourPivot.pivotStream(
+      input.toDF().toDF("ts", "event_type"), col("ts"), Seq("event_type"),
+      watermarkDelay = "1 hour")
+    // append mode would throw AnalysisException at start() if the group
+    // keys had lost the event-time watermark (the round-1 to_date bug)
+    val q = pivoted.writeStream.outputMode("append")
+      .format("memory").queryName("pivot_append_test").start()
+    input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 22:00:00"), "a"))
+    q.processAllAvailable()
+    // next-day event pushes the watermark past Jan 1 → day group emits
+    input.addData((Timestamp.valueOf("2024-01-03 01:00:00"), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pivot_append_test").collect()
+    assert(rows.length == 1, s"exactly the finalized Jan-1 group: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[java.sql.Date]("event_date").toString == "2024-01-01")
+    assert(r.getAs[String]("event_type") == "a")
+    assert(r.getAs[Long]("hour_10") == 1L && r.getAs[Long]("hour_22") == 1L)
+    assert((0 until 24).map(h => r.getAs[Long](s"hour_$h")).sum == 2L)
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
