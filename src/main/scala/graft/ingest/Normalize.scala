@@ -49,8 +49,15 @@ import SchemaDetector.{Detection, LatLon, LocId}
   */
 object Normalize {
 
-  final case class Dialect(detection: Detection, dtType: DataType,
-      locType: Option[DataType])
+  /** One detected schema dialect. `required` holds the EXACT footer
+    * types of just the detected columns — it doubles as the explicit
+    * read schema (parquet prunes to these columns; files in the group
+    * may differ in their other columns) and as the grouping key (same
+    * detection + same physical types ⇒ one multi-path scan).
+    */
+  final case class Dialect(detection: Detection, required: StructType) {
+    def dtType: DataType = required(detection.dtCol).dataType
+  }
 
   final case class Skipped(path: String, reason: String)
 
@@ -110,8 +117,11 @@ object Normalize {
   def readDialect(spark: SparkSession, dialect: Dialect, paths: Seq[String],
       constants: Seq[(String, Column)] = Nil,
       withSrcPath: Boolean = true): DataFrame = {
-    val df = spark.read.parquet(paths: _*)
-    val schema = df.schema
+    // explicit schema (the detected columns with their exact footer
+    // types): skips the reader's inference pass entirely AND prunes the
+    // scan to the needed columns at the source
+    val df = spark.read.schema(dialect.required).parquet(paths: _*)
+    val schema = dialect.required
     val dtName = dialect.detection.dtCol
     val base = Seq(
       coerceTimestamp(dtName, schema(dtName).dataType).as("pickup_datetime"),
@@ -125,9 +135,14 @@ object Normalize {
     * dialect, scan each group once, union by name.
     */
   /** Detect every file's dialect. Footer reads are driver-side but
-    * independent — run them on a bounded pool. Sequential reads at
-    * ~100 ms each turn a 400-file input into 40 s of driver idle time
-    * (measured); parallel they are seconds even at O(10k) files.
+    * independent — run them on a bounded pool. They go through
+    * `Footers.schemaOf` (direct parquet-hadoop footer read, ~10 ms),
+    * NOT `spark.read.parquet(f).schema` (FileIndex + datasource
+    * resolution + inference, ~1 s cold, measured ~5 s of pure driver
+    * overhead on a 4-group input). Sequential reads at ~100 ms each
+    * would turn a 400-file input into 40 s of driver idle time
+    * (measured); parallel + direct they are seconds even at O(10k)
+    * files.
     */
   def detectDialects(spark: SparkSession, files: Seq[String]): (Seq[(Dialect, String)], Seq[Skipped]) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -135,19 +150,25 @@ object Normalize {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, math.max(4, files.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // one Configuration per detection task: Hadoop Configuration is not
+    // safe for concurrent mutation, and FileSystem init can write to it
+    val hadoopConfBase = spark.sessionState.newHadoopConf()
     val detected: Seq[Either[Skipped, (Dialect, String)]] =
       try Await.result(Future.sequence(files.map { f =>
         Future {
-          Try(spark.read.parquet(f).schema).toEither.left
+          Try(Footers.schemaOf(new org.apache.hadoop.conf.Configuration(
+              hadoopConfBase), f)).toEither.left
             .map(e => Skipped(f, s"unreadable: ${e.getMessage}"))
             .flatMap { schema =>
               SchemaDetector.detect(schema) match {
                 case Right(det) =>
-                  val locType = det.location match {
-                    case LocId(n) => Some(schema(n).dataType)
-                    case _ => None
-                  }
-                  Right((Dialect(det, schema(det.dtCol).dataType, locType), f))
+                  val requiredNames = det.dtCol +: (det.location match {
+                    case LocId(n) => Seq(n)
+                    case LatLon(lat, lon) => Seq(lat, lon)
+                  })
+                  val required = StructType(
+                    requiredNames.map(n => schema(n).copy(nullable = true)))
+                  Right((Dialect(det, required), f))
                 case Left(reason) => Left(Skipped(f, reason))
               }
             }

@@ -59,6 +59,7 @@ object WideTablePipeline {
       wide: DataFrame,
       quality: Observation,
       groups: Observation,
+      survivors: Observation,
       skipped: Seq[(String, String)])
 
   /** Above this many (dialect × taxi_type × month) combinations, fall
@@ -69,10 +70,32 @@ object WideTablePipeline {
     */
   val maxConstantScanGroups = 64
 
+  /** Expected-month window as [start, end) epoch-MICROS bounds (UTC,
+    * matching the session timezone). The mismatch check is then two
+    * long comparisons per row instead of two calendar decompositions
+    * (`year(ts)`/`month(ts)` each re-derive the civil date per row).
+    * (0,0) — month not inferrable from the path — yields the empty
+    * window, so every row counts as a mismatch, the reference's
+    * behavior (pivot_all_files.py:179-182); same for out-of-range
+    * months a loose path regex might produce.
+    */
+  def monthBoundsUs(y: Int, m: Int): (Long, Long) =
+    if (y == 0 || m < 1 || m > 12) (0L, 0L)
+    else {
+      val start = java.time.LocalDate.of(y, m, 1)
+      (start.toEpochDay * 86400000000L,
+        start.plusMonths(1).toEpochDay * 86400000000L)
+    }
+
   def plan(spark: SparkSession, files: Seq[String], minRides: Long): Option[Planned] = {
     import spark.implicits._
 
+    val t0 = System.nanoTime()
+    def mark(name: String): Unit =
+      if (sys.env.contains("GRAFT_PIPELINE_DEBUG"))
+        System.err.println(f"[plan] $name at ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val (ok, skippedDet) = Normalize.detectDialects(spark, files)
+    mark("detected")
     val metaOf = files.map(f => f -> PathMeta.fileMeta(f)).toMap
     val combos = ok
       .groupBy { case (dia, f) =>
@@ -88,14 +111,30 @@ object WideTablePipeline {
         // constant metadata per scan group: no input_file_name(), no
         // join — rows carry three literals. Fastest path; measured
         // ~25% of pipeline time saved vs the join at 50M rows.
-        Some(combos.map { case ((dia, t, y, m), paths) =>
-          Normalize.readDialect(spark, dia, paths,
-            constants = Seq(
-              "taxi_type" -> lit(t),
-              "exp_year" -> lit(y),
-              "exp_month" -> lit(m)),
-            withSrcPath = false)
-        }.reduce(_.unionByName(_)))
+        // Group DataFrame construction pays a per-group FileIndex
+        // listing (~0.25 s each) — driver-side and independent → build
+        // them on a pool like the footer reads.
+        val built = {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, combos.size))
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.sequence(combos.map {
+            case ((dia, t, y, m), paths) => Future {
+              val (lo, hi) = monthBoundsUs(y, m)
+              Normalize.readDialect(spark, dia, paths,
+                constants = Seq(
+                  "taxi_type" -> lit(t),
+                  "exp_start_us" -> lit(lo),
+                  "exp_end_us" -> lit(hi)),
+                withSrcPath = false)
+            }
+          }), Duration.Inf)
+          finally pool.shutdown()
+        }
+        Some(built.reduce(_.unionByName(_)))
       } else {
         // many combos: one scan per DIALECT + broadcast (path → meta)
         // join on the raw input_file_name value (keys enumerate every
@@ -106,23 +145,27 @@ object WideTablePipeline {
           .map { case (dia, paths) => Normalize.readDialect(spark, dia, paths) }
           .reduce(_.unionByName(_))
         val meta = files.map(PathMeta.fileMeta)
-          .flatMap(m => Normalize.pathKeyVariants(m.path)
-            .map(k => (k, m.taxiType, m.expectedYear, m.expectedMonth)))
-          .toDF("src_path", "taxi_type", "exp_year", "exp_month")
+          .flatMap { m =>
+            val (lo, hi) = monthBoundsUs(m.expectedYear, m.expectedMonth)
+            Normalize.pathKeyVariants(m.path)
+              .map(k => (k, m.taxiType, lo, hi))
+          }
+          .toDF("src_path", "taxi_type", "exp_start_us", "exp_end_us")
         Some(trips.join(broadcast(meta), Seq("src_path")))
       }
 
+    mark("scans built")
     val result = Normalize.NormalizeResult(tripsOpt, skippedDet)
     result.trips.map { trips =>
       val coerced = trips
         .where(col("pickup_datetime").isNotNull) // errors="coerce" + dropna
 
       val quality = Observation("quality")
+      val us = unix_micros(col("pickup_datetime")) // identity: ts IS micros
       val observed = coerced.observe(
         quality,
         count(lit(1)).as("input_rows"),
-        sum(when(year(col("pickup_datetime")) =!= col("exp_year") ||
-                 month(col("pickup_datetime")) =!= col("exp_month"), 1L)
+        sum(when(us < col("exp_start_us") || us >= col("exp_end_us"), 1L)
           .otherwise(0L)).as("month_mismatch"))
         .withColumn("pickup_place", col("pickup_location"))
 
@@ -136,10 +179,15 @@ object WideTablePipeline {
       val groups = Observation("groups")
       val withGroupCount = pivoted.observe(groups, count(lit(1)).as("n_groups"))
 
+      val survivors = Observation("survivors")
       val wide = withGroupCount
         .where(HourPivot.hourCols.map(col).reduce(_ + _) >= minRides)
+        // post-filter row count rides the write job — saves the
+        // re-read-and-count pass over the output
+        .observe(survivors, count(lit(1)).as("n_out"))
 
-      Planned(wide, quality, groups, result.skipped.map(s => (s.path, s.reason)))
+      Planned(wide, quality, groups, survivors,
+        result.skipped.map(s => (s.path, s.reason)))
     }
   }
 
@@ -230,8 +278,7 @@ object WideTablePipeline {
         val out = if (cfg.singleFileOutput) p.wide.coalesce(1) else p.wide
         out.write.mode("overwrite").parquet(outPath)
         mark("written")
-        val outputRows = spark.read.parquet(outPath).count()
-        mark("recounted")
+        val outputRows = p.survivors.get("n_out").asInstanceOf[Long]
         val q = p.quality.get
         val inputRows = q("input_rows").asInstanceOf[Long]
         val mismatch = q("month_mismatch") match {
