@@ -122,12 +122,12 @@ object Multimodal {
     }
   }
 
-  /** DataFrame-level entry: bytes + meta columns → features table.
-    * Keeps the typed path internal so callers stay schema-first.
+  /** DataFrame → typed media rows (the schema-first boundary: callers
+    * hand over flat columns, the typed path stays internal).
     */
-  def featuresTable(df: DataFrame, dim: Int = 64): DataFrame = {
+  def mediaTable(df: DataFrame): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    val ds = df.select(
+    df.select(
       col("media_id").cast("long"),
       col("payload").cast("binary"),
       struct(
@@ -137,6 +137,13 @@ object Multimodal {
         col("sampleRate").cast("int").as("sampleRate"),
         col("durationMs").cast("long").as("durationMs")).as("meta"))
       .as[MediaRow]
-    extractFeatures(ds, dim).toDF()
   }
+
+  /** DataFrame-level entry: bytes + meta columns → features table. */
+  def featuresTable(df: DataFrame, dim: Int = 64): DataFrame =
+    extractFeatures(mediaTable(df), dim).toDF()
+
+  /** DataFrame-level entry: bytes + meta columns → sampled frames. */
+  def framesTable(df: DataFrame, everyMs: Long): DataFrame =
+    sampleFrames(mediaTable(df), everyMs).toDF()
 }

@@ -4,11 +4,23 @@ import java.nio.file.{Files, Paths}
 
 /** Metrics report sink: JSON by default, LaTeX itemize when the target
   * ends in `.tex` — same surface as the reference
-  * (/root/reference/pivot_and_boostrap/pivot_all_files.py:511-539).
-  * Memory metrics are intentionally absent: executor memory is a Spark
-  * UI / metrics-system concern, not a pipeline output.
+  * (/root/reference/pivot_and_boostrap/pivot_all_files.py:511-539),
+  * including its peak-memory field (performance.md:44): we report the
+  * driver JVM's peak heap across pools — the closest single-process
+  * analog of the reference's RSS. On a real cluster, per-executor peaks
+  * live in the Spark metrics system; this field keeps single-node
+  * report parity for migrating users.
   */
 object ReportSink {
+
+  /** Peak heap usage (MB) across JVM memory pools since start. */
+  def peakHeapMb(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum / 1048576.0
+  }
 
   def toJson(r: WideTablePipeline.Report): String = {
     def esc(s: String) = s.flatMap {
@@ -27,7 +39,8 @@ object ReportSink {
   "month_mismatch_rows": ${r.monthMismatchRows},
   "low_count_dropped": ${r.lowCountDropped},
   "skipped_files": $skipped,
-  "run_time_seconds": ${r.runTimeSeconds}
+  "run_time_seconds": ${r.runTimeSeconds},
+  "peak_memory_mb": ${r.peakMemoryMb}
 }"""
   }
 
@@ -42,6 +55,7 @@ object ReportSink {
 \\item Month mismatch rows: ${r.monthMismatchRows}
 \\item Low count dropped: ${r.lowCountDropped}
 \\item Run time (seconds): ${r.runTimeSeconds}
+\\item Peak memory (MB): ${r.peakMemoryMb}
 \\end{itemize}
 \\end{document}"""
 

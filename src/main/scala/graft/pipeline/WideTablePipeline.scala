@@ -50,7 +50,8 @@ object WideTablePipeline {
       lowCountDropped: Long,
       badRowsIgnored: Long,
       skippedFiles: Seq[(String, String)],
-      runTimeSeconds: Double)
+      runTimeSeconds: Double,
+      peakMemoryMb: Double = 0.0)
 
   /** Composable core (no I/O): files → (wide table plan, observations,
     * skipped). The caller triggers an action, then reads the metrics.
@@ -245,7 +246,8 @@ object WideTablePipeline {
       .map(_.count()).getOrElse(0L)
     val dropped = preFilter - outputRows
     val report = Report(inputRows, outputRows, mismatch, dropped,
-      mismatch + dropped, skipped.result(), (System.nanoTime() - t0) / 1e9)
+      mismatch + dropped, skipped.result(), (System.nanoTime() - t0) / 1e9,
+      ReportSink.peakHeapMb())
     ReportSink.write(report, s"${cfg.outputDir}/${cfg.reportName}")
     report
   }
@@ -291,7 +293,8 @@ object WideTablePipeline {
           mismatch + dropped, p.skipped, 0.0)
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
-    val finalReport = report.copy(runTimeSeconds = elapsed)
+    val finalReport = report.copy(runTimeSeconds = elapsed,
+      peakMemoryMb = ReportSink.peakHeapMb())
     ReportSink.write(finalReport, s"${cfg.outputDir}/${cfg.reportName}")
     finalReport
   }

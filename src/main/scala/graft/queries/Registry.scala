@@ -25,5 +25,6 @@ object Registry {
   /** All query modules, assembled by SparkEntry. */
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++
-      PipelineQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+      PipelineQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 }

@@ -71,8 +71,7 @@ object TextQueries {
   private val qQuality = QueryDef(
     "q_quality_score_histogram",
     (s, d) =>
-      Tables.documents(s, d)
-        .select(col("source"), TF.qualityScore(col("text")).as("q"))
+      TF.withQualityScore(Tables.documents(s, d), "text", "q")
         .groupBy(col("source"), col("q"))
         .agg(count(lit(1)).as("n_docs")),
     Some(s"""

@@ -81,6 +81,41 @@ object TextFunctions {
     (lenOk + avgLenOk + stopOk + punctOk) / 4.0
   }
 
+  /** Staged quality score: same formula as `qualityScore`, but the
+    * expensive shared subexpressions — the token split and the
+    * whitespace-stripped text — are hoisted into explicit projections
+    * so each evaluates ONCE per row. The scalar `qualityScore` leans on
+    * codegen subexpression elimination, which cannot dedupe across the
+    * interpreted HOF boundary (the stopword filter) — measured ~3× cost
+    * on long documents. Use this form in scans; the scalar form remains
+    * for composition inside other expressions.
+    */
+  def withQualityScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and")): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    val staged = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__nows", regexp_replace(col(textCol), "\\s", ""))
+      .withColumn("__nt", size(col("__toks")))
+      .withColumn("__nstop",
+        size(filter(col("__toks"), w => w.isInCollection(stopwords))))
+      .withColumn("__chars", length(col("__nows")))
+      .withColumn("__alnum",
+        length(regexp_replace(col("__nows"), "[^A-Za-z0-9]", "")))
+    val nt = col("__nt"); val chars = col("__chars")
+    val avgLen = when(nt === 0, lit(0.0)).otherwise(chars / nt)
+    val stopRatio = when(nt === 0, lit(0.0)).otherwise(col("__nstop") / nt)
+    val punct = when(chars === 0, lit(0.0))
+      .otherwise((chars - col("__alnum")) / chars)
+    val score = (
+      when(nt >= 10 && nt <= 10000, lit(1.0)).otherwise(lit(0.0)) +
+      when(avgLen >= 2.0 && avgLen <= 12.0, lit(1.0)).otherwise(lit(0.0)) +
+      when(stopRatio >= 0.01, lit(1.0)).otherwise(lit(0.0)) +
+      when(punct <= 0.2, lit(1.0)).otherwise(lit(0.0))) / 4.0
+    staged.select(keep :+ score.as(outCol): _*)
+  }
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash
     * near-dup detection. Pure HOF: sequence + transform + concat.
     */
