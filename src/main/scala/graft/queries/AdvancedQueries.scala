@@ -146,5 +146,52 @@ object AdvancedQueries {
         TRUE AS approx_parts_ok
       FROM lineitem GROUP BY l_returnflag"""))
 
-  def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qUnionAll, qApprox)
+  /** Bucketed interval join: click events within ±10 minutes of each
+    * purchase for the same user (graft.ops.RangeJoin — quantized
+    * buckets + equi-join + exact filter; Spark has no native range-join
+    * strategy, a raw inequality predicate plans as a per-key nested
+    * loop). dt is exact micros — no division, no float.
+    */
+  private val qRange = QueryDef(
+    "q_range_join_purchase_click",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.RangeJoin.withinSeconds(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"),
+        keyCol = "user_id", idCol = "event_id", tsCol = "ts",
+        toleranceSec = 600L)
+        .select(col("k").as("user_id"), col("left_id").as("purchase_id"),
+          col("right_id").as("click_id"),
+          (unix_micros(col("right_ts")) - unix_micros(col("left_ts")))
+            .as("dt_us"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        epoch_us(c.ts) - epoch_us(p.ts) AS dt_us
+      FROM p JOIN c ON p.user_id = c.user_id
+      WHERE abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000"""))
+
+  /** Deterministic engine-portable sampling (graft.ops.Sampling): the
+    * md5-hex threshold selects the same ~25% of documents in any
+    * engine — the reproducible-curation primitive. The oracle IS the
+    * reproducibility check.
+    */
+  private val qSample = QueryDef(
+    "q_sample_by_key",
+    (s, d) =>
+      graft.ops.Sampling.sampleByKey(
+        Tables.documents(s, d), col("doc_id"), rate = 0.25)
+        .select(col("doc_id"), col("lang"), col("source")),
+    Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'"""))
+
+  def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qUnionAll,
+    qApprox, qRange, qSample)
 }

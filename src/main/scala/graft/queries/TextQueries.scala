@@ -254,7 +254,33 @@ object TextQueries {
           t -> length(t) > 0)) AS INT) AS n_subwords
       FROM documents"""))
 
+  /** Top-3 terms per document by the integer tf-idf ordering
+    * (tf DESC, df ASC, term ASC) — keyword extraction with a fully
+    * integer/string output, hash-exact against SQL.
+    */
+  private val qTopTerms = QueryDef(
+    "q_tfidf_top_terms",
+    (s, d) =>
+      graft.text.TfIdf.topTermsPerDoc(Tables.documents(s, d),
+        "doc_id", "text", k = 3),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($sqlTokens) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term),
+      df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
+      FROM ranked WHERE rank <= 3"""))
+
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,
-    qSimhash, qFingerprint)
+    qSimhash, qFingerprint, qTopTerms)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{RangeJoin, Sampling}
+import graft.text.TfIdf
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("corpus-test", "4").getOrCreate()
+  import spark.implicits._
+
+  test("tf-idf top terms: ranks by tf desc, df asc, term asc") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana banana apple"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val top = TfIdf.topTermsPerDoc(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: apple tf=2 wins; then banana/cherry tf=1 — cherry df=2 <
+    // banana df=2? both df=2 → term asc: banana
+    assert(top((1L, 1)) == ("apple", 2L, 2L))
+    assert(top((1L, 2)) == ("banana", 1L, 2L))
+    assert(top((2L, 1)) == ("banana", 3L, 2L))
+    assert(top((3L, 1)) == ("date", 1L, 1L)) // df=1 beats cherry df=2 at tf=1
+    assert(top((3L, 2)) == ("cherry", 1L, 2L))
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("range join matches naive inequality join exactly, no duplicates") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 11:00:00")),
+      (2L, 12L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    // right rows straddle bucket boundaries around each left ts
+    val right = (0 until 200).map { i =>
+      (1L + (i % 2), 100L + i, ts(f"2024-01-01 ${9 + i % 4}%02d:${i % 60}%02d:00"))
+    }.toDF("user_id", "event_id", "ts")
+    val got = RangeJoin.withinSeconds(left, right, "user_id", "event_id",
+      "ts", toleranceSec = 600L)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.toDF("u", "lid", "lts").join(right.toDF("u", "rid", "rts"), "u")
+      .where(abs(unix_micros(col("lts")) - unix_micros(col("rts"))) <= 600L * 1000000L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq) // set AND multiplicity
+    assert(got.length == got.distinct.length, "no duplicate pairs")
+  }
+
+  test("hash sampling: deterministic, rate-accurate, subset-consistent") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.sampleByKey(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByKey(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same selection every run")
+    assert(math.abs(a.size - 2500) < 250, s"~25% of 10k, got ${a.size}")
+    // nested rates: a 10% sample is a subset of the 25% sample
+    val c = Sampling.sampleByKey(df, col("id"), 0.10).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a), "thresholds nest")
+  }
+}
