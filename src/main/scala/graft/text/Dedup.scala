@@ -255,8 +255,19 @@ object Dedup {
     // big). localCheckpoint(eager) materializes AND cuts the plan.
     // On a cluster prefer reliable checkpoint() with a checkpoint dir
     // (localCheckpoint ties recovery to executor lifetimes).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    //
+    // Checkpoint the pair computation BEFORE the bidirectional union:
+    // the union references `pairs` twice, and a near-dup pair plan
+    // (LSH/jaccard) is far too expensive to evaluate per direction.
+    val undirected = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    // pre-partition edges on the per-round join key so only the (small)
+    // labels side shuffles each iteration
+    val edges = undirected
+      .unionByName(undirected
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
       .localCheckpoint(true)
@@ -268,26 +279,29 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_rep")).as("nbr_rep"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
       // pointer jumping (path compression): rep := rep's rep. Neighbor
       // steps alone converge in O(diameter) rounds — long chains blow
       // past any fixed cap; the jump makes it O(log diameter).
-      val lookup = propagated.select(col("id").as("rep"), col("rep").as("rep2"))
-      val next = propagated.join(lookup, Seq("rep"), "left")
-        .select(col("id"),
+      val jumpLookup = propagated.select(col("id").as("rep"), col("rep").as("rep2"))
+      // convergence count rides the checkpoint materialization as an
+      // observe() — no separate diff-join job per round
+      val obs = org.apache.spark.sql.Observation(s"cc_iter_$i")
+      val next = propagated.join(jumpLookup, Seq("rep"), "left")
+        .select(col("id"), col("old_rep"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .observe(obs,
+          sum(when(col("rep") =!= col("old_rep"), 1L).otherwise(0L))
+            .as("changed"))
+        .select(col("id"), col("rep"))
         .localCheckpoint(true)
-      val diffs = next.toDF("id", "new_rep")
-        .join(labels, Seq("id"))
-        .where(col("new_rep") =!= col("rep"))
-      val changed =
-        if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) {
-          val rows = diffs.collect()
-          System.err.println(s"[cluster] iter=$i changed=${rows.length} " +
-            rows.take(5).map(r => s"${r.get(0)}:${r.get(2)}->${r.get(1)}").mkString(","))
-          rows.length.toLong
-        } else diffs.limit(1).count()
+      val changed = obs.get("changed") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      if (sys.env.contains("GRAFT_CLUSTER_DEBUG"))
+        System.err.println(s"[cluster] iter=$i changed=$changed")
       labels = next
       converged = changed == 0
       i += 1
