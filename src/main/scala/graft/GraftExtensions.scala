@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, QuantizedVecDot}
 
 /** Cluster deployment entry point: register graft's custom Catalyst
   * expressions at session build time via
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("q_vec_dot"),
+      new ExpressionInfo(classOf[QuantizedVecDot].getName, "q_vec_dot"),
+      (exprs: Seq[Expression]) => QuantizedVecDot(exprs(0), exprs(1))))
   }
 }

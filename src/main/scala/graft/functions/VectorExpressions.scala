@@ -70,15 +70,86 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantized-grid dot product: each float component is rounded to the
+  * 1e-4 integer grid (round-half-away-from-zero, matching Spark
+  * `round()` and SQL ROUND) and the dot is the exact integer sum —
+  * the codegen twin of `Similarity.quantizedDot`'s HOF formulation,
+  * bit-identical results (|x|≤1 ⇒ |q|≤10⁴ ⇒ 64-dim dot ≤ 6.4e9 « 2⁶³).
+  * Output LongType so downstream cosine math matches the SQL oracles.
+  */
+case class QuantizedVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"QuantizedVecDot needs two array<float> inputs, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  @inline private def q(v: Double): Long =
+    if (v < 0) -java.lang.Math.round(-v * 10000.0)
+    else java.lang.Math.round(v * 10000.0)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += q(x.getFloat(i).toDouble) * q(y.getFloat(i).toDouble)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val xq = ctx.freshName("xq")
+      val yq = ctx.freshName("yq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ((double) $a.getFloat($i)) * 10000.0;
+         |  double $yv = ((double) $b.getFloat($i)) * 10000.0;
+         |  long $xq = $xv < 0 ? -java.lang.Math.round(-$xv) : java.lang.Math.round($xv);
+         |  long $yq = $yv < 0 ? -java.lang.Math.round(-$yv) : java.lang.Math.round($yv);
+         |  $acc += $xq * $yq;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Register `vec_dot` in the session's function registry — the
     * public seam for exposing a custom Expression as a Column function
     * in Spark 4 (Column↔Expression converters went private[sql]).
     * Idempotent; call before using vec_dot/vec_cosine.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "q_vec_dot", exprs => QuantizedVecDot(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column API: codegen'd dot product of two array<float> columns.
     * Requires register(spark) on the current session.
@@ -92,5 +163,22 @@ object VectorFunctions {
   def vec_cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+  }
+
+  /** Codegen'd quantized dot (exact integer sum on the 1e-4 grid).
+    * Requires register(spark).
+    */
+  def q_vec_dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("q_vec_dot", a, b)
+  }
+
+  /** Codegen'd deterministic cosine — bit-identical to
+    * `Similarity.quantizedCosine`'s HOF form, minus the interpreted
+    * per-element evaluation.
+    */
+  def q_vec_cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    q_vec_dot(a, b) / (sqrt(q_vec_dot(a, a)) * sqrt(q_vec_dot(b, b)))
   }
 }

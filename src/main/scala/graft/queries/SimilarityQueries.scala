@@ -24,9 +24,12 @@ object SimilarityQueries {
   // ------------------------------------------------ brute-force top-k
   private val qTopKQuant = QueryDef(
     "q_ann_topk_quantized",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
       Similarity.topKByQueryId(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 20, scoreFn = Similarity.quantizedCosine),
+        queryId = 0L, k = 20,
+        scoreFn = graft.functions.VectorFunctions.q_vec_cosine)
+    },
     Some(s"""
       WITH flat AS ($sqlQuantFlat),
       qf AS (SELECT i, qv AS qqv FROM flat WHERE vec_id = 0),
@@ -101,9 +104,12 @@ object SimilarityQueries {
   /** IVF variant: k-means coarse cells, probe the 4 nearest of 16. */
   private val qIvf = QueryDef(
     "q_ann_ivf_topk",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 20, nCells = 16, nProbe = 4),
+        queryId = 0L, k = 20, nCells = 16, nProbe = 4,
+        scoreFn = graft.functions.VectorFunctions.q_vec_cosine)
+    },
     None)
 
   // ----------------------------------------------- near-dup pairs (exact)

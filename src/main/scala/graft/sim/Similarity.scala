@@ -99,7 +99,8 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int, numPlanes: Int = 32, bands: Int = 8, dim: Int = 64,
-      scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
+      scoreFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.q_vec_cosine): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val planes = hyperplanes(numPlanes, dim)
     val withBuckets = df.select(col(idCol), col(vecCol),

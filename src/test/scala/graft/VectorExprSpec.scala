@@ -53,6 +53,27 @@ class VectorExprSpec extends AnyFunSuite {
     assert(codegenProject.findFirstIn(hof).isEmpty, hof)
   }
 
+  test("q_vec_dot is bit-identical to the HOF quantizedDot on real embeddings") {
+    VectorFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(100)
+    val q = emb.crossJoin(
+        emb.select(col("embedding").as("e2")).limit(3))
+      .select(
+        VectorFunctions.q_vec_dot(col("embedding"), col("e2")).as("native"),
+        Similarity.quantizedDot(col("embedding"), col("e2")).as("hof"))
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // negative-component rounding ties: away-from-zero on both paths
+    val tie = Seq((Array(-0.00005f, 0.00015f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.q_vec_dot(col("a"), col("b")).as("n"),
+        Similarity.quantizedDot(col("a"), col("b")).as("h"))
+      .head()
+    assert(tie.getLong(0) == tie.getLong(1))
+  }
+
   test("vec_cosine of a vector with itself is 1") {
     VectorFunctions.register(spark)
     val c = df.select(VectorFunctions.vec_cosine(col("a"), col("a")))
