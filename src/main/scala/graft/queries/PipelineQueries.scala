@@ -97,6 +97,15 @@ object PipelineQueries {
     (s, d) => graft.streaming.StreamingHourPivot.runBatchEquivalent(s, d),
     Some(hourPivotSql("")))
 
+  /** Continuous exact dedup (dropDuplicatesWithinWatermark) over the
+    * bounded events stream — the emitted key set must equal batch
+    * SELECT DISTINCT whatever the arrival order.
+    */
+  private val qStreamDedup = QueryDef(
+    "q_stream_dedup_keys",
+    (s, d) => graft.streaming.StreamingDedup.runBatchEquivalent(s, d),
+    Some("SELECT DISTINCT user_id, event_type FROM events"))
+
   /** Gap-based sessionization (30 min) — lag + running-sum windows,
     * integer-second bounds for engine portability.
     */
@@ -122,5 +131,6 @@ object PipelineQueries {
         CAST(MAX(ts_s) AS BIGINT) AS end_s
       FROM sess GROUP BY user_id, session_id"""))
 
-  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qJson, qValues, qStream, qSessions)
+  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qJson, qValues, qStream,
+    qStreamDedup, qSessions)
 }

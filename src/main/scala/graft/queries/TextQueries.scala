@@ -280,7 +280,64 @@ object TextQueries {
       SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
       FROM ranked WHERE rank <= 3"""))
 
+  /** PII scrubbing (emails, phone numbers → placeholder tokens). The
+    * synthetic corpus is clean, so the query first INJECTS
+    * deterministic doc_id-derived PII into the text (both engines
+    * build the identical dirty string), then redacts and counts —
+    * exercising the masking patterns against known-positive input.
+    * Output carries md5 of the redacted text, counts, and a flag that
+    * nothing email/phone-shaped survived redaction.
+    */
+  private val qRedact = QueryDef(
+    "q_pii_redaction",
+    (s, d) => {
+      val dirty = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" call 555-867-530"), pmod(col("doc_id"), lit(10))))
+            .otherwise(lit(""))).as("dirty"))
+      dirty.select(
+        col("doc_id"),
+        TF.countMatches(col("dirty"), TF.emailPattern).as("n_emails"),
+        TF.countMatches(col("dirty"), TF.phonePattern).as("n_phones"),
+        md5(TF.redactPii(col("dirty"))).as("clean_md5"),
+        (TF.countMatches(TF.redactPii(col("dirty")), TF.emailPattern) === 0 &&
+          TF.countMatches(TF.redactPii(col("dirty")), TF.phonePattern) === 0)
+          .as("fully_redacted"))
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com' ||
+          CASE WHEN doc_id % 3 = 0
+               THEN ' call 555-867-530' || (doc_id % 10)
+               ELSE '' END AS dirty
+        FROM documents),
+      red AS (
+        SELECT doc_id, dirty,
+          regexp_replace(
+            regexp_replace(dirty,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+              'g'),
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
+        FROM dirty)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(dirty,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(dirty,
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phones,
+        md5(clean) AS clean_md5,
+        (len(regexp_extract_all(clean,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0 AND
+         len(regexp_extract_all(clean,
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) = 0) AS fully_redacted
+      FROM red"""))
+
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,
-    qSimhash, qFingerprint, qTopTerms)
+    qSimhash, qFingerprint, qTopTerms, qRedact)
 }

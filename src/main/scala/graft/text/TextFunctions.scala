@@ -152,6 +152,26 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  // ----------------------------------------------------- PII redaction
+  // RE2-compatible patterns (no lookaround) so the DuckDB oracles run
+  // the identical regexes.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Count pattern occurrences (codegen'd regex scan). */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Mask emails then phone numbers — the standard pre-training
+    * scrubbing pass. Order matters and is part of the spec (an email's
+    * local part could contain a phone-shaped digit run; masking emails
+    * first keeps the two counts disjoint).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Portable content fingerprint: md5 over the canonical (whitespace-
     * normalized) token stream. Order-sensitive like the rolling hash,
     * but reproducible in any engine with md5 → oracle-checkable. Use

@@ -51,6 +51,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.length == got.distinct.length, "no duplicate pairs")
   }
 
+  test("pii redaction masks emails and phones, order-stable") {
+    import graft.text.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or call 555-123-4567 today"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.io and 999.888.7777")).toDF("id", "t")
+    val out = df.select(col("id"),
+      TF.redactPii(col("t")).as("clean"),
+      TF.countMatches(col("t"), TF.emailPattern).as("ne"),
+      TF.countMatches(col("t"), TF.phonePattern).as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ("mail me at <EMAIL> or call <PHONE> today", 1, 1))
+    assert(out(2L) == ("no pii here", 0, 0))
+    assert(out(3L)._1 == "two mails <EMAIL> <EMAIL> and <PHONE>")
+    assert(out(3L)._2 == 2 && out(3L)._3 == 1)
+  }
+
   test("hash sampling: deterministic, rate-accurate, subset-consistent") {
     val df = spark.range(10000).toDF("id")
     val a = Sampling.sampleByKey(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet

@@ -80,6 +80,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:00:00") == 2L) // late row NOT counted
   }
 
+  test("streaming dedup suppresses duplicates within the watermark window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = graft.streaming.StreamingDedup.dedupStream(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      Seq("user_id", "event_type"), "ts", watermarkDelay = "10 minutes")
+      .select("user_id", "event_type")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_test").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "click"), // dup
+      (Timestamp.valueOf("2024-01-01 10:02:00"), 2L, "view"))
+    q.processAllAvailable()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:03:00"), 1L, "click"), // dup, later batch
+      (Timestamp.valueOf("2024-01-01 10:04:00"), 1L, "view"))  // new key
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_stream_test").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == rows.distinct.length, s"no dup emissions: ${rows.toSeq}")
+    assert(rows.toSet == Set((1L, "click"), (2L, "view"), (1L, "view")))
+  }
+
   test("batch sessionization: gap splits sessions, counts and bounds exact") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
