@@ -21,9 +21,19 @@ object Bench {
     val spark = Session.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one tiny warm-up action so JVM/codegen/scan-setup costs don't
-    // land on whichever query happens to run first
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warm-up: JVM/codegen/scan-infrastructure costs must not land on
+    // whichever query happens to run first (q1 measured ~2 s of pure
+    // first-query overhead). A small representative agg + join compiles
+    // the common codegen shapes; limit() keeps the data work trivial.
+    {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      val or = spark.read.parquet(s"$sfDir/orders.parquet").limit(1000)
+      li.join(or, li("l_orderkey") === or("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)), sum(col("l_quantity")))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val headline = SparkEntry.headlineQueries.map(_.name).toSet
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)

@@ -74,6 +74,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("range join plans as an equi-join, never a nested loop") {
+    // the bucketed composition must keep the pair search an equi-join;
+    // a raw inequality predicate would plan BroadcastNestedLoopJoin /
+    // CartesianProduct and die at scale
+    val p = planString("q_range_join_purchase_click")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("hash sampling is a scan-stage filter — no shuffle, no extra jobs") {
+    val p = planString("q_sample_by_key")
+    assert(!p.contains("Exchange"), s"sampler must not shuffle: $p")
+  }
+
   test("top-k queries use TakeOrderedAndProject, never global Sort+Limit") {
     Seq("q3_top_orders", "q_topk_customers").foreach { q =>
       val p = planString(q)
