@@ -31,6 +31,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(!scanned.contains("2023-01-1") || scanned.contains("PartitionFilters"))
   }
 
+  test("compaction: many small files -> few target-sized files, rows intact") {
+    import graft.ops.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString
+    // 64 tiny files
+    spark.range(100000).toDF("id").repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    def dataFiles(d: String) =
+      new java.io.File(d).listFiles.count(f =>
+        f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles(dir) == 64)
+    val bytes = Compaction.datasetBytes(spark, dir)
+    assert(bytes > 0)
+    // bytes/4 floors, so ceil(bytes / target) is 4 or 5
+    val n = Compaction.compact(spark, dir, out, targetFileBytes = bytes / 4)
+    assert(n >= 4 && n <= 5 && dataFiles(out) == n,
+      s"n=$n files=${dataFiles(out)}")
+    assert(spark.read.parquet(out).count() == 100000L)
+    // sorted variant: each output file covers a disjoint id range
+    val outSorted = java.nio.file.Files.createTempDirectory("compact_s").toString
+    Compaction.compact(spark, dir, outSorted, targetFileBytes = bytes / 4,
+      sortBy = Seq("id"))
+    import org.apache.spark.sql.functions._
+    val ranges = spark.read.parquet(outSorted)
+      .groupBy(input_file_name()).agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, ranges.toSeq)
+      case _ =>
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val t1 = Files.createTempDirectory("graft_b1").toString
     val t2 = Files.createTempDirectory("graft_b2").toString
