@@ -33,6 +33,32 @@ class MultiFormatSpec extends AnyFunSuite {
       schema = Some(orders.schema)).columns.toSeq == orders.columns.toSeq)
   }
 
+  test("Footers.schemaOf: file path, directory path, and missing path") {
+    import graft.ingest.Footers
+    val conf = spark.sessionState.newHadoopConf()
+    // directory-style dataset (part files + _SUCCESS)
+    val dir = java.nio.file.Files.createTempDirectory("footers_t").toString
+    spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val viaDir = Footers.schemaOf(conf, dir)
+    assert(viaDir.fieldNames.toSet == Set("id", "s"))
+    // single data file
+    val part = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).head.getAbsolutePath
+    val viaFile = Footers.schemaOf(conf, part)
+    assert(viaFile == viaDir)
+    // identical to what spark.read infers (same converter), modulo
+    // nullability: the raw footer preserves parquet `required` while
+    // the DataFrame reader forces nullable (detectDialects normalizes
+    // the same way before using it as a read schema)
+    import org.apache.spark.sql.types.StructType
+    assert(StructType(viaDir.map(_.copy(nullable = true))) ==
+      spark.read.parquet(dir).schema)
+    intercept[java.io.FileNotFoundException] {
+      Footers.schemaOf(conf, s"$dir/definitely_missing.parquet")
+    }
+  }
+
   test("partitioned write produces hive-style dirs readable with pruning") {
     val dir = Files.createTempDirectory("graft_fmt2").toString
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
