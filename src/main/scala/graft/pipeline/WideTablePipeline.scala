@@ -88,7 +88,8 @@ object WideTablePipeline {
         start.plusMonths(1).toEpochDay * 86400000000L)
     }
 
-  def plan(spark: SparkSession, files: Seq[String], minRides: Long): Option[Planned] = {
+  def plan(spark: SparkSession, files: Seq[String], minRides: Long,
+      maxConstGroups: Int = maxConstantScanGroups): Option[Planned] = {
     import spark.implicits._
 
     val t0 = System.nanoTime()
@@ -108,7 +109,7 @@ object WideTablePipeline {
 
     val tripsOpt =
       if (combos.isEmpty) None
-      else if (combos.size <= maxConstantScanGroups) {
+      else if (combos.size <= maxConstGroups) {
         // constant metadata per scan group: no input_file_name(), no
         // join — rows carry three literals. Fastest path; measured
         // ~25% of pipeline time saved vs the join at 50M rows.

@@ -51,6 +51,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.length == got.distinct.length, "no duplicate pairs")
   }
 
+  test("text functions propagate null text, never crash") {
+    import graft.text.{TextFunctions => TF}
+    val df = Seq((1L, "some text here"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+      TF.tokenCount(col("t")).as("n"),
+      TF.qualityScore(col("t")).as("q"),
+      TF.langIdGuess(col("t")).as("l"),
+      TF.contentFingerprint(col("t")).as("fp"),
+      TF.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 3)
+    val nullRow = out(2L)
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(5))
+    // qualityScore is an indicator SUM: null text fails every band -> 0.0
+    assert(nullRow.getDouble(2) == 0.0)
+    // concat_ws skips null arrays -> fingerprint of null text = md5("")
+    assert(nullRow.getString(4) == "d41d8cd98f00b204e9800998ecf8427e")
+    // tf-idf / dedup shingle paths drop null docs rather than crash
+    assert(graft.text.TfIdf.topTermsPerDoc(df, "id", "t", 3)
+      .where(col("doc_id") === 2L).count() == 0)
+  }
+
   test("pii redaction masks emails and phones, order-stable") {
     import graft.text.{TextFunctions => TF}
     val df = Seq(

@@ -94,6 +94,26 @@ class WideTablePipelineSpec extends AnyFunSuite {
     assert(y.getLong(y.fieldIndex("hour_0")) == 0L)
   }
 
+  test("metadata-join fallback path (combos > threshold) equals constant path") {
+    // the join path is the 100 TB shape (years of monthly files exceed
+    // maxConstantScanGroups); force it with maxConstGroups = 0 and pin
+    // output equality against the constant-literal path
+    val in = tmpDir()
+    writeFixtures(in)
+    val all = graft.ingest.Discovery.discoverParquet(spark, in)
+    val files = graft.ingest.Discovery.selectTripFiles(all, None)
+    val viaConst = WideTablePipeline.plan(spark, files, minRides = 0L).get
+    val viaJoin = WideTablePipeline.plan(spark, files, minRides = 0L,
+      maxConstGroups = 0).get
+    val a = viaConst.wide.collect().map(_.toSeq).toSet
+    val b = viaJoin.wide.collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // quality counters agree too (the mismatch bounds ride different
+    // carriers: literals vs broadcast-joined columns)
+    assert(viaConst.quality.get("input_rows") == viaJoin.quality.get("input_rows"))
+    assert(viaConst.quality.get("month_mismatch") == viaJoin.quality.get("month_mismatch"))
+  }
+
   test("min-rides filter honors threshold and empty input writes canonical schema") {
     val in = tmpDir(); val out = tmpDir()
     // only the undetectable file
