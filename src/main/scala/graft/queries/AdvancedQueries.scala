@@ -192,6 +192,31 @@ object AdvancedQueries {
       SELECT doc_id, lang, source FROM documents
       WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'"""))
 
+  /** Top-3 prices per supplier via the partial top-k Aggregator
+    * (functions/TopKAggregator) — the map-side alternative to the
+    * window row_number formulation (q_window_top3_per_supplier): the
+    * shuffle carries ≤k doubles per (mapper, key), not every row. The
+    * oracle is the window formulation, proving the two top-k shapes
+    * agree exactly.
+    */
+  private val qTopKAgg = QueryDef(
+    "q_topk_agg_prices_per_supplier",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(graft.functions.TopKAggregator.top_k(3)(col("l_extendedprice"))
+          .as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rank"),
+          col("col").as("price")),
+    Some("""
+      SELECT l_suppkey, CAST(rn AS INT) AS rank, price FROM (
+        SELECT l_suppkey, l_extendedprice AS price,
+          ROW_NUMBER() OVER (PARTITION BY l_suppkey
+            ORDER BY l_extendedprice DESC) AS rn
+        FROM lineitem)
+      WHERE rn <= 3"""))
+
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qUnionAll,
-    qApprox, qRange, qSample)
+    qApprox, qRange, qSample, qTopKAgg)
 }

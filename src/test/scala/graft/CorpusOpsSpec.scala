@@ -51,6 +51,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.length == got.distinct.length, "no duplicate pairs")
   }
 
+  test("top-k aggregator equals sort-and-take, aggregates partially") {
+    import graft.functions.TopKAggregator
+    val rnd = new scala.util.Random(7)
+    val data = Seq.tabulate(5000)(i => (i % 13).toLong -> rnd.nextDouble())
+    val df = data.toDF("g", "v").repartition(8)
+    val got = df.groupBy("g")
+      .agg(TopKAggregator.top_k(5)(col("v")).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val expect = data.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted(Ordering[Double].reverse).take(5)
+    }
+    expect.foreach { case (g, top) => assert(got(g) == top, s"group $g") }
+    // partial->final: the plan must aggregate before AND after the
+    // exchange (the whole point vs the window formulation)
+    val plan = df.groupBy("g")
+      .agg(TopKAggregator.top_k(5)(col("v")))
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("(?i)partial".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("text functions propagate null text, never crash") {
     import graft.text.{TextFunctions => TF}
     val df = Seq((1L, "some text here"), (2L, null.asInstanceOf[String]))
