@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** Format-dispatching reader: parquet / csv / json by extension or
+/** Format-dispatching reader: parquet / orc / csv / json by extension or
   * explicit format, with the options a data pipeline wants by default
   * (csv headers + type inference or supplied schema, multiline-off
   * ndjson). The reference is parquet-only; these are the extended
@@ -21,6 +21,7 @@ object MultiFormat {
       val lower = path.toLowerCase.stripSuffix("/")
       if (lower.endsWith(".csv")) "csv"
       else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
+      else if (lower.endsWith(".orc")) "orc"
       else "parquet"
     }
     val base: DataFrameReader = spark.read
@@ -30,6 +31,7 @@ object MultiFormat {
         val r = withSchema.option("header", "true")
         (if (schema.isEmpty) r.option("inferSchema", "true") else r).csv(path)
       case "json" => withSchema.json(path)
+      case "orc" => withSchema.orc(path)
       case "parquet" => withSchema.parquet(path)
       case other => withSchema.format(other).load(path)
     }

@@ -28,6 +28,15 @@ class MultiFormatSpec extends AnyFunSuite {
       schema = Some(orders.schema))
     assert(backJson.count() == orders.count())
 
+    // ORC: columnar like parquet — predicate/projection pushdown apply
+    MultiFormat.write(orders, s"$dir/o.orc", "orc")
+    val backOrc = MultiFormat.read(spark, s"$dir/o.orc")
+    assert(backOrc.count() == orders.count())
+    assert(backOrc.schema == orders.schema)
+    val orcPlan = backOrc.where(col("o_orderkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(orcPlan.contains("PushedFilters: [IsNotNull(o_orderkey)"), orcPlan)
+
     // extension dispatch without explicit format
     assert(MultiFormat.read(spark, s"$dir/o.csv",
       schema = Some(orders.schema)).columns.toSeq == orders.columns.toSeq)
