@@ -15,6 +15,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("doc query counts match the registry (no stale counts)") {
+    val declared = graft.queries.Registry.all.size
+    val withOracle = graft.queries.Registry.all.count(_.oracle.isDefined)
+    def read(f: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val readme = read("README.md")
+    assert(readme.contains(s"($declared queries, $withOracle with"),
+      s"README count stale: registry has $declared/$withOracle")
+    assert(read("COVERAGE.md").contains(s"($withOracle/$withOracle at sf0.01"),
+      s"COVERAGE.md oracle count stale: $withOracle")
+  }
+
   test("every oracleSql key has a queries entry") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
