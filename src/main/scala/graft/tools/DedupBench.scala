@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Session
+import graft.text.Dedup
+
+/** Scale probe for the near-dup family beyond the sf tables (5k docs):
+  * generates N synthetic ~100-token documents with PLANTED near-dups
+  * (every doc_id ≡ 1 (mod 100) is its predecessor plus one appended
+  * token → Jaccard ≈ 0.97), runs MinHash-LSH end-to-end, and reports
+  * wall time + recall of the planted pairs. Deterministic generation
+  * (xxhash64-driven word choice), so runs are comparable.
+  *
+  * Usage: runMain graft.tools.DedupBench [numDocsThousands]
+  */
+object DedupBench {
+  def main(args: Array[String]): Unit = {
+    val nK = args.headOption.map(_.toInt).getOrElse(200)
+    val n = nK * 1000L
+    val spark = Session.get("dedup-bench")
+    import spark.implicits._
+
+    val vocab = typedLit((0 until 5000).map(i => s"w$i"))
+    // base text: 100 tokens chosen by hash of (base_id, position) —
+    // planted dups share base_id = id - 1 and append one extra token
+    val docs = spark.range(n)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
+          .otherwise(col("id")).as("base"),
+        (pmod(col("id"), lit(100)) === 1).as("planted"))
+      .select(col("doc_id"), col("planted"),
+        concat_ws(" ",
+          concat_ws(" ", transform(sequence(lit(0), lit(99)),
+            i => element_at(vocab,
+              pmod(xxhash64(col("base"), i), lit(5000)).cast("int") + 1))),
+          when(col("planted"), lit("extraword")).otherwise(lit(""))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = docs.count() // materialize generation outside the timing
+    System.err.println(s"[dedup-bench] generated $total docs")
+
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 32, bands = 16,
+      estThresholdOpt = Some(0.35))
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val found = pairs.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+
+    val planted = docs.where(col("planted"))
+      .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+    val nPlanted = planted.count()
+    val recalled = planted.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+    println(f"""{"workload":"minhash_neardup","docs":$total,"seconds":$dt%.2f,"pairs_found":$found,"planted":$nPlanted,"planted_recalled":$recalled}""")
+    spark.stop()
+  }
+}
