@@ -138,6 +138,93 @@ case class QuantizedVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Batched scoring of one vector against k constant rows: returns
+  * array<double> of `vec · mat[j] + bias[j]` for j in 0..k-1, where
+  * `flatMat` is the k×dim matrix flattened row-major and `bias` has
+  * length k (pass −‖c‖²/2 biases for L2-nearest-centroid scoring).
+  *
+  * Why one expression and not k `FloatVecDot`s: k independent dot
+  * expressions inline into ONE generated method; at k=64 the method
+  * blows past the JIT's bytecode threshold and runs interpreted —
+  * measured 35 s for 100k rows vs 0.4 s at k=8. A single expression
+  * with its own two-loop `doGenCode` stays a few hundred bytes of
+  * bytecode no matter how large k is.
+  */
+case class FloatMatVecScore(vec: Expression, flatMat: Expression,
+    bias: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = flatMat
+  override def third: Expression = bias
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (vec.dataType, flatMat.dataType, bias.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _),
+            ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "FloatMatVecScore needs (array<float>, array<float>, array<double>), got " +
+            s"${vec.dataType.catalogString} / ${flatMat.dataType.catalogString} / " +
+            bias.dataType.catalogString)
+    }
+  }
+
+  override def nullSafeEval(v: Any, m: Any, b: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val bs = b.asInstanceOf[ArrayData]
+    val k = bs.numElements()
+    val dim = x.numElements()
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var acc = bs.getDouble(j)
+      var i = 0
+      val off = j * dim
+      while (i < dim) {
+        acc += x.getFloat(i).toDouble * mat.getFloat(off + i).toDouble
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val dim = ctx.freshName("dim")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $k = $b.numElements();
+         |int $dim = $v.numElements();
+         |double[] $out = new double[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $acc = $b.getDouble($j);
+         |  int $off = $j * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $acc += ((double) $v.getFloat($i)) * ((double) $m.getFloat($off + $i));
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): FloatMatVecScore =
+    copy(vec = newFirst, flatMat = newSecond, bias = newThird)
+}
+
 object VectorFunctions {
   /** Register `vec_dot` in the session's function registry — the
     * public seam for exposing a custom Expression as a Column function
@@ -149,6 +236,9 @@ object VectorFunctions {
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "q_vec_dot", exprs => QuantizedVecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_mat_score",
+      exprs => FloatMatVecScore(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Column API: codegen'd dot product of two array<float> columns.
@@ -163,6 +253,14 @@ object VectorFunctions {
   def vec_cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+  }
+
+  /** Batched constant-matrix scoring: array of `vec·row_j + bias_j`.
+    * Requires register(spark).
+    */
+  def vec_mat_score(vec: Column, flatMat: Column, bias: Column): Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("vec_mat_score", vec, flatMat, bias)
   }
 
   /** Codegen'd quantized dot (exact integer sum on the 1e-4 grid).

@@ -78,6 +78,18 @@ object Similarity {
     * VectorFunctions.register the session) — the HOF dot here was
     * 32 interpreted array traversals per row.
     */
+  /** Band buckets from per-plane sign bits, each plane scored by its
+    * own small FloatVecDot.
+    *
+    * KEEP THIS SHAPE (measured, round 2): a "nicer" two-projection
+    * variant — one batched FloatMatVecScore column + element_at bit
+    * folds — ran 1.5 s standalone but 460 s once a posexplode consumed
+    * the buckets: the optimizer re-inlines the scores expression into
+    * the Generate input once PER BIT (32× re-evaluation). Separate
+    * small dots also stay under the JIT bytecode cliff that killed the
+    * 64-dot assignCells (each dot compiles to its own method); at the
+    * 32-plane default this formulation is fast and Generate-safe.
+    */
   def lshBuckets(vec: Column, planes: Seq[Seq[Float]], bands: Int): Column = {
     val perBand = planes.size / bands
     val bits: Seq[Column] = planes.map { p =>
@@ -151,6 +163,16 @@ object Similarity {
     * quantized cosine verifies. The all-pairs quadratic never happens —
     * work is Σ bucket² over (band, bucket) groups, tuned by
     * numPlanes/bands exactly like the text MinHash family.
+    *
+    * SIZING RULE (measured the hard way — a 100k-vector probe with the
+    * old 4-bit default produced ~2.5e9 candidate pairs): bits per band
+    * = numPlanes/bands must grow with corpus size. Expected bucket
+    * occupancy ≈ N / 2^bits and candidate volume ≈ bands × N ×
+    * occupancy / 2, so keep 2^bits within ~10× of N. Recall per band
+    * for a pair at angle θ is (1−θ/π)^bits — at high thresholds
+    * (near-dup regime, θ small) wide bands stay near 1, so PREFER FEW
+    * WIDE BANDS as N grows: e.g. 2 bands × 16 bits for 10⁵–10⁶
+    * vectors. The defaults (8 × 4 bits) only suit toy corpora ≤ ~5k.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 32, bands: Int = 8,
@@ -266,19 +288,29 @@ object Similarity {
   /** Cell id = argmax over cells of (v·c − ‖c‖²/2) (equivalent to
     * nearest-centroid by L2). Static centroid literals; scoring goes
     * through the native FloatVecDot expression (codegen).
+    *
+    * Shape matters at k=64 cells: a per-row array of 64 (score, cell)
+    * STRUCTS + array_max allocated 64 structs per row and generated
+    * enough code to hurt — the scores land in one primitive array and
+    * the argmax is array_position(max) (ties → lowest cell id,
+    * deterministic). Measured ~4× faster at 500k × 64 cells.
     */
   def assignCells(df: DataFrame, vecCol: String,
       centroids: Array[Array[Float]]): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val halfNorm = c.map(x => x.toDouble * x).sum / 2.0
-      struct(
-        (graft.functions.VectorFunctions.vec_dot(col(vecCol),
-          typedLit(c.toSeq)) - lit(halfNorm)).as("score"),
-        lit(i).as("cell"))
-    }
-    df.withColumn("cell",
-      array_max(array(scored: _*)).getField("cell"))
+    // ONE FloatMatVecScore expression, not k FloatVecDots: k inlined
+    // dots exceed the JIT bytecode threshold around k≈16 and the whole
+    // stage drops to interpreted bytecode (measured 35 s vs 0.5 s for
+    // 100k rows × 64 cells — see the expression's scaladoc)
+    val flat = typedLit(centroids.flatten.toSeq)
+    val bias = typedLit(centroids.map(c =>
+      -c.map(x => x.toDouble * x).sum / 2.0).toSeq)
+    df.withColumn("__scores",
+        graft.functions.VectorFunctions.vec_mat_score(col(vecCol), flat, bias))
+      .withColumn("cell",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1)
+          .cast("int"))
+      .drop("__scores")
   }
 
   /** IVF serve path for a query vector the caller holds (the vector-DB
@@ -306,7 +338,9 @@ object Similarity {
   def ivfSearchVec(index: IvfIndex, idCol: String, vecCol: String,
       qvec: Array[Float], k: Int, nProbe: Int = 4,
       excludeId: Option[Long] = None,
-      scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
+      scoreFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.q_vec_cosine): DataFrame = {
+    graft.functions.VectorFunctions.register(index.cells.sparkSession)
     val probeCells = rankProbeCells(index.centroids, qvec, nProbe)
     val qlit = typedLit(qvec.toSeq)
     val probed = index.cells.where(col("cell").isin(probeCells: _*))
@@ -321,7 +355,8 @@ object Similarity {
     */
   def ivfSearch(index: IvfIndex, idCol: String, vecCol: String,
       queryId: Long, k: Int, nProbe: Int = 4,
-      scoreFn: (Column, Column) => Column = quantizedCosine): DataFrame = {
+      scoreFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.q_vec_cosine): DataFrame = {
     val qvec = index.cells.where(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Float](0).toArray
     ivfSearchVec(index, idCol, vecCol, qvec, k, nProbe, Some(queryId), scoreFn)
@@ -337,8 +372,10 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int, nCells: Int = 16, nProbe: Int = 4,
-      scoreFn: (Column, Column) => Column = quantizedCosine,
+      scoreFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.q_vec_cosine,
       sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     // one collect serves both training sample and (usually) the query
     // vector lookup
     val sampleRows = df.select(col(idCol), col(vecCol)).limit(sampleN)
