@@ -74,6 +74,26 @@ class VectorExprSpec extends AnyFunSuite {
     assert(tie.getLong(0) == tie.getLong(1))
   }
 
+  test("vec_mat_score equals per-row FloatVecDot + bias") {
+    VectorFunctions.register(spark)
+    val planes = graft.sim.Similarity.hyperplanes(8, 3, seed = 1L)
+    val flat = typedLit(planes.flatten)
+    val bias = typedLit((1 to 8).map(_.toDouble))
+    val rows = df.select(col("id"),
+      VectorFunctions.vec_mat_score(col("a"), flat, bias).as("batched"),
+      array((0 until 8).map(j =>
+        VectorFunctions.vec_dot(col("a"), typedLit(planes(j))) +
+          lit((j + 1).toDouble)): _*).as("individual"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2), r.toString)
+    }
+    // null vector propagates
+    val n = df.select(VectorFunctions.vec_mat_score(
+      when(col("id") === 99L, col("a")), flat, bias)).collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
   test("vec_cosine of a vector with itself is 1") {
     VectorFunctions.register(spark)
     val c = df.select(VectorFunctions.vec_cosine(col("a"), col("a")))
