@@ -91,6 +91,32 @@ object AdvancedQueries {
         quantile_cont(l_extendedprice, 0.9) AS price_p90
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** approx_percentile (t-digest-style sketch) under the same
+    * accuracy-contract pattern as q_approx_distinct: the sketch value
+    * is engine-specific, so the query declares the EXACT percentiles
+    * plus booleans asserting the approximation landed within the
+    * accuracy implied by its precision parameter. l_extendedprice p90
+    * with accuracy 1000 must fall within the exact p85–p95 band.
+    */
+  private val qApproxPct = QueryDef(
+    "q_approx_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.9)").as("p90_exact"),
+          expr("percentile(l_extendedprice, 0.85)").as("p85_exact"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap"))
+        .select(col("l_returnflag"), col("p90_exact"),
+          (col("ap") >= col("p85_exact") && col("ap") <= col("p95_exact"))
+            .as("approx_in_band")),
+    Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.9) AS p90_exact,
+        TRUE AS approx_in_band
+      FROM lineitem GROUP BY l_returnflag"""))
+
   /** UNION ALL (bag semantics — duplicates preserved then recounted). */
   private val qUnionAll = QueryDef(
     "q_union_all_priorities",
@@ -217,6 +243,6 @@ object AdvancedQueries {
         FROM lineitem)
       WHERE rn <= 3"""))
 
-  def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qUnionAll,
-    qApprox, qRange, qSample, qTopKAgg)
+  def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
+    qUnionAll, qApprox, qRange, qSample, qTopKAgg)
 }
