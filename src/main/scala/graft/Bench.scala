@@ -50,13 +50,19 @@ object Bench {
       System.err.println(f"[bench] ${q.name}%-30s ${if (ok) dt else -1.0}%9.2f s")
       (q.name, if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver scrapes a bounded tail of stdout; a map with all ~55
+    // queries (~2900 chars) gets truncated mid-line and fails to parse
+    // (BENCH_r02.json parsed:null). Keep the JSON line short: headline
+    // queries only, 3-decimal times. Full per-query detail is on stderr.
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.collect { case (k, v) if headline.contains(k) =>
+      "\"" + k + "\":" + f3(v)
+    }.mkString("{", ",", "}")
     val total = results.collect {
       case (name, t) if headline.contains(name) && t > 0 => t
     }.sum
     val sf = sfDir.split('/').last
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}""")
+    println(s"""{"metric":"headline_total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -222,12 +222,42 @@ object TextQueries {
       WHERE common / (sa.n + sb.n - common) >= 0.5"""),
     headline = true)
 
+  /** SimHash dedup pipeline, exact-verified: shingle-feature signatures
+    * → 16 × 4-bit chunk-banded candidates within Hamming 15 (COMPLETE
+    * by pigeonhole: ≤15 bit-diffs cannot touch all 16 chunks) → true
+    * shingle-Jaccard ≥ 0.5. Every true pair sits at Hamming ≤ 9 on this
+    * corpus (measured, all SFs; ~6 bits of margin) and the Hamming-15
+    * background admits only ~1.7× the true pair count to the verify
+    * stage (shingle features decorrelate background signatures — token
+    * features put 25% of ALL pairs inside Hamming 15). Output therefore
+    * equals the exact j ≥ 0.5 pair set — the same oracle as the minhash
+    * route, arrived at through a completely different sketch.
+    */
   private val qSimhash = QueryDef(
     "q_simhash_neardup",
     (s, d) =>
-      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 16),
-    None)
+      Dedup.simhashVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxHamming = 15, chunks = 16),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, common / (sa.n + sb.n - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.n + sb.n - common) >= 0.5"""))
 
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64

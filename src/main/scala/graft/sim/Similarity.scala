@@ -176,7 +176,10 @@ object Similarity {
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 32, bands: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      scoreFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.vec_cosine,
+      scoreCol: String = "cos"): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val planes = hyperplanes(numPlanes, dim)
     // distinct over bare id pairs (vectors re-joined afterwards — a
@@ -197,9 +200,8 @@ object Similarity {
       .join(vecs.toDF("id_a", "va"), Seq("id_a"))
       .join(vecs.toDF("id_b", "vb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.VectorFunctions.vec_cosine(col("va"), col("vb"))
-          .as("cos"))
-      .where(col("cos") >= threshold)
+        scoreFn(col("va"), col("vb")).as(scoreCol))
+      .where(col(scoreCol) >= threshold)
   }
 
   /** IVF (inverted-file) coarse quantizer: k-means cells over the

@@ -55,6 +55,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 16)
   }
 
+  test("simhash verified pipeline: exact jaccard on survivors, complete at 1-bit chunks") {
+    val df = Seq((1L, docA), (2L, docA), (3L, docANear), (4L, docB))
+      .toDF("doc_id", "text")
+    // Default cut (hamming<=15): identical docs are at hamming 0 and must
+    // survive. An 11-shingle near-pair has huge signature variance (each
+    // bit is a sign over ~11 votes), so 1-3 may legitimately fall outside
+    // the cut on a fixture this small — sketch completeness is a
+    // corpus-scale property (checked against the sf oracles).
+    val got = Dedup.simhashVerifiedNearDups(df, "doc_id", "text",
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) === 1.0)
+    // Exhaustive config (64 1-bit chunks, hamming<=64): candidate
+    // generation is total, so output is exactly the j>=0.3 pair set with
+    // exact values: 1-2 identical, 1-3/2-3 share 8 of 14 shingles.
+    val all = Dedup.simhashVerifiedNearDups(df, "doc_id", "text",
+      threshold = 0.3, maxHamming = 64, chunks = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(all.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(all((1L, 2L)) === 1.0)
+    assert(all((1L, 3L)) === 8.0 / 14.0)
+    assert(all((2L, 3L)) === 8.0 / 14.0)
+  }
+
   test("near-dup clustering: chains collapse to min-id rep, isolated keep themselves") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
     // chain 1-2-3 (transitive), pair 4-5, isolated 9
