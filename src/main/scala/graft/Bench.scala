@@ -47,6 +47,12 @@ object Bench {
           true
         } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Queries persist intermediates (shingle frames, IVF cells) that
+      // stay pinned after the run — by mid-bench the accumulated caches
+      // thrash the storage pool and later dedup queries measured ~2×
+      // slower than in isolation. Each query times a cold, independent
+      // run.
+      spark.sharedState.cacheManager.clearCache()
       System.err.println(f"[bench] ${q.name}%-30s ${if (ok) dt else -1.0}%9.2f s")
       (q.name, if (ok) dt else -1.0)
     }

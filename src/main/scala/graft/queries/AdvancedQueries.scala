@@ -97,6 +97,11 @@ object AdvancedQueries {
     * plus booleans asserting the approximation landed within the
     * accuracy implied by its precision parameter. l_extendedprice p90
     * with accuracy 1000 must fall within the exact p85–p95 band.
+    *
+    * ONE array-form percentile aggregate, not three scalar ones: each
+    * scalar `percentile` builds its own value buffer over every input
+    * row, so the array form is ~3× less aggregation state and work
+    * (measured 3.3 s → 1.8 s at sf0.1).
     */
   private val qApproxPct = QueryDef(
     "q_approx_percentiles",
@@ -104,12 +109,12 @@ object AdvancedQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile(l_extendedprice, 0.9)").as("p90_exact"),
-          expr("percentile(l_extendedprice, 0.85)").as("p85_exact"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+          expr("percentile(l_extendedprice, array(0.85, 0.9, 0.95))").as("pct"),
           expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap"))
-        .select(col("l_returnflag"), col("p90_exact"),
-          (col("ap") >= col("p85_exact") && col("ap") <= col("p95_exact"))
+        .select(col("l_returnflag"),
+          element_at(col("pct"), 2).as("p90_exact"),
+          (col("ap") >= element_at(col("pct"), 1) &&
+            col("ap") <= element_at(col("pct"), 3))
             .as("approx_in_band")),
     Some("""
       SELECT l_returnflag,
@@ -150,19 +155,30 @@ object AdvancedQueries {
   private val qApprox = QueryDef(
     "q_approx_distinct",
     (s, d) => {
-      val withBoth = Tables.lineitem(s, d)
+      // NOT one agg with two countDistincts + two HLLs: Catalyst plans
+      // multi-distinct via Expand (row count × 3) and the HLL buffers
+      // then churn through the expanded copies too — measured 3.6 s vs
+      // 1.5 s at sf0.1 for this split form. Two narrow distinct
+      // pre-aggs (partial map-side) + one sketch agg + a 3-row join is
+      // also the 100 TB-friendly shape: each shuffle carries one
+      // (flag, key) stream, never an expanded union of them.
+      val li = Tables.lineitem(s, d)
+      val orders = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
         .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_orderkey")).as("n_orders_exact"),
-          countDistinct(col("l_partkey")).as("n_parts_exact"),
-          approx_count_distinct(col("l_orderkey")).as("ao"),
+        .agg(count(lit(1)).as("n_orders_exact"))
+      val parts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_parts_exact"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("ao"),
           approx_count_distinct(col("l_partkey")).as("ap"))
-      withBoth.select(
-        col("l_returnflag"), col("n_orders_exact"), col("n_parts_exact"),
-        (abs(col("ao") - col("n_orders_exact")) <=
-          col("n_orders_exact") * 0.15).as("approx_orders_ok"),
-        (abs(col("ap") - col("n_parts_exact")) <=
-          col("n_parts_exact") * 0.15).as("approx_parts_ok"))
+      orders.join(parts, "l_returnflag").join(approx, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("n_orders_exact"), col("n_parts_exact"),
+          (abs(col("ao") - col("n_orders_exact")) <=
+            col("n_orders_exact") * 0.15).as("approx_orders_ok"),
+          (abs(col("ap") - col("n_parts_exact")) <=
+            col("n_parts_exact") * 0.15).as("approx_parts_ok"))
     },
     Some("""
       SELECT l_returnflag,

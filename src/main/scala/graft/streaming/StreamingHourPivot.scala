@@ -35,7 +35,10 @@ object StreamingHourPivot {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    // direct footer read (~10 ms) — a spark.read.parquet().schema
+    // schema-inference job costs ~1 s and was a third of this query
+    val schema = graft.ingest.Footers.schemaOf(
+      spark.sparkContext.hadoopConfiguration, path, nanosAsLong = true)
     // the file source requires a directory basePath; select the events
     // file from the sf dir via glob filter
     spark.readStream.schema(schema)

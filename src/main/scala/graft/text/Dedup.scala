@@ -46,29 +46,26 @@ object Dedup {
 
   import graft.ops.Partitioning.fanOut
 
-  /** Exploded distinct shingle-hash frame (id, s) built from
-    * codegen-only operators: posexplode the token array, derive each
-    * n-gram with window `lead`s over (id, position), hash, distinct.
-    * One shuffle on id (window sort), one on (id, s) (distinct) — both
-    * vectorized end-to-end. The per-row HOF array build
-    * (transform + array_distinct) evaluates interpreted and was the
-    * dominant cost of the dedup family (see SCALE_NOTES).
+  /** Exploded shingle-hash frame (id, s), built entirely MAP-SIDE: the
+    * token array is zipped against its own shifted slices (arrays_zip +
+    * slice are ordinary codegen expressions, not HOFs), each struct row
+    * explodes to one shingle, xxhash64 over the n token columns. Zero
+    * shuffles before the consumer's aggregate — the previous
+    * window-`lead` form shuffled every TOKEN row on id first, which at
+    * corpus scale is a full-data exchange that exists only to look one
+    * row ahead inside an array we already held. (A per-row HOF build —
+    * transform + array_distinct — evaluates interpreted and was ~1.6×
+    * slower than either; see SCALE_NOTES.)
     */
   def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, distinctShingles: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = fanOut(df)
-      .select(col(idCol).as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))))
-      .withColumnsRenamed(Map("pos" -> "p", "col" -> "t0"))
-    val w = Window.partitionBy(col("id")).orderBy(col("p"))
-    val withLeads = (1 until shingleN).foldLeft(toks) { (d, i) =>
-      d.withColumn(s"t$i", lead(col("t0"), i).over(w))
-    }
-    val hashed = withLeads
-      .where(col(s"t${shingleN - 1}").isNotNull)
+    val t = TextFunctions.tokens(col(textCol))
+    val len = greatest(size(t) - (shingleN - 1), lit(0))
+    val zipped = arrays_zip((1 to shingleN).map(i => slice(t, lit(i), len)): _*)
+    val hashed = fanOut(df)
+      .select(col(idCol).as("id"), explode(zipped).as("z"))
       .select(col("id"),
-        xxhash64((0 until shingleN).map(i => col(s"t$i")): _*).as("s"))
+        xxhash64((0 until shingleN).map(i => col(s"z.$i")): _*).as("s"))
     // min-style consumers are dup-insensitive — skip the distinct shuffle
     if (distinctShingles) hashed.distinct() else hashed
   }
