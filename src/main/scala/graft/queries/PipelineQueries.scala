@@ -106,6 +106,26 @@ object PipelineQueries {
     (s, d) => graft.streaming.StreamingDedup.runBatchEquivalent(s, d),
     Some("SELECT DISTINCT user_id, event_type FROM events"))
 
+  /** Stream-STREAM interval join (purchases ⋈ clicks within ±10 min per
+    * user, both sides unbounded with watermark-bounded state) — the
+    * continuous twin of q_range_join_purchase_click, hash-checked
+    * against the SAME plain-SQL join oracle: the streaming join must
+    * emit exactly the batch result on bounded input.
+    */
+  private val qStreamJoin = QueryDef(
+    "q_stream_join_purchase_click",
+    (s, d) => graft.streaming.StreamingJoin.runBatchEquivalent(s, d, 600L),
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        epoch_us(c.ts) - epoch_us(p.ts) AS dt_us
+      FROM p JOIN c ON p.user_id = c.user_id
+      WHERE abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000"""))
+
   /** Gap-based sessionization (30 min) — lag + running-sum windows,
     * integer-second bounds for engine portability.
     */
@@ -132,5 +152,5 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id"""))
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qJson, qValues, qStream,
-    qStreamDedup, qSessions)
+    qStreamDedup, qStreamJoin, qSessions)
 }

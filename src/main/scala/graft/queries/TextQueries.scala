@@ -259,6 +259,56 @@ object TextQueries {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE common / (sa.n + sb.n - common) >= 0.5"""))
 
+  /** The end-to-end dedup DECISION (Dedup.dedupCorpus): exact md5 stage
+    * → MinHash-LSH verified near-dup pairs (j ≥ 0.5) among exact
+    * keepers → connected components → keep each component's min id.
+    * Output = the surviving corpus's doc ids. The oracle recomputes the
+    * whole pipeline from first principles in SQL (window-function exact
+    * stage, inverted-index Jaccard, recursive-CTE reachability) — one
+    * hash check over the composite of three operator families.
+    */
+  private val qCorpusDedup = QueryDef(
+    "q_corpus_dedup_keepers",
+    (s, d) => Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5),
+    Some("""
+      WITH RECURSIVE
+      exact AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1),
+      kept AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN exact USING (doc_id)),
+      tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM kept WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      rawpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jpairs AS (
+        SELECT id_a, id_b FROM rawpairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM jpairs
+        UNION ALL SELECT id_b, id_a FROM jpairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM exact
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e, reach WHERE e.d = reach.id)
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) = id"""))
+
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64
     * rolling variant stays in the library, spec-covered — its values
@@ -369,5 +419,5 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,
-    qSimhash, qFingerprint, qTopTerms, qRedact)
+    qSimhash, qCorpusDedup, qFingerprint, qTopTerms, qRedact)
 }

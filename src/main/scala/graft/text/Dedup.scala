@@ -376,6 +376,44 @@ object Dedup {
     labels.withColumn("is_keeper", (col("id") === col("rep")).cast("boolean"))
   }
 
+  /** End-to-end corpus dedup — THE composite a training-data pipeline
+    * actually runs. Three stages, each the cheapest tool for its job:
+    *
+    *  1. EXACT: md5 groupBy keeps the first doc id per identical text —
+    *     byte-identical copies never reach the (pricier) sketch stage.
+    *  2. NEAR-DUP PAIRS: MinHash-LSH candidates, signature-estimate
+    *     pre-filter, exact shingle-Jaccard ≥ `threshold` verification —
+    *     among exact keepers only.
+    *  3. CLUSTER + DECIDE: connected components over the pair graph
+    *     (pointer-jumping label propagation); each component keeps its
+    *     minimum doc id.
+    *
+    * Output: the KEPT doc ids — `(doc_id)`, one row per surviving
+    * document. Deterministic end to end (md5 keys, exact verified
+    * Jaccard, min-id keepers), so a SQL engine reproduces the exact
+    * result from first principles — the whole pipeline is oracle-checked
+    * as one unit (q_corpus_dedup_keepers).
+    *
+    * 100 TB: stage 1 shuffles 16-byte digests; stage 2 is the
+    * minhashNearDups shape (banded, never all-pairs); stage 3 iterates
+    * on (id, rep) longs only. Nothing ships document text except the
+    * shingle arrays for verified candidate pairs.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleN: Int = 3, numHashes: Int = 32,
+      bands: Int = 16, estThreshold: Double = 0.35): DataFrame = {
+    val keeperIds = exactKeepers(df, textCol, idCol).select(col(idCol))
+    // semi-join keeps the frame narrow; doc text re-attached by the
+    // shingle build only for surviving ids
+    val kept = df.join(keeperIds, Seq(idCol), "left_semi")
+    val pairs = minhashNearDups(kept, idCol, textCol, threshold, shingleN,
+        numHashes, bands, Some(estThreshold))
+      .select(col("id_a"), col("id_b"))
+    nearDupClusters(kept.select(col(idCol)), idCol, pairs)
+      .where(col("is_keeper"))
+      .select(col("id").as(idCol))
+  }
+
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
     * explode distinct shingles, equi-join on shingle, count common,
     * combine with set sizes. Quadratic only within identical-shingle

@@ -24,6 +24,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val batch = graft.ops.RangeJoin.withinSeconds(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"),
+      keyCol = "user_id", idCol = "event_id", tsCol = "ts",
+      toleranceSec = 600L)
+      .select(col("k"), col("left_id"), col("right_id"),
+        (unix_micros(col("right_ts")) - unix_micros(col("left_ts"))))
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamingJoin
+      .runBatchEquivalent(spark, sf, 600L)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("pivotStream append mode finalizes+evicts day groups at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -79,6 +79,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(all((2L, 3L)) === 8.0 / 14.0)
   }
 
+  test("corpus dedup composite: exact dup dropped, near-dup cluster keeps min id") {
+    // 2 is an exact copy of 1 (dropped at the md5 stage); 3 is a near
+    // dup of 1 (j = 8/14 >= 0.5 -> clustered with 1, min id 1 kept);
+    // 4 is unrelated (kept).
+    val df = Seq((1L, docA), (2L, docA), (3L, docANear), (4L, docB))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("near-dup clustering: chains collapse to min-id rep, isolated keep themselves") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
     // chain 1-2-3 (transitive), pair 4-5, isolated 9
