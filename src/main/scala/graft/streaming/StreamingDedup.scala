@@ -37,13 +37,15 @@ object StreamingDedup {
     val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts")
       .select(col("user_id"), col("event_type"))
     val name = s"stream_dedup_${nameCounter.incrementAndGet()}"
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    StreamingRun.withStatePartitions(spark, 4) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 }

@@ -83,13 +83,15 @@ object StreamingHourPivot {
     val stream = eventsStream(spark, sfDir)
     val pivoted = pivotStream(stream, col("ts"), Seq("event_type"))
     val name = s"stream_hour_pivot_${nameCounter.incrementAndGet()}"
-    val q = pivoted.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    StreamingRun.withStatePartitions(spark, 4) {
+      val q = pivoted.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 }

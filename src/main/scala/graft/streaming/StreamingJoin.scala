@@ -54,20 +54,24 @@ object StreamingJoin {
     * oracle hash-checks the streaming operator against plain SQL.
     */
   def runBatchEquivalent(spark: SparkSession, sfDir: String,
-      toleranceSec: Long = 600L): DataFrame = {
-    val purchases = StreamingHourPivot.eventsStream(spark, sfDir)
-      .where(col("event_type") === "purchase")
-    val clicks = StreamingHourPivot.eventsStream(spark, sfDir)
-      .where(col("event_type") === "click")
+      toleranceSec: Long = 600L, sliceMod: Option[Long] = None): DataFrame = {
+    def slice(df: DataFrame): DataFrame =
+      sliceMod.fold(df)(m => df.where(col("user_id") % m === 0))
+    val purchases = slice(StreamingHourPivot.eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase"))
+    val clicks = slice(StreamingHourPivot.eventsStream(spark, sfDir)
+      .where(col("event_type") === "click"))
     val joined = purchaseClickJoin(purchases, clicks, toleranceSec)
     val name = s"stream_join_${nameCounter.incrementAndGet()}"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    StreamingRun.withStatePartitions(spark, 4) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 }
