@@ -47,23 +47,37 @@ object Dedup {
   import graft.ops.Partitioning.fanOut
 
   /** Exploded shingle-hash frame (id, s), built entirely MAP-SIDE: the
-    * token array is zipped against its own shifted slices (arrays_zip +
-    * slice are ordinary codegen expressions, not HOFs), each struct row
-    * explodes to one shingle, xxhash64 over the n token columns. Zero
-    * shuffles before the consumer's aggregate — the previous
-    * window-`lead` form shuffled every TOKEN row on id first, which at
-    * corpus scale is a full-data exchange that exists only to look one
-    * row ahead inside an array we already held. (A per-row HOF build —
-    * transform + array_distinct — evaluates interpreted and was ~1.6×
-    * slower than either; see SCALE_NOTES.)
+    * token array (aliased once — see the comment below) is zipped
+    * against its own shifted slices, each struct row explodes to one
+    * shingle, xxhash64 over the n token columns. Zero shuffles before
+    * the consumer's aggregate.
+    *
+    * MEASURED TRADE (round 3, sf0.1, one-JVM A/B ×3): a window-`lead`
+    * build is ~0.6 s faster here (1.3 vs 1.9–2.5 s through the minhash
+    * pipeline) because a 1M-row local shuffle is nearly free while the
+    * Generate pays per-shingle array/struct allocation. It is still the
+    * wrong shape: the window form shuffles EVERY token row on id — a
+    * full-corpus exchange at 100 TB, done only to look one row ahead
+    * inside an array each row already held — and its downstream "free"
+    * aggregation reuses that partitioning, hiding the cost locally.
+    * The map-side form's follow-up aggregates use map-side partials, so
+    * the first exchange in the family carries ids × signature longs,
+    * not corpus bytes. We keep the map-side form; hash-first and
+    * transform-HOF variants measured no better (MinhashABProbe).
     */
   def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, distinctShingles: Boolean = true): DataFrame = {
-    val t = TextFunctions.tokens(col(textCol))
+    // Tokenize in its OWN projection: the zip references the token
+    // array shingleN+1 times, and building it inline would re-run the
+    // regex split per reference (CollapseProject keeps a multi-referenced
+    // non-cheap alias separate, so `__tk` evaluates once per row —
+    // measured 2.9 s → 1.3 s on the minhash pipeline at sf0.1).
+    val t = col("__tk")
     val len = greatest(size(t) - (shingleN - 1), lit(0))
     val zipped = arrays_zip((1 to shingleN).map(i => slice(t, lit(i), len)): _*)
     val hashed = fanOut(df)
-      .select(col(idCol).as("id"), explode(zipped).as("z"))
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), explode(zipped).as("z"))
       .select(col("id"),
         xxhash64((0 until shingleN).map(i => col(s"z.$i")): _*).as("s"))
     // min-style consumers are dup-insensitive — skip the distinct shuffle
@@ -130,15 +144,24 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
       bands: Int = 8, estThresholdOpt: Option[Double] = None): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val estThreshold = estThresholdOpt
-      .getOrElse(math.max(threshold, 2.0 / numHashes))
-    val r = numHashes / bands
     // one persisted shingle frame feeds signatures AND verification;
     // collect_set dedups for the verify arrays, min-aggs don't care
     val ex = shingleHashFrame(df, idCol, textCol, shingleN,
         distinctShingles = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashNearDupsFromFrame(ex, threshold, numHashes, bands,
+      estThresholdOpt.getOrElse(math.max(threshold, 2.0 / numHashes)))
+  }
+
+  /** The minhash pipeline over a caller-supplied (persisted) shingle
+    * frame (id, s) — signatures, banded candidates, estimate pre-filter,
+    * exact verification. Lets callers that already hold a shingle frame
+    * (or want a custom build) skip the rebuild.
+    */
+  def minhashNearDupsFromFrame(ex: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int, estThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
     val sig = minhashSignaturesFrom(ex, numHashes)
 
     // Carry the signature columns THROUGH the banding explode: the
