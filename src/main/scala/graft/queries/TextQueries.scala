@@ -309,6 +309,81 @@ object TextQueries {
         SELECT e.s AS id, reach.r FROM edges e, reach WHERE e.d = reach.id)
       SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) = id"""))
 
+  /** Gopher-style repetition filter (TextFunctions.repetitionSignals):
+    * top-2-gram occurrence fraction + duplicate-3-gram fraction per
+    * document, with the repetitive flag at the adapted thresholds.
+    * Integer-count fractions → single double division → hash-exact.
+    */
+  private val qRepetition = QueryDef(
+    "q_repetition_signals",
+    (s, d) => TF.repetitionSignals(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      ex2 AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i+1])) AS g
+        FROM tok WHERE len(t) >= 2),
+      c2 AS (SELECT doc_id, g, COUNT(*) AS n FROM ex2 GROUP BY 1, 2),
+      s2 AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot2,
+          CAST(MAX(n) AS BIGINT) AS top2
+        FROM c2 GROUP BY 1),
+      ex3 AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM tok WHERE len(t) >= 3),
+      c3 AS (SELECT doc_id, g, COUNT(*) AS n FROM ex3 GROUP BY 1, 2),
+      s3 AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot3,
+          CAST(COUNT(*) AS BIGINT) AS dist3
+        FROM c3 GROUP BY 1)
+      SELECT doc_id, tot2 AS n_2grams, top2 / tot2 AS top2gram_frac,
+        tot3 AS n_3grams, (tot3 - dist3) / tot3 AS dup3gram_frac,
+        (top2 / tot2 > 0.20 OR (tot3 - dist3) / tot3 > 0.18) AS repetitive
+      FROM s2 JOIN s3 USING (doc_id)"""))
+
+  /** Train/test decontamination (Dedup.contaminationFlags): corpus =
+    * doc_id%97≠0, probe "benchmark" set = doc_id%97=0; flag corpus docs
+    * sharing ≥1 distinct 3-gram shingle with any probe doc. The probe
+    * shingle set is broadcast — the corpus side never shuffles text.
+    */
+  private val qContamination = QueryDef(
+    "q_contamination_flags",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFlags(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN = 3, minOverlap = 1)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3),
+      corpus AS (
+        SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+      probe AS (
+        SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)
+      SELECT corpus.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_overlap,
+        SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END)
+          / COUNT(*) AS overlap_frac,
+        (SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) >= 1)
+          AS contaminated
+      FROM corpus LEFT JOIN probe ON corpus.g = probe.g
+      GROUP BY corpus.doc_id"""))
+
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64
     * rolling variant stays in the library, spec-covered — its values
@@ -419,5 +494,6 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,
-    qSimhash, qCorpusDedup, qFingerprint, qTopTerms, qRedact)
+    qSimhash, qCorpusDedup, qRepetition, qContamination, qFingerprint,
+    qTopTerms, qRedact)
 }

@@ -437,6 +437,38 @@ object Dedup {
       .select(col("id").as(idCol))
   }
 
+  /** Benchmark decontamination: flag corpus documents whose n-gram
+    * shingles overlap a (small) probe set — the train/test-leakage
+    * check every LLM data pipeline runs before training (the GPT-3
+    * appendix shape: 13-gram overlap; the synthetic docs here are
+    * short, so callers pick shingleN to taste).
+    *
+    * Output: (id, n_shingles, n_overlap, overlap_frac, contaminated)
+    * per corpus doc that HAS shingles — `contaminated` when at least
+    * `minOverlap` distinct shingles also appear anywhere in the probe
+    * set.
+    *
+    * 100 TB shape: the probe side (benchmarks) is tiny and its DISTINCT
+    * shingle set is broadcast; the corpus side streams map-side through
+    * its shingle build into a broadcast-hash semi-count — no corpus
+    * shuffle except the per-doc aggregate (ids × 3 longs).
+    */
+  def contaminationFlags(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val corpusSh = shingleHashFrame(corpus, idCol, textCol, shingleN)
+    val probeSh = shingleHashFrame(probes, idCol, textCol, shingleN)
+      .select(col("s")).distinct()
+    corpusSh
+      .join(broadcast(probeSh.withColumn("__hit", lit(1))), Seq("s"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_overlap"))
+      .select(col(idCol), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") / col("n_shingles")).as("overlap_frac"),
+        (col("n_overlap") >= minOverlap).as("contaminated"))
+  }
+
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
     * explode distinct shingles, equi-join on shingle, count common,
     * combine with set sizes. Quadratic only within identical-shingle

@@ -180,4 +180,39 @@ object TextFunctions {
     */
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
+
+  /** Repetition quality signals — the Gopher/MassiveText-style filter
+    * (adapted to occurrence fractions): the fraction of 2-gram
+    * occurrences claimed by the single most frequent 2-gram, and the
+    * fraction of 3-gram occurrences that are repeats of an already-seen
+    * 3-gram. Boilerplate/keyword-stuffed/looping documents light these
+    * up while clean prose stays low.
+    *
+    * Output per document with ≥3 tokens: (id, n_2grams, top2gram_frac,
+    * n_3grams, dup3gram_frac, repetitive) — `repetitive` at the
+    * Gopher-ish thresholds (top-2-gram > 0.20 OR dup-3-gram > 0.18).
+    *
+    * Distributed shape: hashed-gram inverted counts (two map-side gram
+    * builds via Dedup.shingleHashFrame, no text shuffles; per-gram then
+    * per-doc aggregates carry longs only). Gram identity is xxhash64 —
+    * collisions merge counts with P ≈ n²/2⁶⁵, negligible and the same
+    * assumption the dedup family documents.
+    */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def gramStats(n: Int) =
+      Dedup.shingleHashFrame(df, idCol, textCol, n, distinctShingles = false)
+        .groupBy(col("id"), col("s")).agg(count(lit(1)).as("n"))
+        .groupBy(col("id"))
+        .agg(sum(col("n")).as(s"tot$n"), max(col("n")).as(s"top$n"),
+          count(lit(1)).as(s"dist$n"))
+    gramStats(2).join(gramStats(3), Seq("id"))
+      .select(col("id").as(idCol),
+        col("tot2").as("n_2grams"),
+        (col("top2") / col("tot2")).as("top2gram_frac"),
+        col("tot3").as("n_3grams"),
+        ((col("tot3") - col("dist3")) / col("tot3")).as("dup3gram_frac"),
+        (col("top2") / col("tot2") > 0.20 ||
+          (col("tot3") - col("dist3")) / col("tot3") > 0.18).as("repetitive"))
+  }
 }

@@ -104,6 +104,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(9L) == (9L, true))
   }
 
+  test("repetition signals: looping text flagged, clean text passes") {
+    import graft.text.TextFunctions
+    val df = Seq((1L, "a b a b a b"), (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 2-grams "a b"×3 "b a"×2 → top 3/5; 3-grams 2 distinct of 4
+    assert(out(1L).getAs[Double]("top2gram_frac") === 3.0 / 5.0)
+    assert(out(1L).getAs[Double]("dup3gram_frac") === 0.5)
+    assert(out(1L).getAs[Boolean]("repetitive"))
+    // doc 2: all grams unique → top 1/5 = 0.2 (not > 0.2), dup 0
+    assert(out(2L).getAs[Double]("top2gram_frac") === 0.2)
+    assert(out(2L).getAs[Double]("dup3gram_frac") === 0.0)
+    assert(!out(2L).getAs[Boolean]("repetitive"))
+  }
+
+  test("contamination flags: shared shingle with probe set flags the doc") {
+    val corpus = Seq((1L, "x y z w"), (2L, "p q r s")).toDF("doc_id", "text")
+    val probes = Seq((100L, "x y z k")).toDF("doc_id", "text")
+    val out = Dedup.contaminationFlags(corpus, probes, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 shares shingle "x y z" (1 of its 2) with the probe set
+    assert(out(1L).getAs[Long]("n_overlap") == 1L)
+    assert(out(1L).getAs[Double]("overlap_frac") === 0.5)
+    assert(out(1L).getAs[Boolean]("contaminated"))
+    assert(out(2L).getAs[Long]("n_overlap") == 0L)
+    assert(!out(2L).getAs[Boolean]("contaminated"))
+  }
+
   test("fingerprint is order-sensitive; token counts match") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
