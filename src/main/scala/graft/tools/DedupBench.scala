@@ -53,6 +53,34 @@ object DedupBench {
     val nPlanted = planted.count()
     val recalled = planted.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
     println(f"""{"workload":"minhash_neardup","docs":$total,"seconds":$dt%.2f,"pairs_found":$found,"planted":$nPlanted,"planted_recalled":$recalled}""")
+
+    // full corpus-dedup composite: exact stage + near-dup + components.
+    // every planted doc must be dropped (its predecessor is kept).
+    val t1 = System.nanoTime()
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKept = kept.count()
+    val dt1 = (System.nanoTime() - t1) / 1e9
+    val plantedKept = kept.join(docs.where(col("planted")), Seq("doc_id"),
+      "left_semi").count()
+    println(f"""{"workload":"corpus_dedup","docs":$total,"seconds":$dt1%.2f,"kept":$nKept,"planted_still_kept":$plantedKept}""")
+
+    // repetition + contamination: map-side gram shapes, should scale
+    // near-linearly (no pair joins)
+    val t2 = System.nanoTime()
+    val nRep = graft.text.TextFunctions
+      .repetitionSignals(docs, "doc_id", "text")
+      .where(col("repetitive")).count()
+    val dt2 = (System.nanoTime() - t2) / 1e9
+    println(f"""{"workload":"repetition_signals","docs":$total,"seconds":$dt2%.2f,"flagged":$nRep}""")
+
+    val t3 = System.nanoTime()
+    val nCont = Dedup.contaminationFlags(
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text").where(col("contaminated")).count()
+    val dt3 = (System.nanoTime() - t3) / 1e9
+    println(f"""{"workload":"contamination","docs":$total,"seconds":$dt3%.2f,"flagged":$nCont}""")
     spark.stop()
   }
 }

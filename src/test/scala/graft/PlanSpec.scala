@@ -95,4 +95,43 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
     }
   }
+
+  test("contamination: probe shingle set broadcasts, corpus side never shuffles text") {
+    val p = planString("q_contamination_flags")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchanges should carry (id, counts) aggregates /
+    // gram rows — never the text column
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"text column crossed a shuffle: $exchanges")
+  }
+
+  test("shingle build is map-side: no exchange between scan and gram explode") {
+    // the Generate (explode of the zipped token array) must sit directly
+    // on the scan-side project, with only the deliberate fanOut
+    // round-robin repartition in between — no hashpartitioning exchange
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val plan = graft.text.Dedup
+      .shingleHashFrame(docs, "doc_id", "text", 3, distinctShingles = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected hash exchange before/inside the shingle build:\n$plan")
+    assert(plan.contains("Generate explode"), plan)
+  }
+
+  test("stream-stream join plans StreamingSymmetricHashJoin with watermarks") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.streaming.StreamingHourPivot.eventsStream(spark, sf)
+    val joined = graft.streaming.StreamingJoin.purchaseClickJoin(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"), 600L)
+    // streaming plans resolve at query start; the analyzed plan shows
+    // the join + both event-time watermarks
+    val p = joined.queryExecution.analyzed.toString
+    assert(p.contains("EventTimeWatermark"), p)
+    assert("EventTimeWatermark".r.findAllIn(p).size == 2,
+      "both sides must carry a watermark for state cleanup")
+  }
 }
