@@ -31,4 +31,24 @@ object Sampling {
   /** Keep rows whose md5(key) sorts below the rate threshold. */
   def sampleByKey(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.where(md5(key.cast("string")) < lit(hexThreshold(rate)))
+
+  /** Weighted source mixing — the corpus-composition primitive: each
+    * source (crawl, books, code, …) is down-sampled at its own rate in
+    * ONE map-side pass, deterministically (same md5-threshold trick as
+    * sampleByKey, so any engine reproduces the exact selection).
+    * Sources absent from `rates` are dropped — a mixing spec is a
+    * whitelist. Still a scan-stage filter: no shuffle, no state,
+    * pushdown-friendly, and the per-source rate arrives as a literal
+    * CASE expression (no join against a rates table needed below
+    * thousands of sources).
+    */
+  def mixSources(df: DataFrame, key: Column, sourceCol: Column,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "mixing spec must name at least one source")
+    val threshold = rates.foldLeft(lit(null).cast("string")) {
+      case (acc, (src, rate)) =>
+        when(sourceCol === src, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.where(md5(key.cast("string")) < threshold)
+  }
 }

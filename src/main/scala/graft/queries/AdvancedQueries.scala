@@ -234,6 +234,58 @@ object AdvancedQueries {
       SELECT doc_id, lang, source FROM documents
       WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'"""))
 
+  /** Weighted source mixing (graft.ops.Sampling.mixSources): the
+    * corpus-composition step — each source sampled at its own rate in
+    * one map-side CASE-threshold filter, deterministic in any engine.
+    * Spec here: src0 fully, src1 half, src2 quarter, src3 a tenth,
+    * every other source dropped (a mixing spec is a whitelist).
+    */
+  private val qMixSources = QueryDef(
+    "q_source_mixing",
+    (s, d) =>
+      graft.ops.Sampling.mixSources(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)),
+    Some("""
+      SELECT doc_id, source FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE source
+          WHEN 'src0' THEN 'ffffffff'
+          WHEN 'src1' THEN '80000000'
+          WHEN 'src2' THEN '40000000'
+          WHEN 'src3' THEN '19999999'
+        END"""))
+
+  /** Sequence packing (graft.ops.Packing): documents → fixed
+    * token-budget bins per shard, as one window prefix-sum (no driver
+    * loop, no global sort — the window partitions by shard). The
+    * oracle replays the same prefix-sum rule in SQL.
+    */
+  private val qPacking = QueryDef(
+    "q_sequence_packing",
+    (s, d) =>
+      graft.ops.Packing.packSequences(
+        Tables.documents(s, d),
+        "doc_id", graft.text.TextFunctions.tokenCount(col("text")),
+        budget = 512, shards = 8),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+            AS n_tokens
+        FROM documents),
+      nz AS (SELECT * FROM t WHERE n_tokens > 0)
+      SELECT doc_id, shard, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS bin_start,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+          AS BIGINT) AS bin
+      FROM nz"""))
+
   /** Top-3 prices per supplier via the partial top-k Aggregator
     * (functions/TopKAggregator) — the map-side alternative to the
     * window row_number formulation (q_window_top3_per_supplier): the
@@ -260,5 +312,5 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qSample, qTopKAgg)
+    qUnionAll, qApprox, qRange, qSample, qMixSources, qPacking, qTopKAgg)
 }

@@ -123,4 +123,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     val c = Sampling.sampleByKey(df, col("id"), 0.10).collect().map(_.getLong(0)).toSet
     assert(c.subsetOf(a), "thresholds nest")
   }
+
+  test("source mixing: per-source rates, unlisted sources dropped") {
+    import spark.implicits._
+    val df = spark.range(8000)
+      .select(col("id"),
+        concat(lit("s"), pmod(col("id"), lit(4))).as("src"))
+    val out = Sampling.mixSources(df, col("id"), col("src"),
+      Map("s0" -> 1.0, "s1" -> 0.25))
+      .groupBy(col("src")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("s0", "s1"), "s2/s3 must be dropped")
+    assert(out("s0") >= 1990, s"rate-1.0 source nearly complete: $out")
+    assert(math.abs(out("s1") - 500) < 120, s"~25% of 2000: $out")
+    // selection per key matches sampleByKey at the same rate
+    val mixed = Sampling.mixSources(df, col("id"), col("src"),
+      Map("s1" -> 0.25)).collect().map(_.getLong(0)).toSet
+    val direct = Sampling.sampleByKey(df.where(col("src") === "s1"),
+      col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    assert(mixed == direct)
+  }
+
+  test("sequence packing: prefix-sum bins, shard-local, budget respected at boundaries") {
+    import spark.implicits._
+    // shard 0 only (ids 0,2,4,... with shards=2): token counts 3,4,5,...
+    val df = Seq((0L, 300), (2L, 400), (4L, 500), (6L, 100), (1L, 250))
+      .toDF("doc_id", "n")
+    val out = graft.ops.Packing.packSequences(df, "doc_id", col("n"),
+      budget = 512, shards = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // shard 0 stream: id0 start 0 bin 0; id2 start 300 bin 0;
+    // id4 start 700 bin 1; id6 start 1200 bin 2
+    assert(out(0L) == (0L, 0L, 0L))
+    assert(out(2L) == (0L, 300L, 0L))
+    assert(out(4L) == (0L, 700L, 1L))
+    assert(out(6L) == (0L, 1200L, 2L))
+    // shard 1 independent: id1 starts its own stream
+    assert(out(1L) == (1L, 0L, 0L))
+  }
 }
