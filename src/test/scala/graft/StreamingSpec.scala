@@ -24,6 +24,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("file sink: exactly-once across restart, new files picked up incrementally") {
+    import graft.streaming.StreamingFileSink
+    import java.nio.file.Files
+    import spark.implicits._
+    val src = Files.createTempDirectory("sink_src").toString
+    val out = Files.createTempDirectory("sink_out").toString + "/data"
+    val cp = Files.createTempDirectory("sink_cp").toString
+    // seed input: 2 rows
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def stream = spark.readStream.schema(schema).parquet(src)
+    StreamingFileSink.drainToParquet(stream, out, cp)
+    assert(StreamingFileSink.readCommitted(spark, out).count() == 2)
+    // restart with the same checkpoint and NO new input → no duplicates
+    StreamingFileSink.drainToParquet(stream, out, cp)
+    assert(StreamingFileSink.readCommitted(spark, out).count() == 2,
+      "restart must not re-emit committed batches")
+    // new input file → only the delta is processed
+    Seq((3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamingFileSink.drainToParquet(stream, out, cp)
+    val rows = StreamingFileSink.readCommitted(spark, out)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L, 3L))
+  }
+
   test("stream-stream interval join equals the batch range join") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)
