@@ -27,11 +27,19 @@ object Bench {
     // the common codegen shapes; limit() keeps the data work trivial.
     {
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       val or = spark.read.parquet(s"$sfDir/orders.parquet").limit(1000)
+      // include the decimal money shapes — q1's BigDecimal sum buffers
+      // codegen differently from long sums and used to pay ~1 s of
+      // first-use compilation inside q1's measurement
+      def m(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
       li.join(or, li("l_orderkey") === or("o_orderkey"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)), sum(col("l_quantity")))
+        .agg(count(lit(1)), sum(col("l_quantity")),
+          sum(m(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(4, 2)) -
+              col("l_discount").cast(DecimalType(4, 2)))))
         .write.format("noop").mode("overwrite").save()
     }
 
