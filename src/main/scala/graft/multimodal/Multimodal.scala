@@ -75,6 +75,29 @@ object Multimodal {
       0L.until(math.max(1L, meta.durationMs)).by(math.max(1L, everyMs))
   }
 
+  /** PORTABLE stub: features derived from the md5 of the payload —
+    * feature i = (value of hex digit i) / 16, dim ≤ 32. Still fake
+    * embeddings, but exactly reproducible by ANY engine with md5()
+    * (digit/16 is a dyadic rational → exact in float32, so even
+    * quantized cosine scores match SQL bit-for-bit). This is what lets
+    * a media-similarity query be ORACLE-HASH-checked end to end
+    * (q_media_ann_topk) instead of contract-checked; resize and frame
+    * arithmetic are the same deterministic stubs.
+    */
+  object PortableMd5Decoder extends MediaDecoder {
+    def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
+      require(dim <= 32, "md5 provides 32 hex digits")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+      Array.tabulate(dim)(i =>
+        Character.digit(hex.charAt(i), 16).toFloat / 16.0f)
+    }
+    def resize(payload: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Byte] =
+      StubDecoder.resize(payload, meta, w, h)
+    def frameOffsets(meta: MediaMeta, everyMs: Long): Seq[Long] =
+      StubDecoder.frameOffsets(meta, everyMs)
+  }
+
   /** Decode → feature-extract, batched within each partition. The
     * decoder is initialized once per partition (the expensive part with
     * a real codec), rows flow through in `batchSize` chunks.
@@ -140,8 +163,9 @@ object Multimodal {
   }
 
   /** DataFrame-level entry: bytes + meta columns → features table. */
-  def featuresTable(df: DataFrame, dim: Int = 64): DataFrame =
-    extractFeatures(mediaTable(df), dim).toDF()
+  def featuresTable(df: DataFrame, dim: Int = 64,
+      decoder: MediaDecoder = StubDecoder): DataFrame =
+    extractFeatures(mediaTable(df), dim, decoder = decoder).toDF()
 
   /** DataFrame-level entry: bytes + meta columns → sampled frames. */
   def framesTable(df: DataFrame, everyMs: Long): DataFrame =

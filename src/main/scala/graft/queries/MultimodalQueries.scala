@@ -59,5 +59,55 @@ object MultimodalQueries {
         TRUE AS features_normalized
       FROM documents"""))
 
-  def all: Seq[QueryDef] = Seq(qFeatures)
+  /** Media similarity, ORACLE-EXACT end to end: payloads → batched
+    * mapPartitions feature extraction (PortableMd5Decoder: feature i =
+    * md5 hex digit i / 16 — a dyadic rational, exact in float32, so
+    * any engine reproduces the vectors AND the quantized cosine
+    * bit-for-bit) → brute-force top-20 neighbours of media 0. This
+    * upgrades the multimodal family from contract checks to a full
+    * hash check through the decoder seam; a real codec swaps in at the
+    * same injection point with the identical plan shape.
+    */
+  private val qMediaAnn = QueryDef(
+    "q_media_ann_topk",
+    (s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        lit("image").as("kind"),
+        lit(640).as("width"), lit(480).as("height"),
+        lit(0).as("sampleRate"), lit(0L).as("durationMs"))
+      val feats = Multimodal.featuresTable(media, dim = 32,
+        decoder = Multimodal.PortableMd5Decoder)
+      graft.functions.VectorFunctions.register(s)
+      graft.sim.Similarity.topKByQueryId(feats, "media_id", "features",
+        queryId = 0L, k = 20,
+        scoreFn = graft.functions.VectorFunctions.q_vec_cosine)
+    },
+    Some("""
+      WITH vec AS (
+        SELECT doc_id AS media_id,
+          list_transform(range(1, 33),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+              AS DOUBLE) / 16.0) AS v
+        FROM documents),
+      flat AS (
+        SELECT media_id, CAST(ROUND(unnest(v) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(v, 1) AS i
+        FROM vec),
+      qf AS (SELECT i, qv AS qqv FROM flat WHERE media_id = 0),
+      dots AS (
+        SELECT f.media_id, SUM(f.qv * q.qqv) AS qdot, SUM(f.qv * f.qv) AS nrm
+        FROM flat f JOIN qf q USING (i)
+        GROUP BY f.media_id),
+      qn AS (SELECT SUM(qqv * qqv) AS nrm0 FROM qf)
+      SELECT media_id,
+        CAST(qdot AS BIGINT) /
+          (sqrt(CAST(nrm AS BIGINT)) * sqrt(CAST(nrm0 AS BIGINT))) AS score
+      FROM dots, qn
+      WHERE media_id <> 0
+      ORDER BY score DESC, media_id
+      LIMIT 20"""))
+
+  def all: Seq[QueryDef] = Seq(qFeatures, qMediaAnn)
 }
