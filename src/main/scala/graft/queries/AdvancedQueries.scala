@@ -286,6 +286,32 @@ object AdvancedQueries {
           AS BIGINT) AS bin
       FROM nz"""))
 
+  /** Two-stage salted aggregation (graft.ops.Salting) — the manual
+    * extreme-skew mitigation. The oracle is the PLAIN group-by: for
+    * algebraic aggregates the salted two-stage result is exactly the
+    * direct result by construction, and this check pins that identity
+    * (row-routing salt must not leak into values). All aggregates here
+    * are order-independent exacts (integer-valued double sum, max,
+    * count), so the hash compare is safe.
+    */
+  private val qSalted = QueryDef(
+    "q_salted_agg",
+    (s, d) =>
+      graft.ops.Salting.saltedAgg(
+        Tables.lineitem(s, d), Seq("l_returnflag"), saltBuckets = 32,
+        partials = Seq(sum(col("l_quantity")).as("p_qty"),
+          max(col("l_extendedprice")).as("p_max"),
+          count(lit(1)).as("p_n")),
+        finals = Seq(sum(col("p_qty")).as("sum_qty"),
+          max(col("p_max")).as("max_price"),
+          sum(col("p_n")).as("n_rows"))),
+    Some("""
+      SELECT l_returnflag,
+        SUM(l_quantity) AS sum_qty,
+        MAX(l_extendedprice) AS max_price,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_returnflag"""))
+
   /** Top-3 prices per supplier via the partial top-k Aggregator
     * (functions/TopKAggregator) — the map-side alternative to the
     * window row_number formulation (q_window_top3_per_supplier): the
@@ -312,5 +338,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qSample, qMixSources, qPacking, qTopKAgg)
+    qUnionAll, qApprox, qRange, qSample, qMixSources, qPacking, qSalted,
+    qTopKAgg)
 }
