@@ -68,7 +68,10 @@ object Bench {
     // queries (~2900 chars) gets truncated mid-line and fails to parse
     // (BENCH_r02.json parsed:null). Keep the JSON line short: headline
     // queries only, 3-decimal times. Full per-query detail is on stderr.
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+    // emit 10,974 and re-break the JSON parse this line exists to fix
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.collect { case (k, v) if headline.contains(k) =>
       "\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")

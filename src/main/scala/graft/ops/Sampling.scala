@@ -45,10 +45,15 @@ object Sampling {
   def mixSources(df: DataFrame, key: Column, sourceCol: Column,
       rates: Map[String, Double]): DataFrame = {
     require(rates.nonEmpty, "mixing spec must name at least one source")
-    val threshold = rates.foldLeft(lit(null).cast("string")) {
-      case (acc, (src, rate)) =>
-        when(sourceCol === src, lit(hexThreshold(rate))).otherwise(acc)
+    // rate >= 1.0 keeps the source COMPLETELY — the threshold compare
+    // tops out at 'ffffffff' and would silently drop the ~2^-32 of
+    // keys whose digest starts with eight f's
+    val keep = rates.foldLeft(lit(false)) { case (acc, (src, rate)) =>
+      val cond =
+        if (rate >= 1.0) lit(true)
+        else md5(key.cast("string")) < lit(hexThreshold(rate))
+      when(sourceCol === src, cond).otherwise(acc)
     }
-    df.where(md5(key.cast("string")) < threshold)
+    df.where(keep)
   }
 }

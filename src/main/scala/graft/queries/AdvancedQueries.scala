@@ -249,12 +249,12 @@ object AdvancedQueries {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)),
     Some("""
       SELECT doc_id, source FROM documents
-      WHERE md5(CAST(doc_id AS VARCHAR)) <
-        CASE source
-          WHEN 'src0' THEN 'ffffffff'
-          WHEN 'src1' THEN '80000000'
-          WHEN 'src2' THEN '40000000'
-          WHEN 'src3' THEN '19999999'
+      WHERE CASE source
+          WHEN 'src0' THEN TRUE
+          WHEN 'src1' THEN md5(CAST(doc_id AS VARCHAR)) < '80000000'
+          WHEN 'src2' THEN md5(CAST(doc_id AS VARCHAR)) < '40000000'
+          WHEN 'src3' THEN md5(CAST(doc_id AS VARCHAR)) < '19999999'
+          ELSE FALSE
         END"""))
 
   /** Sequence packing (graft.ops.Packing): documents → fixed

@@ -18,6 +18,23 @@ import graft.text.{Dedup, TextFunctions => TF}
 object TextQueries {
 
   private val sqlTokens = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** The shared tokenize → distinct-3-gram-shingle CTE block (tok, sh,
+    * ex, sizes) every Jaccard-family oracle builds on — ONE definition
+    * so the SQL mirror of Dedup.shingleHashFrame can never drift per
+    * query. `src` is the relation shingles are built from.
+    */
+  private def sqlShingleCtes(src: String): String = """
+      tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM __SRC__ WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(s) AS n FROM sh)""".replace("__SRC__", src)
   private val sqlNTokens =
     s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlTokens) END"
   private val sqlStops = "('the', 'a', 'of', 'and')"
@@ -111,17 +128,8 @@ object TextQueries {
         Tables.documents(s, d).where(col("doc_id") % 7 === 0),
         "doc_id", "text", shingleN = 3, threshold = 0.01),
     Some("""
-      WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
-      tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM sel WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(t) - 1),
-            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM tok WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),""" +
+      sqlShingleCtes("sel") + """,
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -150,17 +158,8 @@ object TextQueries {
     },
     Some("""
       WITH RECURSIVE
-      sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
-      tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM sel WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(t) - 1),
-            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM tok WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),""" +
+      sqlShingleCtes("sel") + """,
       rawpairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -201,16 +200,7 @@ object TextQueries {
         estThresholdOpt = Some(0.35))
         .select(col("id_a"), col("id_b"), col("jaccard")),
     Some("""
-      WITH tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(t) - 1),
-            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM tok WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      WITH""" + sqlShingleCtes("documents") + """,
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -239,16 +229,7 @@ object TextQueries {
       Dedup.simhashVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3, threshold = 0.5, maxHamming = 15, chunks = 16),
     Some("""
-      WITH tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(t) - 1),
-            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM tok WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      WITH""" + sqlShingleCtes("documents") + """,
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -280,17 +261,8 @@ object TextQueries {
           FROM documents)
         WHERE rn = 1),
       kept AS (
-        SELECT d.doc_id, d.text FROM documents d JOIN exact USING (doc_id)),
-      tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM kept WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(t) - 1),
-            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM tok WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        SELECT d.doc_id, d.text FROM documents d JOIN exact USING (doc_id)),""" +
+      sqlShingleCtes("kept") + """,
       rawpairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -361,14 +333,7 @@ object TextQueries {
         "doc_id", "text", shingleN = 3, minOverlap = 1)
     },
     Some("""
-      WITH tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(t) - 1),
-            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM tok WHERE len(t) >= 3),
+      WITH""" + sqlShingleCtes("documents") + """,
       corpus AS (
         SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
       probe AS (

@@ -144,6 +144,9 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
       bands: Int = 8, estThresholdOpt: Option[Double] = None): DataFrame = {
+    // validate BEFORE the persist below — a require inside FromFrame
+    // alone would leak the pinned frame on bad arguments
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     // one persisted shingle frame feeds signatures AND verification;
     // collect_set dedups for the verify arrays, min-aggs don't care
     val ex = shingleHashFrame(df, idCol, textCol, shingleN,
@@ -449,13 +452,20 @@ object Dedup {
     * set.
     *
     * 100 TB shape: the probe side (benchmarks) is tiny and its DISTINCT
-    * shingle set is broadcast; the corpus side streams map-side through
-    * its shingle build into a broadcast-hash semi-count — no corpus
-    * shuffle except the per-doc aggregate (ids × 3 longs).
+    * shingle set is broadcast; the corpus side's exchanges carry only
+    * (id, 16-byte shingle hash) rows — a few % of corpus bytes, never
+    * document text — then the per-doc aggregate (ids × 3 longs).
     */
   def contaminationFlags(corpus: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       minOverlap: Int = 1): DataFrame = {
+    // Corpus-side cost shape, measured both ways (round 3): the per-doc
+    // shingle DISTINCT here is one exchange of (id, 16-byte hash) rows
+    // ≈ a few % of corpus bytes — NOT a text shuffle. The "zero
+    // exchange" alternative (per-row transform + array_distinct HOFs)
+    // evaluates interpreted and measured ~6× the CPU (8.9 s vs ~1.5 s
+    // at sf0.1); interpreted per-element evaluation loses to a narrow
+    // hash shuffle at any scale where CPU is the bill.
     val corpusSh = shingleHashFrame(corpus, idCol, textCol, shingleN)
     val probeSh = shingleHashFrame(probes, idCol, textCol, shingleN)
       .select(col("s")).distinct()

@@ -67,11 +67,13 @@ class TextDedupSpec extends AnyFunSuite {
       threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
     assert(got.contains((1L, 2L)) && got((1L, 2L)) === 1.0)
-    // Exhaustive config (64 1-bit chunks, hamming<=64): candidate
-    // generation is total, so output is exactly the j>=0.3 pair set with
-    // exact values: 1-2 identical, 1-3/2-3 share 8 of 14 shingles.
+    // Exhaustive config (64 1-bit chunks, hamming<=63 — the pigeonhole
+    // guarantee needs chunks > maxHamming, and a hamming-64 pair is a
+    // bitwise complement, never a near-dup): candidate generation is
+    // total, so output is exactly the j>=0.3 pair set with exact
+    // values: 1-2 identical, 1-3/2-3 share 8 of 14 shingles.
     val all = Dedup.simhashVerifiedNearDups(df, "doc_id", "text",
-      threshold = 0.3, maxHamming = 64, chunks = 64).collect()
+      threshold = 0.3, maxHamming = 63, chunks = 64).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
     assert(all.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(all((1L, 2L)) === 1.0)
