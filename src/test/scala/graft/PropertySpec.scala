@@ -74,4 +74,29 @@ object PropertySpec extends Properties("graft") {
   property("hour pivot column list is exactly hour_0..hour_23") = Prop {
     graft.ops.HourPivot.hourCols == (0 until 24).map(h => s"hour_$h")
   }
+
+  property("sampling hex thresholds are monotone in rate (nested samples)") =
+    forAll(Gen.choose(1, 10000), Gen.choose(1, 10000)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b) / 10000.0, math.max(a, b) / 10000.0)
+      // lexicographic hex-string order == numeric order for fixed width,
+      // so a lower rate's selection is always a subset of a higher one's
+      graft.ops.Sampling.hexThreshold(lo) <= graft.ops.Sampling.hexThreshold(hi)
+    }
+
+  property("lloyd k-means: k centroids, deterministic, within sample bounds") =
+    forAll(Gen.choose(1L, 1000000L), Gen.choose(2, 6), Gen.choose(10, 40)) {
+      (seed, k, n) =>
+        val rnd = new scala.util.Random(seed)
+        val sample = Array.fill(n)(Array.fill(4)(rnd.nextFloat() * 2 - 1))
+        val c1 = graft.sim.Similarity.lloyd(sample, k, seed = 7L)
+        val c2 = graft.sim.Similarity.lloyd(sample, k, seed = 7L)
+        val bounds = (0 until 4).map { d =>
+          (sample.map(_(d)).min, sample.map(_(d)).max)
+        }
+        c1.length == k &&
+          c1.zip(c2).forall { case (x, y) => x.sameElements(y) } &&
+          c1.forall(c => c.indices.forall { d =>
+            c(d) >= bounds(d)._1 - 1e-4f && c(d) <= bounds(d)._2 + 1e-4f
+          })
+    }
 }
