@@ -357,7 +357,31 @@ object RelationalQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
 
+  /** Explicit GROUPING SETS through the spark.sql interface — the one
+    * declared query driven as SQL text rather than the DataFrame API,
+    * pinning that surface too (temp view + ANSI SQL + grouping()
+    * flags; rollup/cube above cover the DataFrame spellings).
+    */
+  private val qGroupingSets = QueryDef(
+    "q_grouping_sets_orders",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+          COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
-    qIntersect, qExcept, qDistinct, qRollup, qCube)
+    qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets)
 }
