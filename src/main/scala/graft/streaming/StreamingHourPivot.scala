@@ -33,7 +33,8 @@ object StreamingHourPivot {
     * (ns timestamps → exact DIV rebuild, as in Tables.events).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set at session bootstrap (Session.builder) — the
+    // old per-call conf.set here leaked session-wide
     val path = s"$sfDir/events.parquet"
     // direct footer read (~10 ms) — a spark.read.parquet().schema
     // schema-inference job costs ~1 s and was a third of this query
@@ -80,10 +81,10 @@ object StreamingHourPivot {
     * processAllAvailable → deterministic batch-equivalent result).
     */
   def runBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
-    val stream = eventsStream(spark, sfDir)
-    val pivoted = pivotStream(stream, col("ts"), Seq("event_type"))
     val name = s"stream_hour_pivot_${nameCounter.incrementAndGet()}"
-    StreamingRun.withStatePartitions(spark, 4) {
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val stream = eventsStream(s, sfDir)
+      val pivoted = pivotStream(stream, col("ts"), Seq("event_type"))
       val q = pivoted.writeStream
         .outputMode("complete")
         .format("memory")
@@ -91,7 +92,7 @@ object StreamingHourPivot {
         .start()
       try q.processAllAvailable()
       finally q.stop()
+      s.table(name)
     }
-    spark.table(name)
   }
 }

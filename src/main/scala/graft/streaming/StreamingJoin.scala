@@ -57,13 +57,13 @@ object StreamingJoin {
       toleranceSec: Long = 600L, sliceMod: Option[Long] = None): DataFrame = {
     def slice(df: DataFrame): DataFrame =
       sliceMod.fold(df)(m => df.where(col("user_id") % m === 0))
-    val purchases = slice(StreamingHourPivot.eventsStream(spark, sfDir)
-      .where(col("event_type") === "purchase"))
-    val clicks = slice(StreamingHourPivot.eventsStream(spark, sfDir)
-      .where(col("event_type") === "click"))
-    val joined = purchaseClickJoin(purchases, clicks, toleranceSec)
     val name = s"stream_join_${nameCounter.incrementAndGet()}"
-    StreamingRun.withStatePartitions(spark, 4) {
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val purchases = slice(StreamingHourPivot.eventsStream(s, sfDir)
+        .where(col("event_type") === "purchase"))
+      val clicks = slice(StreamingHourPivot.eventsStream(s, sfDir)
+        .where(col("event_type") === "click"))
+      val joined = purchaseClickJoin(purchases, clicks, toleranceSec)
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -71,7 +71,7 @@ object StreamingJoin {
         .start()
       try q.processAllAvailable()
       finally q.stop()
+      s.table(name)
     }
-    spark.table(name)
   }
 }

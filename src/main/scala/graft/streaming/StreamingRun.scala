@@ -17,13 +17,16 @@ object StreamingRun {
     * exhibits carry a few thousand keys. At deployment scale this knob
     * is exactly what you tune upward again.
     *
-    * The conf is session-wide; callers run queries sequentially
-    * (Verify/Bench do), and the previous value is always restored.
+    * The conf is scoped to a CLONED session (`spark.newSession`): the
+    * clone shares the SparkContext and cached data but owns its SQLConf,
+    * so a query running concurrently on the parent session (parallel
+    * tests, ad-hoc work) never silently executes with the lowered
+    * partition count. Callers build their streaming frames against the
+    * session passed to `f`.
     */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: SparkSession => T): T = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(s)
   }
 }

@@ -46,6 +46,46 @@ object Dedup {
 
   import graft.ops.Partitioning.fanOut
 
+  /** Pin an intermediate frame that feeds several plan branches.
+    *
+    * `localCheckpoint(eager)` instead of `persist`: it materializes the
+    * frame once (the persist would too, at first action) AND its blocks
+    * are released by the ContextCleaner as soon as the returned frame is
+    * garbage-collected — `persist` pins blocks until someone calls
+    * `unpersist`, which a function returning a lazy DataFrame can never
+    * do safely (the round-3 build leaked every shingle frame and relied
+    * on the bench harness's session-wide clearCache). Cluster caveat
+    * (same as nearDupClusters): local checkpoints tie recovery to
+    * executor lifetimes; a long-lived production job would use
+    * `checkpoint()` with a reliable checkpoint dir.
+    */
+  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Auto-sized LSH band count for a minhash signature of `numHashes`
+    * values at a verify threshold `t`: pick r = rows per band (bands =
+    * numHashes / r) as the LARGEST divisor of numHashes whose per-pair
+    * candidate recall at similarity exactly `t`,
+    * 1 − (1 − t^r)^(numHashes/r), still meets `targetRecall` — the
+    * widest (most pruning) banding that cannot miss a qualifying pair.
+    * Larger r prunes harder: background pairs at similarity s collide
+    * per band with probability s^r. True near-dups usually sit well
+    * above `t`, where recall is far higher than the bound computed at
+    * the threshold boundary.
+    *
+    * t = 0.5 → r = 2 (16 bands at k = 32): the round-1..3 hand-tuned
+    * operating point, now derived. t = 0.8 → r = 4.
+    */
+  def autoMinhashBands(numHashes: Int, threshold: Double,
+      targetRecall: Double = 0.98): Int = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    val rs = (numHashes to 1 by -1).filter(numHashes % _ == 0)
+    val r = rs.find { r =>
+      val recall = 1.0 - math.pow(1.0 - math.pow(threshold, r), numHashes / r)
+      recall >= targetRecall
+    }.getOrElse(1)
+    numHashes / r
+  }
+
   /** Exploded shingle-hash frame (id, s), built entirely MAP-SIDE: the
     * token array (aliased once — see the comment below) is zipped
     * against its own shifted slices, each struct row explodes to one
@@ -141,18 +181,20 @@ object Dedup {
     * join to pairs whose estimated Jaccard clears `estThreshold`
     * (default max(threshold, 2/k) — at least 2 matching components).
     */
+  /** `bands = 0` (the default) auto-sizes from the threshold via
+    * [[autoMinhashBands]] — at the dedup-decision threshold 0.5 this
+    * derives the same 16-band point the declared query pins explicitly.
+    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, estThresholdOpt: Option[Double] = None): DataFrame = {
-    // validate BEFORE the persist below — a require inside FromFrame
-    // alone would leak the pinned frame on bad arguments
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    // one persisted shingle frame feeds signatures AND verification;
+      bands: Int = 0, estThresholdOpt: Option[Double] = None): DataFrame = {
+    val b = if (bands == 0) autoMinhashBands(numHashes, threshold) else bands
+    require(numHashes % b == 0, "numHashes must divide into bands")
+    // one pinned shingle frame feeds signatures AND verification;
     // collect_set dedups for the verify arrays, min-aggs don't care
-    val ex = shingleHashFrame(df, idCol, textCol, shingleN,
-        distinctShingles = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashNearDupsFromFrame(ex, threshold, numHashes, bands,
+    val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN,
+      distinctShingles = false))
+    minhashNearDupsFromFrame(ex, threshold, numHashes, b,
       estThresholdOpt.getOrElse(math.max(threshold, 2.0 / numHashes)))
   }
 
@@ -294,14 +336,27 @@ object Dedup {
     * across all test SFs with ~6 bits of margin) — so the output is
     * checkable against a plain exact-Jaccard oracle, unlike the raw
     * candidate stream.
+    *
+    * BANDING DEFAULT (`chunks = 0` → 8): the library default is the
+    * PRUNING configuration — 8 chunks of 8 bits = 256 buckets per band,
+    * ~32× fewer candidate pairs than the 16×4-bit point (whose 16
+    * buckets admit ~64% of ALL pairs — an all-pairs join in disguise,
+    * safe only for small-corpus exhibits; the declared oracle query pins
+    * chunks = 16 explicitly for the a-priori guarantee). At 8 chunks the
+    * pigeonhole guarantee covers Hamming ≤ 7; pairs at Hamming 8–15 are
+    * found with ≥ 98.9% probability each (9 diff bits leave some 8-bit
+    * chunk untouched unless they spread across all 8 chunks —
+    * P(surjection) = 8!·S(9,8)/8⁹ ≈ 1.1%) — and on this corpus's true
+    * pairs (measured max Hamming 9) recall is measured complete at
+    * every test SF (DedupSpec pins default ≡ 16-chunk output).
     */
   def simhashVerifiedNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5, maxHamming: Int = 15,
-      chunks: Int = 16): DataFrame = {
-    // one persisted shingle frame feeds signatures AND verification
-    val ex = shingleHashFrame(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = simhashPairsWithin(simhashSignaturesFrom(ex), maxHamming, chunks)
+      chunks: Int = 0): DataFrame = {
+    val c = if (chunks == 0) 8 else chunks
+    // one pinned shingle frame feeds signatures AND verification
+    val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN))
+    val pairs = simhashPairsWithin(simhashSignaturesFrom(ex), maxHamming, c)
       .select(col("id_a"), col("id_b"))
     verifiedJaccard(pairs, ex, threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

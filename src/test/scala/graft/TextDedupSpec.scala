@@ -81,6 +81,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(all((2L, 3L)) === 8.0 / 14.0)
   }
 
+  test("auto minhash banding derives the hand-tuned operating points") {
+    // t=0.5 → r=2 (16 bands at k=32): the round-1..3 hand-tuned point
+    assert(Dedup.autoMinhashBands(32, 0.5) == 16)
+    // t=0.8 → r=4 (8 bands): harsher threshold prunes harder
+    assert(Dedup.autoMinhashBands(32, 0.8) == 8)
+    // recall bound at the boundary: r=2 at t=0.5 gives 1-(1-.25)^16 ≈ .99
+    val recall = 1.0 - math.pow(1.0 - math.pow(0.5, 2), 16)
+    assert(recall >= 0.98)
+  }
+
+  test("simhash pruning default (8×8 chunks) matches the 16×4 guarantee output at sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(chunks: Int) =
+      Dedup.simhashVerifiedNearDups(docs, "doc_id", "text", chunks = chunks)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dflt = pairs(0)     // library default → 8 chunks of 8 bits
+    val full = pairs(16)    // pigeonhole-complete exhibit configuration
+    assert(dflt == full, s"default missed ${full -- dflt}, extra ${dflt -- full}")
+  }
+
   test("corpus dedup composite: exact dup dropped, near-dup cluster keeps min id") {
     // 2 is an exact copy of 1 (dropped at the md5 stage); 3 is a near
     // dup of 1 (j = 8/14 >= 0.5 -> clustered with 1, min id 1 kept);
