@@ -104,26 +104,67 @@ object Similarity {
     }: _*)
   }
 
+  /** Auto-sized bits-per-band for sign-LSH banding at corpus size `n`:
+    * the SMALLEST divisor of `numPlanes` whose bucket space keeps
+    * expected occupancy ≤ ~10 (`10 · 2^bits ≥ n`), capped at
+    * `numPlanes / 2` so at least two bands remain for OR-amplification.
+    * Returns the BAND COUNT (`numPlanes / bits`).
+    *
+    * This is the scaladoc sizing rule of [[lshNearDupPairs]] made
+    * executable: occupancy ≈ n / 2^bits drives candidate volume
+    * (≈ bands · n · occupancy / 2), so bits must grow with log2(n);
+    * preferring the smallest sufficient bits keeps per-band recall
+    * (1 − θ/π)^bits as high as the volume budget allows. At 32 planes:
+    * n ≤ 2.5k → 4 bands × 8 bits; n ≤ 655k → 2 × 16; beyond, the cap
+    * holds 2 × 16 (more planes, not fewer bands, is the next lever).
+    */
+  def autoLshBands(numPlanes: Int, n: Long): Int = {
+    require(numPlanes >= 2, "need at least 2 hyperplanes")
+    val candidates = (1 to numPlanes / 2).filter(numPlanes % _ == 0)
+    val bits = candidates.find(b => (1L << math.min(b, 60)) * 10L >= n)
+      .getOrElse(numPlanes / 2)
+    numPlanes / bits
+  }
+
   /** LSH-bucketed approximate top-k for one stored query vector:
     * candidates = vectors sharing ≥1 band bucket with the query, then
     * exact re-scoring of candidates only. At 1000× data the scan is the
     * same, but scoring work drops from N to the bucket-collision count.
+    *
+    * The candidate dedup runs on BARE ids — the banding frame never
+    * carries the vector column, so the distinct's Exchange moves ids
+    * only (a distinct dragging two float[64] payloads per candidate row
+    * was the dominant cost; same lesson as lshNearDupPairs). Vectors
+    * re-attach AFTER the distinct via a broadcast semi-join of the
+    * (collision-count-sized) id set against the corpus — map-side, no
+    * vector ever shuffles.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      k: Int, numPlanes: Int = 32, bands: Int = 8, dim: Int = 64,
+      k: Int, numPlanes: Int = 32, bands: Int = 0, dim: Int = 64,
       scoreFn: (Column, Column) => Column =
-        graft.functions.VectorFunctions.q_vec_cosine): DataFrame = {
+        graft.functions.VectorFunctions.q_vec_cosine,
+      corpusCountEstimate: Long = 0L): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
+    // bands = 0 → auto-size from corpus count (one cheap count job —
+    // parquet answers it from footer stats; callers on hot paths pass
+    // corpusCountEstimate or an explicit band count)
+    val b = if (bands == 0) autoLshBands(numPlanes,
+      if (corpusCountEstimate > 0) corpusCountEstimate else df.count())
+    else bands
     val planes = hyperplanes(numPlanes, dim)
-    val withBuckets = df.select(col(idCol), col(vecCol),
-      posexplode(lshBuckets(col(vecCol), planes, bands)))
+    val banded = df.select(col(idCol),
+      posexplode(lshBuckets(col(vecCol), planes, b)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val queryBuckets = withBuckets.where(col(idCol) === queryId)
-      .select(col("band"), col("bucket"), col(vecCol).as("__qvec"))
-    withBuckets
+    val queryBuckets = banded.where(col(idCol) === queryId)
+      .select(col("band"), col("bucket"))
+    val candidateIds = banded
       .join(broadcast(queryBuckets), Seq("band", "bucket"))
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), col(vecCol), col("__qvec")).distinct()
+      .select(col(idCol)).distinct()
+    val qvec = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    df.join(broadcast(candidateIds), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(qvec))
       .select(col(idCol), scoreFn(col(vecCol), col("__qvec")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -172,22 +213,28 @@ object Similarity {
     * for a pair at angle θ is (1−θ/π)^bits — at high thresholds
     * (near-dup regime, θ small) wide bands stay near 1, so PREFER FEW
     * WIDE BANDS as N grows: e.g. 2 bands × 16 bits for 10⁵–10⁶
-    * vectors. The defaults (8 × 4 bits) only suit toy corpora ≤ ~5k.
+    * vectors. `bands = 0` (the default) derives the width from the
+    * corpus count via [[autoLshBands]] — pass `corpusCountEstimate`
+    * to skip the count job, or an explicit band count to override.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 32, bands: Int = 8,
+      threshold: Double, numPlanes: Int = 32, bands: Int = 0,
       dim: Int = 64,
       scoreFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.vec_cosine,
-      scoreCol: String = "cos"): DataFrame = {
+      scoreCol: String = "cos",
+      corpusCountEstimate: Long = 0L): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
+    val b = if (bands == 0) autoLshBands(numPlanes,
+      if (corpusCountEstimate > 0) corpusCountEstimate else df.count())
+    else bands
     val planes = hyperplanes(numPlanes, dim)
     // distinct over bare id pairs (vectors re-joined afterwards — a
     // distinct dragging two float[64] payloads through the shuffle was
     // the dominant cost), codegen'd vec_dot for bucket signs + verify.
     val banded = graft.ops.Partitioning.fanOut(df)
       .select(col(idCol).as("id"),
-        posexplode(lshBuckets(col(vecCol), planes, bands)))
+        posexplode(lshBuckets(col(vecCol), planes, b)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&

@@ -96,6 +96,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH top-k: candidate dedup shuffles bare ids — no vector in any exchange") {
+    val p = planString("q_ann_lsh_topk")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, s"expected the candidate-id distinct to shuffle:\n$p")
+    assert(exchanges.forall(e => !e.contains("embedding#") && !e.contains("__qvec")),
+      s"vector payload crossed a hash exchange: $exchanges")
+  }
+
   test("contamination: probe shingle set broadcasts, corpus side never shuffles text") {
     val p = planString("q_contamination_flags")
     assert(p.contains("BroadcastHashJoin"), p)

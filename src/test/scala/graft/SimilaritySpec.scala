@@ -44,6 +44,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall; exact=$exact approx=$approx")
   }
 
+  test("auto band sizing follows the occupancy rule, prefers few wide bands") {
+    // toy corpus: 10·2^4 = 160 ≥ 100 → 4-bit bands (the old hand default)
+    assert(Similarity.autoLshBands(32, 100L) == 8)
+    // sf-scale: needs 8 bits (10·2^8 = 2560 ≥ 640)
+    assert(Similarity.autoLshBands(32, 640L) == 4)
+    // 1M vectors: 16-bit bands, the scaladoc's 2×16 example
+    assert(Similarity.autoLshBands(32, 1000000L) == 2)
+    // beyond the 32-plane budget the cap holds at 2 bands (≥2 for OR)
+    assert(Similarity.autoLshBands(32, 100000000L) == 2)
+    // auto default produces a runnable plan with sane output
+    val emb = Tables.embeddings(spark, sf)
+    val topk = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect()
+    assert(topk.length <= 5 && !topk.map(_.getLong(0)).contains(0L))
+  }
+
   test("IVF top-k: returns k rows, recall beats random-cell baseline") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.topKByQueryId(emb, "vec_id", "embedding",
