@@ -162,6 +162,30 @@ object SimilarityQueries {
     },
     Some(sqlExactTop20))
 
+  /** Served-index IVF exhibit — the build-once/serve-many shape a real
+    * vector store runs: `buildAndWriteIvfIndex` materializes the corpus
+    * as parquet PARTITIONED BY cell with a `_centroids` sidecar, then
+    * `ivfSearchVec` probes the read-back layout, pruning whole cell
+    * directories (PartitionFilters — asserted in PlanSpec). Same
+    * nProbe = 13/16 operating point as q_ann_ivf_topk → shares the
+    * exact-top-20 oracle.
+    */
+  private val qIvfServed = QueryDef(
+    "q_ann_ivf_served",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val dir = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.buildAndWriteIvfIndex(emb, "embedding", dir, nCells = 16)
+      val index = Similarity.readIvfIndex(s, dir)
+      val qvec = emb.where(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.ivfSearchVec(index, "vec_id", "embedding", qvec,
+        k = 20, nProbe = 13, excludeId = Some(0L))
+    },
+    Some(sqlExactTop20))
+
   // ----------------------------------------------- near-dup pairs (exact)
   private val qNearDup = QueryDef(
     "q_embedding_neardup_sample",
@@ -233,6 +257,6 @@ object SimilarityQueries {
         CAST(COUNT(*) AS BIGINT) AS n_vectors
       FROM flat GROUP BY label, pos"""))
 
-  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qNearDup,
-    qLshNearDup, qCentroids, qCentroidVectors)
+  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
+    qNearDup, qLshNearDup, qCentroids, qCentroidVectors)
 }

@@ -362,6 +362,40 @@ object Similarity {
       .drop("__scores")
   }
 
+  /** Materialize an IVF index as the 100 TB layout: the corpus written
+    * as parquet PARTITIONED BY cell (so serve-time probes prune whole
+    * directories — the scan's PartitionFilters, not a post-scan filter)
+    * plus the centroids as a `_centroids` sidecar (the leading
+    * underscore hides it from the main parquet read, the same
+    * convention as `_metadata`). No persist: the cells frame is
+    * consumed exactly once by the write.
+    */
+  def buildAndWriteIvfIndex(df: DataFrame, vecCol: String, path: String,
+      nCells: Int = 16, seed: Long = 42L): Unit = {
+    val spark = df.sparkSession
+    val centroids = trainCentroids(df, vecCol, nCells, seed)
+    assignCells(df, vecCol, centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Open a served IVF index written by [[buildAndWriteIvfIndex]]:
+    * centroids come off the sidecar (O(nCells·dim), driver-resident by
+    * design), the corpus is the partitioned parquet layout — queries
+    * against it via [[ivfSearchVec]] touch only the probed cell
+    * directories.
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+    IvfIndex(centroids, spark.read.parquet(path))
+  }
+
   /** IVF serve path for a query vector the caller holds (the vector-DB
     * shape: the query arrives as a parameter, not a table row). Probe
     * cells are ranked on the DRIVER against the index's centroids —

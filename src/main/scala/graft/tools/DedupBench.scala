@@ -81,6 +81,43 @@ object DedupBench {
       "doc_id", "text").where(col("contaminated")).count()
     val dt3 = (System.nanoTime() - t3) / 1e9
     println(f"""{"workload":"contamination","docs":$total,"seconds":$dt3%.2f,"flagged":$nCont}""")
+
+    // SimHash chunk-width scaling: candidate volume is Σ over
+    // (chunk, value) buckets of c·(c−1)/2 — a cheap aggregate over the
+    // signature frame, measurable even where actually RUNNING the pair
+    // join would be quadratic suicide. Configs: 16×4-bit (the pigeonhole
+    // h≤15 exhibit), 8×8 (h≤7 guarantee, the library default), 4×16
+    // (h≤3 — the corpus-scale point; planted dups sit at h≈0-2). The
+    // verified pipeline runs wherever volume fits the budget, reporting
+    // wall + planted recall.
+    val sigs = Dedup.simhashShingleSignatures(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val runBudget = 2e9
+    for (chunks <- Seq(16, 8, 4)) {
+      val bits = 64 / chunks
+      val mask = (1L << bits) - 1
+      val vol = sigs.select(posexplode(transform(
+          sequence(lit(0), lit(chunks - 1)),
+          b => call_function("shiftright", col("sh"), (b * bits).cast("int"))
+            .bitwiseAND(mask))))
+        .groupBy(col("pos"), col("col")).count()
+        .agg(sum(col("count") * (col("count") - 1)).as("v"))
+        .first().getLong(0) / 2
+      if (vol <= runBudget) {
+        val t = System.nanoTime()
+        val sp = Dedup.simhashVerifiedNearDups(docs, "doc_id", "text",
+          threshold = 0.5, chunks = chunks)
+          .select(col("id_a"), col("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPairs = sp.count()
+        val dtS = (System.nanoTime() - t) / 1e9
+        val rec = planted.join(sp, Seq("id_a", "id_b"), "left_semi").count()
+        sp.unpersist()
+        println(f"""{"workload":"simhash_verified","docs":$total,"chunks":$chunks,"bits":$bits,"candidates":$vol,"seconds":$dtS%.2f,"pairs_found":$nPairs,"planted":$nPlanted,"planted_recalled":$rec}""")
+      } else
+        println(f"""{"workload":"simhash_verified","docs":$total,"chunks":$chunks,"bits":$bits,"candidates":$vol,"skipped":"candidate volume over run budget"}""")
+    }
     spark.stop()
   }
 }

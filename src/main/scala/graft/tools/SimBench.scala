@@ -36,15 +36,26 @@ object SimBench {
     val total = vecs.count()
     System.err.println(s"[sim-bench] generated $total vectors")
 
-    // (a) full-corpus LSH near-dup at a high-similarity threshold.
-    // Band sizing per the Similarity scaladoc rule: 2 bands × 16 bits →
+    // (a) full-corpus LSH near-dup at a high-similarity threshold,
+    // bands AUTO-SIZED from the corpus count (1M → 2 bands × 16 bits:
     // 65k buckets, occupancy ≈ N/65k, per-band recall at cos 0.9999
-    // (θ≈0.8°) is 0.9975^16 ≈ 0.96, two bands ≈ 0.998. The old toy
+    // (θ≈0.8°) is 0.9975^16 ≈ 0.96, two bands ≈ 0.998). The old toy
     // default (8 × 4 bits = 16 buckets) generates ~2.5e9 candidate
-    // pairs at N=100k — this probe is what caught that.
+    // pairs at N=100k — the candidate-volume line below measures both.
+    graft.functions.VectorFunctions.register(spark)
+    val autoBands = Similarity.autoLshBands(32, total)
+    for (bands <- Seq(8, autoBands).distinct) {
+      val planes = Similarity.hyperplanes(32, 64)
+      val vol = vecs.select(posexplode(
+          Similarity.lshBuckets(col("embedding"), planes, bands)))
+        .groupBy(col("pos"), col("col")).count()
+        .agg(sum(col("count") * (col("count") - 1)).as("v"))
+        .first().getLong(0) / 2
+      println(f"""{"workload":"lsh_candidate_volume","vectors":$total,"bands":$bands,"bits":${32 / bands},"candidates":$vol}""")
+    }
     val t0 = System.nanoTime()
     val pairs = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.99, numPlanes = 32, bands = 2)
+      threshold = 0.99, numPlanes = 32, corpusCountEstimate = total)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val found = pairs.count()

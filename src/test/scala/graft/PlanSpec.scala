@@ -105,6 +105,17 @@ class PlanSpec extends AnyFunSuite {
       s"vector payload crossed a hash exchange: $exchanges")
   }
 
+  test("served IVF: probe prunes cell partitions at the scan, no full-corpus filter") {
+    val p = planString("q_ann_ivf_served")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("cell#") && f.contains("IN")),
+      s"expected the nProbe cell set to land in PartitionFilters:\n$p")
+    // the probe must NOT be a post-scan Filter over every partition
+    assert(!"Filter .*cell#".r.findFirstIn(p).isDefined,
+      s"cell probe fell out of partition pruning into a row filter:\n$p")
+  }
+
   test("contamination: probe shingle set broadcasts, corpus side never shuffles text") {
     val p = planString("q_contamination_flags")
     assert(p.contains("BroadcastHashJoin"), p)
