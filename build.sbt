@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap: on this virtualized box, demand-faulting a
+  // growing heap inside the first heavy query measured 10-15x slowdowns
+  // (338 s vs 22 s for the same pipeline — see SCALE_NOTES). Paying the
+  // page-population cost at JVM start keeps it out of query timings.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -27,6 +27,17 @@ object RelationalQueries {
     * Price magnitudes < 1e6 → DECIMAL(12,2); rates < 1 → DECIMAL(4,2).
     */
   private def m(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Long-backed decimal fast path for PLAIN sums: l_extendedprice
+    * < 1e6 fits DECIMAL(8,2), whose sum type DECIMAL(18,2) stays on
+    * Spark's long-backed Decimal representation (precision ≤ 18 —
+    * `Decimal.compact`), skipping BigDecimal buffers entirely.
+    * Headroom: ±10^16 cents ≈ 2× the TPC-H sum at SF 100k (1e11
+    * rows/group × ~4e3 avg), so fine through 100 TB; past that, or for
+    * product terms (whose result precision exceeds 18 regardless of
+    * input width), use `m` — q1 measured ~0.4 s faster at sf0.1 with
+    * the narrow base-price sum (Q1Probe, SCALE_NOTES).
+    */
+  private def mNarrow(c: Column): Column = c.cast(DecimalType(8, 2))
   private def r(c: Column): Column = c.cast(DecimalType(4, 2))
   private val oneR: Column = lit(1).cast(DecimalType(4, 2))
   // SQL-side twins (DuckDB): keep precisions identical in spirit; the
@@ -48,7 +59,7 @@ object RelationalQueries {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(m(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(mNarrow(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount"))))
             .cast("double").as("sum_disc_price"),
           sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount")))

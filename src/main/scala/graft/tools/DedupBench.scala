@@ -93,7 +93,10 @@ object DedupBench {
     val sigs = Dedup.simhashShingleSignatures(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    val runBudget = 2e9
+    // Candidate volume above ~1e8 means the verify join ships >100 GB of
+    // shingle arrays on this box (measured: 16x4 at 20k docs = 2e8
+    // candidates stalled for 20+ min) — report volume only past that.
+    val runBudget = 1e8
     for (chunks <- Seq(16, 8, 4)) {
       val bits = 64 / chunks
       val mask = (1L << bits) - 1

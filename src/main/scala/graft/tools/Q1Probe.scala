@@ -41,6 +41,30 @@ object Q1Probe {
           count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
+    // Narrow-decimal fast path: l_extendedprice < 1e6 fits DECIMAL(8,2),
+    // whose sum type DECIMAL(18,2) stays on Spark's long-backed Decimal
+    // fast path (precision <= 18). Only plain sums qualify — the product
+    // terms widen past 18 digits regardless of the input precision.
+    def n(c: org.apache.spark.sql.Column) = c.cast(DecimalType(8, 2))
+    time("narrow sum_base_price only") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(n(col("l_extendedprice"))))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("wide sum_base_price only") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(m(col("l_extendedprice"))))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("q1 with narrow base price") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), sum(n(col("l_extendedprice"))),
+          sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount")))),
+          sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount")))
+            * (oneR + r(col("l_tax")))),
+          count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
     time("double aggs (inexact)") {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
