@@ -26,6 +26,14 @@ object Session {
       // previously each events source builder mutated it session-wide
       // mid-flight, a lingering side effect on later parquet reads.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Survive multi-second host stalls (virtualized boxes freeze the
+      // whole JVM; the 10 s defaults let the local executor "lose" the
+      // in-process driver and kill the run — observed round 4). These
+      // are also the values a production cluster would run: infrequent
+      // heartbeats cost nothing, and premature executor eviction under
+      // GC/host pauses costs recomputation.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false")
       // documents/embeddings rows are wide (long text, 64-float vectors):
       // keep broadcast threshold at default 10 MB; dims (region/nation) are tiny.

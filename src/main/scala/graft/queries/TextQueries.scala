@@ -349,6 +349,32 @@ object TextQueries {
       FROM corpus LEFT JOIN probe ON corpus.g = probe.g
       GROUP BY corpus.doc_id"""))
 
+  /** The contamination filter as a CONTINUOUS query (stateless
+    * map-side streaming projection, append mode — the ingest-time
+    * shape) over the same corpus/probe split, hash-checked against the
+    * SAME batch oracle: the stream must emit exactly the batch flags
+    * whatever the arrival order.
+    */
+  private val qStreamContamination = QueryDef(
+    "q_stream_contamination",
+    (s, d) => graft.streaming.StreamingContamination.runBatchEquivalent(s, d),
+    Some("""
+      WITH""" + sqlShingleCtes("documents") + """,
+      corpus AS (
+        SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+      probe AS (
+        SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)
+      SELECT corpus.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_overlap,
+        SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END)
+          / COUNT(*) AS overlap_frac,
+        (SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) >= 1)
+          AS contaminated
+      FROM corpus LEFT JOIN probe ON corpus.g = probe.g
+      GROUP BY corpus.doc_id"""))
+
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64
     * rolling variant stays in the library, spec-covered — its values
@@ -459,6 +485,6 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,
-    qSimhash, qCorpusDedup, qRepetition, qContamination, qFingerprint,
-    qTopTerms, qRedact)
+    qSimhash, qCorpusDedup, qRepetition, qContamination,
+    qStreamContamination, qFingerprint, qTopTerms, qRedact)
 }

@@ -93,6 +93,17 @@ object DedupBench {
     val sigs = Dedup.simhashShingleSignatures(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
+    // Where do the PLANTED pairs actually sit in Hamming space? The
+    // chunk-width recall story depends on it: pigeonhole covers h <=
+    // chunks-1 diff bits; pairs above that are found probabilistically.
+    // Cheap: two id-equijoins against the signature frame, no pair join.
+    val ham = planted
+      .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .select(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("h"))
+      .groupBy(col("h")).count().orderBy(col("h")).collect()
+    println(s"""{"workload":"planted_hamming","docs":$total,"hist":{${
+      ham.map(r => s""""${r.get(0)}":${r.getLong(1)}""").mkString(",")}}}""")
     // Candidate volume above ~1e8 means the verify join ships >100 GB of
     // shingle arrays on this box (measured: 16x4 at 20k docs = 2e8
     // candidates stalled for 20+ min) — report volume only past that.

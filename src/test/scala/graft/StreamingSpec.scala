@@ -151,6 +151,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSet == Set((1L, "click"), (2L, "view"), (1L, "view")))
   }
 
+  test("streaming contamination filter equals the batch flags") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val batch = graft.text.Dedup.contaminationFlags(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN = 3, minOverlap = 1)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamingContamination
+      .runBatchEquivalent(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(r => r(4) == true), "some doc must be flagged")
+  }
+
   test("batch sessionization: gap splits sessions, counts and bounds exact") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
