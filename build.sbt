@@ -26,14 +26,33 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing for forked JVMs. Two measured failure modes bound this:
+//  - demand-faulting a growing heap inside the first heavy query costs
+//    10-15x (338 s vs 22 s for the same pipeline — SCALE_NOTES), so a
+//    pre-touched -Xms floor helps...
+//  - ...but pre-touch cost is SUPER-LINEAR on this virtualized box:
+//    3.3 s at 8g vs >240 s (rc=124, 89 CPU-min of system time) at 64g —
+//    an -Xms tied to a large SPARK_DRIVER_MEM stalls the JVM before
+//    main() (the round-4 bench produced zero output because of this).
+// So: clamp the pre-touched floor at 8g. When the requested heap IS the
+// floor, pre-touch it all (cheap, keeps faults out of query timings);
+// when the heap is larger, pre-touch only the 8g floor and let the rest
+// fault on demand — sf0.1 working sets rarely grow past the floor.
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+def heapMiB(s: String): Long = {
+  val t = s.trim.toLowerCase
+  try {
+    if (t.endsWith("g")) t.dropRight(1).toLong * 1024L
+    else if (t.endsWith("m")) t.dropRight(1).toLong
+    else if (t.endsWith("k")) t.dropRight(1).toLong / 1024L
+    else t.toLong / (1024L * 1024L) // raw bytes
+  } catch { case _: NumberFormatException => 8192L }
+}
+val heapFloorMiB = math.min(heapMiB(driverMem), 8192L)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Fixed, pre-touched heap: on this virtualized box, demand-faulting a
-  // growing heap inside the first heavy query measured 10-15x slowdowns
-  // (338 s vs 22 s for the same pipeline — see SCALE_NOTES). Paying the
-  // page-population cost at JVM start keeps it out of query timings.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
-)
+  s"-Xmx$driverMem",
+  s"-Xms${heapFloorMiB}m",
+) ++ (if (heapFloorMiB >= heapMiB(driverMem)) Seq("-XX:+AlwaysPreTouch")
+      else Seq.empty)

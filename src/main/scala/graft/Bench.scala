@@ -16,6 +16,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Unconditional heartbeat BEFORE any Spark/IO work: round 4's bench
+    // died before main() (JVM pre-touch stall) and the harness tail was
+    // completely empty — the first statement must prove main() ran.
+    System.err.println(s"[bench] starting pid=${ProcessHandle.current.pid} " +
+      s"heap_max=${Runtime.getRuntime.maxMemory() >> 20}MiB")
+    System.err.flush()
+    val benchStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Session.builder("graft-bench", cpus).getOrCreate()
@@ -53,9 +61,20 @@ object Bench {
     // min is the reproducible number; each attempt still runs cold
     // (cache cleared between attempts, see below).
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // Wall-clock budget: min-of-3 across ~60 queries on a time-shared
+    // box can outlast any fixed harness timeout even when every query is
+    // fast. Once total elapsed crosses the budget, later queries degrade
+    // gracefully to min-of-1 (every query still runs AT LEAST once — a
+    // partial record beats a silent rc=124 timeout).
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(300.0)
     import scala.util.control.NonFatal
     val results = toRun.map { q =>
-      val attempts = (1 to runs).map { _ =>
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var attempt = 1
+      // first attempt always runs (every query gets at least one
+      // record); retries only while the global budget holds
+      while (attempt <= runs && (attempt == 1 || elapsed < budgetSec)) {
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -73,7 +92,8 @@ object Bench {
         // slower than in isolation. Each attempt times a cold,
         // independent run.
         spark.sharedState.cacheManager.clearCache()
-        if (ok) dt else -1.0
+        attempts += (if (ok) dt else -1.0)
+        attempt += 1
       }
       val best =
         if (attempts.exists(_ > 0)) attempts.filter(_ > 0).min else -1.0

@@ -31,11 +31,15 @@ object RelationalQueries {
     * < 1e6 fits DECIMAL(8,2), whose sum type DECIMAL(18,2) stays on
     * Spark's long-backed Decimal representation (precision ≤ 18 —
     * `Decimal.compact`), skipping BigDecimal buffers entirely.
-    * Headroom: ±10^16 cents ≈ 2× the TPC-H sum at SF 100k (1e11
-    * rows/group × ~4e3 avg), so fine through 100 TB; past that, or for
-    * product terms (whose result precision exceeds 18 regardless of
-    * input width), use `m` — q1 measured ~0.4 s faster at sf0.1 with
-    * the narrow base-price sum (Q1Probe, SCALE_NOTES).
+    * Headroom: the DECIMAL(18,2) cap is ±1e16 dollars; TPC-H at
+    * SF 100k (~100 TB) is ~1.5e11 lineitem rows/group × ~3.8e4 avg
+    * extendedprice ≈ 5.7e15 — under the cap with ~2× margin. PAST the
+    * cap the failure is NOT graceful: the sum silently goes NULL
+    * (non-ANSI, this session's default) or throws (ANSI) — so past
+    * ~2× of 100 TB, or for product terms (whose result precision
+    * exceeds 18 regardless of input width), use `m` — q1 measured
+    * ~0.4 s faster at sf0.1 with the narrow base-price sum (Q1Probe,
+    * SCALE_NOTES).
     */
   private def mNarrow(c: Column): Column = c.cast(DecimalType(8, 2))
   private def r(c: Column): Column = c.cast(DecimalType(4, 2))

@@ -170,6 +170,15 @@ object SimilarityQueries {
     * nProbe = 13/16 operating point as q_ann_ivf_topk → shares the
     * exact-top-20 oracle.
     */
+  /** Build-once memo for the served index: the QUERY is the serve path;
+    * rebuilding (and rewriting) the parquet layout on every invocation
+    * would make a min-of-N bench time the build N times and never
+    * measure the serve-only latency the exhibit exists to demonstrate.
+    * Keyed by target dir, so distinct sf dirs still build independently.
+    */
+  private val builtIvfIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private val qIvfServed = QueryDef(
     "q_ann_ivf_served",
     (s, d) => {
@@ -177,7 +186,8 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
       val dir = System.getProperty("java.io.tmpdir") +
         "/graft_ivf_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      Similarity.buildAndWriteIvfIndex(emb, "embedding", dir, nCells = 16)
+      if (builtIvfIndexes.add(dir))
+        Similarity.buildAndWriteIvfIndex(emb, "embedding", dir, nCells = 16)
       val index = Similarity.readIvfIndex(s, dir)
       val qvec = emb.where(col("vec_id") === 0L)
         .select("embedding").head().getSeq[Float](0).toArray

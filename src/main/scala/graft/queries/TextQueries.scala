@@ -212,23 +212,7 @@ object TextQueries {
       WHERE common / (sa.n + sb.n - common) >= 0.5"""),
     headline = true)
 
-  /** SimHash dedup pipeline, exact-verified: shingle-feature signatures
-    * → 16 × 4-bit chunk-banded candidates within Hamming 15 (COMPLETE
-    * by pigeonhole: ≤15 bit-diffs cannot touch all 16 chunks) → true
-    * shingle-Jaccard ≥ 0.5. Every true pair sits at Hamming ≤ 9 on this
-    * corpus (measured, all SFs; ~6 bits of margin) and the Hamming-15
-    * background admits only ~1.7× the true pair count to the verify
-    * stage (shingle features decorrelate background signatures — token
-    * features put 25% of ALL pairs inside Hamming 15). Output therefore
-    * equals the exact j ≥ 0.5 pair set — the same oracle as the minhash
-    * route, arrived at through a completely different sketch.
-    */
-  private val qSimhash = QueryDef(
-    "q_simhash_neardup",
-    (s, d) =>
-      Dedup.simhashVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, threshold = 0.5, maxHamming = 15, chunks = 16),
-    Some("""
+  private val sqlSimhashOracle = """
       WITH""" + sqlShingleCtes("documents") + """,
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
@@ -238,7 +222,41 @@ object TextQueries {
       FROM pairs
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-      WHERE common / (sa.n + sb.n - common) >= 0.5"""))
+      WHERE common / (sa.n + sb.n - common) >= 0.5"""
+
+  /** SimHash dedup pipeline, exact-verified, at the library's PRUNING
+    * operating point (chunks = 0 → 8 × 8-bit banding, 256 buckets/band —
+    * ~32× fewer candidates than the 16×4 guarantee point, the config a
+    * 100 TB corpus actually runs): shingle-feature signatures →
+    * chunk-banded candidates → true shingle-Jaccard ≥ 0.5. Recall at
+    * this point: pigeonhole-complete to Hamming 7; every true pair on
+    * this corpus sits at Hamming ≤ 9 (measured, all SFs) and pairs at
+    * 8–15 are caught with ≥ 98.9% each (see Dedup.simhashVerifiedNearDups
+    * banding note) — measured complete at every test SF (DedupSpec pins
+    * default ≡ 16-chunk output), so the output equals the exact
+    * j ≥ 0.5 pair set and shares the minhash route's oracle.
+    */
+  private val qSimhash = QueryDef(
+    "q_simhash_neardup",
+    (s, d) =>
+      Dedup.simhashVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxHamming = 15),
+    Some(sqlSimhashOracle))
+
+  /** The 16 × 4-bit GUARANTEE twin: candidates within Hamming 15 are
+    * COMPLETE a priori by pigeonhole (≤15 bit-diffs cannot touch all 16
+    * chunks) — no corpus measurement needed, at the price of 16-bucket
+    * bands admitting ~64% of all pairs to the (cheap, pre-shuffle
+    * Hamming-filtered) candidate stage. Quadratic candidate generation —
+    * a small-corpus/audit exhibit, NOT the scale default; the pruning
+    * point above is what production runs. Same exact-Jaccard oracle.
+    */
+  private val qSimhashGuarantee = QueryDef(
+    "q_simhash_neardup_guarantee",
+    (s, d) =>
+      Dedup.simhashVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxHamming = 15, chunks = 16),
+    Some(sqlSimhashOracle))
 
   /** The end-to-end dedup DECISION (Dedup.dedupCorpus): exact md5 stage
     * → MinHash-LSH verified near-dup pairs (j ≥ 0.5) among exact
@@ -485,6 +503,6 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,
-    qSimhash, qCorpusDedup, qRepetition, qContamination,
+    qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qContamination,
     qStreamContamination, qFingerprint, qTopTerms, qRedact)
 }

@@ -44,9 +44,21 @@ object StreamingContamination {
     // direct footer read — a readStream schema-inference job costs ~1 s
     val schema = graft.ingest.Footers.schemaOf(
       spark.sparkContext.hadoopConfiguration, path, nanosAsLong = false)
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    // Dispatch on the table's physical layout: the old unconditional
+    // pathGlobFilter-on-parent form matched leaf FILE names, so a
+    // documents.parquet written as a DIRECTORY (part-*.parquet inside)
+    // would silently discover zero files and emit an empty-but-
+    // "successful" result. A directory streams directly; a single file
+    // still needs the glob-on-parent form (FileStreamSource requires a
+    // directory basePath — a bare file path throws at getBatch).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
   }
 
   /** Per-row DISTINCT shingle-hash array — the map-side twin of
@@ -111,7 +123,14 @@ object StreamingContamination {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      s.table(name)
+      // The memory sink holds the whole flagged corpus on the driver;
+      // without dropping the view, repeated invocations (bench min-of-N)
+      // accumulate driver memory ∝ result × iterations. Snapshot the
+      // bounded result into a local frame, then release the sink.
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      snapshot
     }
   }
 }

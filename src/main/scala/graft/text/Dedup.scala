@@ -541,12 +541,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.0): DataFrame = {
-    // Exploded, hash-keyed inverted index, persisted: it feeds three
-    // plan branches (sizes, both self-join sides) and the shingle build
-    // is the expensive part — without persist it would evaluate 3×.
-    // Size is #shingles × 16 B — MEMORY_AND_DISK spills safely at scale.
-    val ex = shingleHashFrame(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exploded, hash-keyed inverted index, pinned: it feeds three plan
+    // branches (sizes, both self-join sides) and the shingle build is
+    // the expensive part — without materialization it would evaluate
+    // 3×. pinned() (eager localCheckpoint) rather than persist: a
+    // function returning a lazy DataFrame has no unpersist hook, and
+    // checkpoint blocks free with the frame's GC (see pinned's doc).
+    val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN))
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -42,7 +42,13 @@ object PinProbe {
         .count()
       val tRun = (System.nanoTime() - t1) / 1e9
       println(f"[pin] $tag%-18s pin=$tPin%6.2f s  pipeline=$tRun%7.2f s  pairs=$found")
+      // clearCache() would also evict the shared `docs` input, biasing
+      // later variants (they'd regenerate the corpus inside their timed
+      // pin step). Re-persist + re-materialize docs so every variant
+      // starts from the identical cached-input state.
       spark.sharedState.cacheManager.clearCache()
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
     }
 
     run("persist", df => {
