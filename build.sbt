@@ -54,5 +54,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$driverMem",
   s"-Xms${heapFloorMiB}m",
-) ++ (if (heapFloorMiB >= heapMiB(driverMem)) Seq("-XX:+AlwaysPreTouch")
-      else Seq.empty)
+  // AlwaysPreTouch touches pages at COMMIT time: with the floor clamped
+  // to 8g this costs ~3.3 s at startup (measured), and any later G1
+  // expansion pre-touches incrementally, in proportion to memory the
+  // job actually needs — never the catastrophic whole-64g startup
+  // pre-touch that killed the round-4 bench (-Xms64g: >240 s, rc=124).
+  "-XX:+AlwaysPreTouch",
+) ++ (if (heapFloorMiB >= heapMiB(driverMem)) Seq.empty
+      // When -Xmx exceeds the pre-touched floor, ALSO bound the young
+      // gen: with a huge heap G1 grows eden to tens of GB, so the
+      // allocator sweeps never-touched pages (each faulting at host
+      // round-trip cost on this virtualized box) instead of recycling
+      // warm ones — measured q1 at 64g: [8.9 13.3 2.7 8.6 22.3] s vs
+      // a stable 1.1 s at a fully-pre-touched 8g. A 2g young-gen cap
+      // keeps allocation inside recycled (touched) pages; the full
+      // -Xmx stays available to old gen for genuinely large working
+      // sets.
+      else Seq(s"-XX:MaxNewSize=${math.min(heapFloorMiB / 4, 2048L)}m"))
