@@ -38,7 +38,25 @@ val jdk17AddOpens = Seq(
 // floor, pre-touch it all (cheap, keeps faults out of query timings);
 // when the heap is larger, pre-touch only the 8g floor and let the rest
 // fault on demand — sf0.1 working sets rarely grow past the floor.
-val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+// Round-5 A/B matrix (TaxiBench 100M rows, reused input, this box):
+//   -Xms8g  -Xmx8g  +AlwaysPreTouch              16.5 s   <- stable
+//   -Xms16g -Xmx16g +AlwaysPreTouch              15.6 s   (53 s startup!)
+//   -Xms8g  -Xmx64g +AlwaysPreTouch +2g NewSize  130 s    <- G1 expanded
+//       8g->58g mid-run; expansion regions pre-touch inside GC pauses
+//       (young pauses of 8-38 SECONDS, gc log), so a large -Xmx is
+//       catastrophic even with a pre-touched floor...
+//   -Xmx64g, default -Xms (round-4 shipped)      338 s    <- ...and
+//       without pre-touch the same growth demand-faults all over the
+//       query path instead. Page population cost on this virtualized
+//       box is also SUPER-linear in size (8g: 3.3 s, 16g: 53 s,
+//       64g: >240 s rc=124 = the round-4 bench failure).
+// The only stable region is a FIXED heap, fully touched at startup,
+// never expanding — and 8g is the sweet spot: every workload observed
+// (heaviest: TaxiBench 100M, peak live ~6.1g in the gc log) fits with
+// headroom, and its pre-touch costs 3.3 s. So forked JVMs run
+// -Xms = -Xmx = min(SPARK_DRIVER_MEM, 8g). A genuinely larger working
+// set can override via SPARK_GRAFT_HEAP (used verbatim, still fixed
+// and pre-touched — expansion, not size, is what kills).
 def heapMiB(s: String): Long = {
   val t = s.trim.toLowerCase
   try {
@@ -48,26 +66,13 @@ def heapMiB(s: String): Long = {
     else t.toLong / (1024L * 1024L) // raw bytes
   } catch { case _: NumberFormatException => 8192L }
 }
-val heapFloorMiB = math.min(heapMiB(driverMem), 8192L)
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val fixedHeapMiB = sys.env.get("SPARK_GRAFT_HEAP").map(heapMiB)
+  .getOrElse(math.min(heapMiB(driverMem), 8192L))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx$driverMem",
-  s"-Xms${heapFloorMiB}m",
-  // AlwaysPreTouch touches pages at COMMIT time: with the floor clamped
-  // to 8g this costs ~3.3 s at startup (measured), and any later G1
-  // expansion pre-touches incrementally, in proportion to memory the
-  // job actually needs — never the catastrophic whole-64g startup
-  // pre-touch that killed the round-4 bench (-Xms64g: >240 s, rc=124).
+  s"-Xms${fixedHeapMiB}m",
+  s"-Xmx${fixedHeapMiB}m",
   "-XX:+AlwaysPreTouch",
-) ++ (if (heapFloorMiB >= heapMiB(driverMem)) Seq.empty
-      // When -Xmx exceeds the pre-touched floor, ALSO bound the young
-      // gen: with a huge heap G1 grows eden to tens of GB, so the
-      // allocator sweeps never-touched pages (each faulting at host
-      // round-trip cost on this virtualized box) instead of recycling
-      // warm ones — measured q1 at 64g: [8.9 13.3 2.7 8.6 22.3] s vs
-      // a stable 1.1 s at a fully-pre-touched 8g. A 2g young-gen cap
-      // keeps allocation inside recycled (touched) pages; the full
-      // -Xmx stays available to old gen for genuinely large working
-      // sets.
-      else Seq(s"-XX:MaxNewSize=${math.min(heapFloorMiB / 4, 2048L)}m"))
+)
