@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group quantile-threshold filtering — the quality-gate primitive
+  * for corpus curation: "drop the bottom quartile of documents by
+  * quality score, per language" and friends.
+  *
+  * The naive shape (`percent_rank` over a window partitioned by group)
+  * globally SORTS every row of every group — at 100 TB that is a full
+  * shuffle + sort of the corpus to compute what is really a handful of
+  * per-group threshold VALUES. This implementation exploits that the
+  * interesting score columns are low-cardinality per group (quality
+  * scores, star ratings, bucketed lengths): it aggregates the
+  * (group, value) DISTRIBUTION first (partial-agg shuffle of distinct
+  * pairs only), walks the tiny per-group CDF with a window over the
+  * aggregate, and broadcasts the resulting per-group threshold back as
+  * a join — the corpus itself never shuffles and never sorts.
+  *
+  * Threshold semantics: the lower type-1 quantile — the smallest value
+  * v in the group with P(X <= v) >= p; rows with value >= v survive.
+  * For p = 0.25 that drops strictly-below-quartile rows: ties AT the
+  * threshold survive, matching the usual "keep anything at least as
+  * good as the cutoff" curation rule, and keeping results exactly
+  * reproducible in ANY engine (no rank-among-ties ambiguity).
+  *
+  * For genuinely continuous high-cardinality scores, the distribution
+  * agg degenerates toward corpus size; switch the threshold step to
+  * `approx_percentile` per group (same broadcast-join shape, bounded
+  * memory) and accept the sketch's rank error instead.
+  */
+object GroupQuantile {
+
+  /** Keep rows whose `value` is at or above their group's `p`-quantile
+    * (lower/type-1). `df` must not already contain the temp columns
+    * `__gq_cum`/`__gq_tot`/`__gq_thr`.
+    */
+  def filterAtQuantile(df: DataFrame, groupCols: Seq[Column],
+      value: Column, p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"quantile must be in (0,1), got $p")
+    val gNames = groupCols.zipWithIndex.map { case (_, i) => s"__gq_g$i" }
+    val keyed = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
+        value.as("__gq_v"): _*)
+    val dist = keyed.groupBy(gNames.map(col) :+ col("__gq_v"): _*)
+      .agg(count(lit(1)).as("__gq_n"))
+    // per-group CDF over the DISTRIBUTION (rows = distinct values per
+    // group — tiny), not over the corpus
+    val wCdf = Window.partitionBy(gNames.map(col): _*).orderBy(col("__gq_v"))
+    val wTot = Window.partitionBy(gNames.map(col): _*)
+    val thr = dist
+      .withColumn("__gq_cum", sum(col("__gq_n")).over(wCdf))
+      .withColumn("__gq_tot", sum(col("__gq_n")).over(wTot))
+      .where(col("__gq_cum") >= lit(p) * col("__gq_tot"))
+      .groupBy(gNames.map(col): _*)
+      .agg(min(col("__gq_v")).as("__gq_thr"))
+    // thresholds: one row per group — always broadcast-sized
+    df.join(broadcast(thr),
+        groupCols.zip(gNames).map { case (c, n) => c === thr(n) }
+          .reduce(_ && _))
+      .where(value >= col("__gq_thr"))
+      .drop(thr.columns: _*)
+  }
+}

@@ -32,6 +32,34 @@ object Sampling {
   def sampleByKey(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.where(md5(key.cast("string")) < lit(hexThreshold(rate)))
 
+  /** Deterministic train/val/test assignment — the split primitive for
+    * dataset curation: each key lands in exactly one named split, with
+    * the hex-threshold trick partitioning md5's uniform hex space into
+    * consecutive fraction-sized ranges. Same guarantees as
+    * `sampleByKey`: reproducible on any engine, at any parallelism,
+    * and stable under re-runs and appends (a document's split never
+    * changes when other documents arrive — the property that keeps
+    * eval sets uncontaminated as a corpus grows).
+    *
+    * Scale: a map-side CASE over md5(key) — no shuffle, no state.
+    * The last split is the catch-all (`otherwise`), so fractions must
+    * sum to 1 and the final range absorbs the threshold-rounding tail.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val digest = md5(key.cast("string"))
+    // thresholds for all but the last split; the last is `otherwise`
+    val expr = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), c)) =>
+        when(digest < lit(hexThreshold(c)), lit(name)).otherwise(acc)
+      }
+    df.withColumn(outCol, expr)
+  }
+
   /** Weighted source mixing — the corpus-composition primitive: each
     * source (crawl, books, code, …) is down-sampled at its own rate in
     * ONE map-side pass, deterministically (same md5-threshold trick as

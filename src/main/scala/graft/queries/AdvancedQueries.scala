@@ -234,6 +234,34 @@ object AdvancedQueries {
       SELECT doc_id, lang, source FROM documents
       WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'"""))
 
+  /** Deterministic train/val/test assignment (graft.ops.Sampling
+    * .assignSplit): md5-range partitioning of the key space — each doc
+    * lands in exactly one split, stably under re-runs, appends, and
+    * engine changes (the property that keeps eval sets uncontaminated
+    * as the corpus grows). Map-side CASE, no shuffle; the query rolls
+    * the assignment up to per-split × per-source counts.
+    */
+  private val qSplit = QueryDef(
+    "q_dataset_split",
+    (s, d) =>
+      graft.ops.Sampling.assignSplit(
+        Tables.documents(s, d), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")),
+    Some(s"""
+      WITH assigned AS (
+        SELECT source, n_chars,
+          CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+                 '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train'
+               WHEN md5(CAST(doc_id AS VARCHAR)) <
+                 '${graft.ops.Sampling.hexThreshold(0.9)}' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM assigned GROUP BY split, source"""))
+
   /** Weighted source mixing (graft.ops.Sampling.mixSources): the
     * corpus-composition step — each source sampled at its own rate in
     * one map-side CASE-threshold filter, deterministic in any engine.
@@ -338,6 +366,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qSample, qMixSources, qPacking, qSalted,
-    qTopKAgg)
+    qUnionAll, qApprox, qRange, qSample, qSplit, qMixSources, qPacking,
+    qSalted, qTopKAgg)
 }

@@ -85,15 +85,14 @@ object TextQueries {
       FROM pred GROUP BY lang, lang_pred"""))
 
   // ------------------------------------------------------ quality filter
-  private val qQuality = QueryDef(
-    "q_quality_score_histogram",
-    (s, d) =>
-      TF.withQualityScore(Tables.documents(s, d), "text", "q")
-        .groupBy(col("source"), col("q"))
-        .agg(count(lit(1)).as("n_docs")),
-    Some(s"""
-      WITH scored AS (
-        SELECT source, (
+  /** The quality-score `scored` CTE (→ column `q`), ONE definition so
+    * the SQL mirror of TextFunctions.withQualityScore can never drift
+    * between the histogram and the percentile-filter oracles.
+    * `passCols` = source columns carried through alongside `q`.
+    */
+  private def sqlScoredCte(passCols: String): String = s"""
+      scored AS (
+        SELECT $passCols, (
           (CASE WHEN $sqlNTokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
           (CASE WHEN $sqlNTokens > 0
                  AND $sqlCharsNoWs / $sqlNTokens >= 2.0
@@ -104,9 +103,65 @@ object TextQueries {
                  ($sqlCharsNoWs - length(regexp_replace(regexp_replace(text, '\\s', '', 'g'), '[^A-Za-z0-9]', '', 'g'))) / $sqlCharsNoWs <= 0.2
                  THEN 1.0 ELSE 0.0 END)
         ) / 4.0 AS q
-        FROM documents)
+        FROM documents)"""
+
+  private val qQuality = QueryDef(
+    "q_quality_score_histogram",
+    (s, d) =>
+      TF.withQualityScore(Tables.documents(s, d), "text", "q")
+        .groupBy(col("source"), col("q"))
+        .agg(count(lit(1)).as("n_docs")),
+    Some(s"""
+      WITH ${sqlScoredCte("source")}
       SELECT source, q, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM scored GROUP BY source, q"""))
+
+  /** Per-language quality gate (graft.ops.GroupQuantile): drop docs
+    * strictly below their language's lower-quartile quality score.
+    * The Spark side computes the per-group threshold from the
+    * aggregated (lang, q) DISTRIBUTION and broadcasts it back — the
+    * corpus never sorts and never shuffles (see GroupQuantile
+    * scaladoc for why percent_rank-over-corpus is the wrong shape at
+    * 100 TB). The oracle mirrors the same CDF algebra over the
+    * distribution, so the threshold semantics (lower type-1 quantile,
+    * ties survive) are pinned exactly.
+    */
+  private val qQualityPercentile = QueryDef(
+    "q_quality_percentile_filter",
+    (s, d) =>
+      graft.ops.GroupQuantile.filterAtQuantile(
+        TF.withQualityScore(Tables.documents(s, d), "text", "q"),
+        Seq(col("lang")), col("q"), p = 0.25)
+        .select(col("doc_id"), col("lang"), col("q")),
+    Some(s"""
+      WITH ${sqlScoredCte("doc_id, lang")},
+      dist AS (
+        SELECT lang, q, COUNT(*) AS n FROM scored GROUP BY lang, q),
+      cdf AS (
+        SELECT lang, q,
+          SUM(n) OVER (PARTITION BY lang ORDER BY q) AS cum,
+          SUM(n) OVER (PARTITION BY lang) AS tot
+        FROM dist),
+      thr AS (
+        SELECT lang, MIN(q) AS q_thr FROM cdf
+        WHERE cum >= 0.25 * tot GROUP BY lang)
+      SELECT s.doc_id, s.lang, s.q
+      FROM scored s JOIN thr t ON s.lang = t.lang
+      WHERE s.q >= t.q_thr"""))
+
+  // --------------------------------------------------- common n-grams
+  /** Corpus boilerplate detector (TextFunctions.commonNgrams): top-20
+    * 3-grams by document frequency. Map-side distinct grams → one
+    * partial-agg shuffle of (gram, count) → TakeOrdered; the text
+    * itself never shuffles.
+    */
+  private val qCommonNgrams = QueryDef(
+    "q_common_ngrams",
+    (s, d) => TF.commonNgrams(Tables.documents(s, d), "text", n = 3, k = 20),
+    Some(s"""
+      WITH${sqlShingleCtes("documents")}
+      SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM ex GROUP BY g ORDER BY n_docs DESC, gram LIMIT 20"""))
 
   // --------------------------------------------------------- exact dedup
   private val qDedupExact = QueryDef(
@@ -502,7 +557,8 @@ object TextQueries {
       FROM red"""))
 
   def all: Seq[QueryDef] = Seq(
-    qStats, qLang, qQuality, qDedupExact, qJaccard, qClusters, qMinhash,
+    qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams, qDedupExact,
+    qJaccard, qClusters, qMinhash,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qContamination,
     qStreamContamination, qFingerprint, qTopTerms, qRedact)
 }

@@ -119,14 +119,23 @@ object TextFunctions {
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash
     * near-dup detection. Pure HOF: sequence + transform + concat.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Same, over an ALREADY-tokenized array column. Callers on a hot
+    * path must alias the token array in its own projection and pass
+    * the attribute: inlining `tokens(text)` here makes Catalyst
+    * re-run the regex split for every reference inside the lambda
+    * (3 element_at per gram — measured 8.7 s → 0.7 s on
+    * q_common_ngrams at sf0.1; same pitfall Dedup.shingleHashFrame
+    * documents).
+    */
+  def shinglesFromTokens(t: Column, n: Int): Column =
     array_distinct(
       when(size(t) < n, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(0), size(t) - n),
           i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))))
-  }
 
   /** Word n-gram shingles as 64-bit hashes (distinct): the unit for
     * MinHash signatures, where the shingle string itself is never
@@ -224,4 +233,29 @@ object TextFunctions {
         (col("top2") / col("tot2") > 0.20 ||
           (col("tot3") - col("dist3")) / col("tot3") > 0.18).as("repetitive"))
   }
+
+  /** Corpus-level boilerplate detector: the k n-grams appearing in the
+    * most DISTINCT documents (document frequency, not raw count — a
+    * single spammy document must not promote its pet phrase). The
+    * classic first step of template/boilerplate removal: inspect the
+    * head of this list, then strip or down-weight matching spans.
+    *
+    * Distributed shape: per-document distinct grams are built map-side
+    * (`wordShingles` — sequence/transform HOFs, no UDF), exploded, and
+    * count(*) per gram IS the document frequency because grams are
+    * already distinct within each document — one partial-agg shuffle
+    * of (gram, partial count), then TakeOrdered for the top k. The
+    * corpus text never shuffles; no candidate blow-up exists (contrast
+    * the pair-joining dedup family). Gram cardinality is high but
+    * partial aggregation bounds every exchange row to one gram string
+    * + one long; hot grams are exactly the ones partials compress.
+    */
+  def commonNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame =
+    df.select(tokens(col(textCol)).as("__tk"))
+      .select(explode(shinglesFromTokens(col("__tk"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
 }

@@ -162,4 +162,70 @@ class CorpusOpsSpec extends AnyFunSuite {
     // shard 1 independent: id1 starts its own stream
     assert(out(1L) == (1L, 0L, 0L))
   }
+
+  test("dataset split: exhaustive, disjoint, stable under corpus growth") {
+    val keys = spark.range(4000).toDF("k")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.assignSplit(keys, col("k"), splits)
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row in exactly one split (withColumn can't drop/dup rows,
+    // but the CASE must be exhaustive: no nulls)
+    assert(counts.values.sum == 4000L)
+    assert(assigned.where(col("split").isNull).count() == 0)
+    // proportions near the spec (md5 is uniform; 4000 keys, ±4 sigma)
+    assert(math.abs(counts("train") - 3200L) < 100,
+      s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 400L) < 80, s"val=${counts("val")}")
+    // append-stability: the first 1000 keys get the SAME split when the
+    // corpus is 4x larger — assignment depends only on the key
+    val small = Sampling.assignSplit(spark.range(1000).toDF("k"),
+        col("k"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = assigned.where(col("k") < 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == big)
+    // bad specs rejected
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(keys, col("k"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("group quantile filter: matches per-group rank reference, ties survive") {
+    import graft.ops.GroupQuantile
+    // group a: values 1..8 (p25 threshold = 2: cum 2/8 = .25 >= .25)
+    // group b: heavy ties at 5 — all of them must survive a p25 cut
+    val df = ((1 to 8).map(v => ("a", v.toLong)) ++
+      Seq(("b", 1L), ("b", 5L), ("b", 5L), ("b", 5L))).toDF("g", "v")
+      .repartition(4)
+    val kept = GroupQuantile.filterAtQuantile(df, Seq(col("g")), col("v"), 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val keptA = kept.filter(_._1 == "a").map(_._2).sorted
+    val keptB = kept.filter(_._1 == "b").map(_._2).sorted
+    assert(keptA.toSeq == (2L to 8L)) // drops only v=1 (strictly below thr)
+    // b: thr = smallest v with cum/4 >= .25 → v=1 (cum 1/4 = .25) →
+    // EVERYTHING survives: ties + lower-quantile semantics, no rank split
+    assert(keptB.toSeq == Seq(1L, 5L, 5L, 5L))
+    // schema untouched: no temp columns leak
+    assert(GroupQuantile.filterAtQuantile(df, Seq(col("g")), col("v"), 0.5)
+      .columns.toSeq == Seq("g", "v"))
+  }
+
+  test("common n-grams: document frequency, not raw count; k + tiebreak") {
+    import graft.text.TextFunctions
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // "x y z" repeats 3x in ONE doc → df 1
+      (2L, "a b c d"),           // "a b c", "b c d"
+      (3L, "a b c q"),           // "a b c" again → df 2
+      (4L, "a b")                // too short: no 3-grams
+    ).toDF("doc_id", "text")
+    val top = TextFunctions.commonNgrams(docs, "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // df winner first; then ties broken by gram string ascending
+    assert(top.head == ("a b c", 2L))
+    assert(top.length == 3)
+    assert(top(1)._2 == 1L && top(1)._1 < top(2)._1)
+    // the within-doc repeat did NOT inflate df
+    assert(top.forall { case (g, n) => g != "x y z" || n == 1L })
+  }
 }

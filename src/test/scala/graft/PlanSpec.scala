@@ -141,6 +141,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), plan)
   }
 
+  test("dataset split is a scan-stage projection — no shuffle before the agg") {
+    val p = planString("q_dataset_split")
+    // exactly the aggregate's partial→final exchange pair, nothing for
+    // the split assignment itself (a map-side CASE over md5)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("group-quantile filter: corpus never sorts; threshold joins broadcast") {
+    val p = planString("q_quality_percentile_filter")
+    // the window runs over the aggregated (lang, q) DISTRIBUTION, so
+    // the only Sorts in the plan sit above an aggregate output, never
+    // over the documents scan; the threshold comes back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // corpus rows flow scan → project/filter → join: no hash exchange
+    // of full-corpus rows. Every exchange in this plan keys on the
+    // operator's __gq_* temp columns — i.e. it sits on the aggregated
+    // (group, value) DISTRIBUTION path, never on documents rows
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(k => k.contains("__gq_")),
+      s"unexpected non-distribution exchange: $exchanges")
+  }
+
+  test("common n-grams: partial agg before the gram shuffle, top-k takes ordered") {
+    val p = planString("q_common_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // partial_count before the exchange: hot grams compress map-side
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Sort "), "global sort would defeat TakeOrdered")
+  }
+
   test("stream-stream join plans StreamingSymmetricHashJoin with watermarks") {
     import org.apache.spark.sql.functions.col
     val ev = graft.streaming.StreamingHourPivot.eventsStream(spark, sf)
