@@ -267,6 +267,46 @@ object TextQueries {
       WHERE common / (sa.n + sb.n - common) >= 0.5"""),
     headline = true)
 
+  /** Served near-dup index exhibit — the incremental-ingestion shape
+    * (Dedup.buildAndWriteNearDupIndex / servedNearDups): the corpus
+    * (doc_id % 5 != 0) is indexed ONCE as narrow minhash signatures;
+    * the "incoming batch" (doc_id % 5 == 0) shingles itself, broadcasts
+    * its banded signatures to the index scan, and exact-verifies only
+    * candidate corpus docs. Same 16-band/est-0.35/j≥0.5 operating point
+    * as q_minhash_lsh_neardup, whose recall argument covers this
+    * subset pair population → exact batch×corpus Jaccard oracle.
+    */
+  private val builtNearDupIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val qNearDupServed = QueryDef(
+    "q_neardup_index_served",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val dir = System.getProperty("java.io.tmpdir") +
+        "/graft_neardup_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (builtNearDupIndexes.add(dir))
+        Dedup.buildAndWriteNearDupIndex(corpus, "doc_id", "text", dir)
+      Dedup.servedNearDups(s, batch, corpus, "doc_id", "text", dir,
+        threshold = 0.5, numHashes = 32, bands = 16,
+        estThresholdOpt = Some(0.35))
+    },
+    Some("""
+      WITH""" + sqlShingleCtes("documents") + """,
+      pairs AS (
+        SELECT b.doc_id AS id_batch, a.doc_id AS id_corpus,
+          COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g
+        WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        GROUP BY 1, 2)
+      SELECT id_batch, id_corpus, common / (sa.n + sb.n - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_corpus
+      JOIN sizes sb ON sb.doc_id = id_batch
+      WHERE common / (sa.n + sb.n - common) >= 0.5"""))
+
   private val sqlSimhashOracle = """
       WITH""" + sqlShingleCtes("documents") + """,
       pairs AS (
@@ -558,7 +598,7 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams, qDedupExact,
-    qJaccard, qClusters, qMinhash,
+    qJaccard, qClusters, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qContamination,
     qStreamContamination, qFingerprint, qTopTerms, qRedact)
 }

@@ -174,6 +174,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), "global sort would defeat TakeOrdered")
   }
 
+  test("served near-dup index: batch broadcasts to the index scan, text never shuffles") {
+    val p = planString("q_neardup_index_served")
+    // the candidate join against the signature index must be the
+    // broadcast of the (small) banded batch — a shuffle of the index
+    // is the exact cost the served shape exists to avoid
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(k => !k.contains("text")),
+      s"document text crossed a shuffle: $exchanges")
+  }
+
   test("stream-stream join plans StreamingSymmetricHashJoin with watermarks") {
     import org.apache.spark.sql.functions.col
     val ev = graft.streaming.StreamingHourPivot.eventsStream(spark, sf)

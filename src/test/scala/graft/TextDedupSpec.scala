@@ -46,6 +46,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(j === 8.0 / 14.0)
   }
 
+  test("served near-dup index: batch vs indexed corpus equals all-pairs restriction") {
+    // sf0.001 documents give a real near-dup population; the served
+    // result must equal the batch×corpus restriction of the all-pairs
+    // pipeline at the same operating point
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("neardup_idx_test").toString + "/idx"
+    Dedup.buildAndWriteNearDupIndex(corpus, "doc_id", "text", dir)
+    val served = Dedup.servedNearDups(spark, batch, corpus, "doc_id",
+      "text", dir, threshold = 0.5, numHashes = 32, bands = 16,
+      estThresholdOpt = Some(0.35))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val allPairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 32, bands = 16,
+      estThresholdOpt = Some(0.35))
+      .collect().flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        // orient as (batch, corpus); drop pairs within one side
+        if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+        else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+        else None
+      }.sorted.toSeq
+    assert(served == allPairs && served.nonEmpty)
+  }
+
   test("simhash: identical texts at hamming 0, near texts close, found by banding") {
     val df = Seq((1L, docA), (2L, docA), (3L, docANear), (4L, docB))
       .toDF("doc_id", "text")
