@@ -267,6 +267,41 @@ object SimilarityQueries {
         CAST(COUNT(*) AS BIGINT) AS n_vectors
       FROM flat GROUP BY label, pos"""))
 
+  /** Label-noise sweep (Similarity.labelCentroidOutliers): bottom-5
+    * centroid-cosine vectors per label. Quantized-integer intermediates
+    * + one per-row double step → bit-identical across engines (see the
+    * operator scaladoc); the oracle mirrors the same algebra.
+    */
+  private val qLabelOutliers = QueryDef(
+    "q_label_outliers",
+    (s, d) =>
+      Similarity.labelCentroidOutliers(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", k = 5),
+    Some("""
+      WITH qe AS (
+        SELECT vec_id, label,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(embedding, 1) AS pos
+        FROM embeddings),
+      cent AS (SELECT label, pos, SUM(qv) AS sq FROM qe GROUP BY 1, 2),
+      nc AS (SELECT label, SUM(sq * sq) AS nrm_c FROM cent GROUP BY 1),
+      sc AS (
+        SELECT q.vec_id, q.label,
+          SUM(q.qv * c.sq) AS qdot, SUM(q.qv * q.qv) AS nrm_v
+        FROM qe q JOIN cent c ON q.label = c.label AND q.pos = c.pos
+        GROUP BY 1, 2),
+      cosd AS (
+        SELECT s.vec_id, s.label,
+          CAST(qdot AS DOUBLE) /
+            (sqrt(CAST(nrm_v AS DOUBLE)) * sqrt(CAST(nrm_c AS DOUBLE)))
+            AS cos_centroid
+        FROM sc s JOIN nc ON s.label = nc.label)
+      SELECT vec_id, label, cos_centroid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY label ORDER BY cos_centroid, vec_id) AS rn
+        FROM cosd)
+      WHERE rn <= 5"""))
+
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
-    qNearDup, qLshNearDup, qCentroids, qCentroidVectors)
+    qNearDup, qLshNearDup, qCentroids, qCentroidVectors, qLabelOutliers)
 }

@@ -489,4 +489,50 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("qv")) / count(lit(1)) / 10000.0).as("centroid"),
         count(lit(1)).as("n_vectors"))
+
+  /** Label-noise / outlier detection: the k vectors per label LEAST
+    * aligned (cosine) with their label's centroid — the data-pruning
+    * primitive that surfaces mislabeled or anomalous examples before
+    * training.
+    *
+    * Arithmetic is engine-reproducible by construction: quantized
+    * components (×10⁴ longs) make the centroid-sum vector, both norms,
+    * and the dot product EXACT integers; the only floating-point step
+    * is one per-row `qdot / (√nrm_v · √nrm_c)` — no accumulation, so
+    * any IEEE engine produces bit-identical cosines. Overflow headroom
+    * (ANSI mode throws rather than wraps): nrm_c = Σ(Σqv)² bounds at
+    * ~dim · (n·10⁴)² → safe to ~10⁹ vectors per label at dim 64.
+    *
+    * Shape at scale: two map-side explodes of the corpus; centroid
+    * sums aggregate to labels × dim rows (tiny, broadcast back); the
+    * per-vector dot aggregates map-side (exploded rows of one vector
+    * never leave their partition) so the one real shuffle carries a
+    * 4-column row per vector. The final per-label bottom-k is a
+    * rank window — per-label sort of scored rows; swap in
+    * functions.TopKAggregator on struct(cos, id) if label
+    * cardinality is low enough that per-label sorts dominate.
+    */
+  def labelCentroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val flat = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)))
+      .select(col("vec_id"), col("label"), col("pos"),
+        round(col("col").cast("double") * 10000).cast("long").as("qv"))
+    val cent = flat.groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("sq"))
+    val nrmC = cent.groupBy(col("label"))
+      .agg(sum(col("sq") * col("sq")).as("nrm_c"))
+    val scored = flat.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("qv") * col("sq")).as("qdot"),
+        sum(col("qv") * col("qv")).as("nrm_v"))
+      .join(broadcast(nrmC), Seq("label"))
+      .withColumn("cos_centroid",
+        col("qdot") / (sqrt(col("nrm_v")) * sqrt(col("nrm_c"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("cos_centroid"), col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("vec_id"), col("label"), col("cos_centroid"))
+  }
 }

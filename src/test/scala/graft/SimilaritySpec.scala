@@ -97,4 +97,32 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(sum("n_vectors")).first().getLong(0)
     assert(total == emb.count())
   }
+
+  test("label outliers: planted anti-centroid vector ranks first, k respected") {
+    import spark.implicits._
+    // label 0: three aligned vectors + one planted OPPOSITE vector;
+    // label 1: independent cluster — per-label isolation
+    val rows = Seq(
+      (1L, 0, Array(1.0f, 0.1f)), (2L, 0, Array(0.9f, 0.2f)),
+      (3L, 0, Array(1.0f, 0.0f)), (4L, 0, Array(-1.0f, -0.1f)),
+      (10L, 1, Array(0.0f, 1.0f)), (11L, 1, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelCentroidOutliers(
+      rows, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getDouble(2)))
+    val label0 = out.filter(_._1 == 0).sortBy(_._3)
+    assert(label0.head._2 == 4L, s"planted outlier not first: ${label0.toSeq}")
+    assert(label0.head._3 < 0, "anti-centroid cosine must be negative")
+    assert(out.count(_._1 == 0) == 2 && out.count(_._1 == 1) == 2)
+    // exactness: cosine of the planted vector vs the quantized
+    // centroid-sum, computed independently
+    val qv = Array(-10000L, -1000L)
+    val sq = Array((10000 + 9000 + 10000 - 10000).toLong,
+      (1000 + 2000 + 0 - 1000).toLong)
+    val qdot = qv(0) * sq(0) + qv(1) * sq(1)
+    val expected = qdot /
+      (math.sqrt((qv(0) * qv(0) + qv(1) * qv(1)).toDouble) *
+        math.sqrt((sq(0) * sq(0) + sq(1) * sq(1)).toDouble))
+    assert(label0.head._3 == expected, "bit-exact cosine expected")
+  }
 }
