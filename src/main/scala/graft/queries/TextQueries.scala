@@ -163,6 +163,31 @@ object TextQueries {
       SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM ex GROUP BY g ORDER BY n_docs DESC, gram LIMIT 20"""))
 
+  /** Vocabulary coverage curve (TextFunctions.vocabCoverage): top-100
+    * tokens with rank and cumulative corpus share — the statistic that
+    * sizes a tokenizer vocabulary. Windows run over the 100-row top-k
+    * only; the corpus contributes one partial-agg shuffle.
+    */
+  private val qVocabCoverage = QueryDef(
+    "q_vocab_coverage",
+    (s, d) => TF.vocabCoverage(Tables.documents(s, d), "text", k = 100),
+    Some(s"""
+      WITH counts AS (
+        SELECT token, COUNT(*) AS n FROM (
+          SELECT unnest($sqlTokens) AS token
+          FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY token),
+      total AS (SELECT SUM(n) AS tot FROM counts),
+      top AS (
+        SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 100)
+      SELECT
+        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+        token, CAST(n AS BIGINT) AS n_occurrences,
+        CAST(SUM(n) OVER (ORDER BY n DESC, token
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / CAST(tot AS DOUBLE) AS cum_share
+      FROM top, total"""))
+
   // --------------------------------------------------------- exact dedup
   private val qDedupExact = QueryDef(
     "q_dedup_exact_keepers",
@@ -597,7 +622,8 @@ object TextQueries {
       FROM red"""))
 
   def all: Seq[QueryDef] = Seq(
-    qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams, qDedupExact,
+    qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
+    qVocabCoverage, qDedupExact,
     qJaccard, qClusters, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qContamination,
     qStreamContamination, qFingerprint, qTopTerms, qRedact)

@@ -250,6 +250,38 @@ object TextFunctions {
     * partial aggregation bounds every exchange row to one gram string
     * + one long; hot grams are exactly the ones partials compress.
     */
+  /** Vocabulary coverage curve — the tokenizer-training statistic:
+    * the top-k tokens by occurrence count, each with its rank and the
+    * CUMULATIVE share of all corpus tokens the top-rank prefix covers
+    * ("the 100 most frequent tokens cover X% of the corpus" — the
+    * curve that sizes a vocabulary).
+    *
+    * Shape at scale: map-side token explode → one partial-agg shuffle
+    * of (token, count) → TakeOrdered for the top k → rank/cumsum
+    * windows over the K-ROW result only (never the vocabulary, never
+    * the corpus). The corpus-wide token total rides a single-row
+    * broadcast cross join. Exact integers throughout; the share is
+    * one per-row double division.
+    */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int = 100): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(tokens(col(textCol)).as("__tk"))
+      .select(explode(col("__tk")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+    val total = counts.agg(sum(col("n_occurrences")).as("__tot"))
+    val top = counts.orderBy(col("n_occurrences").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("n_occurrences").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share",
+        sum(col("n_occurrences"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / col("__tot"))
+      .select(col("rank"), col("token"), col("n_occurrences"),
+        col("cum_share"))
+  }
+
   def commonNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame =
     df.select(tokens(col(textCol)).as("__tk"))

@@ -211,6 +211,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       .columns.toSeq == Seq("g", "v"))
   }
 
+  test("vocab coverage: ranks by frequency, cum share monotone to total") {
+    import graft.text.TextFunctions
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d"), (3L, "")) // 9 tokens
+      .toDF("doc_id", "text")
+    val cov = TextFunctions.vocabCoverage(docs, "text", k = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(cov.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((1, "a", 4L), (2, "b", 3L), (3, "c", 1L))) // c before d: tiebreak
+    assert(cov(0)._4 == 4.0 / 9 && cov(1)._4 == 7.0 / 9 && cov(2)._4 == 8.0 / 9)
+  }
+
   test("common n-grams: document frequency, not raw count; k + tiebreak") {
     import graft.text.TextFunctions
     val docs = Seq(
