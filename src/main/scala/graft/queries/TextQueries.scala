@@ -456,6 +456,37 @@ object TextQueries {
         (top2 / tot2 > 0.20 OR (tot3 - dist3) / tot3 > 0.18) AS repetitive
       FROM s2 JOIN s3 USING (doc_id)"""))
 
+  /** Cross-document duplicate spans (Dedup.dupSpanStats): per doc, how
+    * many of its 8-token stride-1 windows occur verbatim in at least
+    * one other document — the exact-substring-dedup signal. Oracle
+    * groups by the span STRING where the engine groups by xxhash64 of
+    * the token columns; identical counts (established hash-vs-string
+    * equivalence, see sqlShingleCtes consumers).
+    */
+  private val qDupSpans = QueryDef(
+    "q_dup_span_stats",
+    (s, d) => Dedup.dupSpanStats(Tables.documents(s, d), "doc_id", "text", k = 8),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        FROM tok WHERE len(t) >= 8),
+      wins AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx),
+      per AS (SELECT g, doc_id, COUNT(*) AS cnt FROM wins GROUP BY 1, 2),
+      nd AS (
+        SELECT g, doc_id, cnt, COUNT(*) OVER (PARTITION BY g) AS ndocs
+        FROM per)
+      SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_windows,
+        CAST(SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) AS BIGINT)
+          AS n_dup_windows,
+        SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) / SUM(cnt)
+          AS dup_frac
+      FROM nd GROUP BY doc_id"""))
+
   /** Train/test decontamination (Dedup.contaminationFlags): corpus =
     * doc_id%97≠0, probe "benchmark" set = doc_id%97=0; flag corpus docs
     * sharing ≥1 distinct 3-gram shingle with any probe doc. The probe
@@ -625,6 +656,7 @@ object TextQueries {
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
     qVocabCoverage, qDedupExact,
     qJaccard, qClusters, qMinhash, qNearDupServed,
-    qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qContamination,
+    qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
+    qContamination,
     qStreamContamination, qFingerprint, qTopTerms, qRedact)
 }

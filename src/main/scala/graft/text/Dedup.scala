@@ -619,6 +619,45 @@ object Dedup {
         (col("n_overlap") >= minOverlap).as("contaminated"))
   }
 
+  /** Exact duplicate-span statistics — the cross-document "exact
+    * substring dedup" signal (Lee et al. 2022, *Deduplicating Training
+    * Data Makes Language Models Better*): every k-token sliding window
+    * (stride 1) is a span; a span is DUPLICATED when the identical
+    * token sequence also occurs in at least one OTHER document. Unlike
+    * the within-doc repetition signals (TextFunctions), this measures
+    * verbatim cross-doc boilerplate — license headers, navigation
+    * chrome, copypasta — the spans substring-dedup would excise.
+    *
+    * Output per doc with ≥ k tokens:
+    * (id, n_windows, n_dup_windows, dup_frac).
+    *
+    * 100 TB shape: windows are hashed MAP-SIDE (shingleHashFrame with
+    * distinct=false — stride-1 windows ARE shingles), so every exchange
+    * carries (8-byte span hash, id, count) rows, never text. Three
+    * narrow shuffles: (h,id) pre-aggregate (collapses within-doc
+    * repeats before the cross-doc count), a window count over h, and
+    * the per-doc rollup. The (h,id) pre-aggregate is what keeps the
+    * `count over (partition by h)` skew-safe: a span repeated millions
+    * of times inside one doc is one row by the time it reaches the
+    * hot-key partition.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val wins = shingleHashFrame(df, idCol, textCol, k, distinctShingles = false)
+    val perDoc = wins.groupBy(col("s"), col("id"))
+      .agg(count(lit(1)).as("cnt"))
+    // n distinct docs holding this span == row count per span after the
+    // (span, doc) pre-aggregate — a plain (non-distinct) window count.
+    val nd = perDoc.withColumn("ndocs",
+      count(lit(1)).over(Window.partitionBy(col("s"))))
+    nd.groupBy(col("id").as(idCol))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("ndocs") > 1, col("cnt")).otherwise(lit(0)))
+          .as("n_dup_windows"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows") / col("n_windows")).as("dup_frac"))
+  }
+
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
     * explode distinct shingles, equi-join on shingle, count common,
     * combine with set sizes. Quadratic only within identical-shingle

@@ -170,6 +170,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!out(2L).getAs[Boolean]("repetitive"))
   }
 
+  test("dup-span stats: cross-doc verbatim spans counted, within-doc repeats are not dups") {
+    // docs 1 and 2 share the 8-token prefix of docA verbatim; doc 3 is
+    // disjoint; doc 4 repeats ITS OWN 8-token span twice (within-doc
+    // only — must not count as duplicated).
+    val selfRep = "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"
+    val df = Seq((1L, docA), (2L, docA + " zz"), (3L, docB + " extra pad tokens here"),
+      (4L, selfRep)).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    // docA has 13 tokens -> 6 windows, all 6 inside doc2's 14-token text
+    assert(byId(1L) == ((6L, 6L)))
+    assert(byId(2L) == ((7L, 6L))) // its extra trailing window is unique
+    assert(byId(3L)._2 == 0L)
+    // 16 tokens -> 9 windows; spans repeat within the doc only
+    assert(byId(4L) == ((9L, 0L)))
+  }
+
   test("contamination flags: shared shingle with probe set flags the doc") {
     val corpus = Seq((1L, "x y z w"), (2L, "p q r s")).toDF("doc_id", "text")
     val probes = Seq((100L, "x y z k")).toDF("doc_id", "text")
