@@ -239,6 +239,14 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_mat_score",
       exprs => FloatMatVecScore(exprs(0), exprs(1), exprs(2)), "built-in")
+    // Spark ships BloomFilterMightContain for its runtime row-group
+    // filters but does not register it as a SQL function; graft's bloom
+    // prefilter (Dedup.contaminationFlagsBloom) evaluates it against a
+    // literal serialized sketch.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: codegen'd dot product of two array<float> columns.

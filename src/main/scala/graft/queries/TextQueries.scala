@@ -492,16 +492,7 @@ object TextQueries {
     * sharing ≥1 distinct 3-gram shingle with any probe doc. The probe
     * shingle set is broadcast — the corpus side never shuffles text.
     */
-  private val qContamination = QueryDef(
-    "q_contamination_flags",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.contaminationFlags(
-        docs.where(col("doc_id") % 97 =!= 0),
-        docs.where(col("doc_id") % 97 === 0),
-        "doc_id", "text", shingleN = 3, minOverlap = 1)
-    },
-    Some("""
+  private val sqlContamination = """
       WITH""" + sqlShingleCtes("documents") + """,
       corpus AS (
         SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
@@ -516,7 +507,35 @@ object TextQueries {
         (SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) >= 1)
           AS contaminated
       FROM corpus LEFT JOIN probe ON corpus.g = probe.g
-      GROUP BY corpus.doc_id"""))
+      GROUP BY corpus.doc_id"""
+
+  private val qContamination = QueryDef(
+    "q_contamination_flags",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFlags(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN = 3, minOverlap = 1)
+    },
+    Some(sqlContamination))
+
+  /** The same decontamination through the Bloom-prefilter path
+    * (Dedup.contaminationFlagsBloom): probe shingles enter the plan as
+    * a serialized sketch literal, candidates exact-verify through a
+    * semi-join — identical output, so the three contamination variants
+    * (broadcast, bloom, streaming) all share one oracle.
+    */
+  private val qContaminationBloom = QueryDef(
+    "q_contamination_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFlagsBloom(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN = 3, minOverlap = 1)
+    },
+    Some(sqlContamination))
 
   /** The contamination filter as a CONTINUOUS query (stateless
     * map-side streaming projection, append mode — the ingest-time
@@ -527,22 +546,7 @@ object TextQueries {
   private val qStreamContamination = QueryDef(
     "q_stream_contamination",
     (s, d) => graft.streaming.StreamingContamination.runBatchEquivalent(s, d),
-    Some("""
-      WITH""" + sqlShingleCtes("documents") + """,
-      corpus AS (
-        SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
-      probe AS (
-        SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)
-      SELECT corpus.doc_id,
-        CAST(COUNT(*) AS BIGINT) AS n_shingles,
-        CAST(SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_overlap,
-        SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END)
-          / COUNT(*) AS overlap_frac,
-        (SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) >= 1)
-          AS contaminated
-      FROM corpus LEFT JOIN probe ON corpus.g = probe.g
-      GROUP BY corpus.doc_id"""))
+    Some(sqlContamination))
 
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64
@@ -657,6 +661,6 @@ object TextQueries {
     qVocabCoverage, qDedupExact,
     qJaccard, qClusters, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
-    qContamination,
+    qContamination, qContaminationBloom,
     qStreamContamination, qFingerprint, qTopTerms, qRedact)
 }

@@ -619,6 +619,63 @@ object Dedup {
         (col("n_overlap") >= minOverlap).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — contaminationFlags' semantics
+    * (identical output, same oracle) for probe sets too large to ship
+    * as a broadcast JOIN RELATION. A hash-join build side costs
+    * ~40–50 B/key in the executor (boxed rows + table overhead); at
+    * 10⁹ probe shingles that is ~50 GB per executor — dead. A Bloom
+    * sketch at 3% fpp is ~7.3 bits/key ≈ 0.9 GB: shippable.
+    *
+    * Three-step shape, each step scale-bounded:
+    *  1. BUILD: distributed `stat.bloomFilter` over the probe's
+    *     distinct shingle hashes (partial sketches OR-merge — one
+    *     narrow aggregation), serialized once into the plan as a
+    *     literal (the StreamingContamination probe-literal pattern).
+    *  2. PREFILTER (map-side, zero shuffle): Spark's own
+    *     `BloomFilterMightContain` — the expression behind its runtime
+    *     join filters — evaluated against the literal sketch drops
+    *     ~(1 - fpp) of clean corpus shingles at the scan.
+    *  3. VERIFY: only survivors (true hits + fpp of the corpus) reach
+    *     the exact shuffle semi-join with the probe shingles, so false
+    *     positives are removed and the result is EXACT — bloom has no
+    *     false negatives, so nothing is lost.
+    *
+    * The corpus shingle frame feeds two branches (per-doc totals +
+    * candidates) → pinned, the ngramJaccardPairs rationale.
+    */
+  def contaminationFlagsBloom(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      minOverlap: Int = 1, fpp: Double = 0.03): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    // Probe side is bounded by contract (benchmarks/blocklists) and
+    // feeds three consumers (count, sketch build, exact verify) →
+    // pinned, the no-unpersist-hook pattern.
+    val probeSh = pinned(shingleHashFrame(probes, idCol, textCol, shingleN)
+      .select(col("s")).distinct())
+    val nProbe = math.max(probeSh.count(), 1L)
+    val bf = probeSh.stat.bloomFilter("s", nProbe, fpp)
+    val sketch = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightHit = org.apache.spark.sql.functions
+      .call_function("bloom_might_contain", lit(sketch), col("s"))
+    val corpusSh = pinned(shingleHashFrame(corpus, idCol, textCol, shingleN))
+    val totals = corpusSh.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlap = corpusSh.where(mightHit)
+      .join(probeSh, Seq("s"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlap, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select(col(idCol), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") / col("n_shingles")).as("overlap_frac"),
+        (col("n_overlap") >= minOverlap).as("contaminated"))
+  }
+
   /** Exact duplicate-span statistics — the cross-document "exact
     * substring dedup" signal (Lee et al. 2022, *Deduplicating Training
     * Data Makes Language Models Better*): every k-token sliding window

@@ -127,6 +127,21 @@ class PlanSpec extends AnyFunSuite {
       s"text column crossed a shuffle: $exchanges")
   }
 
+  test("bloom contamination: sketch prefilter is a scan-side Filter, text never shuffles") {
+    val p = planString("q_contamination_bloom")
+    // the literal-sketch membership test must evaluate BEFORE any
+    // exchange (that is the whole point — candidates shrink map-side)
+    assert(p.contains("might_contain"), p)
+    val firstExchange = p.indexOf("Exchange")
+    val filterAt = p.indexOf("might_contain")
+    assert(filterAt >= 0 && (firstExchange < 0 || p.lastIndexOf("might_contain") > firstExchange),
+      "bloom prefilter should sit below the first exchange in the candidate branch")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"text column crossed a shuffle: $exchanges")
+  }
+
   test("shingle build is map-side: no exchange between scan and gram explode") {
     // the Generate (explode of the zipped token array) must sit directly
     // on the scan-side project, with only the deliberate fanOut

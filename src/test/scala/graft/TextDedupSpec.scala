@@ -202,6 +202,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!out(2L).getAs[Boolean]("contaminated"))
   }
 
+  test("bloom-prefiltered contamination equals the broadcast-exact operator") {
+    val df = Seq((1L, docA), (2L, docANear), (3L, docB),
+      (10L, docA + " suffix drift"), (11L, "nothing shared with anything here at all"))
+      .toDF("doc_id", "text")
+    val corpus = df.where(col("doc_id") < 10)
+    val probes = df.where(col("doc_id") >= 10)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val exact = rows(Dedup.contaminationFlags(corpus, probes, "doc_id", "text"))
+    val bloom = rows(Dedup.contaminationFlagsBloom(corpus, probes, "doc_id", "text"))
+    assert(bloom == exact)
+    assert(exact.exists(r => r(4) == true) && exact.exists(r => r(4) == false))
+  }
+
   test("fingerprint is order-sensitive; token counts match") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
