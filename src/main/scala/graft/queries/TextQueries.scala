@@ -548,6 +548,49 @@ object TextQueries {
     (s, d) => graft.streaming.StreamingContamination.runBatchEquivalent(s, d),
     Some(sqlContamination))
 
+  /** Fuzzy entity-resolution join (FuzzyJoin.fuzzyJoinTop1): the part
+    * catalog split into two disjoint "vendor feeds" (even/odd partkey),
+    * entity string = name+brand+type+size; each even-side record gets
+    * its best odd-side match by char-5-gram Jaccard ≥ 0.8. Prefix
+    * filtering is exact (zero false negatives), so the oracle is the
+    * full cross-join ground truth — no recall operating point pinned.
+    */
+  private val qFuzzyJoin = QueryDef(
+    "q_fuzzy_join_top1",
+    (s, d) => {
+      val entity = concat_ws(" ", col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size").cast("string"))
+      val parts = Tables.part(s, d).select(col("p_partkey"), entity.as("entity"))
+      graft.text.FuzzyJoin.fuzzyJoinTop1(
+        parts.where(col("p_partkey") % 2 === 0),
+        parts.where(col("p_partkey") % 2 === 1),
+        "p_partkey", "entity", threshold = 0.8)
+    },
+    Some("""
+      WITH ent AS (
+        SELECT p_partkey AS id,
+          p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
+            CAST(p_size AS VARCHAR) AS entity
+        FROM part),
+      tri AS (
+        SELECT id, list_distinct(list_transform(
+            range(1, length(entity) - 3),
+            i -> substr(entity, i, 5))) AS t
+        FROM ent WHERE length(entity) >= 5),
+      l AS (SELECT id, t FROM tri WHERE id % 2 = 0),
+      r AS (SELECT id, t FROM tri WHERE id % 2 = 1),
+      pairs AS (
+        SELECT l.id AS left_id, r.id AS right_id,
+          len(list_intersect(l.t, r.t)) /
+            (len(l.t) + len(r.t) - len(list_intersect(l.t, r.t))) AS jaccard
+        FROM l, r),
+      ranked AS (
+        SELECT left_id, right_id, jaccard,
+          row_number() OVER (PARTITION BY left_id
+            ORDER BY jaccard DESC, right_id ASC) AS rn
+        FROM pairs WHERE jaccard >= 0.8)
+      SELECT left_id, right_id, jaccard FROM ranked WHERE rn = 1"""))
+
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64
     * rolling variant stays in the library, spec-covered — its values
@@ -661,6 +704,6 @@ object TextQueries {
     qVocabCoverage, qDedupExact,
     qJaccard, qClusters, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
-    qContamination, qContaminationBloom,
+    qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qFingerprint, qTopTerms, qRedact)
 }

@@ -61,6 +61,9 @@ object Dedup {
     */
   private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** The pinning pattern for sibling text operators (FuzzyJoin). */
+  private[text] def pinnedFrame(df: DataFrame): DataFrame = pinned(df)
+
   /** Auto-sized LSH band count for a minhash signature of `numHashes`
     * values at a verify threshold `t`: pick r = rows per band (bands =
     * numHashes / r) as the LARGEST divisor of numHashes whose per-pair

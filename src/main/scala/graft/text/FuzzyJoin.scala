@@ -1,0 +1,170 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity-resolution join: match records across two catalogs by
+  * character-q-gram Jaccard similarity, EXACTLY — prefix filtering
+  * (the PPJoin family: Xiao et al., WWW'08) generates candidates with
+  * a zero-false-negative guarantee, so unlike LSH there is no recall
+  * operating point to pin; the result is the exact similarity join at
+  * any threshold.
+  *
+  * Why not minhash-LSH here: entity strings drawn from a small
+  * vocabulary (product catalogs, addresses) have HIGH background
+  * similarity — at banding rates that keep recall complete near the
+  * threshold, most cross pairs collide somewhere and candidate
+  * generation degenerates toward all-pairs (the simhash-16×4 lesson,
+  * SCALE_NOTES). Prefix filtering inverts the problem: a pair with
+  * jaccard ≥ t MUST share one of its (1-t)·n rarest grams, and RARE
+  * grams have short postings lists by construction.
+  *
+  * Measured sizing (part entities, sf0.1, 2×10k catalogs, t = 0.8):
+  * 3-grams give only 329 distinct features — postings so dense the
+  * prefix join admits 12.9M candidate pairs (13% of all pairs, 48 s
+  * end-to-end in the first cut). 5-grams (899 features) cut that to
+  * 3.6M pairs / 5.4M occurrence rows against ~15k true pairs, and the
+  * whole query to ~4 s. Feature WIDTH, not just rarity order, is the
+  * candidate lever on small-vocabulary entities; q = 5 is the
+  * default, configurable per catalog.
+  *
+  * 100 TB shape: gram hashing is map-side; every exchange carries
+  * (8-byte gram hash, id, an int) — never strings or arrays. The
+  * global gram-frequency table (one narrow count) orders grams by
+  * rarity; the per-id prefix is a windowed top-(1-t)·n by that order.
+  * Candidate occurrences flow UNAGGREGATED from the prefix join
+  * through map-side broadcast verification (see the inline notes on
+  * why skipping the pair-dedup shuffle wins), and only verified
+  * matches reach the final top-1 window.
+  */
+object FuzzyJoin {
+
+  /** Exploded distinct character-q-gram hash frame (id, s), built
+    * map-side: positions 1..len-q+1, xxhash64 over each q-char slice.
+    */
+  def charGramFrame(df: DataFrame, idCol: String, textCol: String,
+      q: Int = 5): DataFrame = {
+    val t = col("__ft")
+    df.select(col(idCol).as("id"), col(textCol).as("__ft"))
+      .where(length(t) >= q)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), length(t) - (q - 1)),
+        i => xxhash64(t.substr(i, lit(q))))).as("s"))
+      .distinct()
+  }
+
+  /** Best fuzzy match per left record: for each left id, the right id
+    * with maximum q-gram Jaccard ≥ `threshold` (ties → smallest right
+    * id). Output: (left_id, right_id, jaccard), one row per matched
+    * left record. Left/right id spaces may overlap (sides are kept
+    * separate throughout).
+    *
+    * Exactness notes — every floating-point shortcut errs in the safe
+    * direction (more candidates, never fewer):
+    *  - prefix length uses ceil(t·n) on doubles — IEEE error can only
+    *    lengthen the prefix;
+    *  - the size-ratio prune compares integer-valued sizes against a
+    *    real-valued bound with a 0.5 slack, so boundary pairs
+    *    (|y| = t·|x| exactly) always survive to verification.
+    */
+  def fuzzyJoinTop1(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, threshold: Double, q: Int = 5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    // Each side's gram frame feeds three consumers (frequency table,
+    // prefix build, verify arrays) → pinned once per side.
+    val exL = Dedup.pinnedFrame(charGramFrame(left, idCol, textCol, q))
+    val exR = Dedup.pinnedFrame(charGramFrame(right, idCol, textCol, q))
+
+    // Global rarity order: combined doc-frequency over both catalogs.
+    // Any consistent order is CORRECT; rarity-first is what makes
+    // prefix postings lists short.
+    val tf = exL.union(exR).groupBy(col("s")).agg(count(lit(1)).as("tf"))
+
+    // Per-id prefix: the (n - ceil(t*n) + 1) rarest grams. A pair with
+    // jaccard >= t shares at least one gram in both prefixes
+    // (pigeonhole on the 1-t fraction of grams allowed to differ).
+    def prefix(ex: DataFrame) = {
+      val n = count(lit(1)).over(Window.partitionBy(col("id")))
+      val rn = row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("tf"), col("s")))
+      ex.join(tf, Seq("s"))
+        .select(col("id"), col("s"), n.as("n"), rn.as("rn"))
+        .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+    }
+    // Candidate OCCURRENCES, deliberately NOT deduplicated: a pair
+    // sharing k prefix grams appears k times (k <= prefix length, and
+    // measured ~1.5 mean on part entities at sf0.1 — 5.4M occurrence
+    // rows for 3.6M pairs). Deduplicating costs a full pair shuffle +
+    // hash aggregate (7.3 s at sf0.1, the pipeline's dominant stage);
+    // letting duplicates stream through the map-side verify costs one
+    // redundant array-intersect per extra occurrence (~0.15 s total).
+    // Top-1 selection makes duplicates harmless: row_number keeps one
+    // row per left id regardless. Size-ratio prune:
+    // jaccard >= t forces t*max(n_l,n_r) <= min(n_l,n_r).
+    //
+    // The explicit round-robin repartition on the stream side is
+    // load-bearing: the prefix frame is small by BYTES (~5 MB at
+    // sf0.1), so AQE coalesces its window shuffle to ONE partition —
+    // but the candidate join AMPLIFIES it ~100× and the per-row
+    // verification behind it is the pipeline's entire CPU cost, so the
+    // whole query collapsed onto a single core (measured: a 1-task
+    // 16.8 s stage, 15.7 s of it CPU). AQE sizes partitions by input
+    // bytes and cannot see output amplification; a user repartition is
+    // exempt from coalescing and restores full fan-out (16.8 s → ~1 s
+    // at 32 cores, same plan otherwise).
+    // Positional filter (the "PP" in PPJoin): `rn` is each gram's
+    // position in the id's FULL rarity-sorted gram list, so at an
+    // occurrence row the overlap can reach at most
+    // 1 + min(n_l - rn_l, n_r - rn_r) (grams after the shared one on
+    // each side), while jaccard >= t needs >= ceil(t/(1+t)·(n_l+n_r)).
+    // Rows where the bound falls short are pruned (measured: 3.6M ->
+    // 1.0M verify rows on part entities at sf0.1). SAFE despite
+    // pruning per-OCCURRENCE: for any pair with jaccard >= t the
+    // globally-first common gram sits inside BOTH prefixes (all-after-
+    // prefix common grams would cap overlap at ceil(t·n)-1 < the
+    // required ceil(t/(1+t)(n_l+n_r)) >= ceil(t·n_l)), no common gram
+    // precedes it by definition, so ITS row always passes — and one
+    // surviving row per true pair is all top-1 needs. The 0.5 slack
+    // keeps IEEE rounding on the safe (admit) side.
+    val fanout = left.sparkSession.sparkContext.defaultParallelism
+    val reqOverlap = lit(threshold / (1.0 + threshold)) *
+      (col("n_l") + col("n_r")) - 0.5
+    val candidates = prefix(exL).repartition(fanout)
+      .withColumnsRenamed(Map("id" -> "left_id", "n" -> "n_l", "rn" -> "rn_l"))
+      .join(prefix(exR)
+        .withColumnsRenamed(Map("id" -> "right_id", "n" -> "n_r", "rn" -> "rn_r")),
+        Seq("s"))
+      .where(col("n_r") >= lit(threshold) * col("n_l") - 0.5 &&
+        col("n_l") >= lit(threshold) * col("n_r") - 0.5 &&
+        lit(1) + least(col("n_l") - col("rn_l"), col("n_r") - col("rn_r"))
+          >= reqOverlap)
+      .select(col("left_id"), col("right_id"))
+
+    // Exact verification, fully map-side: the candidate occurrence
+    // stream passes through two joins against catalog-sized set tables
+    // (one array per id) whose PINNED true stats let AQE broadcast
+    // them — the gram arrays never cross an exchange. Without that the
+    // stream sort-merge-joins, shuffling both arrays per candidate row
+    // (measured 8 GB / 48 s at sf0.1). At catalog sizes beyond
+    // broadcast reach this degrades to a shuffle join and the right
+    // fix is the candidate prunes, not the join.
+    def sets(ex: DataFrame, idName: String, shName: String) =
+      Dedup.pinnedFrame(ex.groupBy(col("id").as(idName))
+        .agg(collect_set(col("s")).as(shName)))
+    val verified = candidates
+      .join(sets(exL, "left_id", "sh_l"), Seq("left_id"))
+      .join(sets(exR, "right_id", "sh_r"), Seq("right_id"))
+      .withColumn("common", size(array_intersect(col("sh_l"), col("sh_r"))))
+      .withColumn("jaccard", col("common") /
+        (size(col("sh_l")) + size(col("sh_r")) - col("common")))
+      .where(col("jaccard") >= threshold)
+
+    val rank = row_number().over(Window.partitionBy(col("left_id"))
+      .orderBy(col("jaccard").desc, col("right_id")))
+    verified
+      .withColumn("rn", rank)
+      .where(col("rn") === 1)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+}

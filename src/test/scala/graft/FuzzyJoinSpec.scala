@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.FuzzyJoin
+
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("fuzzy-test", "4").getOrCreate()
+  import spark.implicits._
+
+  test("gram frame: count and distinctness") {
+    val df = Seq((1L, "abcd")).toDF("id", "s")
+    // q=3 grams: abc, bcd -> 2 distinct
+    val n = FuzzyJoin.charGramFrame(df, "id", "s", q = 3).count()
+    assert(n == 2)
+    // repeated gram collapses: "aaaa" -> {aaa}
+    val n2 = FuzzyJoin.charGramFrame(
+      Seq((1L, "aaaa")).toDF("id", "s"), "id", "s", q = 3).count()
+    assert(n2 == 1)
+    // too-short strings produce no grams at all
+    val n3 = FuzzyJoin.charGramFrame(
+      Seq((1L, "abcd")).toDF("id", "s"), "id", "s", q = 5).count()
+    assert(n3 == 0)
+  }
+
+  test("fuzzy top-1: picks the best right match, ties to lowest id, threshold filters") {
+    val left = Seq(
+      (2L, "golden lavender spring chocolate"),
+      (4L, "completely unmatched entity string qqq")).toDF("id", "name")
+    val right = Seq(
+      (1L, "golden lavender spring chocolate"), // exact match of left 2
+      (3L, "golden lavender spring chocolatX"), // near match of left 2
+      (5L, "golden lavender spring chocolate"), // duplicate of right 1 (tie)
+      (7L, "zzz yyy xxx www vvv")).toDF("id", "name")
+    val out = FuzzyJoin.fuzzyJoinTop1(left, right, "id", "name", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // left 2 matches rights 1/3/5; best jaccard 1.0 at rights 1 and 5 -> tie to 1
+    // left 4 has no match above 0.8
+    assert(out == List((2L, 1L, 1.0)))
+  }
+
+  test("prefix filter is exact: matches brute force on a random-ish catalog") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def name(seed: Int): String = {
+      // deterministic 4-word names with heavy overlap
+      val r = new scala.util.Random(seed)
+      (0 until 4).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+    val left = (0 until 40).map(i => (i * 2L, name(i))).toDF("id", "name")
+    val right = (0 until 40).map(i => (i * 2L + 1, name(i + 7))).toDF("id", "name")
+    val got = FuzzyJoin.fuzzyJoinTop1(left, right, "id", "name", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // brute force ground truth
+    def tris(s: String) = s.sliding(5).toSet
+    val lm = left.collect().map(r => r.getLong(0) -> tris(r.getString(1)))
+    val rm = right.collect().map(r => r.getLong(0) -> tris(r.getString(1)))
+    val want = lm.flatMap { case (lid, lt) =>
+      val scored = rm.map { case (rid, rt) =>
+        val c = (lt & rt).size
+        (rid, c.toDouble / (lt.size + rt.size - c))
+      }.filter(_._2 >= 0.7)
+      if (scored.isEmpty) None
+      else Some {
+        val best = scored.minBy { case (rid, j) => (-j, rid) }
+        (lid, best._1, best._2)
+      }
+    }.toSet
+    assert(got == want)
+  }
+}
