@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.sim.Similarity
+import graft.sim.{SemanticDedup, Similarity}
 import graft.sources.Tables
 
 /** Vector-similarity query surface over `embeddings`
@@ -224,6 +224,62 @@ object SimilarityQueries {
       WHERE CAST(qdot AS BIGINT) /
           (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nb.nrm AS BIGINT))) >= 0.35"""))
 
+  /** SemDeDup keepers over the whole embeddings table: 16 md5-parity
+    * sign-LSH cells, drop any vector with a smaller-id same-cell
+    * neighbor at quantized cosine ≥ 0.35. Cell assignment, pairwise
+    * scoring, and the keeper rule are ALL integer/IEEE-deterministic,
+    * so unlike the LSH near-dup exhibits there is no recall operating
+    * point here — the oracle replays the full pipeline in SQL.
+    */
+  private val qSemanticDedup = QueryDef(
+    "q_semantic_dedup_keepers",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      SemanticDedup.semanticDedupKeepers(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.35, bits = 4)
+    },
+    Some("""
+      WITH flat AS (
+        SELECT vec_id,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings),
+      planes AS (
+        SELECT j, i,
+          CASE WHEN substr(md5(j || ':' || i), 1, 1)
+            IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS r
+        FROM generate_series(0, 3) t(j)
+        CROSS JOIN (SELECT DISTINCT i FROM flat) d),
+      bits AS (
+        SELECT f.vec_id, p.j,
+          CASE WHEN SUM(f.qv * p.r) >= 0 THEN CAST(1 AS BIGINT) << p.j
+            ELSE 0 END AS bit
+        FROM flat f JOIN planes p ON p.i = f.i
+        GROUP BY 1, 2),
+      cells AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS cell
+        FROM bits GROUP BY 1),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+      pairs AS (
+        SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+        FROM cells ca JOIN cells cb
+          ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id),
+      dominated AS (
+        SELECT DISTINCT p.id_b AS vec_id
+        FROM (
+          SELECT p.id_a, p.id_b, SUM(fa.qv * fb.qv) AS qdot
+          FROM pairs p
+          JOIN flat fa ON fa.vec_id = p.id_a
+          JOIN flat fb ON fb.vec_id = p.id_b AND fb.i = fa.i
+          GROUP BY 1, 2) p
+        JOIN norms na ON na.vec_id = p.id_a
+        JOIN norms nb ON nb.vec_id = p.id_b
+        WHERE CAST(p.qdot AS BIGINT) /
+          (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nb.nrm AS BIGINT)))
+          >= 0.35)
+      SELECT c.vec_id, c.cell FROM cells c
+      LEFT JOIN dominated dd ON dd.vec_id = c.vec_id
+      WHERE dd.vec_id IS NULL"""))
+
   // ------------------------------------------------------- centroids
   private val qCentroids = QueryDef(
     "q_label_centroids",
@@ -303,5 +359,6 @@ object SimilarityQueries {
       WHERE rn <= 5"""))
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
-    qNearDup, qLshNearDup, qCentroids, qCentroidVectors, qLabelOutliers)
+    qNearDup, qLshNearDup, qSemanticDedup, qCentroids, qCentroidVectors,
+    qLabelOutliers)
 }
