@@ -95,6 +95,17 @@ object Bench {
         attempts += (if (ok) dt else -1.0)
         attempt += 1
       }
+      // localCheckpoint blocks (the pinned() frames in dedup/fuzzy/ANN
+      // pipelines) outlive clearCache(): they free only when the RDD is
+      // GC'd AND the ContextCleaner runs, and on a fixed pre-touched
+      // heap full GCs are rare — after ~60 queries the accumulated
+      // blocks squeezed execution memory until window sorts spilled
+      // (q_fuzzy_join_top1: 3.6 s alone, 8.7 s mid-suite, a 7.5 s
+      // single-task spill stage). One explicit GC per QUERY (not per
+      // attempt) keeps the storage pool drained at ~0.1–0.3 s each.
+      // Long-lived cluster sessions don't need this: regular young GCs
+      // keep the ContextCleaner fed.
+      System.gc()
       val best =
         if (attempts.exists(_ > 0)) attempts.filter(_ > 0).min else -1.0
       System.err.println(f"[bench] ${q.name}%-30s $best%9.2f s  " +
