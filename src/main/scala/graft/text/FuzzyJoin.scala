@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   * global gram-frequency table (one narrow count) orders grams by
   * rarity; the per-id prefix is a windowed top-(1-t)·n by that order.
   * Candidate occurrences flow UNAGGREGATED from the prefix join
-  * through map-side broadcast verification (see the inline notes on
-  * why skipping the pair-dedup shuffle wins), and only verified
-  * matches reach the final top-1 window.
+  * through map-side broadcast verification on small catalogs (see the
+  * inline notes on why skipping the pair-dedup shuffle wins there);
+  * past broadcast reach verification switches to narrow long-only
+  * count joins (see the verify-strategy notes inline), and only
+  * verified matches reach the final top-1 window.
   */
 object FuzzyJoin {
 
@@ -69,12 +71,18 @@ object FuzzyJoin {
     *    (|y| = t·|x| exactly) always survive to verification.
     */
   def fuzzyJoinTop1(left: DataFrame, right: DataFrame, idCol: String,
-      textCol: String, threshold: Double, q: Int = 5): DataFrame = {
+      textCol: String, threshold: Double, q: Int = 5,
+      verifyMode: String = "auto"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(Set("auto", "arrays", "count")(verifyMode),
+      "verifyMode in {auto, arrays, count}")
     // Each side's gram frame feeds three consumers (frequency table,
-    // prefix build, verify arrays) → pinned once per side.
-    val exL = Dedup.pinnedFrame(charGramFrame(left, idCol, textCol, q))
-    val exR = Dedup.pinnedFrame(charGramFrame(right, idCol, textCol, q))
+    // prefix build, verify) → pinned once per side, SERIALIZED: gram
+    // frames grow as entities × grams-per-entity and are re-read only
+    // three times, so compact GC-invisible blocks beat deserialized
+    // row objects (which OOM'd the probe heap at 2×75M rows).
+    val exL = Dedup.pinnedSerFrame(charGramFrame(left, idCol, textCol, q))
+    val exR = Dedup.pinnedSerFrame(charGramFrame(right, idCol, textCol, q))
 
     // Global rarity order: combined doc-frequency over both catalogs.
     // Any consistent order is CORRECT; rarity-first is what makes
@@ -84,11 +92,20 @@ object FuzzyJoin {
     // Per-id prefix: the (n - ceil(t*n) + 1) rarest grams. A pair with
     // jaccard >= t shares at least one gram in both prefixes
     // (pigeonhole on the 1-t fraction of grams allowed to differ).
+    // The keyed repartition before the windows is the same
+    // amplification-blind-spot fix as the candidate-join fan-out below:
+    // gram rows are ~24 bytes so AQE coalesces the window exchange to a
+    // handful of partitions by input bytes, but the per-row window sort
+    // CPU behind it is the prefix build's whole cost (measured 5×
+    // under-parallelized at 100k entities/side). HashPartitioning(id)
+    // satisfies the window's required distribution, so this adds no
+    // extra exchange — it just pins the partition count.
+    val fanout = left.sparkSession.sparkContext.defaultParallelism
     def prefix(ex: DataFrame) = {
       val n = count(lit(1)).over(Window.partitionBy(col("id")))
       val rn = row_number().over(
         Window.partitionBy(col("id")).orderBy(col("tf"), col("s")))
-      ex.join(tf, Seq("s"))
+      ex.join(tf, Seq("s")).repartition(fanout, col("id"))
         .select(col("id"), col("s"), n.as("n"), rn.as("rn"))
         .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
     }
@@ -127,7 +144,6 @@ object FuzzyJoin {
     // precedes it by definition, so ITS row always passes — and one
     // surviving row per true pair is all top-1 needs. The 0.5 slack
     // keeps IEEE rounding on the safe (admit) side.
-    val fanout = left.sparkSession.sparkContext.defaultParallelism
     val reqOverlap = lit(threshold / (1.0 + threshold)) *
       (col("n_l") + col("n_r")) - 0.5
     val candidates = prefix(exL).repartition(fanout)
@@ -139,26 +155,61 @@ object FuzzyJoin {
         col("n_l") >= lit(threshold) * col("n_r") - 0.5 &&
         lit(1) + least(col("n_l") - col("rn_l"), col("n_r") - col("rn_r"))
           >= reqOverlap)
-      .select(col("left_id"), col("right_id"))
+      .select(col("left_id"), col("right_id"), col("n_l"), col("n_r"))
 
-    // Exact verification, fully map-side: the candidate occurrence
-    // stream passes through two joins against catalog-sized set tables
-    // (one array per id) whose PINNED true stats let AQE broadcast
-    // them — the gram arrays never cross an exchange. Without that the
-    // stream sort-merge-joins, shuffling both arrays per candidate row
-    // (measured 8 GB / 48 s at sf0.1). At catalog sizes beyond
-    // broadcast reach this degrades to a shuffle join and the right
-    // fix is the candidate prunes, not the join.
-    def sets(ex: DataFrame, idName: String, shName: String) =
-      Dedup.pinnedFrame(ex.groupBy(col("id").as(idName))
-        .agg(collect_set(col("s")).as(shName)))
-    val verified = candidates
-      .join(sets(exL, "left_id", "sh_l"), Seq("left_id"))
-      .join(sets(exR, "right_id", "sh_r"), Seq("right_id"))
-      .withColumn("common", size(array_intersect(col("sh_l"), col("sh_r"))))
-      .withColumn("jaccard", col("common") /
-        (size(col("sh_l")) + size(col("sh_r")) - col("common")))
-      .where(col("jaccard") >= threshold)
+    // Two exact verification strategies — same result, opposite memory
+    // shapes; `auto` picks by measured gram volume (exL/exR are pinned,
+    // so the deciding counts are cheap checkpoint-block scans):
+    //
+    //  - "arrays" (small catalogs): the candidate occurrence stream
+    //    passes through two joins against catalog-sized set tables (one
+    //    gram array per id) whose PINNED true stats let AQE broadcast
+    //    them — gram arrays never cross an exchange, duplicates in the
+    //    occurrence stream are harmless (top-1 dedups), and the whole
+    //    verify is map-side. Measured 3.0 s at sf0.1 (2×10k catalogs).
+    //    Its cliff: collect_set is an OBJECT hash aggregate (no codegen,
+    //    sort-based fallback) and the arrays live on the JVM heap —
+    //    at 2×500k entities (~150M gram rows) the set-table build alone
+    //    OOMs an 8 g executor heap (measured: UNABLE_TO_ACQUIRE_MEMORY
+    //    inside ObjectHashAggregateExec's fallback sorter).
+    //  - "count" (large catalogs): deduplicate candidate pairs (one
+    //    shuffle on the pair key — the cost the arrays path avoids, paid
+    //    here because each pair is about to be amplified by ~n grams),
+    //    then count common grams with two narrow equijoins:
+    //    pairs ⋈ exL on left_id → (pair, s) stream, ⋈ exR on
+    //    (right_id, s) keeps exactly the common grams, and a codegen
+    //    HashAggregate count per pair is |intersection| (gram frames are
+    //    distinct per (id, gram) by construction). Every exchange
+    //    carries only 8-byte longs + two ints; sorts and aggregates all
+    //    spill. Unbounded-catalog safe — this is the 100 TB path.
+    val useCount = verifyMode match {
+      case "count" => true
+      case "arrays" => false
+      // ~16M gram rows ≈ 2×50k entities at ~150 grams each: well under
+      // the measured 150M-row OOM cliff, well over every sf catalog.
+      case _ => exL.count() + exR.count() > 16_000_000L
+    }
+    val verified = if (useCount) {
+      candidates.distinct()
+        .join(exL.withColumnRenamed("id", "left_id"), Seq("left_id"))
+        .join(exR.withColumnRenamed("id", "right_id"), Seq("right_id", "s"))
+        .groupBy(col("left_id"), col("right_id"), col("n_l"), col("n_r"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard", col("common") /
+          (col("n_l") + col("n_r") - col("common")))
+        .where(col("jaccard") >= threshold)
+    } else {
+      def sets(ex: DataFrame, idName: String, shName: String) =
+        Dedup.pinnedFrame(ex.groupBy(col("id").as(idName))
+          .agg(collect_set(col("s")).as(shName)))
+      candidates
+        .join(sets(exL, "left_id", "sh_l"), Seq("left_id"))
+        .join(sets(exR, "right_id", "sh_r"), Seq("right_id"))
+        .withColumn("common", size(array_intersect(col("sh_l"), col("sh_r"))))
+        .withColumn("jaccard", col("common") /
+          (size(col("sh_l")) + size(col("sh_r")) - col("common")))
+        .where(col("jaccard") >= threshold)
+    }
 
     val rank = row_number().over(Window.partitionBy(col("left_id"))
       .orderBy(col("jaccard").desc, col("right_id")))

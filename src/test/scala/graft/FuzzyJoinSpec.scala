@@ -40,6 +40,23 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(out == List((2L, 1L, 1.0)))
   }
 
+  test("count-verify path is identical to the arrays path") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def name(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 4).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+    val left = (0 until 60).map(i => (i * 2L, name(i))).toDF("id", "name")
+    val right = (0 until 60).map(i => (i * 2L + 1, name(i + 5))).toDF("id", "name")
+    def run(mode: String) =
+      FuzzyJoin.fuzzyJoinTop1(left, right, "id", "name", 0.7, verifyMode = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val arrays = run("arrays")
+    assert(arrays.nonEmpty) // the comparison must exercise real matches
+    assert(run("count") == arrays)
+  }
+
   test("prefix filter is exact: matches brute force on a random-ish catalog") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa")

@@ -201,6 +201,26 @@ class PlanSpec extends AnyFunSuite {
       s"document text crossed a shuffle: $exchanges")
   }
 
+  test("fuzzy count-verify plan: no object aggregate, no arrays in any exchange") {
+    import spark.implicits._
+    val left = (0 until 50).map(i => (i.toLong, s"entity number $i padded"))
+      .toDF("id", "name")
+    val right = (0 until 50).map(i => (i.toLong, s"entity number $i padXed"))
+      .toDF("id", "name")
+    val df = graft.text.FuzzyJoin.fuzzyJoinTop1(
+      left, right, "id", "name", 0.8, verifyMode = "count")
+    val p = df.queryExecution.executedPlan.toString
+    // the large-catalog path must never build heap gram arrays: that is
+    // the arrays path's measured OOM cliff (ObjectHashAggregate over
+    // collect_set at 150M gram rows on an 8g heap)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("collect_set"), p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(k => !k.contains("sh_l") && !k.contains("sh_r")),
+      s"gram arrays crossed a shuffle: $exchanges")
+  }
+
   test("stream-stream join plans StreamingSymmetricHashJoin with watermarks") {
     import org.apache.spark.sql.functions.col
     val ev = graft.streaming.StreamingHourPivot.eventsStream(spark, sf)
