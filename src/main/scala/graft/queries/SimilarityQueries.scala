@@ -196,6 +196,40 @@ object SimilarityQueries {
     },
     Some(sqlExactTop20))
 
+  /** Incremental-append exhibit for the served index: build the layout
+    * on 3/4 of the corpus (vec_id % 4 ≠ 0), `appendToIvfIndex` the
+    * remaining quarter against the FROZEN centroids, then serve — the
+    * result must equal exact brute-force top-20 over the full corpus,
+    * which is precisely what the appended index now contains. Shares
+    * q_ann_ivf_topk's oracle. The centroids having seen only the base
+    * corpus is the realistic serve contract (appends don't retrain) —
+    * and it has a measured price: cells drawn from 3/4 of the corpus
+    * concentrate the query's true neighbours slightly less, so exact
+    * recovery needs nProbe = 14/16 where the full-trained index needs
+    * 13 (IvfAppendProbe: 19/20 at 13, 20/20 at 14; a 10% append is
+    * exact at 13). Partition pruning still skips 2 of 16 cells.
+    */
+  private val qIvfAppended = QueryDef(
+    "q_ann_ivf_appended",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val dir = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_append_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (builtIvfIndexes.add(dir)) {
+        Similarity.buildAndWriteIvfIndex(
+          emb.where(col("vec_id") % 4 =!= 0), "embedding", dir, nCells = 16)
+        Similarity.appendToIvfIndex(
+          emb.where(col("vec_id") % 4 === 0), "embedding", dir)
+      }
+      val index = Similarity.readIvfIndex(s, dir)
+      val qvec = emb.where(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.ivfSearchVec(index, "vec_id", "embedding", qvec,
+        k = 20, nProbe = 14, excludeId = Some(0L))
+    },
+    Some(sqlExactTop20))
+
   // ----------------------------------------------- near-dup pairs (exact)
   private val qNearDup = QueryDef(
     "q_embedding_neardup_sample",
@@ -359,6 +393,6 @@ object SimilarityQueries {
       WHERE rn <= 5"""))
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
-    qNearDup, qLshNearDup, qSemanticDedup, qCentroids, qCentroidVectors,
-    qLabelOutliers)
+    qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qCentroids,
+    qCentroidVectors, qLabelOutliers)
 }

@@ -382,6 +382,24 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** Incremental append into a served IVF index: assign the new batch
+    * to the EXISTING centroids (read off the `_centroids` sidecar) and
+    * append the rows into the cell-partitioned layout. Pure map-side —
+    * the assignment is one codegen matrix-score expression per row and
+    * the write lands new part-files inside existing `cell=N`
+    * directories, so probes keep pruning whole directories and never
+    * distinguish base from appended rows. Centroids are deliberately
+    * NOT retrained (the standard IVF serve contract): append keeps the
+    * index exact for search, while sustained distribution drift
+    * degrades cell balance — the operator's answer is a periodic
+    * rebuild, not per-batch retraining.
+    */
+  def appendToIvfIndex(df: DataFrame, vecCol: String, path: String): Unit = {
+    val centroids = readIvfIndex(df.sparkSession, path).centroids
+    assignCells(df, vecCol, centroids)
+      .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
   /** Open a served IVF index written by [[buildAndWriteIvfIndex]]:
     * centroids come off the sidecar (O(nCells·dim), driver-resident by
     * design), the corpus is the partitioned parquet layout — queries

@@ -116,6 +116,16 @@ class PlanSpec extends AnyFunSuite {
       s"cell probe fell out of partition pruning into a row filter:\n$p")
   }
 
+  test("appended IVF: serve path still prunes cell partitions after append") {
+    val p = planString("q_ann_ivf_appended")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("cell#") && f.contains("IN")),
+      s"expected the nProbe cell set to land in PartitionFilters:\n$p")
+    assert(!"Filter .*cell#".r.findFirstIn(p).isDefined,
+      s"cell probe fell out of partition pruning into a row filter:\n$p")
+  }
+
   test("contamination: probe shingle set broadcasts, corpus side never shuffles text") {
     val p = planString("q_contamination_flags")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -75,6 +75,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("IVF append: appended index serves the union exactly as a full rebuild") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_spec")
+      .toString + "/idx"
+    Similarity.buildAndWriteIvfIndex(
+      emb.where(col("vec_id") % 4 =!= 0), "embedding", dir, nCells = 8)
+    Similarity.appendToIvfIndex(
+      emb.where(col("vec_id") % 4 === 0), "embedding", dir)
+    val index = Similarity.readIvfIndex(spark, dir)
+    // every corpus row is in the appended layout exactly once
+    assert(index.cells.count() == emb.count())
+    assert(index.cells.select("vec_id").distinct().count() == emb.count())
+    // appended rows landed in the cell their vector maps to under the
+    // FROZEN centroids (probe pruning stays correct for them)
+    val reassigned = Similarity.assignCells(
+      index.cells.where(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+      "embedding", index.centroids)
+      .withColumnRenamed("cell", "cell2")
+    val mismatched = index.cells.where(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("cell"))
+      .join(reassigned.select(col("vec_id"), col("cell2")), Seq("vec_id"))
+      .where(col("cell") =!= col("cell2")).count()
+    assert(mismatched == 0L)
+  }
+
   test("cell assignment covers all rows, cells within range") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Similarity.trainCentroids(emb, "embedding", 8)
