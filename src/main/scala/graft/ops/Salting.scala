@@ -65,4 +65,32 @@ object Salting {
       .groupBy(keys.map(col): _*)
       .agg(finals.head, finals.tail: _*)
   }
+
+  /** Salted equijoin for extreme key skew on the FACT side: fact rows
+    * are round-robined over `saltBuckets` sub-keys and the other side
+    * is replicated once per bucket (explode over the salt range), so a
+    * hot join key's rows land on `saltBuckets` reducers instead of
+    * one. Join semantics are EXACT: each fact row matches precisely
+    * the replica carrying its salt, so (key, salt) equijoin ≡ key
+    * equijoin row-for-row. `joinType` is limited to inner/left: a
+    * right/full outer would surface the replicas themselves.
+    *
+    * When to reach for it: AQE's skew-join splitting already rescues
+    * sort-merge joins it can measure; manual salting is the portable
+    * form — it survives join-strategy changes (shuffled-hash joins,
+    * which AQE's splitter does not cover in every release), pre-planned
+    * bucketed layouts, and skew that only materializes after upstream
+    * transforms. The price is `saltBuckets`× replication of the other
+    * side's SHUFFLE (not storage); size the bucket count to the hot
+    * key's excess, not to parallelism.
+    */
+  def saltedJoin(fact: DataFrame, other: DataFrame, key: String,
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer", "saltedJoin supports inner/left only")
+    val salted = fact.withColumn("__salt", rowSalt(saltBuckets))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

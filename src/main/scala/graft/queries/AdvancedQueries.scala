@@ -340,6 +340,37 @@ object AdvancedQueries {
         CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Salted skew JOIN (ops/Salting.saltedJoin): lineitem fact rows
+    * round-robin over 8 salt buckets, orders replicated once per
+    * bucket, equijoin on (l_orderkey=o_orderkey, salt) — the manual
+    * spread for a hot join key that AQE's skew splitter can't always
+    * reach (shuffled-hash joins, pre-bucketed layouts). Declared as an
+    * IDENTITY exhibit like q_salted_agg: the salted join must equal
+    * the plain join row-for-row, checked through an order-priority
+    * revenue rollup so the oracle is the unsalted SQL join.
+    */
+  private val qSaltedJoin = QueryDef(
+    "q_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val joined = graft.ops.Salting.saltedJoin(
+        li, Tables.orders(s, d), "o_orderkey", saltBuckets = 8)
+      joined.groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
   /** Top-3 prices per supplier via the partial top-k Aggregator
     * (functions/TopKAggregator) — the map-side alternative to the
     * window row_number formulation (q_window_top3_per_supplier): the
@@ -367,5 +398,5 @@ object AdvancedQueries {
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
     qUnionAll, qApprox, qRange, qSample, qSplit, qMixSources, qPacking,
-    qSalted, qTopKAgg)
+    qSalted, qSaltedJoin, qTopKAgg)
 }

@@ -304,21 +304,22 @@ object TextQueries {
   private val builtNearDupIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private val qNearDupServed = QueryDef(
-    "q_neardup_index_served",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.where(col("doc_id") % 5 =!= 0)
-      val batch = docs.where(col("doc_id") % 5 === 0)
-      val dir = System.getProperty("java.io.tmpdir") +
-        "/graft_neardup_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      if (builtNearDupIndexes.add(dir))
-        Dedup.buildAndWriteNearDupIndex(corpus, "doc_id", "text", dir)
-      Dedup.servedNearDups(s, batch, corpus, "doc_id", "text", dir,
-        threshold = 0.5, numHashes = 32, bands = 16,
-        estThresholdOpt = Some(0.35))
-    },
-    Some("""
+  /** Build-once memo for the served near-dup index (corpus =
+    * doc_id % 5 ≠ 0), shared by the batch and streaming exhibits —
+    * whichever runs first builds; both serve the same layout.
+    */
+  private def ensureNearDupIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val dir = System.getProperty("java.io.tmpdir") +
+      "/graft_neardup_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    if (builtNearDupIndexes.add(dir))
+      Dedup.buildAndWriteNearDupIndex(
+        Tables.documents(s, d).where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", dir)
+    dir
+  }
+
+  private val sqlServedNearDups = """
       WITH""" + sqlShingleCtes("documents") + """,
       pairs AS (
         SELECT b.doc_id AS id_batch, a.doc_id AS id_corpus,
@@ -330,7 +331,36 @@ object TextQueries {
       FROM pairs
       JOIN sizes sa ON sa.doc_id = id_corpus
       JOIN sizes sb ON sb.doc_id = id_batch
-      WHERE common / (sa.n + sb.n - common) >= 0.5"""))
+      WHERE common / (sa.n + sb.n - common) >= 0.5"""
+
+  private val qNearDupServed = QueryDef(
+    "q_neardup_index_served",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val dir = ensureNearDupIndex(s, d)
+      Dedup.servedNearDups(s, batch, corpus, "doc_id", "text", dir,
+        threshold = 0.5, numHashes = 32, bands = 16,
+        estThresholdOpt = Some(0.35))
+    },
+    Some(sqlServedNearDups))
+
+  /** The served near-dup check as a CONTINUOUS ingest query
+    * (StreamingNearDup): micro-batches of arriving documents are
+    * checked against the same served index via foreachBatch — the
+    * streaming-dedup rung where the reference set is an unbounded
+    * TABLE rather than a literal-sized probe set. Hash-checked against
+    * the SAME exact-Jaccard oracle as the batch exhibit: the union of
+    * micro-batch outputs must equal the one-shot run whatever the
+    * arrival partitioning (servedNearDups reports batch×index pairs
+    * only, so per-document verdicts are independent of batching).
+    */
+  private val qStreamNearDup = QueryDef(
+    "q_stream_neardup_index",
+    (s, d) => graft.streaming.StreamingNearDup.runBatchEquivalent(
+      s, d, ensureNearDupIndex(s, d)),
+    Some(sqlServedNearDups))
 
   private val sqlSimhashOracle = """
       WITH""" + sqlShingleCtes("documents") + """,
@@ -705,5 +735,5 @@ object TextQueries {
     qJaccard, qClusters, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,
-    qStreamContamination, qFingerprint, qTopTerms, qRedact)
+    qStreamContamination, qStreamNearDup, qFingerprint, qTopTerms, qRedact)
 }

@@ -35,6 +35,28 @@ class SaltingSpec extends AnyFunSuite {
     assert(partials.max <= 10000 / 16 + 16, s"near-uniform: ${partials.toSeq}")
   }
 
+  test("salted join equals plain join, inner and left, duplicates intact") {
+    // hot key 1 dominates the fact side; dim has extra + missing keys
+    val fact = (Seq.fill(5000)((1L, "hot")) ++
+      (2L to 50L).map(i => (i, s"row$i")) :+ ((99L, "orphan")))
+      .toDF("k", "payload")
+    val dim = ((1L to 40L).map(i => (i, s"dim$i")) :+ ((77L, "unused")))
+      .toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    for (jt <- Seq("inner", "left")) {
+      val salted = Salting.saltedJoin(fact, dim, "k", 8, jt)
+      val plain = fact.join(dim, Seq("k"), jt)
+      assert(canon(salted) == canon(plain), s"joinType=$jt")
+    }
+    // hot key spread: the salted inner join's fact-side rows for key 1
+    // must not collapse into a single (k, salt) group
+    val spread = fact.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)))
+      .where($"k" === 1L).groupBy("__salt").count().count()
+    assert(spread == 8L)
+  }
+
   test("salted sum/max equals direct; two shuffles in plan") {
     val salted = Salting.saltedAgg(skewed, Seq("k"), 16,
       Seq(sum($"v").as("s"), max($"v").as("m")),

@@ -167,6 +167,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r(4) == true), "some doc must be flagged")
   }
 
+  test("streaming near-dup ingest filter equals the batch served-index run") {
+    import graft.sources.Tables
+    import graft.text.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream_spec")
+      .toString + "/idx"
+    Dedup.buildAndWriteNearDupIndex(corpus, "doc_id", "text", dir)
+    val batch = Dedup.servedNearDups(spark,
+        docs.where(col("doc_id") % 5 === 0), corpus, "doc_id", "text", dir,
+        threshold = 0.5, numHashes = 32, bands = 16,
+        estThresholdOpt = Some(0.35))
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamingNearDup
+      .runBatchEquivalent(spark, sf, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "the sf0.001 split must produce near-dup pairs")
+  }
+
   test("batch sessionization: gap splits sessions, counts and bounds exact") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
