@@ -82,8 +82,12 @@ object Bench {
             true
           } catch {
             // NonFatal only: an OOM/fatal JVM error must kill the run
-            // loudly, not silently become a -1.0 entry
-            case NonFatal(_) => false
+            // loudly, not silently become a -1.0 entry. Print the cause —
+            // a bare -1.0 in the record cost a full round-trip to diagnose.
+            case NonFatal(e) =>
+              System.err.println(s"[bench] ${q.name} FAILED: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries persist intermediates (shingle frames, IVF cells) that

@@ -23,23 +23,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
-    * the legacy conf and rebuild a TimestampType column with exact
-    * integer division (`DIV`, not `/` — ns-since-epoch ≈ 1.7e18 exceeds
-    * double's 2^53 integer range, so float division would corrupt it).
-    * Sub-microsecond precision is dropped; date/hour/window semantics
-    * are unaffected.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark reads as raw
+    * int64 under the `nanosAsLong` legacy conf) and plain TIMESTAMP
+    * (micros, naive → TIMESTAMP_NTZ under the reader's default NTZ
+    * inference). Dispatch on the READ type — the same schema-driven
+    * coercion ladder the reference applies to its heterogeneous pickup
+    * timestamps (pivot_and_boostrap/pivot_all_files.py:139-149) —
+    * normalizing both to session-UTC TimestampType:
+    *  - LongType (legacy nanos): exact integer `DIV 1000` rebuild
+    *    (`DIV`, not `/` — ns-since-epoch ≈ 1.7e18 exceeds double's 2^53
+    *    integer range, so float division would corrupt it).
+    *  - TIMESTAMP_NTZ: cast to TimestampType; the session timezone is
+    *    pinned UTC, so the stored wall clock is reinterpreted
+    *    identically to how the DuckDB oracle reads the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // nanosAsLong is set at session bootstrap (Session.builder); the
     // belt-and-braces set here covers sessions built elsewhere, scoped
     // check-then-set so an already-configured session is never mutated
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -29,8 +29,12 @@ object StreamingHourPivot {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** Events-shaped streaming source from the testdata parquet layout
-    * (ns timestamps → exact DIV rebuild, as in Tables.events).
+  /** Events-shaped streaming source from the testdata parquet layout.
+    * `ts` dispatches on the footer schema exactly like Tables.events:
+    * legacy int64-nanos layouts get the exact `DIV 1000` rebuild; the
+    * timestamp[us] layout converts to TimestampType directly (the
+    * Footers converter runs with NTZ inference off, mirroring how the
+    * session-UTC batch reader lands the same wall clock).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     // nanosAsLong is set at session bootstrap (Session.builder) — the
@@ -42,10 +46,14 @@ object StreamingHourPivot {
       spark.sparkContext.hadoopConfiguration, path, nanosAsLong = true)
     // the file source requires a directory basePath; select the events
     // file from the sf dir via glob filter
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
   }
 
   /** Unbounded hour-pivot transform with a watermark for state
