@@ -53,8 +53,14 @@ object Bench {
 
     val headline = SparkEntry.headlineQueries.map(_.name).toSet
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // Headline queries run FIRST: the wall-clock budget degrades later
+    // queries to min-of-1, and in registry order that hit the LATE
+    // headline queries (round-5 record: q_ann_lsh_topk got one cold
+    // attempt, ~2× its min-of-3). The recorded headline set must always
+    // get its full min-of-N; non-headline queries absorb the degradation.
     val toRun = graft.queries.Registry.all
       .filter(q => only.forall(_.contains(q.name)))
+      .sortBy(q => !headline.contains(q.name))
     // min-of-N per query: this box is time-shared, and a single-shot
     // record mixes ~2 s of scheduler noise into individual queries
     // (round-3 record ran 23% over the same build's clean runs). The

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.sim.{SemanticDedup, Similarity}
+import graft.sim.{KMeans, SemanticDedup, Similarity}
 import graft.sources.Tables
 
 /** Vector-similarity query surface over `embeddings`
@@ -314,6 +314,73 @@ object SimilarityQueries {
       LEFT JOIN dominated dd ON dd.vec_id = c.vec_id
       WHERE dd.vec_id IS NULL"""))
 
+  // -------------------------------------------------------- k-means
+  /** Shared unrolled-Lloyd's oracle prefix: quantized components,
+    * integer squared-L2 distances, smallest-cluster-id tie-break,
+    * floor-of-mean centroid updates — every step engine-exact, so the
+    * oracle replays the full 2-iteration trajectory (seed = vectors
+    * 0..7, two centroid updates, final assignment). See graft.sim.KMeans.
+    */
+  private def kmeansSql(finalSelect: String): String = {
+    def step(n: Int, cent: String) = s"""
+      d$n AS (
+        SELECT f.vec_id, c.cluster, SUM((f.qv - c.qc) * (f.qv - c.qc)) AS d
+        FROM flat f JOIN $cent c ON c.pos = f.pos
+        GROUP BY 1, 2),
+      a$n AS (
+        SELECT vec_id, cluster, CAST(d AS BIGINT) AS qdist FROM (
+          SELECT vec_id, cluster, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+          FROM d$n) WHERE rn = 1)"""
+    def update(n: Int, assign: String) = s"""
+      cent$n AS (
+        SELECT a.cluster, f.pos,
+          CAST(FLOOR(CAST(SUM(f.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
+        FROM $assign a JOIN flat f ON f.vec_id = a.vec_id
+        GROUP BY 1, 2)"""
+    s"""
+      WITH flat AS (
+        SELECT vec_id,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(embedding, 1) AS pos
+        FROM embeddings),
+      cent0 AS (
+        SELECT CAST(vec_id AS INT) AS cluster, pos, qv AS qc
+        FROM flat WHERE vec_id < 8),
+      ${step(0, "cent0")},
+      ${update(1, "a0")},
+      ${step(1, "cent1")},
+      ${update(2, "a1")},
+      ${step(2, "cent2")}
+      $finalSelect"""
+  }
+
+  /** Distributed k-means (k = 8, 2 Lloyd iterations, deterministic
+    * smallest-ids seed) — full-corpus assignment with exact integer
+    * arithmetic end-to-end; the oracle unrolls the entire trajectory.
+    */
+  private val qKmeans = QueryDef(
+    "q_kmeans_clusters",
+    (s, d) =>
+      KMeans.fit(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2),
+    Some(kmeansSql("SELECT vec_id, cluster, qdist FROM a2")))
+
+  /** Cluster-balanced diversity subsample on top of the same clustering
+    * (≤ 20 smallest-id members per cluster) — the sampling step that
+    * equalizes embedding-space coverage regardless of cluster mass.
+    */
+  private val qKmeansSample = QueryDef(
+    "q_kmeans_balanced_sample",
+    (s, d) =>
+      KMeans.balancedSample(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, m = 20),
+    Some(kmeansSql("""
+      SELECT vec_id, cluster, CAST(rank AS INT) AS rank FROM (
+        SELECT vec_id, cluster,
+          ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rank
+        FROM a2) WHERE rank <= 20""")))
+
   // ------------------------------------------------------- centroids
   private val qCentroids = QueryDef(
     "q_label_centroids",
@@ -393,6 +460,6 @@ object SimilarityQueries {
       WHERE rn <= 5"""))
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
-    qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qCentroids,
-    qCentroidVectors, qLabelOutliers)
+    qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
+    qKmeansSample, qCentroids, qCentroidVectors, qLabelOutliers)
 }

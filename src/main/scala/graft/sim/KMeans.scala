@@ -1,0 +1,138 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the corpus
+  * clustering primitive of a training-data curation pipeline (cluster-
+  * balanced sampling, SemDeDup-style per-cluster dedup, topic maps).
+  *
+  * This is the FULL-CORPUS counterpart of `Similarity.lloyd` (which
+  * trains on a bounded driver-side sample for IVF cells): here every
+  * assignment pass is a map-side executor scan and every centroid
+  * update is one distributed aggregate. Per iteration:
+  *
+  *  - **assign**: the k×dim centroid matrix enters the plan as a
+  *    literal (k·dim ≤ a few thousand longs — same broadcast-the-tiny-
+  *    side rule as the contamination probes), and each row computes
+  *    argmin-of-squared-L2 with codegen'd higher-order functions
+  *    (`transform` + `zip_with` + `aggregate`). No join, no shuffle.
+  *  - **update**: `posexplode` the quantized vector and aggregate
+  *    SUM/COUNT by (cluster, pos) — partial aggregation means the
+  *    shuffle carries ≤ k·dim rows per map partition, and only the
+  *    k·dim final centroid cells reach the driver (the one bounded
+  *    collect, same contract as IVF's `_centroids` sidecar).
+  *
+  * At 100 TB the per-iteration cost is therefore one full scan plus a
+  * k·dim-sized exchange — the textbook scalable Lloyd's shape. Callers
+  * iterating many times should persist the quantized projection once
+  * instead of re-deriving it per pass.
+  *
+  * Every number is engine-exact, making the whole trajectory oracle-
+  * checkable (no float drift across iterations):
+  *  - components quantize to `round(x·10⁴)` longs (the repo-standard
+  *    embedding quantization);
+  *  - distances are integer squared-L2 sums;
+  *  - ties pick the smallest cluster id (argmin = FIRST index of the
+  *    minimum in ascending-cluster-id order);
+  *  - centroid updates are `floor(sum/count)` longs. The double
+  *    division inside `floor` is safe: |sum| ≤ 10⁴·n is exact in
+  *    double, and a rational a/b with b = cluster size can sit within
+  *    one ulp of an integer only if it IS that integer, so both
+  *    engines floor identically.
+  *  - clusters that lose all members in an iteration simply drop out
+  *    of the next assignment domain (documented contract; the oracle's
+  *    GROUP BY mirrors it for free).
+  *
+  * The reference has no clustering surface; this extends the same
+  * embedding family as Similarity (SURVEY §7 phase 4).
+  */
+object KMeans {
+
+  private def q(x: Column): Column = round(x.cast("double") * 10000).cast("long")
+
+  /** Quantized copy of the vector column (ARRAY<LONG>). */
+  def quantize(vec: Column): Column = transform(vec, x => q(x))
+
+  /** Centroids of non-empty clusters, ascending cluster id. */
+  final case class Centroids(ids: Seq[Int], cells: Seq[Array[Long]])
+
+  /** Deterministic seed: the quantized vectors of the k smallest ids. */
+  def initCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Centroids = {
+    val rows = df.orderBy(col(idCol)).limit(k)
+      .select(quantize(col(vecCol)))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    Centroids(rows.indices, rows.toSeq)
+  }
+
+  /** Map-side assignment of every row to its nearest centroid.
+    * Input must carry a quantized `__qv` column; output adds `cluster`
+    * (INT) and `qdist` (LONG, exact squared L2). Zero shuffles: the
+    * centroid matrix is a plan literal, distances and the argmin are
+    * per-row codegen'd expressions.
+    */
+  def assign(df: DataFrame, cents: Centroids): DataFrame = {
+    val centArr = array(cents.cells.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    val idArr = array(cents.ids.map(lit(_)): _*)
+    df.withColumn("__dists",
+        transform(centArr, c =>
+          aggregate(zip_with(col("__qv"), c, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)))
+      // first index of the minimum → smallest cluster id wins ties
+      .withColumn("__i", array_position(col("__dists"), array_min(col("__dists"))))
+      .withColumn("cluster", element_at(idArr, col("__i").cast("int")))
+      .withColumn("qdist", element_at(col("__dists"), col("__i").cast("int")))
+      .drop("__dists", "__i")
+  }
+
+  /** One distributed centroid update: floor-of-mean per (cluster, pos),
+    * collected to the driver (≤ k·dim cells — bounded by construction).
+    */
+  def updateCentroids(assigned: DataFrame, dim: Int): Centroids = {
+    val rows = assigned
+      .select(col("cluster"), posexplode(col("__qv")).as(Seq("pos", "qv")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(floor(sum(col("qv")) / count(lit(1))).as("qc"))
+      .collect()
+    val byCluster = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    Centroids(
+      byCluster.map(_._1),
+      byCluster.map { case (_, cells) =>
+        val arr = new Array[Long](dim)
+        cells.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        arr
+      })
+  }
+
+  /** `iters` Lloyd iterations from the deterministic k-smallest-ids
+    * seed; returns the final assignment (id, cluster, qdist).
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val base = df.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+    var cents = initCentroids(df, idCol, vecCol, k)
+    for (_ <- 1 to iters)
+      cents = updateCentroids(assign(base, cents), dim)
+    assign(base, cents).select(col(idCol), col("cluster"), col("qdist"))
+  }
+
+  /** Cluster-balanced subsample: the `m` smallest-id members of each
+    * cluster — the diversity-sampling step that follows clustering in a
+    * curation pipeline (equal representation per region of embedding
+    * space regardless of cluster mass). One window per cluster; the
+    * heavy lifting (clustering) is `fit`.
+    */
+  def balancedSample(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, m: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col(idCol))
+    fit(df, idCol, vecCol, k, iters)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= m)
+      .select(col(idCol), col("cluster"), col("rank"))
+  }
+}
