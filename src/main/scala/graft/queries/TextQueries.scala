@@ -729,9 +729,96 @@ object TextQueries {
           '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) = 0) AS fully_redacted
       FROM red"""))
 
+  /** BPE first-merge induction: corpus-wide counts of adjacent
+    * character pairs within whitespace tokens — the statistic a BPE
+    * tokenizer trainer maximizes at every merge step. Top-50 by
+    * (count DESC, pair ASC). All-integer → hash-exact. Scale shape:
+    * the pair explosion is map-side (two nested codegen'd HOFs); the
+    * single shuffle carries (pair, partial count) — vocabulary-sized,
+    * not corpus-sized — and the top-k is TakeOrderedAndProject.
+    */
+  private val qBpePairs = QueryDef(
+    "q_bpe_merge_pairs",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+        .select(explode(graft.text.TextFunctions.charPairs(col("tok"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50),
+    Some(s"""
+      WITH tok AS (
+        SELECT unnest($sqlTokens) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+          i -> substr(tok, i, 2))) AS pair
+        FROM tok WHERE length(tok) >= 2)
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY pair
+      ORDER BY n DESC, pair
+      LIMIT 50"""))
+
+  /** BM25 keyword search (log-free odds idf — see graft.text.Bm25 for
+    * why: every step is IEEE-exact with a pinned evaluation order, so
+    * the double scores hash-match across engines; libm's ln would not).
+    * The oracle mirrors the weight formula TEXTUALLY — same operand
+    * order, same fixed-order 3-term sum.
+    */
+  private val qBm25 = QueryDef(
+    "q_bm25_search",
+    (s, d) =>
+      graft.text.Bm25.search(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("hash", "join", "vector"), k = 20),
+    Some(s"""
+      WITH dl AS (
+        SELECT doc_id, CAST($sqlNTokens AS BIGINT) AS dl FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tok AS (
+        SELECT doc_id, unnest($sqlTokens) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term IN ('hash', 'join', 'vector')
+        GROUP BY doc_id, term),
+      df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      -- every fractional literal is CAST to DOUBLE: DuckDB parses them
+      -- as DECIMAL and would do exact decimal arithmetic where Spark
+      -- does IEEE double ops — the pinned-order contract requires both
+      -- engines to run the SAME double operations
+      w AS (
+        SELECT tf.doc_id, tf.term,
+          ((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+            ((tf * CAST(2.2 AS DOUBLE)) /
+             (tf + CAST(1.2 AS DOUBLE) *
+               (CAST(0.25 AS DOUBLE) +
+                CAST(0.75 AS DOUBLE) * (dl / avgdl)))) AS w
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats),
+      piv AS (
+        SELECT doc_id,
+          MAX(CASE WHEN term = 'hash' THEN w END) AS w_hash,
+          MAX(CASE WHEN term = 'join' THEN w END) AS w_join,
+          MAX(CASE WHEN term = 'vector' THEN w END) AS w_vector
+        FROM w GROUP BY doc_id)
+      SELECT dl.doc_id,
+        COALESCE(w_hash, CAST(0.0 AS DOUBLE))
+          + COALESCE(w_join, CAST(0.0 AS DOUBLE))
+          + COALESCE(w_vector, CAST(0.0 AS DOUBLE)) AS bm25
+      FROM dl LEFT JOIN piv ON piv.doc_id = dl.doc_id
+      ORDER BY bm25 DESC, dl.doc_id
+      LIMIT 20"""))
+
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact,
+    qVocabCoverage, qDedupExact, qBm25, qBpePairs,
     qJaccard, qClusters, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,

@@ -24,6 +24,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Adjacent character pairs of one token (the BPE merge-candidate
+    * unit): `"hash"` → `["ha","as","sh"]`; tokens shorter than 2 chars
+    * yield an empty array. Codegen'd HOF — `sequence` is guarded so it
+    * never sees an empty range.
+    */
+  def charPairs(token: Column): Column =
+    when(length(token) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(token) - 1),
+        i => token.substr(i, lit(2))))
+
   /** A BPE-ish subword proxy: count of alternating letter/digit runs —
     * `regexp_count`-style token estimate used when whitespace tokens are
     * too coarse (long concatenated strings). Pure regex, codegen'd.

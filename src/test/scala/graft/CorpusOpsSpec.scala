@@ -240,4 +240,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the within-doc repeat did NOT inflate df
     assert(top.forall { case (g, n) => g != "x y z" || n == 1L })
   }
+
+  test("char pairs: adjacent bigrams, short tokens empty, never crashes") {
+    import graft.text.TextFunctions
+    val rows = Seq("hash", "ab", "x", "").toDF("tok")
+      .select(col("tok"), TextFunctions.charPairs(col("tok")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(rows("hash") == Seq("ha", "as", "sh"))
+    assert(rows("ab") == Seq("ab"))
+    assert(rows("x").isEmpty && rows("").isEmpty)
+  }
+
+  test("bm25: rarer term outranks common term at equal tf; doc-id tiebreak") {
+    import graft.text.Bm25
+    // "rare" appears in 1 doc, "common" in 3; doc 1 and 2 have equal
+    // length; doc 1 holds the rare term → must outscore doc 2
+    val docs = Seq(
+      (1L, "rare common filler words here"),
+      (2L, "common filler words here again"),
+      (3L, "common filler words here again"),
+      (4L, "filler words only in this doc")).toDF("doc_id", "text")
+    val out = Bm25.search(docs, "doc_id", "text",
+      terms = Seq("rare", "common"), k = 4).collect()
+    assert(out.map(_.getLong(0)).head == 1L)
+    val scores = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+    // docs 2 and 3 are identical → equal scores, id order decides
+    assert(scores(2L) == scores(3L))
+    val order = out.map(_.getLong(0)).toSeq
+    assert(order.indexOf(2L) < order.indexOf(3L))
+    // doc 4 matches nothing → score 0, still present (left join), last
+    assert(scores(4L) == 0.0 && order.last == 4L)
+  }
 }
