@@ -60,6 +60,62 @@ object Sampling {
     df.withColumn(outCol, expr)
   }
 
+  /** Deterministic training-order shuffle with SCALABLE global
+    * enumeration — the write-order primitive for a training corpus:
+    * every row gets a global 1-based `shuffle_pos` in md5-shuffled
+    * order (and a `shard` id when `shardSize` > 0), reproducible on
+    * any engine and at any parallelism.
+    *
+    * The naive formulation — `row_number() OVER (ORDER BY md5(key))` —
+    * is a single-partition window: one task enumerates the whole
+    * corpus. This version keeps the enumeration distributed with the
+    * two-level prefix-sum shape (same trick as sequence packing's bin
+    * offsets):
+    *
+    *  1. bucket = first two hex chars of the shuffle digest (256 range
+    *     buckets; the bucket is a PREFIX of the sort key, so
+    *     (bucket, digest) ordering equals global digest ordering);
+    *  2. per-bucket `row_number` — a window PARTITIONED by bucket, 256
+    *     ~uniform partitions (md5 is uniform, so no skew);
+    *  3. bucket offsets = running sum over the 256-row count aggregate
+    *     (a single-partition window over a BOUNDED frame — the same
+    *     bounded-driver-data contract as collected centroids), joined
+    *     back via broadcast.
+    *
+    * global pos = offset + in-bucket rank. One wide shuffle (the
+    * bucket partition), one tiny aggregate, zero unbounded windows —
+    * the shape survives 100 TB; writers then `repartitionByRange` on
+    * `shuffle_pos` (or just on the digest) to materialize the order.
+    */
+  def shuffledIndex(df: DataFrame, key: Column, seed: Long,
+      shardSize: Long = 0L): DataFrame = {
+    val digest = md5(concat(key.cast("string"), lit(s":$seed")))
+    val keyed = df
+      .withColumn("__sk", digest)
+      .withColumn("__bucket", conv(substring(col("__sk"), 1, 2), 16, 10)
+        .cast("int"))
+    val offsets = keyed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__bucket"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              -1)), lit(0L)))
+      .drop("__n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col("__sk"), key)
+    val pos = keyed
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("shuffle_pos",
+        (col("__offset") + row_number().over(w)).cast("long"))
+      .drop("__sk", "__bucket", "__offset")
+    if (shardSize > 0)
+      // integral DIV (not float division) — exact for any corpus size
+      pos.withColumn("shard", expr(s"(shuffle_pos - 1) DIV $shardSize"))
+    else pos
+  }
+
   /** Weighted source mixing — the corpus-composition primitive: each
     * source (crawl, books, code, …) is down-sampled at its own rate in
     * ONE map-side pass, deterministically (same md5-threshold trick as

@@ -262,6 +262,27 @@ object AdvancedQueries {
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM assigned GROUP BY split, source"""))
 
+  /** Deterministic training-order shuffle with SCALABLE global
+    * enumeration (graft.ops.Sampling.shuffledIndex): md5-shuffled
+    * global position + 128-doc shard id, computed with the two-level
+    * prefix-sum shape (256 digest-prefix range buckets, per-bucket
+    * windows, broadcast offsets) instead of the single-partition
+    * `row_number() OVER (ORDER BY ...)` the oracle is allowed to use
+    * at sf scale — same result, scalable plan.
+    */
+  private val qShuffle = QueryDef(
+    "q_training_shuffle",
+    (s, d) =>
+      graft.ops.Sampling.shuffledIndex(
+        Tables.documents(s, d).select(col("doc_id")),
+        col("doc_id"), seed = 42L, shardSize = 128L),
+    Some("""
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS shuffle_pos,
+        CAST((ROW_NUMBER() OVER w - 1) // 128 AS BIGINT) AS shard
+      FROM documents
+      WINDOW w AS (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)"""))
+
   /** Weighted source mixing (graft.ops.Sampling.mixSources): the
     * corpus-composition step — each source sampled at its own rate in
     * one map-side CASE-threshold filter, deterministic in any engine.
@@ -397,6 +418,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qSample, qSplit, qMixSources, qPacking,
-    qSalted, qSaltedJoin, qTopKAgg)
+    qUnionAll, qApprox, qRange, qSample, qSplit, qShuffle, qMixSources,
+    qPacking, qSalted, qSaltedJoin, qTopKAgg)
 }

@@ -260,6 +260,51 @@ object TextQueries {
         (MIN(r) = id) AS is_keeper
       FROM reach GROUP BY id"""))
 
+  /** Priority-keeper variant of the clustering exhibit: same connected
+    * components, but the keeper per cluster is the LONGEST member
+    * (n_chars DESC, id ASC) via Dedup.priorityKeepers — the "keep the
+    * best copy" rule production dedup uses, with an integer priority so
+    * the selection is engine-exact. Oracle = the same recursive-CTE
+    * components + a window over (rep, n_chars).
+    */
+  private val qBestKeepers = QueryDef(
+    "q_neardup_best_keepers",
+    (s, d) => {
+      val sel = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+      val pairs = Dedup.ngramJaccardPairs(sel, "doc_id", "text",
+        shingleN = 3, threshold = 0.01).select(col("id_a"), col("id_b"))
+      val labels =
+        Dedup.nearDupClusters(sel.select(col("doc_id")), "doc_id", pairs)
+      Dedup.priorityKeepers(labels, sel, "doc_id", "n_chars")
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      sel AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 7 = 0),""" +
+      sqlShingleCtes("sel") + """,
+      rawpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jpairs AS (
+        SELECT id_a, id_b FROM rawpairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.01),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM jpairs
+        UNION ALL SELECT id_b, id_a FROM jpairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM sel
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e, reach WHERE e.d = reach.id),
+      clusters AS (
+        SELECT id, CAST(MIN(r) AS BIGINT) AS rep FROM reach GROUP BY id)
+      SELECT c.id AS doc_id, c.rep, CAST(s.n_chars AS BIGINT) AS n_chars,
+        (ROW_NUMBER() OVER (PARTITION BY c.rep
+           ORDER BY s.n_chars DESC, c.id) = 1) AS is_keeper
+      FROM clusters c JOIN sel s ON s.doc_id = c.id"""))
+
   /** MinHash-LSH near-dups at the DEDUP-DECISION threshold (0.5),
     * declared against the full-corpus exact-Jaccard oracle. Sound
     * because the corpus similarity distribution is bimodal (measured:
@@ -819,7 +864,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
     qVocabCoverage, qDedupExact, qBm25, qBpePairs,
-    qJaccard, qClusters, qMinhash, qNearDupServed,
+    qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qFingerprint, qTopTerms, qRedact)

@@ -557,6 +557,31 @@ object Dedup {
     labels.withColumn("is_keeper", (col("id") === col("rep")).cast("boolean"))
   }
 
+  /** Priority-based keeper selection over cluster labels: instead of
+    * the min-id representative, keep the member with the HIGHEST
+    * priority (ties → smaller id) — "keep the best copy" is what
+    * production dedup actually does (longest document, highest quality
+    * score, preferred source), min-id is merely the cheapest
+    * deterministic default. `labels` is `nearDupClusters` output
+    * (id, rep); `priorities` supplies (idCol, priorityCol).
+    *
+    * Scale: one broadcast-or-shuffle join on id and one window
+    * partitioned by rep — clusters are tiny, so the window never sees
+    * a hot key. The priority column must be deterministic for the
+    * keeper set to be reproducible (integer lengths/scores are; float
+    * model scores should be quantized first).
+    */
+  def priorityKeepers(labels: DataFrame, priorities: DataFrame,
+      idCol: String, priorityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep"))
+      .orderBy(col(priorityCol).desc, col("id"))
+    labels.select(col("id"), col("rep"))
+      .join(priorities.select(col(idCol).as("id"), col(priorityCol)),
+        Seq("id"))
+      .withColumn("is_keeper", (row_number().over(w) === 1).cast("boolean"))
+  }
+
   /** End-to-end corpus dedup — THE composite a training-data pipeline
     * actually runs. Three stages, each the cheapest tool for its job:
     *

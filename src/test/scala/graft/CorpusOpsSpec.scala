@@ -241,6 +241,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top.forall { case (g, n) => g != "x y z" || n == 1L })
   }
 
+  test("shuffled index: exact permutation, matches naive global window, partition-invariant") {
+    val docs = spark.range(0, 300).toDF("doc_id")
+    val out = Sampling.shuffledIndex(docs, col("doc_id"), seed = 42L,
+      shardSize = 64L).collect()
+    // positions are exactly 1..N
+    assert(out.map(_.getLong(1)).sorted.toSeq == (1L to 300L))
+    // shard = (pos-1) div 64
+    assert(out.forall(r => r.getLong(2) == (r.getLong(1) - 1) / 64))
+    // equals the naive single-partition formulation
+    val naive = docs
+      .withColumn("k", md5(concat(col("doc_id").cast("string"), lit(":42"))))
+      .withColumn("p", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(out.forall(r => naive(r.getLong(0)) == r.getLong(1)))
+    // parallelism-invariant (the reproducibility contract)
+    val rep = Sampling.shuffledIndex(docs.repartition(7), col("doc_id"),
+      seed = 42L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall(r => rep(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("char pairs: adjacent bigrams, short tokens empty, never crashes") {
     import graft.text.TextFunctions
     val rows = Seq("hash", "ab", "x", "").toDF("tok")

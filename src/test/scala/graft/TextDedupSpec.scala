@@ -154,6 +154,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(9L) == (9L, true))
   }
 
+  test("priority keepers: highest priority wins, ties to smaller id, one per cluster") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(ids, "doc_id", pairs)
+    // cluster {1,2,3}: doc 2 has highest priority; {4,5}: tie → min id 4
+    val prio = Seq((1L, 10L), (2L, 30L), (3L, 20L),
+      (4L, 7L), (5L, 7L), (9L, 1L)).toDF("doc_id", "quality")
+    val out = Dedup.priorityKeepers(labels, prio, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.filter(_._2).keySet == Set(2L, 4L, 9L))
+    assert(out.size == 6)
+  }
+
   test("repetition signals: looping text flagged, clean text passes") {
     import graft.text.TextFunctions
     val df = Seq((1L, "a b a b a b"), (2L, "one two three four five six"))
