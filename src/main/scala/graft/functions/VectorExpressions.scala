@@ -225,6 +225,96 @@ case class FloatMatVecScore(vec: Expression, flatMat: Expression,
     copy(vec = newFirst, flatMat = newSecond, bias = newThird)
 }
 
+/** Nearest row of a constant quantized matrix under squared L2 —
+  * the k-means assignment kernel. Inputs: the row's quantized vector
+  * (array<long>) and the k×dim centroid matrix flattened row-major
+  * (array<long>); output: [argmin_index, min_distance] as array<long>
+  * (first index wins ties → smallest cluster id when rows are ordered
+  * by id). All-integer arithmetic — bit-identical to the
+  * `transform`+`zip_with`+`aggregate` HOF formulation, which evaluates
+  * interpreted with per-element boxing: measured 155 s → (see
+  * SCALE_NOTES round 6) for 1M×64-dim×k=64 assignment. Like
+  * FloatMatVecScore, ONE expression with its own two-loop body stays
+  * a few hundred bytecodes regardless of k, where k inlined
+  * sub-expressions would blow the JIT threshold.
+  */
+case class QVecNearestL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"QVecNearestL2 needs two array<bigint> inputs, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(v: Any, m: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val k = if (dim == 0) 0 else mat.numElements() / dim
+    var bestJ = 0L
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < k) {
+      var acc = 0L
+      val off = j * dim
+      var i = 0
+      while (i < dim) {
+        val d = x.getLong(i) - mat.getLong(off + i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestJ = j.toLong }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(bestJ, bestD))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val dim = ctx.freshName("dim")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val bestJ = ctx.freshName("bestJ")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $dim = $v.numElements();
+         |int $k = $dim == 0 ? 0 : $m.numElements() / $dim;
+         |long $bestJ = 0L;
+         |long $bestD = Long.MAX_VALUE;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  long $acc = 0L;
+         |  int $off = $j * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    long $d = $v.getLong($i) - $m.getLong($off + $i);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $bestJ = (long) $j; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new long[]{$bestJ, $bestD});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QVecNearestL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Register `vec_dot` in the session's function registry — the
     * public seam for exposing a custom Expression as a Column function
@@ -239,6 +329,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_mat_score",
       exprs => FloatMatVecScore(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "q_vec_nearest_l2",
+      exprs => QVecNearestL2(exprs(0), exprs(1)), "built-in")
     // Spark ships BloomFilterMightContain for its runtime row-group
     // filters but does not register it as a SQL function; graft's bloom
     // prefilter (Dedup.contaminationFlagsBloom) evaluates it against a
@@ -269,6 +362,15 @@ object VectorFunctions {
   def vec_mat_score(vec: Column, flatMat: Column, bias: Column): Column = {
     import org.apache.spark.sql.functions.call_function
     call_function("vec_mat_score", vec, flatMat, bias)
+  }
+
+  /** Codegen'd k-means assignment kernel: [argmin_index, min_sq_l2]
+    * of a quantized vector against a flat k×dim quantized matrix.
+    * Requires register(spark).
+    */
+  def q_vec_nearest_l2(vec: Column, flatMat: Column): Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("q_vec_nearest_l2", vec, flatMat)
   }
 
   /** Codegen'd quantized dot (exact integer sum on the 1e-4 grid).

@@ -94,6 +94,46 @@ class VectorExprSpec extends AnyFunSuite {
     assert(n.forall(_.isNullAt(0)))
   }
 
+  test("q_vec_nearest_l2: argmin + exact distance, first index wins ties") {
+    VectorFunctions.register(spark)
+    // centroids (flat 3×2): (0,0), (10,10), (0,0) — duplicate of row 0
+    val flat = typedLit(Seq(0L, 0L, 10L, 10L, 0L, 0L))
+    val rows = Seq(
+      (1L, Seq(1L, 1L)),   // nearest (0,0): dist 2; tie between j=0,2 → 0
+      (2L, Seq(9L, 9L)),   // nearest (10,10): dist 2, j=1
+      (3L, Seq(5L, 5L)))   // equidistant 50 vs 50 vs 50 → j=0
+      .toDF("id", "qv")
+    val out = rows.select(col("id"),
+      VectorFunctions.q_vec_nearest_l2(col("qv"), flat).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(0L, 2L))
+    assert(out(2L) == Seq(1L, 2L))
+    assert(out(3L) == Seq(0L, 50L))
+  }
+
+  test("q_vec_nearest_l2 codegen equals interpreted evaluation") {
+    import graft.functions.QVecNearestL2
+    val vec = Array(3L, -4L, 5L)
+    val mat = Array(0L, 0L, 0L, 3L, -4L, 5L, 1L, 1L, 1L)
+    val lit_v = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(vec, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+    val lit_m = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(mat, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+    val expr = QVecNearestL2(lit_v, lit_m)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(interp.toSeq == Seq(1L, 0L)) // exact match at row 1
+    // end-to-end through codegen via the DataFrame path
+    VectorFunctions.register(spark)
+    val viaDf = Seq(Tuple1(vec.toSeq)).toDF("qv")
+      .select(VectorFunctions.q_vec_nearest_l2(col("qv"),
+        typedLit(mat.toSeq)))
+      .head().getSeq[Long](0)
+    assert(viaDf == interp.toSeq)
+  }
+
   test("vec_cosine of a vector with itself is 1") {
     VectorFunctions.register(spark)
     val c = df.select(VectorFunctions.vec_cosine(col("a"), col("a")))
