@@ -392,6 +392,64 @@ object AdvancedQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 
+  /** Build-once memo for the bucketed layout (same contract as the
+    * served IVF index): the QUERY is the co-located join; rewriting the
+    * bucketed tables per invocation would time the layout build, which
+    * at deployment is a one-time write decision.
+    */
+  private val builtBucketed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Storage-bucketed co-located join (graft.ops.Bucketing): orders and
+    * lineitem pre-bucketed AND pre-sorted on the order key → the join
+    * plan has ZERO exchanges and zero sorts (PlanSpec-asserted) — the
+    * scan satisfies the join's distribution and ordering requirements.
+    * At 100 TB this is the layout that removes the fact-fact shuffle
+    * from every downstream join on the key. Same rollup as
+    * q_salted_join, so the oracle is the plain SQL join — bucketed ≡
+    * plain, hash-checked.
+    */
+  private val qBucketedJoin = QueryDef(
+    "q_bucketed_join_revenue",
+    (s, d) => {
+      // Spark 3+ ignores the written per-bucket sort on read unless
+      // this (misleadingly "legacy") conf is on — without it the SMJ
+      // re-sorts data that is already sorted on disk. Check-then-set,
+      // same scoped pattern as Tables.events. One-file-per-bucket is
+      // the other precondition (see Bucketing.writeBucketed).
+      if (!s.conf.getOption(
+          "spark.sql.legacy.bucketedTableScan.outputOrdering")
+          .contains("true"))
+        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = System.getProperty("java.io.tmpdir") + s"/graft_bucketed_$tag"
+      if (builtBucketed.add(base)) {
+        graft.ops.Bucketing.writeBucketed(Tables.lineitem(s, d),
+          s"graft_li_b_$tag", s"$base/lineitem", "l_orderkey", 16)
+        graft.ops.Bucketing.writeBucketed(
+          Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey"),
+          s"graft_ord_b_$tag", s"$base/orders", "l_orderkey", 16)
+      }
+      val li = graft.ops.Bucketing.readBucketed(s, s"graft_li_b_$tag")
+      val ord = graft.ops.Bucketing.readBucketed(s, s"graft_ord_b_$tag")
+      // merge hint: without it AQE broadcasts the small side at test SF
+      // and the exhibit would not exercise the co-located SMJ path
+      li.hint("merge").join(ord, Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
   /** Top-3 prices per supplier via the partial top-k Aggregator
     * (functions/TopKAggregator) — the map-side alternative to the
     * window row_number formulation (q_window_top3_per_supplier): the
@@ -419,5 +477,5 @@ object AdvancedQueries {
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
     qUnionAll, qApprox, qRange, qSample, qSplit, qShuffle, qMixSources,
-    qPacking, qSalted, qSaltedJoin, qTopKAgg)
+    qPacking, qSalted, qSaltedJoin, qBucketedJoin, qTopKAgg)
 }

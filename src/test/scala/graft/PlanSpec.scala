@@ -231,6 +231,23 @@ class PlanSpec extends AnyFunSuite {
       s"gram arrays crossed a shuffle: $exchanges")
   }
 
+  test("bucketed join: zero exchanges, zero sorts — scan satisfies SMJ requirements") {
+    // build through the declared query (memoized layout), then assert
+    // the join subtree reads the bucketed layout co-located
+    val p = executedPlan("q_bucketed_join_revenue").toString
+    assert(p.contains("SortMergeJoin"), p)
+    // the ONLY exchange allowed is the final groupBy's — none may feed
+    // the join itself; with 16 matching sorted buckets there must be no
+    // Sort node either (scan ordering satisfies the SMJ)
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$p")
+    assert(!joinPart.contains("Sort "),
+      s"bucketed+sorted layout must not re-sort:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan must be bucket-aware:\n$p")
+  }
+
   test("stream-stream join plans StreamingSymmetricHashJoin with watermarks") {
     import org.apache.spark.sql.functions.col
     val ev = graft.streaming.StreamingHourPivot.eventsStream(spark, sf)
