@@ -774,6 +774,57 @@ object TextQueries {
           '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) = 0) AS fully_redacted
       FROM red"""))
 
+  /** Overlapping token-window chunking (TextFunctions.chunkDocs):
+    * 50-token chunks at stride 25 — the embedding-prep transform.
+    * Map-side only; chunk identity travels as md5, never the text.
+    */
+  private val qChunk = QueryDef(
+    "q_doc_chunking",
+    (s, d) =>
+      graft.text.TextFunctions.chunkDocs(Tables.documents(s, d),
+        "doc_id", "text", chunkTokens = 50, stride = 25),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      starts AS (
+        SELECT doc_id, t,
+          unnest(generate_series(0, len(t) - 1, 25)) AS start
+        FROM tok),
+      chunks AS (
+        SELECT doc_id,
+          CAST(start // 25 AS INT) AS chunk_id,
+          CAST(start AS INT) AS start_tok,
+          list_slice(t, start + 1, least(start + 50, len(t))) AS c
+        FROM starts)
+      SELECT doc_id, chunk_id, start_tok,
+        CAST(len(c) AS INT) AS n_tokens,
+        md5(array_to_string(c, ' ')) AS chunk_md5
+      FROM chunks"""))
+
+  /** Vocabulary encoding (TextFunctions.vocabEncode): top-256 corpus
+    * vocab → token ids, every (doc, pos) row encoded, OOV = null —
+    * tokenizer application as a broadcast join.
+    */
+  private val qTokenIds = QueryDef(
+    "q_token_ids",
+    (s, d) =>
+      graft.text.TextFunctions.vocabEncode(Tables.documents(s, d),
+        "doc_id", "text", vocabSize = 256),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($sqlTokens) AS token,
+          CAST(generate_subscripts($sqlTokens, 1) AS INT) AS pos
+        FROM documents WHERE length(trim(text)) > 0),
+      counts AS (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+      vocab AS (
+        SELECT token,
+          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS token_id
+        FROM counts ORDER BY n DESC, token LIMIT 256)
+      SELECT t.doc_id, t.pos, t.token, v.token_id
+      FROM tok t LEFT JOIN vocab v USING (token)"""))
+
   /** BPE first-merge induction: corpus-wide counts of adjacent
     * character pairs within whitespace tokens — the statistic a BPE
     * tokenizer trainer maximizes at every merge step. Top-50 by
@@ -863,7 +914,7 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact, qBm25, qBpePairs,
+    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,

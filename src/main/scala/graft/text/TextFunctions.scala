@@ -292,6 +292,59 @@ object TextFunctions {
         col("cum_share"))
   }
 
+  /** Overlapping token-window chunking — the embedding-prep step that
+    * turns long documents into fixed-budget chunks (RAG indexing,
+    * long-doc embedding): starts at 0, stride, 2·stride… while < doc
+    * length; each chunk is `chunkTokens` tokens (the last may be
+    * shorter). Output carries the chunk's token count and md5 of the
+    * re-joined text (not the text itself — chunk payloads shouldn't
+    * ride result sets, same rule as the dedup pipelines).
+    *
+    * Scale: pure map-side — two nested codegen'd explodes, no shuffle;
+    * at 100 TB chunking is a scan-stage transform feeding the
+    * embedding UDF or the write.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && stride > 0)
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col(idCol),
+        col("__tk"),
+        explode(sequence(lit(0), size(col("__tk")) - 1, lit(stride)))
+          .as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("int").as("chunk_id"),
+        col("__start").cast("int").as("start_tok"),
+        slice(col("__tk"), col("__start") + 1, lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("__c")).as("n_tokens"),
+        md5(array_join(col("__c"), " ")).as("chunk_md5"))
+  }
+
+  /** Vocabulary encoding — tokenizer application at corpus scale: the
+    * top-`vocabSize` tokens by (frequency DESC, token ASC) become ids
+    * 1..V, and every (doc, pos, token) row gets its id (null = OOV).
+    * The vocab is corpus-derived in the same plan; at deployment it is
+    * a small broadcast table either way. The token explosion shuffles
+    * only for the count aggregate; the encode join broadcasts the
+    * vocab.
+    */
+  def vocabEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol), posexplode(tokens(col(textCol)))
+      .as(Seq("pos", "token")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("pos"), col("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token")).limit(vocabSize)
+      .withColumn("token_id", row_number()
+        .over(Window.orderBy(col("__n").desc, col("token"))).cast("int"))
+      .select(col("token"), col("token_id"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("pos"), col("token"), col("token_id"))
+  }
+
   def commonNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame =
     df.select(tokens(col(textCol)).as("__tk"))

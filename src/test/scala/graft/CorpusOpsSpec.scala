@@ -273,6 +273,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows("x").isEmpty && rows("").isEmpty)
   }
 
+  test("chunking: stride windows, short tail, empty docs dropped") {
+    import graft.text.TextFunctions
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens → starts 0,3,6 at stride 3
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextFunctions.chunkDocs(docs, "doc_id", "text",
+      chunkTokens = 4, stride = 3).collect()
+    assert(out.forall(_.getLong(0) == 1L)) // empty doc produced nothing
+    val byChunk = out.map(r => r.getInt(1) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(byChunk == Map(0 -> (0, 4), 1 -> (3, 4), 2 -> (6, 1)))
+  }
+
+  test("vocab encode: ids follow frequency rank, OOV null, positions 1-based") {
+    import graft.text.TextFunctions
+    val docs = Seq(
+      (1L, "b a a"), (2L, "a c")).toDF("doc_id", "text")
+    // freq: a=3, b=1, c=1 → vocab size 2 keeps a(1), b(2); c is OOV
+    val out = TextFunctions.vocabEncode(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(out((1L, 1)) == ("b", Some(2)))
+    assert(out((1L, 2)) == ("a", Some(1)))
+    assert(out((2L, 2)) == ("c", None))
+  }
+
   test("bm25: rarer term outranks common term at equal tf; doc-id tiebreak") {
     import graft.text.Bm25
     // "rare" appears in 1 doc, "common" in 3; doc 1 and 2 have equal
