@@ -381,6 +381,17 @@ object SimilarityQueries {
           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rank
         FROM a2) WHERE rank <= 20""")))
 
+  /** The hour-pivot proof applied to clustering: the SAME assignment
+    * ran as a continuous query (frozen batch-trained centroids, pure
+    * map-side routing, zero state stores) must emit exactly the batch
+    * `KMeans.fit` rows — shared unrolled-Lloyd's oracle.
+    */
+  private val qStreamKmeans = QueryDef(
+    "q_stream_kmeans_assign",
+    (s, d) => graft.streaming.StreamingKMeans.runBatchEquivalent(
+      s, d, k = 8, iters = 2),
+    Some(kmeansSql("SELECT vec_id, cluster, qdist FROM a2")))
+
   // ------------------------------------------------------- centroids
   private val qCentroids = QueryDef(
     "q_label_centroids",
@@ -461,5 +472,6 @@ object SimilarityQueries {
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
-    qKmeansSample, qCentroids, qCentroidVectors, qLabelOutliers)
+    qKmeansSample, qStreamKmeans, qCentroids, qCentroidVectors,
+    qLabelOutliers)
 }

@@ -111,15 +111,27 @@ object KMeans {
   }
 
   /** `iters` Lloyd iterations from the deterministic k-smallest-ids
-    * seed; returns the final assignment (id, cluster, qdist).
+    * seed; returns the trained centroids (for serving/streaming
+    * assignment — the frozen-centroids contract, same as the IVF
+    * index's appends-don't-retrain rule).
     */
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Centroids = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val base = df.select(col(idCol), quantize(col(vecCol)).as("__qv"))
     var cents = initCentroids(df, idCol, vecCol, k)
     for (_ <- 1 to iters)
       cents = updateCentroids(assign(base, cents), dim)
+    cents
+  }
+
+  /** `iters` Lloyd iterations from the deterministic k-smallest-ids
+    * seed; returns the final assignment (id, cluster, qdist).
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val cents = fitCentroids(df, idCol, vecCol, k, iters)
+    val base = df.select(col(idCol), quantize(col(vecCol)).as("__qv"))
     assign(base, cents).select(col(idCol), col("cluster"), col("qdist"))
   }
 

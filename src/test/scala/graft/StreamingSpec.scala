@@ -167,6 +167,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r(4) == true), "some doc must be flagged")
   }
 
+  test("streaming k-means assignment equals batch fit, stateless plan") {
+    import graft.sources.Tables
+    import graft.sim.KMeans
+    val emb = Tables.embeddings(spark, sf)
+    val batch = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamingKMeans
+      .runBatchEquivalent(spark, sf, k = 4, iters = 2)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the routing plan must be stateless: no aggregates, no state store
+    val cents = KMeans.fitCentroids(emb, "vec_id", "embedding", 4, 2)
+    val plan = graft.streaming.StreamingKMeans.assignStream(
+      graft.streaming.StreamingKMeans.embeddingsStream(spark, sf),
+      "vec_id", "embedding", cents).queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"), plan)
+  }
+
   test("streaming near-dup ingest filter equals the batch served-index run") {
     import graft.sources.Tables
     import graft.text.Dedup
