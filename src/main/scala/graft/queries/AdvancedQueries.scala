@@ -411,16 +411,17 @@ object AdvancedQueries {
     */
   private val qBucketedJoin = QueryDef(
     "q_bucketed_join_revenue",
-    (s, d) => {
+    (parent, d) => {
       // Spark 3+ ignores the written per-bucket sort on read unless
       // this (misleadingly "legacy") conf is on — without it the SMJ
-      // re-sorts data that is already sorted on disk. Check-then-set,
-      // same scoped pattern as Tables.events. One-file-per-bucket is
-      // the other precondition (see Bucketing.writeBucketed).
-      if (!s.conf.getOption(
-          "spark.sql.legacy.bucketedTableScan.outputOrdering")
-          .contains("true"))
-        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // re-sorts data that is already sorted on disk. Scope it to a
+      // CLONED session (shared SparkContext + catalog, own SQLConf —
+      // the StreamingRun.withStatePartitions pattern) so nothing else
+      // on the parent session plans under a conf it didn't ask for.
+      // One-file-per-bucket is the other precondition (see
+      // Bucketing.writeBucketed).
+      val s = parent.newSession()
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val base = System.getProperty("java.io.tmpdir") + s"/graft_bucketed_$tag"
       if (builtBucketed.add(base)) {
