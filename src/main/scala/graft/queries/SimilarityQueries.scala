@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.sim.{KMeans, SemanticDedup, Similarity}
+import graft.sim.{KMeans, ProductQuantizer, SemanticDedup, Similarity}
 import graft.sources.Tables
 
 /** Vector-similarity query surface over `embeddings`
@@ -381,6 +381,102 @@ object SimilarityQueries {
           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rank
         FROM a2) WHERE rank <= 20""")))
 
+  // ------------------------------------------------- product quantizer
+  /** Shared oracle for the PQ pipeline: the subspace dimension `j`
+    * rides every CTE as a key, so ONE unrolled-Lloyd's chain trains
+    * all 8 codebooks (same determinism rules as kmeansSql — integer
+    * distances, smallest-code ties, floor-of-mean updates, seed =
+    * subvectors of ids 0..15), then `a2` holds the final codes and
+    * `lut` the query's per-(subspace, code) distances for ADC.
+    */
+  private def pqSql(finalSelect: String): String = {
+    def step(n: Int, cent: String) = s"""
+      d$n AS (
+        SELECT s.vec_id, s.j, c.code, SUM((s.qv - c.qc) * (s.qv - c.qc)) AS d
+        FROM sub s JOIN $cent c ON c.j = s.j AND c.spos = s.spos
+        GROUP BY 1, 2, 3),
+      a$n AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+          FROM d$n) WHERE rn = 1)"""
+    def update(n: Int, assign: String) = s"""
+      cent$n AS (
+        SELECT a.j, a.code, s.spos,
+          CAST(FLOOR(CAST(SUM(s.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
+        FROM $assign a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+        GROUP BY 1, 2, 3)"""
+    s"""
+      WITH flat AS (
+        SELECT vec_id,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(embedding, 1) - 1 AS p
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, CAST(p // 8 AS INT) AS j, CAST(p % 8 AS INT) AS spos, qv
+        FROM flat),
+      cent0 AS (
+        SELECT CAST(vec_id AS INT) AS code, j, spos, qv AS qc
+        FROM sub WHERE vec_id < 16),
+      ${step(0, "cent0")},
+      ${update(1, "a0")},
+      ${step(1, "cent1")},
+      ${update(2, "a1")},
+      ${step(2, "cent2")},
+      lut AS (
+        SELECT c.j, c.code, SUM((q.qv - c.qc) * (q.qv - c.qc)) AS d
+        FROM cent2 c JOIN sub q
+          ON q.vec_id = 0 AND q.j = c.j AND q.spos = c.spos
+        GROUP BY 1, 2)
+      $finalSelect"""
+  }
+
+  /** PQ codes for the whole corpus (m=8 subspaces × 16 codes, 2 Lloyd
+    * iterations — 64 dims compress to 8 code ids ≈ 64× vs float32).
+    * Hash-checks the TRAINED CODEBOOKS themselves: any divergence in
+    * the training trajectory changes some row's code.
+    */
+  private val qPqCodes = QueryDef(
+    "q_pq_codes",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+        .select(col("vec_id"),
+          explode(array((0 until 8).map(j =>
+            struct(lit(j).as("j"), col(s"code_$j").as("code"))): _*)).as("t"))
+        .select(col("vec_id"), col("t.j").as("j"), col("t.code").as("code"))
+    },
+    Some(pqSql("SELECT vec_id, j, code FROM a2")))
+
+  /** ADC top-20 by compressed distance: the query's m×16 lookup table
+    * is a plan literal; each candidate costs m table lookups (zero
+    * float math). The oracle replays training + encoding + LUT + the
+    * ranked sum exactly — approximate SEARCH with exact, hash-checked
+    * semantics.
+    */
+  private val qPqAdc = QueryDef(
+    "q_ann_pq_adc_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      val query = emb.where(col("vec_id") === 0L)
+        .select(graft.sim.KMeans.quantize(col("embedding")))
+        .head().getSeq[Long](0).toArray
+      ProductQuantizer.adcTopK(
+        ProductQuantizer.encode(emb, "vec_id", "embedding", model),
+        "vec_id", query, model, k = 20, excludeId = Some(0L))
+    },
+    Some(pqSql("""
+      SELECT a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+      FROM a2 a JOIN lut l ON l.j = a.j AND l.code = a.code
+      WHERE a.vec_id <> 0
+      GROUP BY a.vec_id
+      ORDER BY adc, a.vec_id
+      LIMIT 20""")))
+
   /** The hour-pivot proof applied to clustering: the SAME assignment
     * ran as a continuous query (frozen batch-trained centroids, pure
     * map-side routing, zero state stores) must emit exactly the batch
@@ -472,6 +568,6 @@ object SimilarityQueries {
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
-    qKmeansSample, qStreamKmeans, qCentroids, qCentroidVectors,
-    qLabelOutliers)
+    qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qCentroids,
+    qCentroidVectors, qLabelOutliers)
 }

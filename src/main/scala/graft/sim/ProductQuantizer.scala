@@ -1,0 +1,170 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory-compression half of a large-scale
+  * vector store (IVF partitions the corpus, PQ shrinks the vectors):
+  * the d-dim space splits into `m` subspaces of d/m dims, each gets its
+  * own k-code codebook (subspace k-means), and a vector is stored as m
+  * small codes — here 64 dims → 8 codes ≈ 64× smaller than float32.
+  * Search then uses ADC (asymmetric distance computation): the query
+  * builds an m×k lookup table of subspace distances once, and each
+  * candidate's approximate distance is m table lookups — no float math
+  * per candidate at all.
+  *
+  * Scale shape: training does ONE full scan per Lloyd iteration
+  * regardless of m — all m subspace assignments are computed in one
+  * projection (m codegen'd QVecNearestL2 kernels over sliced
+  * subvectors), and all m codebook updates ride one
+  * (subspace, code, pos) partial aggregate; only m·k·(d/m) = k·d
+  * centroid cells reach the driver. Encoding is map-side; ADC scoring
+  * is map-side (the LUT is a plan literal) + TakeOrderedAndProject.
+  *
+  * Determinism (the property that makes the WHOLE pipeline — trained
+  * codebooks, codes, ADC ranking — oracle-hash-checkable): identical
+  * rules to graft.sim.KMeans. Components quantize to round(x·10⁴)
+  * longs; distances are integer squared-L2; argmin ties take the
+  * smallest code; updates are floor-of-mean; codes that lose all
+  * members drop out of the next assignment domain; the seed codebook
+  * is the subvectors of the k smallest ids.
+  */
+object ProductQuantizer {
+
+  /** codebooks(j): (codeIds, cells) for subspace j — ids ascending,
+    * each cell a subDim-long centroid.
+    */
+  final case class PqModel(m: Int, subDim: Int, k: Int,
+      codebooks: Seq[KMeans.Centroids])
+
+  private def subCol(qv: Column, j: Int, subDim: Int): Column =
+    slice(qv, j * subDim + 1, subDim)
+
+  private def flatLit(cents: KMeans.Centroids): Column =
+    typedLit(cents.cells.flatten.toSeq)
+
+  /** One projection computing every subspace's [argmin, dist] pair. */
+  private def withCodes(base: DataFrame, model: PqModel): DataFrame = {
+    graft.functions.VectorFunctions.register(base.sparkSession)
+    val cols = (0 until model.m).map { j =>
+      graft.functions.VectorFunctions.q_vec_nearest_l2(
+        subCol(col("__qv"), j, model.subDim), flatLit(model.codebooks(j)))
+        .as(s"__n$j")
+    }
+    val withN = base.select(col("*") +: cols: _*)
+    // map kernel index → code id (ids ascending; kernel returns the
+    // FIRST index of the min → smallest code id wins ties)
+    (0 until model.m).foldLeft(withN) { (df, j) =>
+      val idArr = array(model.codebooks(j).ids.map(lit(_)): _*)
+      df.withColumn(s"code_$j",
+        element_at(idArr, element_at(col(s"__n$j"), 1).cast("int") + 1))
+    }.drop((0 until model.m).map(j => s"__n$j"): _*)
+  }
+
+  /** Seed model: for every subspace, the subvectors of the k
+    * smallest ids (one bounded collect).
+    */
+  def initModel(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int): PqModel = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val rows = df.orderBy(col(idCol)).limit(k)
+      .select(KMeans.quantize(col(vecCol)))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val books = (0 until m).map { j =>
+      KMeans.Centroids(rows.indices,
+        rows.toSeq.map(_.slice(j * subDim, (j + 1) * subDim)))
+    }
+    PqModel(m, subDim, k, books)
+  }
+
+  /** One distributed codebook update across ALL subspaces: explode each
+    * row's m (subspace, code, subvector) triples, floor-of-mean by
+    * (subspace, code, pos) — a single k·d-cell aggregate.
+    */
+  def updateModel(assigned: DataFrame, model: PqModel): PqModel = {
+    val triples = explode(array((0 until model.m).map(j =>
+      struct(lit(j).as("j"), col(s"code_$j").as("code"),
+        subCol(col("__qv"), j, model.subDim).as("sv"))): _*))
+    val rows = assigned
+      .select(triples.as("t"))
+      .select(col("t.j").as("j"), col("t.code").as("code"),
+        posexplode(col("t.sv")).as(Seq("pos", "qv")))
+      .groupBy(col("j"), col("code"), col("pos"))
+      .agg(floor(sum(col("qv")) / count(lit(1))).as("qc"))
+      .collect()
+    val books = (0 until model.m).map { j =>
+      val byCode = rows.filter(_.getInt(0) == j)
+        .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      KMeans.Centroids(
+        byCode.map(_._1),
+        byCode.map { case (_, cells) =>
+          val arr = new Array[Long](model.subDim)
+          cells.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+          arr
+        })
+    }
+    model.copy(codebooks = books)
+  }
+
+  /** Train: `iters` Lloyd iterations over all m subspaces (one scan
+    * per iteration).
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      iters: Int): PqModel = {
+    val base = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qv"))
+    var model = initModel(df, idCol, vecCol, m, k)
+    for (_ <- 1 to iters)
+      model = updateModel(withCodes(base, model), model)
+    model
+  }
+
+  /** Encode the corpus: (idCol, code_0..code_{m-1}) — the compressed
+    * representation (m small ints per vector). Map-side.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    withCodes(
+      df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qv")), model)
+      .select(col(idCol) +: (0 until model.m).map(j => col(s"code_$j")): _*)
+
+  /** ADC lookup table for one query vector: lut(j)(code) = exact
+    * integer squared-L2 between the query's j-th subvector and that
+    * code's centroid. Driver-side over the bounded model.
+    */
+  def adcLut(query: Array[Long], model: PqModel): Seq[Seq[Long]] =
+    (0 until model.m).map { j =>
+      val q = query.slice(j * model.subDim, (j + 1) * model.subDim)
+      model.codebooks(j).cells.map { c =>
+        var acc = 0L
+        var i = 0
+        while (i < q.length) { val d = q(i) - c(i); acc += d * d; i += 1 }
+        acc
+      }.toSeq
+    }
+
+  /** Approximate top-k by ADC over an encoded corpus: per row, the
+    * distance is m lookups into the flat LUT literal, summed in fixed
+    * subspace order — map-side, then TakeOrderedAndProject. Code ids
+    * index into each subspace's SURVIVING-code list (position of the
+    * id in the ascending id list), mirroring how the codebooks store
+    * them.
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, query: Array[Long],
+      model: PqModel, k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val lut = adcLut(query, model)
+    val flat = typedLit(lut.flatten)
+    val offsets = lut.map(_.size).scanLeft(0)(_ + _)
+    val dist = (0 until model.m).map { j =>
+      // code id → position in the ascending surviving-id list
+      val idArr = array(model.codebooks(j).ids.map(lit(_)): _*)
+      element_at(flat,
+        lit(offsets(j)) + array_position(idArr, col(s"code_$j")).cast("int"))
+    }.reduceLeft(_ + _)
+    val base = excludeId.fold(encoded)(x => encoded.where(col(idCol) =!= x))
+    base.select(col(idCol), dist.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+}

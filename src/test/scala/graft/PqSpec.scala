@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.{KMeans, ProductQuantizer}
+import graft.sources.Tables
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("pq-test", "4").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("encode: one code per subspace, ids within the codebook") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1)
+    val enc = ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+    assert(enc.columns.toSeq ==
+      "vec_id" +: (0 until 8).map(j => s"code_$j"))
+    val rows = enc.collect()
+    assert(rows.length == emb.count())
+    (0 until 8).foreach { j =>
+      val valid = model.codebooks(j).ids.toSet
+      assert(rows.forall(r => valid.contains(r.getInt(j + 1))))
+    }
+  }
+
+  test("identical vectors get identical codes; ADC ranks the twin first") {
+    import spark.implicits._
+    // 16 seed vectors + vec 16 identical to vec 3 + background
+    val dim = 16
+    def v(seed: Int): Seq[Float] =
+      (0 until dim).map(i => ((seed * 31 + i * 7) % 19 - 9) / 10.0f)
+    val rows = (0 until 16).map(i => (i.toLong, v(i))) ++
+      Seq((16L, v(3))) ++ (17 until 40).map(i => (i.toLong, v(i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = ProductQuantizer.train(df, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2)
+    val enc = ProductQuantizer.encode(df, "vec_id", "embedding", model)
+    val byId = enc.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(byId(16L) == byId(3L), "identical vectors must share codes")
+    // ADC search with vec 3 as the query must rank its twin (16) first
+    val query = df.where(col("vec_id") === 3L)
+      .select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0).toArray
+    val top = ProductQuantizer.adcTopK(enc, "vec_id", query, model,
+      k = 3, excludeId = Some(3L)).collect()
+    assert(top.head.getLong(0) == 16L, top.mkString(","))
+  }
+
+  test("ADC equals brute-force distance through the codebooks") {
+    val emb = Tables.embeddings(spark, sf).limit(64)
+    val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1)
+    val enc = ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+    val query = emb.where(col("vec_id") === 0L)
+      .select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0).toArray
+    val lut = ProductQuantizer.adcLut(query, model)
+    val adc = ProductQuantizer.adcTopK(enc, "vec_id", query, model, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute each returned distance by hand from codes + lut
+    val codes = enc.collect().map(r =>
+      r.getLong(0) -> (0 until 8).map(j => r.getInt(j + 1))).toMap
+    adc.foreach { case (id, d) =>
+      val hand = (0 until 8).map { j =>
+        val pos = model.codebooks(j).ids.indexOf(codes(id)(j))
+        lut(j)(pos)
+      }.sum
+      assert(hand == d, s"vec $id: $hand != $d")
+    }
+  }
+}
