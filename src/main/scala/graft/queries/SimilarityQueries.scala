@@ -477,6 +477,113 @@ object SimilarityQueries {
       ORDER BY adc, a.vec_id
       LIMIT 20""")))
 
+  /** IVF+PQ oracle: the kmeans chain (k-prefixed CTEs, full vectors)
+    * produces coarse cells; the pq chain produces codes + LUT; the
+    * probe subquery picks the nProbe cells nearest the query; the
+    * final ADC sum ranks only vectors in probed cells. One SQL
+    * statement replays the ENTIRE composed index.
+    */
+  private val ivfpqSql: String = {
+    def kStep(n: Int, cent: String) = s"""
+      kd$n AS (
+        SELECT f.vec_id, c.cluster, SUM((f.qv - c.qc) * (f.qv - c.qc)) AS d
+        FROM flat f JOIN $cent c ON c.p = f.p
+        GROUP BY 1, 2),
+      ka$n AS (
+        SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+          FROM kd$n) WHERE rn = 1)"""
+    def kUpdate(n: Int, assign: String) = s"""
+      kcent$n AS (
+        SELECT a.cluster, f.p,
+          CAST(FLOOR(CAST(SUM(f.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
+        FROM $assign a JOIN flat f ON f.vec_id = a.vec_id
+        GROUP BY 1, 2)"""
+    def pStep(n: Int, cent: String) = s"""
+      d$n AS (
+        SELECT s.vec_id, s.j, c.code, SUM((s.qv - c.qc) * (s.qv - c.qc)) AS d
+        FROM sub s JOIN $cent c ON c.j = s.j AND c.spos = s.spos
+        GROUP BY 1, 2, 3),
+      a$n AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+          FROM d$n) WHERE rn = 1)"""
+    def pUpdate(n: Int, assign: String) = s"""
+      cent$n AS (
+        SELECT a.j, a.code, s.spos,
+          CAST(FLOOR(CAST(SUM(s.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
+        FROM $assign a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+        GROUP BY 1, 2, 3)"""
+    s"""
+      WITH flat AS (
+        SELECT vec_id,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(embedding, 1) - 1 AS p
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, CAST(p // 8 AS INT) AS j, CAST(p % 8 AS INT) AS spos, qv
+        FROM flat),
+      kcent0 AS (
+        SELECT CAST(vec_id AS INT) AS cluster, p, qv AS qc
+        FROM flat WHERE vec_id < 8),
+      ${kStep(0, "kcent0")},
+      ${kUpdate(1, "ka0")},
+      ${kStep(1, "kcent1")},
+      ${kUpdate(2, "ka1")},
+      ${kStep(2, "kcent2")},
+      probe AS (
+        SELECT cluster FROM (
+          SELECT c.cluster, SUM((q.qv - c.qc) * (q.qv - c.qc)) AS d
+          FROM kcent2 c JOIN flat q ON q.vec_id = 0 AND q.p = c.p
+          GROUP BY 1
+          ORDER BY d, c.cluster
+          LIMIT 3)),
+      cent0 AS (
+        SELECT CAST(vec_id AS INT) AS code, j, spos, qv AS qc
+        FROM sub WHERE vec_id < 16),
+      ${pStep(0, "cent0")},
+      ${pUpdate(1, "a0")},
+      ${pStep(1, "cent1")},
+      ${pUpdate(2, "a1")},
+      ${pStep(2, "cent2")},
+      lut AS (
+        SELECT c.j, c.code, SUM((q.qv - c.qc) * (q.qv - c.qc)) AS d
+        FROM cent2 c JOIN sub q
+          ON q.vec_id = 0 AND q.j = c.j AND q.spos = c.spos
+        GROUP BY 1, 2)
+      SELECT a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+      FROM a2 a
+      JOIN lut l ON l.j = a.j AND l.code = a.code
+      JOIN ka2 kc ON kc.vec_id = a.vec_id
+      WHERE kc.cluster IN (SELECT cluster FROM probe) AND a.vec_id <> 0
+      GROUP BY a.vec_id
+      ORDER BY adc, a.vec_id
+      LIMIT 20"""
+  }
+
+  /** The composed IVF+PQ index (coarse integer-kmeans cells + fine PQ
+    * codes, nProbe = 3/8): the full FAISS-style shape with every stage
+    * deterministic, so ONE oracle statement replays cell training,
+    * probe choice, codebook training, encoding, and the ADC ranking.
+    */
+  private val qIvfPq = QueryDef(
+    "q_ann_ivfpq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cells = KMeans.fitCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      val query = emb.where(col("vec_id") === 0L)
+        .select(KMeans.quantize(col("embedding")))
+        .head().getSeq[Long](0).toArray
+      ProductQuantizer.ivfPqTopK(emb, "vec_id", "embedding", query,
+        cells, model, nProbe = 3, k = 20, excludeId = Some(0L))
+    },
+    Some(ivfpqSql))
+
   /** The hour-pivot proof applied to clustering: the SAME assignment
     * ran as a continuous query (frozen batch-trained centroids, pure
     * map-side routing, zero state stores) must emit exactly the batch
@@ -568,6 +675,6 @@ object SimilarityQueries {
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
-    qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qCentroids,
+    qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qCentroids,
     qCentroidVectors, qLabelOutliers)
 }

@@ -144,6 +144,39 @@ object ProductQuantizer {
       }.toSeq
     }
 
+  /** IVF+PQ composed — the full coarse-quantizer + fine-quantizer
+    * index shape: KMeans cells partition the corpus (coarse), PQ codes
+    * compress the vectors (fine), and a query probes only the nProbe
+    * nearest cells, paying m LUT lookups per SURVIVING candidate. The
+    * coarse quantizer here is the integer-exact `KMeans` (not the
+    * float IVF trainer), which keeps the ENTIRE composed pipeline —
+    * cell assignment, probe choice, codes, ADC ranking —
+    * deterministic and oracle-replayable.
+    *
+    * Plan shape: cell filter is a map-side IN over the assignment
+    * (combining with a cell-partitioned layout — `buildAndWriteIvfIndex`
+    * — would turn it into directory pruning), ADC as in `adcTopK`.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Long], cells: KMeans.Centroids, model: PqModel,
+      nProbe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
+    // probe choice: nProbe nearest cell centroids by integer L2,
+    // ties to the smaller cell id — driver-side over the bounded model
+    val probed = cells.ids.zip(cells.cells).map { case (id, c) =>
+      var acc = 0L
+      var i = 0
+      while (i < c.length) { val d = query(i) - c(i); acc += d * d; i += 1 }
+      (acc, id)
+    }.sortBy(identity).take(nProbe).map(_._2)
+    val base = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qv"))
+    val inProbed = KMeans.assign(base, cells)
+      .where(col("cluster").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .select(col(idCol), col("__qv"))
+    adcTopK(withCodes(inProbed, model)
+        .select(col(idCol) +: (0 until model.m).map(j => col(s"code_$j")): _*),
+      idCol, query, model, k, excludeId)
+  }
+
   /** Approximate top-k by ADC over an encoded corpus: per row, the
     * distance is m lookups into the flat LUT literal, summed in fixed
     * subspace order — map-side, then TakeOrderedAndProject. Code ids

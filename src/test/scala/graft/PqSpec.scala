@@ -48,6 +48,35 @@ class PqSpec extends AnyFunSuite {
     assert(top.head.getLong(0) == 16L, top.mkString(","))
   }
 
+  test("ivfPq: full probe equals plain ADC; partial probe stays within probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val cells = KMeans.fitCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1)
+    val query = emb.where(col("vec_id") === 0L)
+      .select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0).toArray
+    // probing every cell must reproduce the unpartitioned ADC ranking
+    val full = ProductQuantizer.ivfPqTopK(emb, "vec_id", "embedding",
+      query, cells, model, nProbe = 4, k = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(emb, "vec_id", "embedding", model),
+      "vec_id", query, model, k = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == plain)
+    // partial probe returns only vectors from probed cells
+    val base = emb.select(col("vec_id"), KMeans.quantize(col("embedding")).as("__qv"))
+    val cellOf = KMeans.assign(base, cells)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val partial = ProductQuantizer.ivfPqTopK(emb, "vec_id", "embedding",
+      query, cells, model, nProbe = 1, k = 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0))
+    assert(partial.nonEmpty)
+    assert(partial.map(cellOf).distinct.length == 1,
+      "nProbe=1 results must come from one cell")
+  }
+
   test("ADC equals brute-force distance through the codebooks") {
     val emb = Tables.embeddings(spark, sf).limit(64)
     val model = ProductQuantizer.train(emb, "vec_id", "embedding",
