@@ -99,4 +99,25 @@ object PropertySpec extends Properties("graft") {
             c(d) >= bounds(d)._1 - 1e-4f && c(d) <= bounds(d)._2 + 1e-4f
           })
     }
+
+  property("adc lut: zero at own centroid, non-negative, triangle-free exactness") =
+    forAll(Gen.choose(1L, 1000000L), Gen.choose(2, 4), Gen.choose(2, 5),
+      Gen.choose(2, 4)) { (seed, m, k, subDim) =>
+      val rnd = new scala.util.Random(seed)
+      val books = Seq.fill(m)(graft.sim.KMeans.Centroids(
+        0 until k,
+        Seq.fill(k)(Array.fill(subDim)(rnd.nextInt(2001) - 1000L))))
+      val model = graft.sim.ProductQuantizer.PqModel(m, subDim, k, books)
+      // query assembled FROM chosen centroids → lut is 0 exactly there
+      val chosen = Array.fill(m)(rnd.nextInt(k))
+      val query = (0 until m).flatMap(j => books(j).cells(chosen(j))).toArray
+      val lut = graft.sim.ProductQuantizer.adcLut(query, model)
+      lut.zipWithIndex.forall { case (row, j) =>
+        row(chosen(j)) == 0L && row.forall(_ >= 0L) &&
+          // exactness: hand-recompute one entry
+          row(0) == books(j).cells(0).zip(
+            query.slice(j * subDim, (j + 1) * subDim))
+            .map { case (c, q) => val d = q - c; d * d }.sum
+      }
+    }
 }
