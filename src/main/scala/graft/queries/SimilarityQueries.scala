@@ -191,8 +191,12 @@ object SimilarityQueries {
       val index = Similarity.readIvfIndex(s, dir)
       val qvec = emb.where(col("vec_id") === 0L)
         .select("embedding").head().getSeq[Float](0).toArray
+      // thin-cell guard: below ~64 vectors/cell pruning is statistically
+      // unsound (autoNProbe scaladoc) — probe everything at toy scale,
+      // prune (13/16, measured complete) at density
+      val nProbe = Similarity.autoNProbe(emb.count(), 16, base = 13)
       Similarity.ivfSearchVec(index, "vec_id", "embedding", qvec,
-        k = 20, nProbe = 13, excludeId = Some(0L))
+        k = 20, nProbe = nProbe, excludeId = Some(0L))
     },
     Some(sqlExactTop20))
 
@@ -225,8 +229,14 @@ object SimilarityQueries {
       val index = Similarity.readIvfIndex(s, dir)
       val qvec = emb.where(col("vec_id") === 0L)
         .select("embedding").head().getSeq[Float](0).toArray
+      // thin-cell guard (autoNProbe): the appended index's centroids
+      // saw only 3/4 of the corpus, and at sf0.001's ~31 vectors/cell
+      // even nProbe=15 missed one of the exact top-20 on regenerated
+      // testdata (round-6 IvfAppendProbe) — probe everything below the
+      // density floor, prune (14/16, measured complete) above it
+      val nProbe = Similarity.autoNProbe(emb.count(), 16, base = 14)
       Similarity.ivfSearchVec(index, "vec_id", "embedding", qvec,
-        k = 20, nProbe = 14, excludeId = Some(0L))
+        k = 20, nProbe = nProbe, excludeId = Some(0L))
     },
     Some(sqlExactTop20))
 

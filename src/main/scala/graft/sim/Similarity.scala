@@ -436,6 +436,20 @@ object Similarity {
     }.sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2).toSeq
 
+  /** Auto nProbe: IVF pruning is a statistical bet that needs enough
+    * vectors per cell — below `minPerCell` (default 64) the per-cell
+    * samples are too thin for the "neighbours concentrate in few
+    * cells" assumption (round-6 measurement: the 3/4-trained appended
+    * index at 500 vectors / 16 cells ≈ 31 per cell needed ALL cells
+    * for complete top-20 recall where 2000 / 16 = 125 per cell needed
+    * 14). Thin corpora probe everything — correctness first, pruning
+    * only when the density supports it; at deployment scale cells hold
+    * millions and `base` applies.
+    */
+  def autoNProbe(corpusCount: Long, nCells: Int, base: Int,
+      minPerCell: Long = 64L): Int =
+    if (corpusCount / nCells < minPerCell) nCells else base
+
   def ivfSearchVec(index: IvfIndex, idCol: String, vecCol: String,
       qvec: Array[Float], k: Int, nProbe: Int = 4,
       excludeId: Option[Long] = None,
