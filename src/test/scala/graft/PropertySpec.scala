@@ -100,6 +100,13 @@ object PropertySpec extends Properties("graft") {
           })
     }
 
+  property("auto nProbe: probes everything below the density floor, base above") =
+    forAll(Gen.choose(1L, 10000000L), Gen.choose(2, 64), Gen.choose(1, 64)) {
+      (n, cells, base) =>
+        val got = graft.sim.Similarity.autoNProbe(n, cells, base)
+        if (n / cells < 64L) got == cells else got == base
+    }
+
   property("adc lut: zero at own centroid, non-negative, triangle-free exactness") =
     forAll(Gen.choose(1L, 1000000L), Gen.choose(2, 4), Gen.choose(2, 5),
       Gen.choose(2, 4)) { (seed, m, k, subDim) =>
