@@ -57,14 +57,24 @@ object KMeans {
   /** Centroids of non-empty clusters, ascending cluster id. */
   final case class Centroids(ids: Seq[Int], cells: Seq[Array[Long]])
 
-  /** Deterministic seed: the quantized vectors of the k smallest ids. */
+  /** Deterministic seed: the quantized vectors of the k smallest ids.
+    * The declared oracles (kmeansSql / pqSql cent0) pin the seed
+    * CLUSTER IDS to the literal vec_id values (`WHERE vec_id < k`), so
+    * this labels clusters 0..k-1 and REQUIRES the k smallest ids to be
+    * exactly 0..k-1 — asserted loudly so a testdata regeneration with
+    * offset or gapped ids fails here instead of silently diverging
+    * Spark-vs-oracle labels.
+    */
   def initCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Centroids = {
     val rows = df.orderBy(col(idCol)).limit(k)
-      .select(quantize(col(vecCol)))
+      .select(col(idCol).cast("long"), quantize(col(vecCol)))
       .collect()
-      .map(_.getSeq[Long](0).toArray)
-    Centroids(rows.indices, rows.toSeq)
+    val ids = rows.map(_.getLong(0))
+    require(ids.toSeq == (0L until k.toLong).toSeq,
+      s"k-means seed assumes ids 0..${k - 1} (oracles pin seed cluster " +
+        s"ids to vec_id values); corpus has [${ids.mkString(", ")}]")
+    Centroids(rows.indices, rows.map(_.getSeq[Long](1).toArray).toSeq)
   }
 
   /** Map-side assignment of every row to its nearest centroid.

@@ -62,16 +62,23 @@ object ProductQuantizer {
   }
 
   /** Seed model: for every subspace, the subvectors of the k
-    * smallest ids (one bounded collect).
+    * smallest ids (one bounded collect). Like KMeans.initCentroids,
+    * code ids are 0..k-1 and the oracles pin them to literal vec_id
+    * values — so the k smallest ids must BE 0..k-1, asserted loudly.
     */
   def initModel(df: DataFrame, idCol: String, vecCol: String, m: Int,
       k: Int): PqModel = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    val rows = df.orderBy(col(idCol)).limit(k)
-      .select(KMeans.quantize(col(vecCol)))
-      .collect().map(_.getSeq[Long](0).toArray)
+    val seedRows = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), KMeans.quantize(col(vecCol)))
+      .collect()
+    val ids = seedRows.map(_.getLong(0))
+    require(ids.toSeq == (0L until k.toLong).toSeq,
+      s"PQ seed assumes ids 0..${k - 1} (oracles pin seed code ids to " +
+        s"vec_id values); corpus has [${ids.mkString(", ")}]")
+    val rows = seedRows.map(_.getSeq[Long](1).toArray)
     val books = (0 until m).map { j =>
       KMeans.Centroids(rows.indices,
         rows.toSeq.map(_.slice(j * subDim, (j + 1) * subDim)))
@@ -190,10 +197,19 @@ object ProductQuantizer {
     val flat = typedLit(lut.flatten)
     val offsets = lut.map(_.size).scanLeft(0)(_ + _)
     val dist = (0 until model.m).map { j =>
-      // code id → position in the ascending surviving-id list
+      // code id → position in the ascending surviving-id list. A code
+      // absent from the codebook (stale/mismatched model) yields
+      // position 0, which for j>0 would silently read the previous
+      // subspace's last LUT entry — fail loudly instead: encoded input
+      // must come from this model's training.
       val idArr = array(model.codebooks(j).ids.map(lit(_)): _*)
-      element_at(flat,
-        lit(offsets(j)) + array_position(idArr, col(s"code_$j")).cast("int"))
+      val pos = array_position(idArr, col(s"code_$j")).cast("int")
+      element_at(flat, lit(offsets(j)) +
+        when(pos === 0, raise_error(concat(
+          lit(s"adcTopK: code_$j value "), col(s"code_$j").cast("string"),
+          lit(" absent from the model codebook — encoded frame and " +
+            "PqModel must come from the same training"))).cast("int"))
+          .otherwise(pos))
     }.reduceLeft(_ + _)
     val base = excludeId.fold(encoded)(x => encoded.where(col(idCol) =!= x))
     base.select(col(idCol), dist.as("adc"))

@@ -52,7 +52,14 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df // tz-adjusted micros: already session-UTC
+      case other =>
+        // LOUD failure beats a silent pass-through: a third physical
+        // layout (the round-5 wound was a silent flip) must stop the
+        // run, not feed half-coerced timestamps to 24 queries
+        throw new IllegalStateException(
+          s"events.ts arrived as unrecognized physical type $other — " +
+            "extend the Tables.events dispatch for this layout")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

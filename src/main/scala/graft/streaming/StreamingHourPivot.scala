@@ -52,7 +52,13 @@ object StreamingHourPivot {
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // mirror Tables.events: an unrecognized third layout must fail
+        // loudly, not stream half-coerced timestamps
+        throw new IllegalStateException(
+          s"events.ts arrived as unrecognized physical type $other — " +
+            "extend the eventsStream dispatch for this layout")
     }
   }
 

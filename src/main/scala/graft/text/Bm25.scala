@@ -39,8 +39,8 @@ object Bm25 {
       ((tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * (dl / avgdl))))
 
   /** Top-k documents for a bag of query terms. Output:
-    * (doc_id, bm25 DOUBLE, per-term tf columns) ordered by
-    * (bm25 DESC, doc_id) — total order, exact-deterministic scores.
+    * (doc_id, bm25 DOUBLE) ordered by (bm25 DESC, doc_id) — total
+    * order, exact-deterministic scores.
     */
   def search(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int,
