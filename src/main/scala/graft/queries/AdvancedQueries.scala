@@ -422,7 +422,14 @@ object AdvancedQueries {
       // Bucketing.writeBucketed).
       val s = parent.newSession()
       s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // tag embeds a content fingerprint of both source tables — a
+      // testdata regeneration mints a new path/table pair and forces a
+      // layout rebuild instead of serving stale buckets; it also keeps
+      // the first invocation's one-time write out of later min-of-N
+      // runs only when the data is actually unchanged
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.util.DataFingerprint.of(s, s"$d/lineitem.parquet") + "_" +
+        graft.util.DataFingerprint.of(s, s"$d/orders.parquet")
       val base = System.getProperty("java.io.tmpdir") + s"/graft_bucketed_$tag"
       if (builtBucketed.add(base)) {
         graft.ops.Bucketing.writeBucketed(Tables.lineitem(s, d),

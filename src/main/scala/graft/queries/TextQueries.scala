@@ -355,8 +355,12 @@ object TextQueries {
     */
   private def ensureNearDupIndex(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
+    // dir embeds a content fingerprint of the source parquet — a
+    // testdata regeneration mints a new dir and forces a rebuild
+    // instead of serving a stale index (util.DataFingerprint)
     val dir = System.getProperty("java.io.tmpdir") +
-      "/graft_neardup_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      "/graft_neardup_index_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.util.DataFingerprint.of(s, s"$d/documents.parquet")
     if (builtNearDupIndexes.add(dir))
       Dedup.buildAndWriteNearDupIndex(
         Tables.documents(s, d).where(col("doc_id") % 5 =!= 0),

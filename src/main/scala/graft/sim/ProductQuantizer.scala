@@ -164,17 +164,23 @@ object ProductQuantizer {
     * (combining with a cell-partitioned layout — `buildAndWriteIvfIndex`
     * — would turn it into directory pruning), ADC as in `adcTopK`.
     */
-  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Long], cells: KMeans.Centroids, model: PqModel,
-      nProbe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
-    // probe choice: nProbe nearest cell centroids by integer L2,
-    // ties to the smaller cell id — driver-side over the bounded model
-    val probed = cells.ids.zip(cells.cells).map { case (id, c) =>
+  /** Probe choice: nProbe nearest cell centroids by exact integer
+    * squared-L2, ties to the smaller cell id — driver-side over the
+    * bounded (k·dim) model. Shared by the one-shot and served paths.
+    */
+  def rankProbeCellsQ(cells: KMeans.Centroids, query: Array[Long],
+      nProbe: Int): Seq[Int] =
+    cells.ids.zip(cells.cells).map { case (id, c) =>
       var acc = 0L
       var i = 0
       while (i < c.length) { val d = query(i) - c(i); acc += d * d; i += 1 }
       (acc, id)
     }.sortBy(identity).take(nProbe).map(_._2)
+
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Long], cells: KMeans.Centroids, model: PqModel,
+      nProbe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val probed = rankProbeCellsQ(cells, query, nProbe)
     val base = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qv"))
     val inProbed = KMeans.assign(base, cells)
       .where(col("cluster").isin(probed.map(_.asInstanceOf[Any]): _*))
@@ -182,6 +188,81 @@ object ProductQuantizer {
     adcTopK(withCodes(inProbed, model)
         .select(col(idCol) +: (0 until model.m).map(j => col(s"code_$j")): _*),
       idCol, query, model, k, excludeId)
+  }
+
+  /** Served IVF+PQ index: the corpus's PQ CODES (never the vectors)
+    * written as parquet PARTITIONED BY the coarse cell, plus two
+    * sidecars — `_kcentroids` (coarse cells) and `_codebooks` (PQ
+    * model), both O(k·dim) and driver-resident by design (leading
+    * underscore hides them from the main parquet read, the `_metadata`
+    * convention; same contract as `Similarity.buildAndWriteIvfIndex`).
+    *
+    * This is the layout the one-shot `ivfPqTopK` composition is NOT:
+    * build-once/serve-many. A query (a) ranks probe cells on the
+    * driver, (b) scans ONLY the probed `cluster=N` directories —
+    * PartitionFilters directory pruning, no full-corpus re-assignment —
+    * and (c) pays m LUT lookups per surviving candidate row of m small
+    * int codes (the scan reads ~m bytes of codes per row where the
+    * plain IVF layout reads the full float vector). At 100 TB the
+    * serve scan is nProbe/kCells of a corpus already compressed ~64×.
+    */
+  final case class IvfPqIndex(cells: KMeans.Centroids, model: PqModel,
+      codes: DataFrame)
+
+  def buildAndWriteIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, kCells: Int, iters: Int, m: Int, kCodes: Int): Unit = {
+    val spark = df.sparkSession
+    val cells = KMeans.fitCentroids(df, idCol, vecCol, kCells, iters)
+    val model = train(df, idCol, vecCol, m, kCodes, iters)
+    val base = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qv"))
+    withCodes(KMeans.assign(base, cells), model)
+      .select(col(idCol) +: col("cluster") +:
+        (0 until m).map(j => col(s"code_$j")): _*)
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+    import spark.implicits._
+    cells.ids.zip(cells.cells).map { case (id, c) => (id, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_kcentroids")
+    model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.ids.zip(book.cells).map { case (code, cell) => (j, code, cell.toSeq) }
+    }.toDF("j", "code", "cell")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /** Open a served IVF+PQ index written by [[buildAndWriteIvfPqIndex]]:
+    * both sidecars collect to the driver (O(k·dim) by construction);
+    * the codes frame is the cell-partitioned parquet layout.
+    */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val kcRows = spark.read.parquet(s"$path/_kcentroids")
+      .collect().sortBy(_.getInt(0))
+    val cells = KMeans.Centroids(
+      kcRows.map(_.getInt(0)).toSeq,
+      kcRows.map(_.getSeq[Long](1).toArray).toSeq)
+    val cbRows = spark.read.parquet(s"$path/_codebooks").collect()
+    val byJ = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val books = byJ.map { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      KMeans.Centroids(sorted.map(_.getInt(1)).toSeq,
+        sorted.map(_.getSeq[Long](2).toArray).toSeq)
+    }
+    val subDim = books.head.cells.head.length
+    IvfPqIndex(cells,
+      PqModel(books.size, subDim, books.map(_.ids.size).max, books),
+      spark.read.parquet(path))
+  }
+
+  /** Serve path over the read-back index: probe cells rank on the
+    * driver, the codes scan prunes to the probed `cluster=` directories
+    * (PartitionFilters — PlanSpec-asserted), ADC ranks map-side,
+    * TakeOrdered k. No training, no re-assignment, no vector reads.
+    */
+  def ivfPqSearch(index: IvfPqIndex, idCol: String, query: Array[Long],
+      nProbe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val probed = rankProbeCellsQ(index.cells, query, nProbe)
+    adcTopK(index.codes.where(col("cluster").isin(probed: _*)),
+      idCol, query, index.model, k, excludeId)
   }
 
   /** Approximate top-k by ADC over an encoded corpus: per row, the

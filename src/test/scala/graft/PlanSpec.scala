@@ -126,6 +126,27 @@ class PlanSpec extends AnyFunSuite {
       s"cell probe fell out of partition pruning into a row filter:\n$p")
   }
 
+  test("served IVF+PQ: codes scan prunes cluster partitions; no re-assignment, no vectors") {
+    val p = planString("q_ann_ivfpq_served")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("cluster#") && f.contains("IN")),
+      s"expected the nProbe cluster set to land in PartitionFilters:\n$p")
+    // the probe must NOT be a post-scan Filter over every partition
+    assert(!"Filter .*cluster#".r.findFirstIn(p).isDefined,
+      s"cluster probe fell out of partition pruning into a row filter:\n$p")
+    // serve plan must not re-assign the corpus (no kernel calls) …
+    assert(!p.contains("q_vec_nearest_l2") && !p.contains("vec_mat_score"),
+      s"serve plan re-assigns the corpus:\n$p")
+    // … and must read CODES only — the embedding column never appears
+    // (match to end-of-line: long schemas truncate before the closing >)
+    val readSchemas = "ReadSchema: ([^\\n]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("embedding")),
+      s"serve scan reads vectors, not codes: $readSchemas")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("contamination: probe shingle set broadcasts, corpus side never shuffles text") {
     val p = planString("q_contamination_flags")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -77,6 +77,38 @@ class PqSpec extends AnyFunSuite {
       "nProbe=1 results must come from one cell")
   }
 
+  test("served index round-trips: ivfPqSearch over the written layout equals ivfPqTopK") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_served_spec").toString + "/idx"
+    ProductQuantizer.buildAndWriteIvfPqIndex(emb, "vec_id", "embedding",
+      dir, kCells = 4, iters = 2, m = 8, kCodes = 16)
+    val index = ProductQuantizer.readIvfPqIndex(spark, dir)
+    // sidecars reconstruct the exact trained models
+    val cells = KMeans.fitCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    assert(index.cells.ids == cells.ids &&
+      index.cells.cells.map(_.toSeq) == cells.cells.map(_.toSeq))
+    assert(index.model.m == model.m && index.model.subDim == model.subDim)
+    (0 until model.m).foreach { j =>
+      assert(index.model.codebooks(j).ids == model.codebooks(j).ids &&
+        index.model.codebooks(j).cells.map(_.toSeq) ==
+          model.codebooks(j).cells.map(_.toSeq), s"codebook $j diverged")
+    }
+    val query = emb.where(col("vec_id") === 0L)
+      .select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0).toArray
+    Seq(1, 2, 4).foreach { nProbe =>
+      val served = ProductQuantizer.ivfPqSearch(index, "vec_id", query,
+        nProbe = nProbe, k = 10, excludeId = Some(0L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val oneShot = ProductQuantizer.ivfPqTopK(emb, "vec_id", "embedding",
+        query, cells, model, nProbe = nProbe, k = 10, excludeId = Some(0L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(served == oneShot, s"nProbe=$nProbe: $served != $oneShot")
+    }
+  }
+
   test("ADC equals brute-force distance through the codebooks") {
     val emb = Tables.embeddings(spark, sf).limit(64)
     val model = ProductQuantizer.train(emb, "vec_id", "embedding",

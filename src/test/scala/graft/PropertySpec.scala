@@ -107,6 +107,30 @@ object PropertySpec extends Properties("graft") {
         if (n / cells < 64L) got == cells else got == base
     }
 
+  property("ivfpq probe: auto-nProbe ranking is complete below the density floor, " +
+    "top-ranked and deduplicated above") =
+    forAll(Gen.choose(1L, 1000000L), Gen.choose(2, 16), Gen.choose(1, 8),
+      Gen.choose(1L, 100000L), Gen.choose(2, 8)) { (seed, k, base, n, dim) =>
+      val rnd = new scala.util.Random(seed)
+      val cells = graft.sim.KMeans.Centroids(
+        0 until k,
+        Seq.fill(k)(Array.fill(dim)(rnd.nextInt(20001) - 10000L)))
+      val query = Array.fill(dim)(rnd.nextInt(20001) - 10000L)
+      val nProbe = graft.sim.Similarity.autoNProbe(n, k, base)
+      val probed = graft.sim.ProductQuantizer.rankProbeCellsQ(
+        cells, query, nProbe)
+      def d2(c: Array[Long]): Long =
+        c.zip(query).map { case (x, q) => val d = q - x; d * d }.sum
+      val byDist = cells.ids.zip(cells.cells)
+        .map { case (id, c) => (d2(c), id) }.sorted
+      if (n / k < 64L)
+        // thin corpus: the density floor must force ALL cells probed
+        probed.sorted == (0 until k)
+      else
+        // dense: exactly the base nearest cells, smallest-id ties
+        probed == byDist.take(base).map(_._2)
+    }
+
   property("adc lut: zero at own centroid, non-negative, triangle-free exactness") =
     forAll(Gen.choose(1L, 1000000L), Gen.choose(2, 4), Gen.choose(2, 5),
       Gen.choose(2, 4)) { (seed, m, k, subDim) =>
