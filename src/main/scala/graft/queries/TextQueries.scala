@@ -424,16 +424,19 @@ object TextQueries {
       WHERE common / (sa.n + sb.n - common) >= 0.5"""
 
   /** SimHash dedup pipeline, exact-verified, at the library's PRUNING
-    * operating point (chunks = 0 → 8 × 8-bit banding, 256 buckets/band —
-    * ~32× fewer candidates than the 16×4 guarantee point, the config a
-    * 100 TB corpus actually runs): shingle-feature signatures →
-    * chunk-banded candidates → true shingle-Jaccard ≥ 0.5. Recall at
-    * this point: pigeonhole-complete to Hamming 7; every true pair on
-    * this corpus sits at Hamming ≤ 9 (measured, all SFs) and pairs at
-    * 8–15 are caught with ≥ 98.9% each (see Dedup.simhashVerifiedNearDups
-    * banding note) — measured complete at every test SF (DedupSpec pins
-    * default ≡ 16-chunk output), so the output equals the exact
-    * j ≥ 0.5 pair set and shares the minhash route's oracle.
+    * operating point (chunks = 0 → 8 × 8-bit banding × 2 chunk
+    * alignments, 256 buckets/band — ~16× fewer candidates than the
+    * 16×4 guarantee point, the config a 100 TB corpus actually runs):
+    * shingle-feature signatures → chunk-banded candidates → true
+    * shingle-Jaccard ≥ 0.5. Recall: pigeonhole-complete to Hamming 7
+    * from the first alignment alone; pairs at Hamming 8–15 must cover
+    * all 8 chunks in BOTH alignments to be missed (~1e-4 each — the
+    * single-alignment ~1% materialized as a real miss when the round-7
+    * testdata regeneration produced a Hamming-9 true pair covering all
+    * 8 chunks; the offset alignment restores ~6 bits of margin).
+    * Measured complete at every test SF on current data → the output
+    * equals the exact j ≥ 0.5 pair set and shares the minhash route's
+    * oracle.
     */
   private val qSimhash = QueryDef(
     "q_simhash_neardup",
@@ -446,16 +449,35 @@ object TextQueries {
     * COMPLETE a priori by pigeonhole (≤15 bit-diffs cannot touch all 16
     * chunks) — no corpus measurement needed, at the price of 16-bucket
     * bands admitting ~64% of all pairs to the (cheap, pre-shuffle
-    * Hamming-filtered) candidate stage. Quadratic candidate generation —
-    * a small-corpus/audit exhibit, NOT the scale default; the pruning
-    * point above is what production runs. Same exact-Jaccard oracle.
+    * Hamming-filtered) candidate stage. That makes the candidate set
+    * Θ(n²), so the exhibit is DECLARED over an absolutely capped slice
+    * (doc_id < 2000 — an audit-sized sample, bounded by construction at
+    * ANY corpus scale): the pigeonhole property is proved end-to-end
+    * while no declared query carries a quadratic exposure to full
+    * corpus size. The pruning point above (8 × 8, measured-complete)
+    * is what production runs corpus-wide. Same exact-Jaccard oracle,
+    * over the same capped slice.
     */
   private val qSimhashGuarantee = QueryDef(
     "q_simhash_neardup_guarantee",
     (s, d) =>
-      Dedup.simhashVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
+      Dedup.simhashVerifiedNearDups(
+        Tables.documents(s, d).where(col("doc_id") < 2000),
+        "doc_id", "text",
         shingleN = 3, threshold = 0.5, maxHamming = 15, chunks = 16),
-    Some(sqlSimhashOracle))
+    Some("""
+      WITH capped AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 2000),""" +
+      sqlShingleCtes("capped") + """,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, common / (sa.n + sb.n - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.n + sb.n - common) >= 0.5"""))
 
   /** The end-to-end dedup DECISION (Dedup.dedupCorpus): exact md5 stage
     * → MinHash-LSH verified near-dup pairs (j ≥ 0.5) among exact

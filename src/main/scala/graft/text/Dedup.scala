@@ -395,16 +395,39 @@ object Dedup {
     * occupancy ≈ N/2^(64/chunks) — more chunks = complete but more
     * candidate volume; grow chunk WIDTH with corpus size exactly like
     * the minhash/LSH band sizing rule above.
+    *
+    * OR-AMPLIFICATION (`rotations`): each extra rotation re-chunks the
+    * signature with boundaries shifted by that many bits (rotate-left,
+    * so every bit stays in exactly one chunk per alignment) and unions
+    * the candidate bands. A pair is missed only if its diff bits cover
+    * ALL chunks in EVERY alignment — a half-chunk offset (e.g. 4 bits
+    * at 8×8) decorrelates the coverings, squaring the per-pair miss
+    * probability (≈1.1% → ≈1e-4 at Hamming 9) for 2× candidate volume
+    * with UNCHANGED per-band bucket space. The round-7 sf0.1 testdata
+    * regeneration produced exactly such a miss — one true pair at
+    * Hamming 9 whose diffs covered all 8 chunks of the single
+    * alignment; the second alignment catches it with ~6 bits of
+    * margin again.
     */
   private def simhashPairsWithin(hashed: DataFrame, maxHamming: Int,
-      chunks: Int): DataFrame = {
+      chunks: Int, rotations: Seq[Int] = Seq(0)): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    def rot(c: Column, r: Int): Column =
+      if (r == 0) c
+      else call_function("shiftleft", c, lit(r))
+        .bitwiseOR(call_function("shiftrightunsigned", c, lit(64 - r)))
+    // statically unrolled (rotations × chunks) chunk values; the band
+    // id (pos in the array) encodes (rotation, chunk index)
+    val chunkCols: Seq[Column] = rotations.flatMap { r =>
+      val rotated = rot(col("sh"), r)
+      (0 until chunks).map(b =>
+        call_function("shiftright", rotated, lit(b * bits))
+          .bitwiseAND(mask))
+    }
     val banded = hashed.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        b => call_function("shiftright", col("sh"), (b * bits).cast("int"))
-          .bitwiseAND(mask))))
+      posexplode(array(chunkCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -454,10 +477,17 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.5, maxHamming: Int = 15,
       chunks: Int = 0): DataFrame = {
     val c = if (chunks == 0) 8 else chunks
+    // the 8×8 pruning default OR-amplifies with a half-chunk-offset
+    // second alignment (see simhashPairsWithin): candidates stay
+    // 256-bucket-banded (scale-safe) while the per-pair miss
+    // probability at Hamming 8–15 drops from ~1% to ~1e-4 — the
+    // round-7 regeneration margin lesson. Explicit chunk counts
+    // (the 16×4 pigeonhole exhibit) keep the single alignment.
+    val rotations = if (chunks == 0) Seq(0, 64 / c / 2) else Seq(0)
     // one pinned shingle frame feeds signatures AND verification
     val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN))
-    val pairs = simhashPairsWithin(simhashSignaturesFrom(ex), maxHamming, c)
-      .select(col("id_a"), col("id_b"))
+    val pairs = simhashPairsWithin(simhashSignaturesFrom(ex), maxHamming, c,
+      rotations).select(col("id_a"), col("id_b"))
     verifiedJaccard(pairs, ex, threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
