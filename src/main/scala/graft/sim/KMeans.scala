@@ -91,8 +91,19 @@ object KMeans {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val flatMat = typedLit(cents.cells.flatten.toSeq)
     val idArr = array(cents.ids.map(lit(_)): _*)
-    df.withColumn("__nearest",
-        graft.functions.VectorFunctions.q_vec_nearest_l2(col("__qv"), flatMat))
+    // kernel choice by k: the flat scan wins below a few hundred rows
+    // (no group-scoring overhead); at IVF-scale cell counts the
+    // blocked kernel's triangle-inequality pruning takes over —
+    // identical results (exact bounds, same first-index tie rule),
+    // measured crossover region around k ≈ 128–256 (KMeansProbe)
+    val k = cents.ids.size
+    val nearest =
+      if (k >= 256)
+        graft.functions.VectorFunctions.q_vec_nearest_l2_blocked(
+          col("__qv"), flatMat, k)
+      else
+        graft.functions.VectorFunctions.q_vec_nearest_l2(col("__qv"), flatMat)
+    df.withColumn("__nearest", nearest)
       // QVecNearestL2 returns the FIRST index of the minimum → smallest
       // cluster id wins ties (ids are ascending)
       .withColumn("cluster",

@@ -134,6 +134,32 @@ class VectorExprSpec extends AnyFunSuite {
     assert(viaDf == interp.toSeq)
   }
 
+  test("q_vec_nearest_l2_blocked equals the flat kernel on random matrices (ties included)") {
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    // several shapes, including k below/above the √k grouping and a
+    // duplicate-row matrix that forces distance ties
+    Seq((5, 4), (64, 8), (300, 16), (1024, 4)).foreach { case (k, dim) =>
+      val mat = Array.fill(k * dim)(rnd.nextInt(2001) - 1000L)
+      // plant ties: rows 1 and k-1 identical
+      System.arraycopy(mat, dim, mat, (k - 1) * dim, dim)
+      val matSeq = mat.toSeq
+      val vecs = (0 until 50).map { _ =>
+        Tuple1(Seq.fill(dim)(rnd.nextInt(2001) - 1000L))
+      } :+ Tuple1(mat.slice(dim, 2 * dim).toSeq) // exact hit on the tied row
+      val df2 = vecs.toDF("qv")
+      val both = df2.select(
+        VectorFunctions.q_vec_nearest_l2(col("qv"), typedLit(matSeq)).as("flat"),
+        VectorFunctions.q_vec_nearest_l2_blocked(col("qv"), typedLit(matSeq), k)
+          .as("blocked"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k dim=$dim: flat=${r.getSeq[Long](0)} blocked=${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("vec_cosine of a vector with itself is 1") {
     VectorFunctions.register(spark)
     val c = df.select(VectorFunctions.vec_cosine(col("a"), col("a")))
