@@ -57,24 +57,25 @@ object KMeans {
   /** Centroids of non-empty clusters, ascending cluster id. */
   final case class Centroids(ids: Seq[Int], cells: Seq[Array[Long]])
 
-  /** Deterministic seed: the quantized vectors of the k smallest ids.
-    * The declared oracles (kmeansSql / pqSql cent0) pin the seed
-    * CLUSTER IDS to the literal vec_id values (`WHERE vec_id < k`), so
-    * this labels clusters 0..k-1 and REQUIRES the k smallest ids to be
-    * exactly 0..k-1 — asserted loudly so a testdata regeneration with
-    * offset or gapped ids fails here instead of silently diverging
-    * Spark-vs-oracle labels.
+  /** Deterministic seed: the quantized vectors of the k smallest ids,
+    * each cluster LABELED WITH ITS SEED'S ACTUAL ID — the same labels
+    * the declared oracles derive (kmeansSql / pqSql cent0 use
+    * `CAST(vec_id AS INT)`). On the declared corpora the k smallest
+    * ids ARE 0..k-1 so labels are unchanged; on any other id space
+    * (slices, offset regenerations) Spark stays self-consistent
+    * instead of silently relabeling clusters by collect position.
     */
   def initCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Centroids = {
     val rows = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"), quantize(col(vecCol)))
       .collect()
+    require(rows.length == k,
+      s"k-means needs at least k=$k rows to seed; corpus has ${rows.length}")
     val ids = rows.map(_.getLong(0))
-    require(ids.toSeq == (0L until k.toLong).toSeq,
-      s"k-means seed assumes ids 0..${k - 1} (oracles pin seed cluster " +
-        s"ids to vec_id values); corpus has [${ids.mkString(", ")}]")
-    Centroids(rows.indices, rows.map(_.getSeq[Long](1).toArray).toSeq)
+    require(ids.forall(id => id >= 0 && id <= Int.MaxValue),
+      s"seed ids must fit in Int cluster labels; got [${ids.mkString(", ")}]")
+    Centroids(ids.map(_.toInt).toSeq, rows.map(_.getSeq[Long](1).toArray).toSeq)
   }
 
   /** Map-side assignment of every row to its nearest centroid.

@@ -63,8 +63,10 @@ object ProductQuantizer {
 
   /** Seed model: for every subspace, the subvectors of the k
     * smallest ids (one bounded collect). Like KMeans.initCentroids,
-    * code ids are 0..k-1 and the oracles pin them to literal vec_id
-    * values — so the k smallest ids must BE 0..k-1, asserted loudly.
+    * code ids are the SEEDS' ACTUAL ids — the same labels the declared
+    * oracles derive (`CAST(vec_id AS INT) AS code ... WHERE vec_id < k`
+    * matches exactly when the k smallest ids are 0..k-1, and Spark
+    * stays self-consistent on any other id space).
     */
   def initModel(df: DataFrame, idCol: String, vecCol: String, m: Int,
       k: Int): PqModel = {
@@ -74,13 +76,14 @@ object ProductQuantizer {
     val seedRows = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"), KMeans.quantize(col(vecCol)))
       .collect()
+    require(seedRows.length == k,
+      s"PQ needs at least k=$k rows to seed; corpus has ${seedRows.length}")
     val ids = seedRows.map(_.getLong(0))
-    require(ids.toSeq == (0L until k.toLong).toSeq,
-      s"PQ seed assumes ids 0..${k - 1} (oracles pin seed code ids to " +
-        s"vec_id values); corpus has [${ids.mkString(", ")}]")
+    require(ids.forall(id => id >= 0 && id <= Int.MaxValue),
+      s"seed ids must fit in Int code labels; got [${ids.mkString(", ")}]")
     val rows = seedRows.map(_.getSeq[Long](1).toArray)
     val books = (0 until m).map { j =>
-      KMeans.Centroids(rows.indices,
+      KMeans.Centroids(ids.map(_.toInt).toSeq,
         rows.toSeq.map(_.slice(j * subDim, (j + 1) * subDim)))
     }
     PqModel(m, subDim, k, books)
@@ -227,6 +230,26 @@ object ProductQuantizer {
       book.ids.zip(book.cells).map { case (code, cell) => (j, code, cell.toSeq) }
     }.toDF("j", "code", "cell")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /** Incremental append into a served IVF+PQ index: assign + encode
+    * the new batch against the FROZEN sidecar models (coarse centroids
+    * AND codebooks — the standard serve contract: appends never
+    * retrain) and land the code rows inside the existing `cluster=N`
+    * directories. Pure map-side; probes keep pruning whole directories
+    * and never distinguish base from appended rows. Sustained
+    * distribution drift degrades cell balance and PQ quantization
+    * error alike — the operator's answer is a periodic rebuild, same
+    * as [[graft.sim.Similarity.appendToIvfIndex]].
+    */
+  def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val index = readIvfPqIndex(df.sparkSession, path)
+    val base = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qv"))
+    withCodes(KMeans.assign(base, index.cells), index.model)
+      .select(col(idCol) +: col("cluster") +:
+        (0 until index.model.m).map(j => col(s"code_$j")): _*)
+      .write.partitionBy("cluster").mode("append").parquet(path)
   }
 
   /** Open a served IVF+PQ index written by [[buildAndWriteIvfPqIndex]]:

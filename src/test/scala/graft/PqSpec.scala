@@ -109,6 +109,41 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("append into the served index: frozen models, full-probe search covers the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_append_spec").toString + "/idx"
+    // build on 3/4, append the remaining quarter against frozen models
+    ProductQuantizer.buildAndWriteIvfPqIndex(
+      emb.where(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+      dir, kCells = 4, iters = 2, m = 8, kCodes = 16)
+    ProductQuantizer.appendToIvfPqIndex(
+      emb.where(col("vec_id") % 4 === 0), "vec_id", "embedding", dir)
+    val index = ProductQuantizer.readIvfPqIndex(spark, dir)
+    assert(index.codes.count() == emb.count(),
+      "appended layout must contain every corpus row exactly once")
+    // full-probe serve == plain ADC under the SAME (base-trained) model
+    // over the full corpus: appends encode with frozen codebooks
+    val baseCells = KMeans.fitCentroids(
+      emb.where(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+      k = 4, iters = 2)
+    val baseModel = ProductQuantizer.train(
+      emb.where(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    assert(index.cells.cells.map(_.toSeq) == baseCells.cells.map(_.toSeq),
+      "append must not retrain the coarse cells")
+    val query = emb.where(col("vec_id") === 0L)
+      .select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0).toArray
+    val served = ProductQuantizer.ivfPqSearch(index, "vec_id", query,
+      nProbe = 4, k = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(emb, "vec_id", "embedding", baseModel),
+      "vec_id", query, baseModel, k = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == plain, s"$served != $plain")
+  }
+
   test("ADC equals brute-force distance through the codebooks") {
     val emb = Tables.embeddings(spark, sf).limit(64)
     val model = ProductQuantizer.train(emb, "vec_id", "embedding",
