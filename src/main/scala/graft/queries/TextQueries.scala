@@ -882,6 +882,58 @@ object TextQueries {
       ORDER BY n DESC, pair
       LIMIT 50"""))
 
+  /** One BPE training round in the oracle: count adjacent symbol pairs
+    * of the fenced strings in f{k-1}, pick the (n DESC, l, r) argmax,
+    * rewrite with the same non-overlapping left-to-right `replace` the
+    * Spark operator uses (identical greedy-merge semantics).
+    */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = s"f${k - 1}"
+    s"""
+      p$k AS (
+        SELECT p.l AS l, p.r AS r, COUNT(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(syms)),
+            i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p
+          FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+            chr(1) || chr(1)) AS syms FROM $prev))
+        GROUP BY 1, 2),
+      b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+      f$k AS (
+        SELECT replace(s,
+          chr(1) || (SELECT l FROM b$k) || chr(1) || chr(1) ||
+            (SELECT r FROM b$k) || chr(1),
+          chr(1) || (SELECT l FROM b$k) || (SELECT r FROM b$k) || chr(1)) AS s
+        FROM $prev)"""
+  }
+
+  /** The full iterative BPE merge-training loop (TextFunctions
+    * .bpeTrainMerges, 3 rounds): counts adjacent symbol pairs, merges
+    * the winner corpus-wide, repeats — the tokenizer-induction
+    * counterpart of the unrolled-Lloyd's k-means exhibits. Every step
+    * is deterministic (integer counts, lexicographic ties, and a
+    * shared left-to-right non-overlapping replace = greedy merge), so
+    * the oracle replays the whole trained trajectory.
+    */
+  private val qBpeTrain = QueryDef(
+    "q_bpe_train_merges",
+    (s, d) => TF.bpeTrainMerges(Tables.documents(s, d), "text", rounds = 3),
+    Some(s"""
+      WITH tok AS (
+        SELECT unnest($sqlTokens) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      f0 AS (
+        SELECT chr(1) || array_to_string(list_transform(
+            range(1, length(tok) + 1), i -> substr(tok, i, 1)),
+          chr(1) || chr(1)) || chr(1) AS s
+        FROM tok WHERE length(tok) >= 1),
+      ${bpeRoundSql(1)},
+      ${bpeRoundSql(2)},
+      ${bpeRoundSql(3)}
+      SELECT CAST(1 AS INTEGER) AS round, l AS merge_left, r AS merge_right,
+        CAST(n AS BIGINT) AS n FROM b1
+      UNION ALL SELECT CAST(2 AS INTEGER), l, r, CAST(n AS BIGINT) FROM b2
+      UNION ALL SELECT CAST(3 AS INTEGER), l, r, CAST(n AS BIGINT) FROM b3"""))
+
   /** BM25 keyword search (log-free odds idf — see graft.text.Bm25 for
     * why: every step is IEEE-exact with a pinned evaluation order, so
     * the double scores hash-match across engines; libm's ln would not).
@@ -940,7 +992,7 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qChunk, qTokenIds,
+    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,

@@ -345,6 +345,72 @@ object TextFunctions {
       .select(col(idCol), col("pos"), col("token"), col("token_id"))
   }
 
+  /** Iterative BPE merge training at corpus scale — the tokenizer-
+    * induction loop itself, not just round 1's pair counts
+    * (q_bpe_merge_pairs): each round counts adjacent SYMBOL pairs
+    * across the corpus, picks the most frequent (ties → lexicographic
+    * smallest), and merges every occurrence before the next round.
+    *
+    * Representation: each whitespace token becomes a FENCED symbol
+    * string — ` s1  s2  … sn `
+    * (single fence at the ends, double between symbols). The merge of
+    * pair (a,b) is then ONE literal string replace of
+    * `ab` with `ab`: fences make
+    * matches exact-symbol-only, the double interior fence keeps
+    * back-to-back occurrences non-overlapping, and left-to-right
+    * non-overlapping replacement IS greedy BPE merge order ("a a a" →
+    * "aa a"). Both Spark's `replace` and the SQL oracle's `replace`
+    * implement exactly that scan, which is what makes the whole
+    * trained trajectory hash-checkable.
+    *
+    * Scale shape (the Lloyd's-style iterative contract): per round one
+    * map-side pair explode, ONE vocabulary-sized shuffle (partial
+    * counts), a 1-row collect (the argmax), and a map-side rewrite of
+    * the symbol strings, re-pinned per round (localCheckpoint — plan
+    * must not nest N replaces). No corpus row ever shuffles.
+    *
+    * Returns (round, merge_left, merge_right, n) — the learned merge
+    * table, `rounds` rows.
+    */
+  def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1)
+    val spark = df.sparkSession
+    val F = "\u0001"
+    val FF = F + F
+    val chars = transform(sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    var fenced = df.select(explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .select(concat(lit(F), array_join(chars, FF), lit(F)).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val syms = split(col("s").substr(lit(2), length(col("s")) - 2), FF)
+      val pairs = fenced
+        .select(syms.as("__syms"))
+        .where(size(col("__syms")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("__syms")) - 1),
+          i => struct(element_at(col("__syms"), i).as("l"),
+            element_at(col("__syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      require(pairs.nonEmpty,
+        s"BPE round $round: corpus has no adjacent symbol pairs left")
+      val (l, r, n) = (pairs(0).getString(0), pairs(0).getString(1),
+        pairs(0).getLong(2))
+      merges += ((round, l, r, n))
+      fenced = fenced.select(call_function("replace", col("s"),
+          lit(F + l + FF + r + F), lit(F + l + r + F)).as("s"))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "merge_left", "merge_right", "n")
+  }
+
   def commonNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame =
     df.select(tokens(col(textCol)).as("__tk"))

@@ -273,6 +273,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows("x").isEmpty && rows("").isEmpty)
   }
 
+  test("BPE training: hand-checked 3-round trajectory with greedy merges and ties") {
+    import graft.text.TextFunctions
+    // tokens: aa, ab, aab, aa
+    // r1: (a,a)=3 [aa, aab, aa], (a,b)=2 → merge (a,a)
+    //     aa→[aa], ab→[a,b], aab→[aa,b] (greedy leftmost), aa→[aa]
+    // r2: (a,b)=1, (aa,b)=1 — tie on n → lexicographic: "a" < "aa" → (a,b)
+    // r3: only (aa,b)=1 remains
+    val docs = Seq((1L, "aa ab"), (2L, "aab aa")).toDF("doc_id", "text")
+    val merges = TextFunctions.bpeTrainMerges(docs, "text", rounds = 3)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges == Seq((1, "a", "a", 3L), (2, "a", "b", 1L),
+      (3, "aa", "b", 1L)), merges.toString)
+  }
+
   test("chunking: stride windows, short tail, empty docs dropped") {
     import graft.text.TextFunctions
     val docs = Seq(
