@@ -934,6 +934,45 @@ object TextQueries {
       UNION ALL SELECT CAST(2 AS INTEGER), l, r, CAST(n AS BIGINT) FROM b2
       UNION ALL SELECT CAST(3 AS INTEGER), l, r, CAST(n AS BIGINT) FROM b3"""))
 
+  /** Train-then-apply BPE: encode the corpus with the 3 learned merges
+    * (TextFunctions.bpeEncodeSymbols — the merge table rides the plan
+    * as N literal replaces, pure map-side) and emit the post-merge
+    * symbol vocabulary with frequencies. The oracle's `f3` IS the
+    * corpus after 3 merges, so the check covers training AND encoding
+    * end to end: a divergence in either stage changes some symbol's
+    * count.
+    */
+  private val qBpeEncode = QueryDef(
+    "q_bpe_encode_vocab",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TF.bpeTrainMerges(docs, "text", rounds = 3)
+        .orderBy("round")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TF.bpeEncodeSymbols(docs, "text", merges)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("symbol"))
+        .limit(100)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT unnest($sqlTokens) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      f0 AS (
+        SELECT chr(1) || array_to_string(list_transform(
+            range(1, length(tok) + 1), i -> substr(tok, i, 1)),
+          chr(1) || chr(1)) || chr(1) AS s
+        FROM tok WHERE length(tok) >= 1),
+      ${bpeRoundSql(1)},
+      ${bpeRoundSql(2)},
+      ${bpeRoundSql(3)}
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(substr(s, 2, length(s) - 2),
+          chr(1) || chr(1))) AS symbol
+        FROM f3)
+      GROUP BY symbol ORDER BY n DESC, symbol LIMIT 100"""))
+
   /** BM25 keyword search (log-free odds idf — see graft.text.Bm25 for
     * why: every step is IEEE-exact with a pinned evaluation order, so
     * the double scores hash-match across engines; libm's ln would not).
@@ -992,7 +1031,7 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qChunk, qTokenIds,
+    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,

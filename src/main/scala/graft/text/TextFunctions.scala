@@ -411,6 +411,32 @@ object TextFunctions {
     merges.toSeq.toDF("round", "merge_left", "merge_right", "n")
   }
 
+  /** Apply a trained BPE merge table: encode every token into its
+    * post-merge symbol sequence (exploded one row per symbol). The
+    * merge fold is N literal replaces in ONE map-side projection chain
+    * — no shuffle, no state; the trained table is tiny and rides the
+    * plan as literals (the broadcast-the-model contract, same as
+    * k-means assignment). Greedy left-to-right merge order is inherited
+    * from the fenced-replace semantics of [[bpeTrainMerges]].
+    */
+  def bpeEncodeSymbols(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val F = "\u0001"
+    val FF = F + F
+    val chars = transform(sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    val fenced0: Column = concat(lit(F), array_join(chars, FF), lit(F))
+    val merged = merges.foldLeft(fenced0) { case (c, (l, r)) =>
+      call_function("replace", c, lit(F + l + FF + r + F), lit(F + l + r + F))
+    }
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .select(merged.as("__m"))
+      .select(explode(
+        split(col("__m").substr(lit(2), length(col("__m")) - 2), FF))
+        .as("symbol"))
+  }
+
   def commonNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame =
     df.select(tokens(col(textCol)).as("__tk"))
