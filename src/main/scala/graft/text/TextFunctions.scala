@@ -380,8 +380,12 @@ object TextFunctions {
     val FF = F + F
     val chars = transform(sequence(lit(1), length(col("tok"))),
       i => col("tok").substr(i, lit(1)))
-    var fenced = df.select(explode(tokens(col(textCol))).as("tok"))
-      .where(length(col("tok")) >= 1)
+    // fanOut BEFORE the first checkpoint: a single-file source arrives
+    // as one partition and localCheckpoint would PIN that layout for
+    // every round (AmplificationAudit caught 3×1.1 s one-task stages)
+    var fenced = graft.ops.Partitioning.fanOut(
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .where(length(col("tok")) >= 1))
       .select(concat(lit(F), array_join(chars, FF), lit(F)).as("s"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -429,8 +433,9 @@ object TextFunctions {
     val merged = merges.foldLeft(fenced0) { case (c, (l, r)) =>
       call_function("replace", c, lit(F + l + FF + r + F), lit(F + l + r + F))
     }
-    df.select(explode(tokens(col(textCol))).as("tok"))
-      .where(length(col("tok")) >= 1)
+    graft.ops.Partitioning.fanOut(
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .where(length(col("tok")) >= 1))
       .select(merged.as("__m"))
       .select(explode(
         split(col("__m").substr(lit(2), length(col("__m")) - 2), FF))
