@@ -383,9 +383,15 @@ object TextFunctions {
     // fanOut BEFORE the first checkpoint: a single-file source arrives
     // as one partition and localCheckpoint would PIN that layout for
     // every round (AmplificationAudit caught 3×1.1 s one-task stages)
+    // contract: a token CONTAINING the fence char would corrupt the
+    // symbol framing — fail loudly (real corpora should strip control
+    // chars upstream; silently dropping tokens would skew pair counts)
     var fenced = graft.ops.Partitioning.fanOut(
       df.select(explode(tokens(col(textCol))).as("tok"))
         .where(length(col("tok")) >= 1))
+      .select(when(col("tok").contains(F), raise_error(concat(
+          lit("bpeTrainMerges: token contains the U+0001 fence char: "),
+          col("tok")))).otherwise(col("tok")).as("tok"))
       .select(concat(lit(F), array_join(chars, FF), lit(F)).as("s"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -436,6 +442,9 @@ object TextFunctions {
     graft.ops.Partitioning.fanOut(
       df.select(explode(tokens(col(textCol))).as("tok"))
         .where(length(col("tok")) >= 1))
+      .select(when(col("tok").contains(F), raise_error(concat(
+          lit("bpeEncodeSymbols: token contains the U+0001 fence char: "),
+          col("tok")))).otherwise(col("tok")).as("tok"))
       .select(merged.as("__m"))
       .select(explode(
         split(col("__m").substr(lit(2), length(col("__m")) - 2), FF))

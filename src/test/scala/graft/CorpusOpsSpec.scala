@@ -289,6 +289,59 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3, "aa", "b", 1L)), merges.toString)
   }
 
+  test("BPE training matches a reference implementation on random corpora") {
+    import graft.text.TextFunctions
+    // reference: greedy left-to-right merges, (count DESC, l, r) argmax
+    def refBpe(docs: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+      var corpus: Seq[Vector[String]] = docs
+        .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .map(_.map(_.toString).toVector)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val counts = corpus.flatMap(t =>
+          if (t.size < 2) Nil
+          else (0 until t.size - 1).map(i => (t(i), t(i + 1))))
+          .groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), n) = counts.minBy { case ((l, rr), n) => (-n, l, rr) }
+          out += ((l, rr, n))
+          corpus = corpus.map { t =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < t.size) {
+              if (i + 1 < t.size && t(i) == l && t(i + 1) == rr) {
+                b += (l + rr); i += 2
+              } else { b += t(i); i += 1 }
+            }
+            b.result()
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(8))(
+          Seq.fill(1 + rnd.nextInt(6))("abc" (rnd.nextInt(3))).mkString)
+          .mkString(" "))
+      val expected = refBpe(docs, 3)
+      if (expected.size == 3) { // skip corpora that run dry early
+        val got = TextFunctions.bpeTrainMerges(
+          docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"), "text", rounds = 3)
+          .orderBy("round")
+          .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+        assert(got == expected, s"seed=$seed docs=$docs:\n  $got\n  $expected")
+      }
+    }
+  }
+
   test("chunking: stride windows, short tail, empty docs dropped") {
     import graft.text.TextFunctions
     val docs = Seq(
