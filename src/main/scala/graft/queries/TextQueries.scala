@@ -973,6 +973,41 @@ object TextQueries {
         FROM f3)
       GROUP BY symbol ORDER BY n DESC, symbol LIMIT 100"""))
 
+  /** Count-Min heavy-hitter tokens (ops/Sketches): the corpus token
+    * stream feeds a 4×256 md5-bucketed counter sketch; every distinct
+    * token's estimate is the min over its 4 counters (≥ true count by
+    * construction) and the top-20 rank by (estimate DESC, token). The
+    * md5 bucket derivation is engine-portable, so the oracle replays
+    * the SKETCH itself — collisions and all — not just the ranking.
+    */
+  private val qCmsHeavyHitters = QueryDef(
+    "q_cms_heavy_hitters",
+    (s, d) => {
+      val items = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("key"))
+      graft.ops.Sketches.cmsHeavyHitters(items, "key", d = 4, k = 20)
+    },
+    Some(s"""
+      WITH items AS (
+        SELECT unnest($sqlTokens) AS key
+        FROM documents WHERE length(trim(text)) > 0),
+      js AS (SELECT unnest(range(0, 4)) AS j),
+      sketch AS (
+        SELECT j, substr(md5(j || ':' || key), 1, 2) AS bucket,
+          COUNT(*) AS n
+        FROM items CROSS JOIN js
+        GROUP BY 1, 2),
+      keys AS (SELECT DISTINCT key FROM items),
+      kh AS (
+        SELECT key, j, substr(md5(j || ':' || key), 1, 2) AS bucket
+        FROM keys CROSS JOIN js),
+      est AS (
+        SELECT key, MIN(n) AS cms_estimate
+        FROM kh JOIN sketch USING (j, bucket)
+        GROUP BY key)
+      SELECT key, CAST(cms_estimate AS BIGINT) AS cms_estimate
+      FROM est ORDER BY cms_estimate DESC, key LIMIT 20"""))
+
   /** BM25 keyword search (log-free odds idf — see graft.text.Bm25 for
     * why: every step is IEEE-exact with a pinned evaluation order, so
     * the double scores hash-match across engines; libm's ln would not).
@@ -1031,7 +1066,7 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qChunk, qTokenIds,
+    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,

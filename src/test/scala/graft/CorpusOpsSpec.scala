@@ -342,6 +342,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS: estimates dominate exact counts; clear heavy hitters rank exactly") {
+    import graft.ops.Sketches
+    // zipf-ish: token t_i appears (50 - i) times → exact ranking known
+    val rows = (0 until 40).flatMap(i => Seq.fill(50 - i)(s"t$i"))
+    val items = rows.toDF("key")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = Sketches.cmsHeavyHitters(items, "key", d = 4, k = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS never under-counts
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"$k: estimate $e < exact ${exact(k)}")
+    }
+    // with 40 keys in 256 buckets × 4 rows, collisions are unlikely to
+    // perturb the TOP of the ranking: the heaviest key must rank first
+    val top = Sketches.cmsHeavyHitters(items, "key", d = 4, k = 1)
+      .collect().head
+    assert(top.getString(0) == "t0", top.toString)
+  }
+
   test("chunking: stride windows, short tail, empty docs dropped") {
     import graft.text.TextFunctions
     val docs = Seq(
