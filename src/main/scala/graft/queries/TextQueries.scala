@@ -1008,6 +1008,26 @@ object TextQueries {
       SELECT key, CAST(cms_estimate AS BIGINT) AS cms_estimate
       FROM est ORDER BY cms_estimate DESC, key LIMIT 20"""))
 
+  /** The CMS counter table maintained as a CONTINUOUS query
+    * (streaming/StreamingSketch): one streaming groupBy whose state is
+    * the sketch itself (≤ d·256 groups — bounded by geometry, no
+    * watermark needed). The final table must equal the batch sketch
+    * whatever the arrival partitioning; the oracle replays the batch
+    * construction.
+    */
+  private val qStreamCms = QueryDef(
+    "q_stream_cms_sketch",
+    (s, d) => graft.streaming.StreamingSketch.runBatchEquivalent(s, d),
+    Some(s"""
+      WITH items AS (
+        SELECT unnest($sqlTokens) AS key
+        FROM documents WHERE length(trim(text)) > 0),
+      js AS (SELECT unnest(range(0, 4)) AS j)
+      SELECT CAST(j AS INT) AS j, substr(md5(j || ':' || key), 1, 2) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM items CROSS JOIN js
+      GROUP BY 1, 2"""))
+
   /** BM25 keyword search (log-free odds idf — see graft.text.Bm25 for
     * why: every step is IEEE-exact with a pinned evaluation order, so
     * the double scores hash-match across engines; libm's ln would not).
@@ -1070,5 +1090,5 @@ object TextQueries {
     qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,
-    qStreamContamination, qStreamNearDup, qFingerprint, qTopTerms, qRedact)
+    qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
 }
