@@ -1028,6 +1028,44 @@ object TextQueries {
       FROM items CROSS JOIN js
       GROUP BY 1, 2"""))
 
+  /** Pairwise source drift (TextFunctions.sourceTokenDrift): L1
+    * distance between per-source token distributions for all source
+    * pairs — integer numerator algebra, one double division, so the
+    * oracle replays it exactly. The inner-join-only identity (absent
+    * mass from totals) keeps the plan at one token self-join over the
+    * (source × vocab) counts, no full outer, no token grid.
+    */
+  private val qSourceDrift = QueryDef(
+    "q_source_token_drift",
+    (s, d) => TF.sourceTokenDrift(Tables.documents(s, d), "source", "text"),
+    Some(s"""
+      WITH tok AS (
+        SELECT source AS src, unnest($sqlTokens) AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      counts AS (SELECT src, t, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+      totals AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot
+        FROM counts GROUP BY 1),
+      ct AS (
+        SELECT c.src, c.t, CAST(c.n AS BIGINT) AS n, tt.tot
+        FROM counts c JOIN totals tt USING (src)),
+      inner_agg AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+          CAST(SUM(ABS(a.n * b.tot - b.n * a.tot)) AS BIGINT) AS s_abs,
+          CAST(SUM(a.n) AS BIGINT) AS s_a,
+          CAST(SUM(b.n) AS BIGINT) AS s_b
+        FROM ct a JOIN ct b ON a.t = b.t AND a.src < b.src
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT x.src AS source_a, y.src AS source_b,
+          x.tot AS tot_a, y.tot AS tot_b
+        FROM totals x JOIN totals y ON x.src < y.src)
+      SELECT p.source_a, p.source_b,
+        CAST(COALESCE(i.s_abs, 0) +
+          (p.tot_a - COALESCE(i.s_a, 0)) * p.tot_b +
+          (p.tot_b - COALESCE(i.s_b, 0)) * p.tot_a AS BIGINT) /
+          CAST(p.tot_a * p.tot_b AS BIGINT) AS l1_drift
+      FROM pairs p LEFT JOIN inner_agg i USING (source_a, source_b)"""))
+
   /** BM25 keyword search (log-free odds idf — see graft.text.Bm25 for
     * why: every step is IEEE-exact with a pinned evaluation order, so
     * the double scores hash-match across engines; libm's ln would not).
@@ -1086,7 +1124,7 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qChunk, qTokenIds,
+    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qContamination, qContaminationBloom, qFuzzyJoin,

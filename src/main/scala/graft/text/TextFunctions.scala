@@ -451,6 +451,56 @@ object TextFunctions {
         .as("symbol"))
   }
 
+  /** Pairwise source drift: L1 distance between per-source token
+    * DISTRIBUTIONS for every source pair — the corpus-mixture monitor
+    * (did src7's vocabulary shift vs src3? is a new crawl snapshot
+    * distributionally different?). Values in [0, 2]; 0 = identical
+    * distributions, 2 = disjoint vocabularies.
+    *
+    * Exact-by-construction: L1(a,b) = Σ_t |n_a·N_b − n_b·N_a| /
+    * (N_a·N_b) over integer counts, with ONE double division at the
+    * end — hash-identical across engines. The sum needs only the
+    * tokens PRESENT IN BOTH sources (one self-equi-join on token):
+    * each side's absent-token mass is recovered from totals,
+    * Σ_{a only} n_a·N_b = (N_a − Σ_both n_a)·N_b — so no full-outer
+    * join and no token-grid materialization. Overflow headroom (ANSI):
+    * the abs-sum bounds at sharedVocab · N_a · N_b — safe to ~10⁶
+    * tokens/source at 10⁵ vocab; larger corpora should drift-compare
+    * on a sampled slice (Sampling.sampleByKey) or bucket counts.
+    *
+    * Shape at scale: counts are a (source × vocab)-sized aggregate;
+    * the self-join shuffles counts by token (never text); totals are
+    * S rows, broadcast; the pair frame is S² rows on the driver side
+    * of a broadcast join. Missing pairs (zero shared vocabulary) still
+    * emit, at drift exactly 2.
+    */
+  def sourceTokenDrift(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(sourceCol).as("src"),
+      explode(tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy(col("src"), col("t")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+    val ct = counts.join(broadcast(totals), Seq("src"))
+    val inner = ct.as("a").join(ct.as("b"),
+        col("a.t") === col("b.t") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(
+        sum(abs(col("a.n") * col("b.tot") - col("b.n") * col("a.tot")))
+          .as("s_abs"),
+        sum(col("a.n")).as("s_a"),
+        sum(col("b.n")).as("s_b"))
+    val pairs = totals.as("x").join(totals.as("y"),
+        col("x.src") < col("y.src"))
+      .select(col("x.src").as("source_a"), col("y.src").as("source_b"),
+        col("x.tot").as("tot_a"), col("y.tot").as("tot_b"))
+    pairs.join(inner, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        ((coalesce(col("s_abs"), lit(0L)) +
+          (col("tot_a") - coalesce(col("s_a"), lit(0L))) * col("tot_b") +
+          (col("tot_b") - coalesce(col("s_b"), lit(0L))) * col("tot_a")) /
+          (col("tot_a") * col("tot_b"))).as("l1_drift"))
+  }
+
   def commonNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame =
     df.select(tokens(col(textCol)).as("__tk"))

@@ -361,6 +361,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top.getString(0) == "t0", top.toString)
   }
 
+  test("source drift: hand-checked L1, zero on identical, two on disjoint") {
+    import graft.text.TextFunctions
+    // A: {a:2/3, b:1/3}, B: {a:1/2, c:1/2} → L1 = 1/6 + 1/3 + 1/2 = 1
+    val docs = Seq(("A", "a a b"), ("B", "a c"), ("C", "a a b"),
+      ("D", "x y z")).toDF("source", "text")
+    val drift = TextFunctions.sourceTokenDrift(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(drift(("A", "B")) - 1.0) < 1e-15, drift.toString)
+    assert(drift(("A", "C")) == 0.0, "identical distributions must be 0")
+    assert(drift(("A", "D")) == 2.0, "disjoint vocabularies must be 2")
+    assert(drift.size == 6, "every source pair must emit")
+  }
+
   test("chunking: stride windows, short tail, empty docs dropped") {
     import graft.text.TextFunctions
     val docs = Seq(
