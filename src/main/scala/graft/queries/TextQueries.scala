@@ -588,6 +588,57 @@ object TextQueries {
           AS dup_frac
       FROM nd GROUP BY doc_id"""))
 
+  /** Duplicate-span REMOVAL (Dedup.dupSpanRemoval): cut every token
+    * position covered by an 8-token window that occurs verbatim in >1
+    * document, emit stats + cleaned text. Oracle mirrors the coverage
+    * set positionally (covered positions → gaps-and-islands run count →
+    * ordered string_agg of survivors); the engine merges intervals
+    * before positions ever shuffle, but the covered-position SET is
+    * identical, so counts, runs, and the rejoined text all hash-match.
+    */
+  private val qDupSpanRemoval = QueryDef(
+    "q_dup_span_removal",
+    (s, d) => Dedup.dupSpanRemoval(Tables.documents(s, d), "doc_id", "text", k = 8),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        FROM tok WHERE len(t) >= 8),
+      wins AS (
+        SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g FROM idx),
+      dup AS (
+        SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+      covw AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (g)),
+      cov AS (
+        SELECT DISTINCT doc_id, p FROM (
+          SELECT doc_id, unnest(range(i, i + 8)) AS p FROM covw)),
+      runs AS (
+        SELECT doc_id, p,
+          p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov),
+      stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed,
+          CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
+        FROM runs GROUP BY 1),
+      posi AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM tok),
+      kept AS (
+        SELECT posi.doc_id, posi.p, posi.t[posi.p] AS w FROM posi
+        WHERE NOT EXISTS (SELECT 1 FROM cov
+          WHERE cov.doc_id = posi.doc_id AND cov.p = posi.p)),
+      agg AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned_text
+        FROM kept GROUP BY 1)
+      SELECT tok.doc_id,
+        CAST(len(tok.t) AS BIGINT) AS n_tokens,
+        COALESCE(stats.n_removed, 0) AS n_removed,
+        COALESCE(stats.n_spans, 0) AS n_spans,
+        COALESCE(stats.n_removed, 0) / len(tok.t) AS removed_frac,
+        COALESCE(agg.cleaned_text, '') AS cleaned_text
+      FROM tok LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)"""))
+
   /** Train/test decontamination (Dedup.contaminationFlags): corpus =
     * doc_id%97≠0, probe "benchmark" set = doc_id%97=0; flag corpus docs
     * sharing ≥1 distinct 3-gram shingle with any probe doc. The probe
@@ -1127,6 +1178,7 @@ object TextQueries {
     qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
+    qDupSpanRemoval,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
 }

@@ -785,6 +785,77 @@ object Dedup {
         (col("n_dup_windows") / col("n_windows")).as("dup_frac"))
   }
 
+  /** Exact duplicate-span REMOVAL — the excision step of exact
+    * substring dedup (Lee et al. 2022 §4.1, reference has no
+    * counterpart): a token position is covered when any k-token
+    * stride-1 window containing it occurs verbatim in MORE THAN ONE
+    * document; covered positions are cut and the survivors rejoined.
+    * Policy: the span is removed from EVERY holder (not keep-one) —
+    * boilerplate/chrome should vanish everywhere, and keep-one is
+    * ill-defined once overlapping spans have different canonical
+    * holders. Emits per doc: token counts, removed-run count, and the
+    * cleaned text.
+    *
+    * 100 TB shape: the duplicated-window set is found exactly as in
+    * dupSpanStats (8-byte span hashes, never text, cross the exchange);
+    * coverage then collapses to MERGED INTERVALS per doc *before*
+    * anything position-sized shuffles — the interval merge is a
+    * running-max window over (doc, window-start), so a doc whose spans
+    * overlap heavily carries a handful of (start,end) rows, not one row
+    * per covered token. The only place text moves is the final id-keyed
+    * join of each doc's token array with its interval list, and the cut
+    * itself is a map-side indexed-filter HOF (codegen'd, no UDF).
+    */
+  def dupSpanRemoval(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = pinned(fanOut(df.where(length(trim(col(textCol))) > 0))
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t")))
+    // Stride-1 windows WITH their 1-based start position (dupSpanStats
+    // discards position; removal needs it).
+    val tcol = col("t")
+    val wlen = greatest(size(tcol) - (k - 1), lit(0))
+    val zipped = arrays_zip((1 to k).map(i => slice(tcol, lit(i), wlen)): _*)
+    val wins = pinned(toks
+      .select(col("id"), posexplode(zipped).as(Seq("p0", "z")))
+      .select(col("id"), (col("p0") + 1).as("i"),
+        xxhash64((0 until k).map(j => col(s"z.$j")): _*).as("s")))
+    val dupSpans = wins.select(col("s"), col("id")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1).select(col("s"))
+    // Covered intervals [i, i+k-1], merged per doc (adjacent runs fuse:
+    // coverage is positional, so touching intervals are one removed run).
+    val cov = wins.join(dupSpans, Seq("s"), "left_semi")
+      .select(col("id"), col("i"), (col("i") + (k - 1)).as("e"))
+    val byStart = Window.partitionBy(col("id")).orderBy(col("i"))
+    val prevMax = max(col("e"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val runs = cov
+      .withColumn("new_run",
+        when(col("i") > coalesce(prevMax, lit(-2)) + 1, 1).otherwise(0))
+      .withColumn("grp",
+        sum(col("new_run")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("i")).as("rs"), max(col("e")).as("re"))
+    val perDoc = runs.groupBy(col("id"))
+      .agg(collect_list(struct(col("rs"), col("re"))).as("iv"),
+        count(lit(1)).as("n_spans"),
+        sum(col("re") - col("rs") + 1).cast("long").as("n_removed"))
+    // Map-side cut: indexed filter HOF against the doc's interval list
+    // (unordered — membership test only), then rejoin with spaces.
+    val cut = filter(col("t"), (_, i0) =>
+      !exists(col("iv"), v =>
+        (i0 + 1) >= v.getField("rs") && (i0 + 1) <= v.getField("re")))
+    toks.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("n_removed"), lit(0L)) / size(col("t")))
+          .as("removed_frac"),
+        when(col("iv").isNull, array_join(col("t"), " "))
+          .otherwise(array_join(cut, " ")).as("cleaned_text"))
+  }
+
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
     * explode distinct shingles, equi-join on shingle, count common,
     * combine with set sizes. Quadratic only within identical-shingle

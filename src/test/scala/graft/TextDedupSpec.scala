@@ -202,6 +202,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(byId(4L) == ((9L, 0L)))
   }
 
+  test("dup-span removal: shared spans cut everywhere, runs merged, untouched docs intact") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"   // shared by docs 1, 2, 4
+    val span2 = "u1 u2 u3 u4 u5 u6 u7 u8"  // shared by docs 4, 5
+    val wide = "v1 v2 v3 v4 v5 v6 v7 v8 v9" // 9 tokens shared by 6, 7 → one merged run
+    val df = Seq(
+      (1L, s"$span x1 x2 x3"),
+      (2L, s"p1 p2 $span r1"),
+      (3L, "only unique words live here today"),
+      (4L, s"$span a1 a2 a3 $span2"),
+      (5L, s"b1 $span2 b2 b3"),
+      (6L, s"$wide c1"),
+      (7L, s"d1 $wide")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanRemoval(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def row(id: Long) = {
+      val r = out(id)
+      (r.getAs[Long]("n_removed"), r.getAs[Long]("n_spans"),
+        r.getAs[String]("cleaned_text"))
+    }
+    assert(row(1L) == ((8L, 1L, "x1 x2 x3")))
+    assert(row(2L) == ((8L, 1L, "p1 p2 r1")))
+    assert(row(3L) == ((0L, 0L, "only unique words live here today")))
+    assert(row(4L) == ((16L, 2L, "a1 a2 a3"))) // two disjoint runs
+    assert(row(5L) == ((8L, 1L, "b1 b2 b3")))
+    // two overlapping 8-windows over the 9-token span merge into ONE run
+    assert(row(6L) == ((9L, 1L, "c1")))
+    assert(row(7L) == ((9L, 1L, "d1")))
+    assert(out(4L).getAs[Long]("n_tokens") == 19L)
+    assert(out(4L).getAs[Double]("removed_frac") === 16.0 / 19.0)
+  }
+
   test("contamination flags: shared shingle with probe set flags the doc") {
     val corpus = Seq((1L, "x y z w"), (2L, "p q r s")).toDF("doc_id", "text")
     val probes = Seq((100L, "x y z k")).toDF("doc_id", "text")
