@@ -60,6 +60,33 @@ object Sampling {
     df.withColumn(outCol, expr)
   }
 
+  /** Leakage-free train/val/test assignment: near-duplicate documents
+    * must land in the SAME split, or the eval set silently contains
+    * paraphrases of training docs and the benchmark is contaminated
+    * from the inside. Composition: connected components over the
+    * supplied near-dup pair set (Dedup.nearDupClusters) collapse each
+    * dup cluster to its min-id representative, and `assignSplit` keys
+    * on the REPRESENTATIVE — one md5-range draw per cluster, so every
+    * member inherits the cluster's split. Singletons are their own
+    * representative (unchanged semantics vs plain assignSplit).
+    *
+    * Output: (idCol, rep, split). Stability: a new near-dup of an
+    * existing doc joins its cluster and therefore its split; it can
+    * LOWER the representative id (and re-draw the cluster's split), so
+    * pin reps externally if historical split stability under appends
+    * matters more than min-id determinism.
+    *
+    * Scale: the pair set is the expensive input (banded LSH upstream,
+    * never all-pairs); CC is the pointer-jumping loop (O(log diameter)
+    * rounds, id-only exchanges); the split itself is one map-side CASE.
+    */
+  def leakFreeSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    val cc = graft.text.Dedup.nearDupClusters(ids, idCol, pairs)
+    assignSplit(cc, col("rep"), splits, outCol)
+      .select(col("id").as(idCol), col("rep"), col(outCol))
+  }
+
   /** Deterministic training-order shuffle with SCALABLE global
     * enumeration — the write-order primitive for a training corpus:
     * every row gets a global 1-based `shuffle_pos` in md5-shuffled

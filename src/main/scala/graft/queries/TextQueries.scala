@@ -305,6 +305,53 @@ object TextQueries {
            ORDER BY s.n_chars DESC, c.id) = 1) AS is_keeper
       FROM clusters c JOIN sel s ON s.doc_id = c.id"""))
 
+  /** Leakage-free dataset split (Sampling.leakFreeSplit): same
+    * connected components as q_neardup_clusters, but the md5-range
+    * train/val/test draw keys on the cluster REPRESENTATIVE, so a
+    * near-dup pair can never straddle train and test — the
+    * eval-contamination guarantee plain per-doc splitting lacks.
+    * Oracle = the recursive-CTE components + the same CASE ladder as
+    * q_dataset_split applied to rep.
+    */
+  private val qLeakFreeSplit = QueryDef(
+    "q_leakfree_split",
+    (s, d) => {
+      val sel = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+      val pairs = Dedup.ngramJaccardPairs(sel, "doc_id", "text",
+        shingleN = 3, threshold = 0.01).select(col("id_a"), col("id_b"))
+      graft.ops.Sampling.leakFreeSplit(sel.select(col("doc_id")), "doc_id",
+        pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+    Some("""
+      WITH RECURSIVE
+      sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),""" +
+      sqlShingleCtes("sel") + s""",
+      rawpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jpairs AS (
+        SELECT id_a, id_b FROM rawpairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.01),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM jpairs
+        UNION ALL SELECT id_b, id_a FROM jpairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM sel
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e, reach WHERE e.d = reach.id),
+      clusters AS (
+        SELECT id, CAST(MIN(r) AS BIGINT) AS rep FROM reach GROUP BY id)
+      SELECT id AS doc_id, rep,
+        CASE WHEN md5(CAST(rep AS VARCHAR)) <
+               '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train'
+             WHEN md5(CAST(rep AS VARCHAR)) <
+               '${graft.ops.Sampling.hexThreshold(0.9)}' THEN 'val'
+             ELSE 'test' END AS split
+      FROM clusters"""))
+
   /** MinHash-LSH near-dups at the DEDUP-DECISION threshold (0.5),
     * declared against the full-corpus exact-Jaccard oracle. Sound
     * because the corpus similarity distribution is bimodal (measured:
@@ -1176,7 +1223,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
     qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
-    qJaccard, qClusters, qBestKeepers, qMinhash, qNearDupServed,
+    qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qDupSpanRemoval,
     qContamination, qContaminationBloom, qFuzzyJoin,

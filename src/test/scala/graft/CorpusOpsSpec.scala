@@ -191,6 +191,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("leak-free split: near-dup cluster members share one split, singletons keep plain assignment") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val ids = spark.range(100).toDF("doc_id")
+    // clusters: {3,57,91} (chain 3-57, 57-91) and {10,44}; rest singletons
+    val pairs = Seq((3L, 57L), (57L, 91L), (10L, 44L)).toDF("id_a", "id_b")
+    val out = Sampling.leakFreeSplit(ids, "doc_id", pairs, splits)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep"), r.getAs[String]("split"))).toMap
+    assert(out.size == 100)
+    // whole cluster inherits the min-id representative's split
+    assert(out(3L)._1 == 3L && out(57L)._1 == 3L && out(91L)._1 == 3L)
+    assert(out(57L)._2 == out(3L)._2 && out(91L)._2 == out(3L)._2)
+    assert(out(10L)._1 == 10L && out(44L)._1 == 10L)
+    assert(out(44L)._2 == out(10L)._2)
+    // singleton assignment identical to plain assignSplit on its own id
+    val plain = Sampling.assignSplit(ids, col("doc_id"), splits)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val singles = (0L until 100L).toSet -- Set(3L, 57L, 91L, 10L, 44L)
+    singles.foreach(id => assert(out(id) == ((id, plain(id)))))
+    // cluster members take the REP's draw (44's own draw is irrelevant)
+    assert(out(44L)._2 == plain(10L))
+  }
+
   test("group quantile filter: matches per-group rank reference, ties survive") {
     import graft.ops.GroupQuantile
     // group a: values 1..8 (p25 threshold = 2: cum 2/8 = .25 >= .25)
