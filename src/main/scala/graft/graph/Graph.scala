@@ -1,0 +1,128 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus/catalog-shaped data — link analysis over
+  * co-occurrence graphs (which items matter, which documents are hubs)
+  * and local clustering structure (triangles). The reference has no
+  * graph surface; this family extends the curation engine the same way
+  * the dedup connected-components loop does (text/Dedup.scala:
+  * nearDupClusters), and reuses its iterative-plan discipline:
+  * localCheckpoint every round (lineage doubles per iteration
+  * otherwise), edges pre-partitioned on the join key so only the small
+  * rank frame shuffles per round.
+  *
+  * Determinism contract: ranks use FIXED-POINT INTEGER arithmetic
+  * (micro-rank units, floor division) so the trajectory is replayable
+  * bit-exactly by any SQL engine — the same trade the k-means exhibit
+  * makes (sim/KMeans.scala: integer-exact trajectory). Floating-point
+  * PageRank would converge to the same ordering but could not be
+  * hash-verified cross-engine.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges: items sharing a group (parts
+    * sharing an order, docs sharing a cluster). Emits BOTH directions
+    * plus each node's out-degree — the adjacency form pageRank
+    * consumes. Distinct within group first (a part can repeat across
+    * line numbers), distinct across groups after (simple graph).
+    *
+    * 100 TB shape: the self-join is per GROUP (order baskets — tens of
+    * rows), never global; the exchange carries (group, item) ids. A
+    * pathological mega-group would square — cap or salt upstream if
+    * baskets are unbounded.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("a")).distinct()
+    val pairs = g.join(g.withColumnRenamed("a", "b"), Seq("g"))
+      .where(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst")).distinct()
+    pairs
+  }
+
+  /** Fixed-point integer PageRank. Every node starts at `base`
+    * micro-rank units; one iteration is
+    *
+    *   rank'(v) = base·(den−num)/den  +  num·Σ_{u→v} (rank(u) div outdeg(u)) div den
+    *
+    * with ALL divisions integer floor-divisions (num/den = damping,
+    * default 85/100). Dangling nodes keep the teleport term only (their
+    * outgoing mass is dropped — the standard simplification; at these
+    * magnitudes it shifts totals, not orderings). The trajectory is a
+    * pure function of (edges, iters, base, num, den) — an unrolled SQL
+    * replay produces identical BIGINTs.
+    *
+    * Scale: per iteration ONE shuffle of (dst, contrib) pairs into the
+    * aggregate plus the rank-side join shuffle; edges are checkpointed
+    * once, pre-partitioned on `src`, and never move again. Rank frame
+    * is node-sized (id + long). O(iters) rounds, lineage cut per round.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
+      iters: Int = 3, base: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val teleport = base * (dampDen - dampNum) / dampDen
+    var ranks = nodes.select(col(idCol).as("id"), lit(base).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // `div` (not `/`): BIGINT floor division on both engines — the
+      // fixed-point contract. `/` would round through DOUBLE.
+      val contribs = e
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"), expr("rank div outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
+      ranks = ranks.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .withColumn("in2", coalesce(col("in_sum"), lit(0L)))
+        .select(col("id"),
+          (lit(teleport) + expr(s"in2 * $dampNum div $dampDen")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id").as(idCol), col("rank"),
+      (col("rank") / lit(base.toDouble)).as("rank_units"))
+  }
+
+  /** Per-node triangle counts over an undirected simple graph given as
+    * symmetric (src, dst) edges. Orientation: each undirected edge is
+    * kept once, low→high by (degree, id) — the classic trick that
+    * bounds the wedge join by the max LOW-degree endpoint's degree, so
+    * a celebrity hub never enumerates its own neighborhood squared.
+    * Each triangle then exists exactly once as a<b<c in that order;
+    * exploding its corners gives per-node counts.
+    *
+    * Output: (idCol, n_triangles) for every node in `nodes` (0 for
+    * triangle-free nodes).
+    */
+  def triangleCounts(edges: DataFrame, nodes: DataFrame,
+      idCol: String): DataFrame = {
+    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    // total order: (degree, id); keep each undirected edge low→high
+    val withDeg = edges
+      .join(deg.select(col("n").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("d").as("dd")), Seq("dst"))
+    val oriented = withDeg.where(
+        (col("ds") < col("dd")) ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src").as("lo"), col("dst").as("hi"))
+      .localCheckpoint(true)
+    // wedges from the LOW endpoint, closed by an oriented edge b→c
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+      .join(oriented.as("e3"),
+        col("a") === col("e3.lo") && col("c") === col("e3.hi"), "left_semi")
+    val corner = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    nodes.select(col(idCol).as("id")).distinct()
+      .join(corner, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.Graph
+import graft.sources.Tables
+
+/** Graph-analysis exhibits over the part co-purchase graph: parts are
+  * nodes, an undirected edge joins two parts bought in the same order
+  * (the basket co-occurrence graph — 2k nodes / 231k directed edges at
+  * sf0.01, 20k / 2.4M at sf0.1). Both exhibits are deterministic by
+  * construction — fixed-point integer PageRank and exact triangle
+  * counts — so the DuckDB oracles replay them to identical values.
+  */
+object GraphQueries {
+
+  /** Shared SQL prelude: dedup basket rows, build the symmetric edge
+    * set, node list, degrees. Mirrors Graph.coOccurrenceEdges exactly.
+    */
+  private val sqlGraphCtes = """
+      g AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS a FROM lineitem),
+      e AS (
+        SELECT DISTINCT x.a AS src, y.a AS dst
+        FROM g x JOIN g y ON x.gk = y.gk AND x.a <> y.a),
+      nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem)"""
+
+  private val base = 1000000L
+  private val iters = 3
+
+  /** One unrolled PageRank step: rank_i from rank_{i-1}. HUGEINT
+    * intermediates (DuckDB widens SUM) collapse back to BIGINT — the
+    * values stay inside long range (total mass ≈ nodes·10⁶).
+    */
+  private def sqlPrStep(i: Int): String = s"""
+      r$i AS (
+        SELECT n.id,
+          CAST(150000 + COALESCE(s.x, 0) * 85 // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.rank // d.outdeg) AS x
+          FROM e JOIN r${i - 1} r ON r.id = e.src
+          JOIN outdeg d ON d.src = e.src
+          GROUP BY 1) s ON s.id = n.id)"""
+
+  /** Fixed-point PageRank over the co-purchase graph, 3 iterations,
+    * damping 85/100, base 10⁶ micro-rank units per node. The oracle
+    * unrolls the exact integer trajectory (the k-means oracle pattern);
+    * rank_units is the exact BIGINT over 10⁶ as a double.
+    */
+  private val qPageRank = QueryDef(
+    "q_copurchase_pagerank",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val nodes = li.select(col("l_partkey")).distinct()
+      Graph.pageRank(edges, nodes, "l_partkey", iters = iters, base = base)
+        .withColumnRenamed("l_partkey", "part_id")
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      outdeg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+      r0 AS (SELECT id, CAST($base AS BIGINT) AS rank FROM nodes),
+      ${(1 to iters).map(sqlPrStep).mkString(",")}
+      SELECT id AS part_id, rank, rank / $base.0 AS rank_units
+      FROM r$iters"""))
+
+  /** Exact per-node triangle counts over the same graph,
+    * degree-oriented (lo→hi by (degree, id)) so each triangle is
+    * enumerated once from its lowest-degree corner — the orientation
+    * that keeps the wedge join skew-safe under hub nodes.
+    */
+  private val qTriangles = QueryDef(
+    "q_copurchase_triangles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val nodes = li.select(col("l_partkey")).distinct()
+      Graph.triangleCounts(edges, nodes, "l_partkey")
+        .withColumnRenamed("l_partkey", "part_id")
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      deg AS (SELECT src AS n, COUNT(*) AS d FROM e GROUP BY 1),
+      o AS (
+        SELECT e.src AS lo, e.dst AS hi FROM e
+        JOIN deg ds ON ds.n = e.src JOIN deg dd ON dd.n = e.dst
+        WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+      tri AS (
+        SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM o e1 JOIN o e2 ON e1.hi = e2.lo
+        WHERE EXISTS (SELECT 1 FROM o e3
+          WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
+      corner AS (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri),
+      cnt AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corner GROUP BY 1)
+      SELECT n.id AS part_id, COALESCE(cnt.n_triangles, 0) AS n_triangles
+      FROM nodes n LEFT JOIN cnt ON cnt.id = n.id"""))
+
+  def all: Seq[QueryDef] = Seq(qPageRank, qTriangles)
+}

@@ -26,5 +26,5 @@ object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++
       PipelineQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ GraphQueries.all
 }

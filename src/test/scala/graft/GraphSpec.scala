@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("graph-test", "4").getOrCreate()
+  import spark.implicits._
+
+  test("co-occurrence edges: within-group pairs, symmetric, simple") {
+    // groups: {1,2,3}, {2,3}, {4} — edge set {1-2,1-3,2-3} both ways
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L),
+      (20L, 3L), (30L, 4L)).toDF("g", "item")
+    val e = Graph.coOccurrenceEdges(df, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("fixed-point pagerank matches the hand-unrolled integer trajectory") {
+    // 1→2, 2→1, 3→1; base 10⁶, damping 85/100, teleport 150000.
+    // iter1: r1=150000+85%·2e6=1850000, r2=1000000, r3=150000
+    // iter2: r1=150000+85%·1150000=1127500, r2=150000+85%·1850000=1722500
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val out = Graph.pageRank(edges, nodes, "id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 150000L))
+    val units = Graph.pageRank(edges, nodes, "id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(units(2L) === 1.7225)
+  }
+
+  test("pagerank conserves teleport floor and favors in-degree") {
+    // star: spokes 2..5 all point at hub 1 (and hub back, symmetric)
+    val spokes = (2L to 5L)
+    val edges = (spokes.map(s => (s, 1L)) ++ spokes.map(s => (1L, s)))
+      .toDF("src", "dst")
+    val nodes = (1L to 5L).toDF("id")
+    val out = Graph.pageRank(edges, nodes, "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > out(2L), "hub must outrank spokes")
+    assert(spokes.map(out).toSet.size == 1, "symmetric spokes tie")
+    assert(out.values.forall(_ >= 150000L), "teleport floor")
+  }
+
+  test("triangle counts: K4 has 3 per node, square has none, isolate 0") {
+    // K4 on 1..4 (4 triangles, each node in 3); square 5-6-7-8 (none);
+    // node 9 isolated
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val sq = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L))
+    val edges = (k4 ++ sq.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+      .toDF("src", "dst")
+    val nodes = (1L to 9L).toDF("id")
+    val out = Graph.triangleCounts(edges, nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(out(_) == 3L))
+    assert((5L to 9L).forall(out(_) == 0L))
+  }
+}
