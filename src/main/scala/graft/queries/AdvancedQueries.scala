@@ -262,6 +262,66 @@ object AdvancedQueries {
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM assigned GROUP BY split, source"""))
 
+  /** Snapshot diff / CDC (graft.ops.SnapshotDiff.diff): per-key
+    * added/removed/changed between two versions of a keyed dataset —
+    * the incremental-recompute primitive (feed only the delta to the
+    * expensive downstream). The "new" snapshot is derived in both
+    * engines from orders: keys %11=0 deleted, %7=0 restated, %13=0
+    * re-added under offset keys. The engine decides changed-vs-same on
+    * a map-side md5 row digest; the oracle compares column values —
+    * identical sets (md5 is collision-free for any feasible input).
+    */
+  private val qSnapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val oldS = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      val newS = orders.where(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 7 === 0, lit("RESTATED"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_orderpriority"))
+        .unionByName(orders.where(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), lit("NEW").as("o_orderstatus"),
+            col("o_orderpriority")))
+      graft.ops.SnapshotDiff.diff(oldS, newS, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+    Some("""
+      WITH olds AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders),
+      news AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'RESTATED'
+               ELSE o_orderstatus END AS o_orderstatus,
+          o_orderpriority
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'NEW', o_orderpriority
+        FROM orders WHERE o_orderkey % 13 = 0),
+      j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+          o.o_custkey AS old_o_custkey, n.o_custkey AS new_o_custkey,
+          o.o_orderstatus AS old_o_orderstatus,
+          n.o_orderstatus AS new_o_orderstatus,
+          o.o_orderpriority AS old_o_orderpriority,
+          n.o_orderpriority AS new_o_orderpriority,
+          (o.o_orderkey IS NULL) AS is_add, (n.o_orderkey IS NULL) AS is_del
+        FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey)
+      SELECT o_orderkey,
+        CASE WHEN is_add THEN 'added' WHEN is_del THEN 'removed'
+             ELSE 'changed' END AS change_type,
+        old_o_custkey, new_o_custkey, old_o_orderstatus,
+        new_o_orderstatus, old_o_orderpriority, new_o_orderpriority
+      FROM j
+      WHERE is_add OR is_del
+        OR old_o_custkey IS DISTINCT FROM new_o_custkey
+        OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+        OR old_o_orderpriority IS DISTINCT FROM new_o_orderpriority"""))
+
   /** Deterministic training-order shuffle with SCALABLE global
     * enumeration (graft.ops.Sampling.shuffledIndex): md5-shuffled
     * global position + 128-doc shard id, computed with the two-level
@@ -484,6 +544,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qSample, qSplit, qShuffle, qMixSources,
+    qUnionAll, qApprox, qRange, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources,
     qPacking, qSalted, qSaltedJoin, qBucketedJoin, qTopKAgg)
 }

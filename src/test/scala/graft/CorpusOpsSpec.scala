@@ -214,6 +214,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(44L)._2 == plain(10L))
   }
 
+  test("snapshot diff classifies adds/removes/changes; apply round-trips") {
+    import graft.ops.SnapshotDiff
+    val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, null.asInstanceOf[String], 40L)).toDF("k", "s", "v")
+    val newS = Seq((1L, "a", 10L), (2L, "B", 20L), (5L, "e", 50L),
+      (4L, "", 40L)).toDF("k", "s", "v") // 3 removed, 2 changed, 5 added
+    val d = SnapshotDiff.diff(oldS, newS, Seq("k"), Seq("s", "v"))
+    val types = d.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type")).toMap
+    // NULL → "" is a CHANGE (the 0x02 sentinel keeps them distinct)
+    assert(types == Map(2L -> "changed", 3L -> "removed",
+      5L -> "added", 4L -> "changed"))
+    assert(d.where(col("k") === 2L).select("new_s").as[String].head() == "B")
+    // law: apply(old, diff(old, new)) == new
+    val rolled = SnapshotDiff.apply(oldS, d, Seq("k"), Seq("s", "v"))
+    assert(rolled.count() == newS.count())
+    assert(rolled.exceptAll(newS).count() == 0
+      && newS.exceptAll(rolled).count() == 0)
+    // identical snapshots → empty changeset
+    assert(SnapshotDiff.diff(oldS, oldS, Seq("k"), Seq("s", "v")).count() == 0)
+  }
+
   test("group quantile filter: matches per-group rank reference, ties survive") {
     import graft.ops.GroupQuantile
     // group a: values 1..8 (p25 threshold = 2: cum 2/8 = .25 >= .25)
