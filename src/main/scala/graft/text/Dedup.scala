@@ -808,14 +808,17 @@ object Dedup {
     */
   def dupSpanRemoval(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val toks = pinned(fanOut(df.where(length(trim(col(textCol))) > 0))
+    // Both pinned frames are corpus-sized (token arrays; ~100 windows
+    // per doc) → SERIALIZED pinning: UnsafeRow bytes, disk-evictable.
+    // Deserialized pinning OOM'd the 8g probe heap at 1M docs.
+    val toks = pinnedSerFrame(fanOut(df.where(length(trim(col(textCol))) > 0))
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t")))
     // Stride-1 windows WITH their 1-based start position (dupSpanStats
     // discards position; removal needs it).
     val tcol = col("t")
     val wlen = greatest(size(tcol) - (k - 1), lit(0))
     val zipped = arrays_zip((1 to k).map(i => slice(tcol, lit(i), wlen)): _*)
-    val wins = pinned(toks
+    val wins = pinnedSerFrame(toks
       .select(col("id"), posexplode(zipped).as(Seq("p0", "z")))
       .select(col("id"), (col("p0") + 1).as("i"),
         xxhash64((0 until k).map(j => col(s"z.$j")): _*).as("s")))

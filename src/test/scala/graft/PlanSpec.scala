@@ -252,6 +252,34 @@ class PlanSpec extends AnyFunSuite {
       s"gram arrays crossed a shuffle: $exchanges")
   }
 
+  test("dup-span removal: exchanges partition on ids/hashes, never on text") {
+    val p = planString("q_dup_span_removal")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(k => !k.contains("text#") && !k.contains("t#")),
+      s"text keyed a shuffle: $exchanges")
+  }
+
+  test("triangle counts: wedge join is hash-based on ids, no cartesian") {
+    val p = planString("q_copurchase_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("snapshot diff: one full-outer join keyed on the snapshot key, digest map-side") {
+    val p = planString("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.contains("o_orderkey#")),
+      s"diff must shuffle on the key only: $exchanges")
+    // the md5 digest is computed below the join (map-side), so the
+    // change test compares 16-byte digests, not payload columns
+    assert(p.contains("md5"), p)
+  }
+
   test("bucketed join: zero exchanges, zero sorts — scan satisfies SMJ requirements") {
     // build through the declared query (memoized layout), then assert
     // the join subtree reads the bucketed layout co-located
