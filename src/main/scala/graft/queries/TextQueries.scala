@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.text.{Dedup, TextFunctions => TF}
+import graft.text.{Dedup, QualityClassifier, TextFunctions => TF}
 
 /** Text-analysis + dedup query surface over `documents`.
   *
@@ -635,6 +635,44 @@ object TextQueries {
           AS dup_frac
       FROM nd GROUP BY doc_id"""))
 
+  /** Model-based quality classifier (text/QualityClassifier): train
+    * integer-ppm token weights on a weakly labeled slice (doc_id%3=0,
+    * label = lang=='en' — a stand-in for any trusted-source flag),
+    * score EVERY doc as mean token weight, predict above-prior. The
+    * whole model + scoring path is BIGINT (floor divisions), so the
+    * oracle replays training and inference exactly.
+    */
+  private val qQualityClassifier = QueryDef(
+    "q_quality_classifier",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = QualityClassifier.trainTokenWeights(
+        docs.where(col("doc_id") % 3 === 0), "text", col("lang") === "en")
+      QualityClassifier.scoreDocs(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      tr AS (
+        SELECT lang = 'en' AS pos, unnest(t) AS term
+        FROM tok WHERE doc_id % 3 = 0),
+      w AS (
+        SELECT term,
+          CAST(1000000 * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) //
+            (COUNT(*) + 2) AS BIGINT) AS w_ppm
+        FROM tr GROUP BY term),
+      sc AS (SELECT doc_id, unnest(t) AS term FROM tok),
+      agg AS (
+        SELECT sc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          SUM(COALESCE(w.w_ppm, 500000)) AS w_sum
+        FROM sc LEFT JOIN w USING (term) GROUP BY 1)
+      SELECT agg.doc_id, n_tokens,
+        CAST(w_sum // n_tokens AS BIGINT) AS score_ppm,
+        (w_sum // n_tokens >= 500000) AS pred_pos, tok.lang
+      FROM agg JOIN tok ON tok.doc_id = agg.doc_id"""))
+
   /** Duplicate-span REMOVAL (Dedup.dupSpanRemoval): cut every token
     * position covered by an 8-token window that occurs verbatim in >1
     * document, emit stats + cleaned text. Oracle mirrors the coverage
@@ -1225,7 +1263,7 @@ object TextQueries {
     qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
-    qDupSpanRemoval,
+    qDupSpanRemoval, qQualityClassifier,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
 }

@@ -214,6 +214,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(44L)._2 == plain(10L))
   }
 
+  test("quality classifier: ppm weights and scores match hand arithmetic") {
+    import graft.text.QualityClassifier
+    val train = Seq((1L, "good nice good nice", true),
+      (2L, "bad ugly bad ugly", false),
+      (3L, "meh", true), (4L, "meh", false)).toDF("doc_id", "text", "lab")
+    val w = QualityClassifier.trainTokenWeights(train, "text", col("lab"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("w_ppm")).toMap
+    // good: 10⁶·(2+1) div (2+0+2); bad: 10⁶·(0+1) div 4; meh: 2/4
+    assert(w == Map("good" -> 750000L, "nice" -> 750000L,
+      "bad" -> 250000L, "ugly" -> 250000L, "meh" -> 500000L))
+    val score = Seq((10L, "good meh"), (11L, "bad meh"), (12L, "zz qq"))
+      .toDF("doc_id", "text")
+    val s = QualityClassifier.scoreDocs(score, "doc_id", "text",
+      QualityClassifier.trainTokenWeights(train, "text", col("lab")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_ppm"), r.getAs[Boolean]("pred_pos"))).toMap
+    assert(s(10L) == ((625000L, true)))
+    assert(s(11L) == ((375000L, false)))
+    assert(s(12L) == ((500000L, true))) // OOV everywhere → exactly the prior
+  }
+
   test("snapshot diff classifies adds/removes/changes; apply round-trips") {
     import graft.ops.SnapshotDiff
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
