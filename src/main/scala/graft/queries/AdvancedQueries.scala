@@ -262,6 +262,42 @@ object AdvancedQueries {
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM assigned GROUP BY split, source"""))
 
+  /** Spatial neighbor join (graft.ops.GeoJoin.neighborPairs): all
+    * customer pairs within 10,000 micro-units of each other on a
+    * synthetic integer coordinate plane (LCG-spread from the key, so
+    * both engines derive identical points). Grid-cell 3×3 probe +
+    * exact BIGINT squared-distance filter — never the n² cross
+    * product; pairs are integer-exact, so the oracle replays the set.
+    */
+  private val qGeoJoin = QueryDef(
+    "q_geo_neighbor_join",
+    (s, d) => {
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        pmod(col("c_custkey") * 48271L, lit(1000000L)).as("x"),
+        pmod(col("c_custkey") * 69621L, lit(1000000L)).as("y"))
+      graft.ops.GeoJoin.neighborPairs(pts, "id", "x", "y", radius = 10000L)
+    },
+    Some("""
+      WITH pts AS (
+        SELECT c_custkey AS id, (c_custkey * 48271) % 1000000 AS x,
+          (c_custkey * 69621) % 1000000 AS y
+        FROM customer),
+      cells AS (
+        SELECT id, x, y, x // 10000 AS cx, y // 10000 AS cy FROM pts),
+      probe AS (
+        SELECT id AS id_a, x AS xa, y AS ya,
+          cx + dx.v AS cx, cy + dy.v AS cy
+        FROM cells, (VALUES (-1), (0), (1)) dx(v),
+          (VALUES (-1), (0), (1)) dy(v)),
+      pairs AS (
+        SELECT p.id_a, b.id AS id_b,
+          (p.xa - b.x) * (p.xa - b.x) + (p.ya - b.y) * (p.ya - b.y)
+            AS dist2
+        FROM probe p JOIN cells b ON p.cx = b.cx AND p.cy = b.cy
+        WHERE p.id_a < b.id)
+      SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2 FROM pairs
+      WHERE dist2 <= 100000000"""))
+
   /** Snapshot diff / CDC (graft.ops.SnapshotDiff.diff): per-key
     * added/removed/changed between two versions of a keyed dataset —
     * the incremental-recompute primitive (feed only the delta to the
@@ -544,6 +580,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources,
     qPacking, qSalted, qSaltedJoin, qBucketedJoin, qTopKAgg)
 }

@@ -214,6 +214,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(44L)._2 == plain(10L))
   }
 
+  test("geo neighbor join: finds cross-cell pairs once, respects the radius exactly") {
+    import graft.ops.GeoJoin
+    // r=100: (1,2) dist2=8² → in; (1,3) 100² boundary → in (<=);
+    // (2,3) straddles a cell edge; (4,*) far away; (5,6) just outside
+    val pts = Seq((1L, 50L, 50L), (2L, 58L, 50L), (3L, 150L, 50L),
+      (4L, 900L, 900L), (5L, 300L, 300L), (6L, 300L, 401L))
+      .toDF("id", "x", "y")
+    val out = GeoJoin.neighborPairs(pts, "id", "x", "y", radius = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out((1L, 2L)) == 64L)
+    assert(out((1L, 3L)) == 10000L) // exactly on the boundary, kept
+    // each pair appears exactly once despite the 9-cell probe
+    val n = GeoJoin.neighborPairs(pts, "id", "x", "y", radius = 100L).count()
+    assert(n == 3L)
+  }
+
   test("quality classifier: ppm weights and scores match hand arithmetic") {
     import graft.text.QualityClassifier
     val train = Seq((1L, "good nice good nice", true),
