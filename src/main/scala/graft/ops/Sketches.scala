@@ -33,6 +33,64 @@ object Sketches {
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** HyperLogLog registers, engine-portable: bucket = first 2 md5 hex
+    * chars (m = 256 registers), rho = leading-zero count of the next
+    * 32 hash bits + 1, register = MAX rho per bucket. All string/CASE
+    * arithmetic both engines evaluate identically (hex digits decode
+    * via position-in-'0123456789abcdef' — no conv() dependency), so
+    * the register table is bit-exact cross-engine. Registers merge by
+    * MAX — the property that makes HLL the 100 TB distinct-counter:
+    * per-partition partial aggregation emits ≤ m rows per mapper and
+    * per-source sketches union into a global one without re-scanning
+    * (law tested in CorpusOpsSpec).
+    *
+    * Output: (groupCols..., bucket, m_reg) — ≤ 256 rows per group.
+    */
+  def hllRegisters(items: DataFrame, keyCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val withBits = items
+      .withColumn("__b", substring(h, 1, 2))
+      .withColumn("__tail", substring(h, 3, 8)) // 32 bits post-bucket
+      .withColumn("__lz", length(regexp_extract(col("__tail"), "^0*", 0)))
+    // first non-zero hex digit decoded by string position (portable)
+    val d = expr(
+      "instr('0123456789abcdef', substring(__tail, __lz + 1, 1)) - 1")
+    withBits
+      .withColumn("__rho",
+        when(col("__lz") === 8, lit(33))
+          .otherwise(lit(1) + col("__lz") * 4 +
+            when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)))
+      .groupBy((groupCols.map(col) :+ col("__b").as("bucket")): _*)
+      .agg(max(col("__rho")).as("m_reg"))
+  }
+
+  /** Raw HLL estimate per group from a register table: the harmonic
+    * mean alpha·m²/Σ2^(−M[j]) with absent registers counting M = 0.
+    * DETERMINISM: every 2^(−M) term is an exact dyadic double
+    * (1/(1L<<M), M ≤ 33) and 256 such terms sum EXACTLY in a double
+    * (≤ 41 mantissa bits), so the sum — and hence the estimate — is
+    * shuffle-order-independent and engine-exact. No linear-counting
+    * correction (it needs ln(), which is not bit-portable across
+    * libms); the raw estimate is the declared, replayable value.
+    */
+  def hllEstimate(registers: DataFrame,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val term = lit(1.0) /
+      expr("cast(shiftleft(cast(1 as bigint), m_reg) as double)")
+    val grouped =
+      if (groupCols.isEmpty) registers.groupBy()
+      else registers.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_nonzero"), sum(term).as("__s"))
+      .select((groupCols.map(col) :+ col("n_nonzero") :+
+        (lit(alpha * m * m) /
+          (col("__s") + (lit(m) - col("n_nonzero")).cast("double")))
+          .as("hll_raw_estimate")): _*)
+  }
+
   /** Top-k keys by CMS estimate: every distinct key looks up its d
     * counters via a broadcast join against the (tiny) sketch and takes
     * the min; ranking is (estimate DESC, key). The distinct is the

@@ -635,6 +635,57 @@ object TextQueries {
           AS dup_frac
       FROM nd GROUP BY doc_id"""))
 
+  /** Per-source vocabulary cardinality via the portable HLL sketch
+    * (ops/Sketches.hllRegisters/hllEstimate): md5-derived 256-register
+    * HLL whose register table AND raw harmonic estimate are bit-exact
+    * cross-engine (every 2^-M term is dyadic, the 256-term sum exact
+    * in a double). The oracle replays bucket, rho CASE ladder, max
+    * registers, and the estimate arithmetic verbatim.
+    */
+  private val qHllSourceVocab = QueryDef(
+    "q_hll_source_vocab",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val items = docs.where(length(trim(col("text"))) > 0)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("term"))
+      graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllRegisters(items, "term", Seq("source")),
+        Seq("source"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT source, unnest($sqlTokens) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      bits AS (
+        SELECT source, substr(md5(term), 1, 2) AS bucket,
+          substr(md5(term), 3, 8) AS tail
+        FROM tok),
+      lzt AS (
+        SELECT source, bucket, tail,
+          length(regexp_extract(tail, '^0*')) AS lzc
+        FROM bits),
+      rho AS (
+        SELECT source, bucket,
+          CASE WHEN lzc = 8 THEN 33
+            ELSE 1 + lzc * 4 +
+              CASE WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 8 THEN 0
+                   WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 4 THEN 1
+                   WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 2 THEN 2
+                   ELSE 3 END END AS rho
+        FROM lzt),
+      regs AS (
+        SELECT source, bucket, MAX(rho) AS m_reg FROM rho GROUP BY 1, 2),
+      est AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+          SUM(CAST(1 AS DOUBLE) /
+            CAST(CAST(1 AS BIGINT) << m_reg AS DOUBLE)) AS s
+        FROM regs GROUP BY 1)
+      SELECT source, n_nonzero,
+        (CAST(0.7213 AS DOUBLE) /
+          (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)) * 65536 /
+          (s + CAST(256 - n_nonzero AS DOUBLE)) AS hll_raw_estimate
+      FROM est"""))
+
   /** Model-based quality classifier (text/QualityClassifier): train
     * integer-ppm token weights on a weakly labeled slice (doc_id%3=0,
     * label = lang=='en' — a stand-in for any trusted-source flag),
@@ -1263,7 +1314,7 @@ object TextQueries {
     qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
-    qDupSpanRemoval, qQualityClassifier,
+    qDupSpanRemoval, qQualityClassifier, qHllSourceVocab,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
 }

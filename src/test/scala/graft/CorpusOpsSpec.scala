@@ -214,6 +214,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(44L)._2 == plain(10L))
   }
 
+  test("portable HLL: registers merge by max, estimate lands near truth") {
+    import graft.ops.Sketches
+    val items = spark.range(20000)
+      .select((col("id") % 2).cast("string").as("src"),
+        concat(lit("k"), (col("id") % 7919)).as("key")) // 7919 distinct
+    val global = Sketches.hllRegisters(items, "key")
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Int]("m_reg")).toMap
+    // merge law: max-merge of per-source registers == global registers
+    val perSrc = Sketches.hllRegisters(items, "key", Seq("src"))
+    val merged = perSrc.groupBy(col("bucket"))
+      .agg(max(col("m_reg")).as("m_reg"))
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Int]("m_reg")).toMap
+    assert(merged == global)
+    // raw estimate within HLL's expected error band (~1.04/sqrt(256) ≈ 6.5%)
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(items, "key"))
+      .collect()(0).getAs[Double]("hll_raw_estimate")
+    assert(math.abs(est - 7919.0) / 7919.0 < 0.2, s"estimate $est")
+    // duplicate-insensitive: feeding each key once gives the same sketch
+    val once = Sketches.hllRegisters(
+      spark.range(7919).select(concat(lit("k"), col("id")).as("key")), "key")
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Int]("m_reg")).toMap
+    assert(once == global)
+  }
+
   test("geo neighbor join: finds cross-cell pairs once, respects the radius exactly") {
     import graft.ops.GeoJoin
     // r=100: (1,2) dist2=8² → in; (1,3) 100² boundary → in (<=);
