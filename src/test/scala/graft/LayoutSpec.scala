@@ -63,6 +63,39 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout: every output file is narrow in BOTH columns") {
+    import graft.ops.Compaction
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("zin").toString
+    // two independent uniform dims — a linear sort can cluster only one
+    spark.range(200000)
+      .select(col("id"), (col("id") % 317).as("x"),
+        ((col("id") * 7919) % 331).as("y"))
+      .write.mode("overwrite").parquet(dir)
+    val bytes = Compaction.datasetBytes(spark, dir)
+    def avgSpan(d: String, c: String): Double = {
+      val spans = spark.read.parquet(d)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("s"))
+        .collect().map(_.getDouble(1))
+      spans.sum / spans.length
+    }
+    // baseline: linear sort on x → x clusters, y files span ~full range
+    val outX = java.nio.file.Files.createTempDirectory("zsx").toString
+    Compaction.compact(spark, dir, outX, targetFileBytes = bytes / 16,
+      sortBy = Seq("x"))
+    assert(avgSpan(outX, "y") > 300.0, s"y span ${avgSpan(outX, "y")}")
+    // z-order: BOTH dims narrow per file → skipping works for either
+    val outZ = java.nio.file.Files.createTempDirectory("zout").toString
+    val n = Compaction.compactZOrder(spark, dir, outZ, Seq("x", "y"),
+      targetFileBytes = bytes / 16, bits = 4)
+    assert(n >= 14 && n <= 18, s"n=$n")
+    assert(spark.read.parquet(outZ).count() == 200000L)
+    val sx = avgSpan(outZ, "x"); val sy = avgSpan(outZ, "y")
+    assert(sx < 160.0, s"x span $sx") // < half the 317 range
+    assert(sy < 170.0, s"y span $sy") // < half the 331 range
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val t1 = Files.createTempDirectory("graft_b1").toString
     val t2 = Files.createTempDirectory("graft_b2").toString
