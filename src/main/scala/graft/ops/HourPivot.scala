@@ -52,4 +52,21 @@ object HourPivot {
       case None => grouped
     }
   }
+
+  /** The pivot's inverse — melt the 24 wide hour columns back to long
+    * (keys..., hour, n) rows, dropping empty cells. `stack` is a pure
+    * map-side generator (one input row → ≤24 output rows, no shuffle),
+    * so un-pivoting a wide table back into a relational long form for
+    * downstream joins/windows costs one scan. Round-trip law (tested):
+    * unpivot(pivot(events)) equals the plain (date, keys, hour)
+    * group-count — which is exactly the declared oracle.
+    */
+  def unpivot(wide: DataFrame, keys: Seq[String],
+      dateColName: String = "event_date"): DataFrame = {
+    val pairs = (0 until 24).map(h => s"$h, hour_$h").mkString(", ")
+    wide.select(
+      (dateColName +: keys).map(col) :+
+        expr(s"stack(24, $pairs)").as(Seq("hour", "n")): _*)
+      .where(col("n") > 0)
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — resample irregular observations onto a
+  * fixed-step grid with forward-fill, the transform that turns event
+  * streams into the aligned per-entity series every downstream
+  * analysis (feature windows, anomaly scoring, per-entity drift)
+  * assumes. Three steps, all relational:
+  *
+  *  1. BUCKET: floor each observation's epoch-micros to the step;
+  *     keep the LATEST observation per (key, bucket) — deterministic
+  *     via (ts, tiebreaker id) ordering, never "some value".
+  *  2. GRID: per key, explode `sequence(min_bucket, max_bucket, step)`
+  *     — a map-side generator off a two-long aggregate, so the dense
+  *     grid never crosses a shuffle unmaterialized.
+  *  3. FILL: left-join observations onto the grid and forward-fill
+  *     with `last(ignoreNulls)` over (key, bucket) — the as-of-carry
+  *     window AsOfJoin already uses.
+  *
+  * Buckets stay epoch-micros BIGINTs end to end (no timestamp
+  * rendering ambiguity across engines). Per-key series length is
+  * (span/step); one key with a year of seconds is a wide partition —
+  * pick the step for the retention window, or sub-split hot keys.
+  */
+object Resample {
+
+  /** Regularize to (keyCol, bucket_us, v_obs, v_ffill): one row per
+    * key per step between that key's first and last observation.
+    * v_obs is the latest observation in the bucket (null for gaps);
+    * v_ffill carries the last non-null value forward. `idCol` breaks
+    * equal-timestamp ties.
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0)
+    val obs = df.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("ts_us"), col(idCol).as("tie"),
+      col(valCol).as("v"))
+      .withColumn("bucket_us", expr(s"ts_us div ${stepUs}L * ${stepUs}L"))
+    val latest = obs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("bucket_us"))
+          .orderBy(col("ts_us").desc, col("tie").desc)))
+      .where(col("rn") === 1)
+      .select(col("k"), col("bucket_us"), col("v"))
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
+      .select(col("k"),
+        explode(sequence(col("lo"), col("hi"), lit(stepUs))).as("bucket_us"))
+    val ffill = last(col("v"), ignoreNulls = true).over(
+      Window.partitionBy(col("k")).orderBy(col("bucket_us"))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    grid.join(latest, Seq("k", "bucket_us"), "left")
+      .select(col("k").as(keyCol), col("bucket_us"),
+        col("v").as("v_obs"), ffill.as("v_ffill"))
+  }
+}

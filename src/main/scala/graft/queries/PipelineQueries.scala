@@ -47,6 +47,63 @@ object PipelineQueries {
     Some(hourPivotSql(
       "HAVING CAST(COUNT(*) AS BIGINT) >= 20")))
 
+  /** Pivot⁻¹ (HourPivot.unpivot): melt the wide hour table back to
+    * long (date, key, hour, n) rows — `stack` is a map-side generator,
+    * so the inverse costs one scan with no shuffle beyond the pivot's
+    * own. The oracle is the PLAIN long-form group-count, so a green row
+    * proves pivot∘unpivot round-trips to the direct aggregation.
+    */
+  private val qUnpivot = QueryDef(
+    "q_hour_unpivot",
+    (s, d) => HourPivot.unpivot(
+      HourPivot.pivot(Tables.events(s, d), col("ts"), Seq("event_type"),
+        minTotal = None),
+      Seq("event_type")),
+    Some("""
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+        CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3"""))
+
+  /** Time-series resample + forward-fill (ops/Resample): every user's
+    * event values regularized to an hourly grid between their first
+    * and last observation, gaps carried forward — buckets as
+    * epoch-micros BIGINTs so both engines agree textually. Oracle:
+    * generate_series grid + IGNORE NULLS window.
+    */
+  private val qResample = QueryDef(
+    "q_resample_ffill",
+    (s, d) => graft.ops.Resample.resampleFfill(
+      Tables.events(s, d), "user_id", "ts", "event_id", "value",
+      stepUs = 3600000000L),
+    Some("""
+      WITH obs AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          epoch_us(ts) // 3600000000 * 3600000000 AS bucket_us
+        FROM events),
+      lastv AS (
+        SELECT user_id, bucket_us, value FROM (
+          SELECT user_id, bucket_us, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+              ORDER BY ts_us DESC, event_id DESC) AS rn
+          FROM obs) t WHERE rn = 1),
+      bounds AS (
+        SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi
+        FROM obs GROUP BY 1),
+      grid AS (
+        SELECT user_id,
+          unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        FROM bounds),
+      j AS (
+        SELECT g.user_id, g.bucket_us, l.value AS v_obs
+        FROM grid g LEFT JOIN lastv l
+          ON l.user_id = g.user_id AND l.bucket_us = g.bucket_us)
+      SELECT user_id, bucket_us, v_obs,
+        LAST_VALUE(v_obs IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      FROM j"""))
+
   private val qJson = QueryDef(
     "q_events_json_extract",
     (s, d) =>
@@ -161,6 +218,6 @@ object PipelineQueries {
         CAST(MAX(ts_s) AS BIGINT) AS end_s
       FROM sess GROUP BY user_id, session_id"""))
 
-  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qJson, qValues, qStream,
+  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qJson, qValues, qStream,
     qStreamDedup, qStreamJoin, qSessions)
 }

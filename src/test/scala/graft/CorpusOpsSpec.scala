@@ -214,6 +214,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(44L)._2 == plain(10L))
   }
 
+  test("unpivot inverts the hour pivot to the plain long-form counts") {
+    import graft.ops.HourPivot
+    val ev = Seq(
+      ("2024-01-01 03:15:00", "click"), ("2024-01-01 03:45:00", "click"),
+      ("2024-01-01 07:00:00", "click"), ("2024-01-02 03:10:00", "view"))
+      .toDF("tss", "event_type")
+      .select(to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val long = HourPivot.unpivot(
+      HourPivot.pivot(ev, col("ts"), Seq("event_type")), Seq("event_type"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getInt(2)) -> r.getLong(3)).toMap
+    assert(long == Map(
+      ("2024-01-01", "click", 3) -> 2L, ("2024-01-01", "click", 7) -> 1L,
+      ("2024-01-02", "view", 3) -> 1L)) // zero cells dropped
+  }
+
+  test("resample+ffill: hourly grid per key, latest-in-bucket wins, gaps carried") {
+    import graft.ops.Resample
+    val hourUs = 3600000000L
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:10:00", 1.0),
+      (1L, 11L, "2024-01-01 00:50:00", 2.0), // same bucket, later ts wins
+      (1L, 12L, "2024-01-01 03:20:00", 9.0), // hours 1-2 are gaps
+      (2L, 20L, "2024-01-01 05:00:00", 7.0))
+      .toDF("user_id", "event_id", "tss", "value")
+      .select(col("user_id"), col("event_id"),
+        to_timestamp(col("tss")).as("ts"), col("value"))
+    val out = Resample.resampleFfill(ev, "user_id", "ts", "event_id",
+      "value", hourUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)), r.getDouble(3))).toMap
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    assert(out.size == 5) // user1: hours 0..3; user2: hour 5 only
+    assert(out((1L, base)) == ((Some(2.0), 2.0)))
+    assert(out((1L, base + hourUs)) == ((None, 2.0)))  // gap, carried
+    assert(out((1L, base + 2 * hourUs)) == ((None, 2.0)))
+    assert(out((1L, base + 3 * hourUs)) == ((Some(9.0), 9.0)))
+    assert(out((2L, base + 5 * hourUs)) == ((Some(7.0), 7.0)))
+  }
+
   test("portable HLL: registers merge by max, estimate lands near truth") {
     import graft.ops.Sketches
     val items = spark.range(20000)
