@@ -38,7 +38,13 @@ object CmsProbe {
     val top = Sketches.cmsHeavyHitters(items, "key", d = 4, k = 20).collect()
     val hhSec = (System.nanoTime() - t1) / 1e9
 
-    println(f"""{"workload":"cms","docs":$n,"tokens":${n * 100},"sketch_rows":$sketchRows,"build_sec":$buildSec%.2f,"heavy_hitters_sec":$hhSec%.2f,"top_estimate":${top.head.getLong(1)}}""")
+    // HLL rides the same token stream: registers + estimate in one pass
+    val t2 = System.nanoTime()
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(items, "key"))
+      .collect()(0).getAs[Double]("hll_raw_estimate")
+    val hllSec = (System.nanoTime() - t2) / 1e9
+
+    println(f"""{"workload":"cms","docs":$n,"tokens":${n * 100},"sketch_rows":$sketchRows,"build_sec":$buildSec%.2f,"heavy_hitters_sec":$hhSec%.2f,"top_estimate":${top.head.getLong(1)},"hll_sec":$hllSec%.2f,"hll_estimate":$est%.0f}""")
     spark.stop()
   }
 }
