@@ -57,4 +57,41 @@ object Resample {
       .select(col("k").as(keyCol), col("bucket_us"),
         col("v").as("v_obs"), ffill.as("v_ffill"))
   }
+
+  /** Windowed z-score anomaly flags over a regular per-key series —
+    * entirely in INTEGER arithmetic so the flags are engine-exact:
+    * values quantize to 1e-4 units (the vector-score trick), and the
+    * z-test |v−μ| > z·σ is evaluated cross-multiplied as
+    *
+    *   (n·v − S)² > z² · (n·Q − S²)
+    *
+    * with S = Σv, Q = Σv² over the trailing `window` rows — no
+    * division, no sqrt, no float accumulation anywhere. Warm-up rows
+    * (fewer than `window` trailing points) are never flagged. Expects
+    * resampleFfill's output shape; flags on v_ffill so gaps test
+    * against the carried value. Magnitude headroom: |v_q| ≤ ~10⁹
+    * keeps every term under 2⁶² for z ≤ 3, window ≤ 10⁴.
+    *
+    * Output: (keyCol, bucket_us, v_ffill, n_win, anomaly).
+    */
+  def anomalyFlags(series: DataFrame, keyCol: String, window: Int,
+      z: Long = 3L): DataFrame = {
+    require(window >= 2 && z >= 1)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_us"))
+      .rowsBetween(-(window - 1), 0)
+    val q = round(col("v_ffill") * 10000).cast("long")
+    series
+      .withColumn("__q", q)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__q")).over(w))
+      .withColumn("__qq", sum(col("__q") * col("__q")).over(w))
+      .select(col(keyCol), col("bucket_us"), col("v_ffill"),
+        col("__n").as("n_win"),
+        (col("__n") === window &&
+          (col("__n") * col("__q") - col("__s")) *
+            (col("__n") * col("__q") - col("__s")) >
+            lit(z * z) *
+              (col("__n") * col("__qq") - col("__s") * col("__s")))
+          .as("anomaly"))
+  }
 }

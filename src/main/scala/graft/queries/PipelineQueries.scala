@@ -71,12 +71,11 @@ object PipelineQueries {
     * epoch-micros BIGINTs so both engines agree textually. Oracle:
     * generate_series grid + IGNORE NULLS window.
     */
-  private val qResample = QueryDef(
-    "q_resample_ffill",
-    (s, d) => graft.ops.Resample.resampleFfill(
-      Tables.events(s, d), "user_id", "ts", "event_id", "value",
-      stepUs = 3600000000L),
-    Some("""
+  /** Shared oracle CTE block producing the regularized series — ONE
+    * definition so the resample exhibit and the anomaly exhibit can
+    * never drift (the sqlShingleCtes rule).
+    */
+  private val resampleCtes = """
       WITH obs AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
           epoch_us(ts) // 3600000000 * 3600000000 AS bucket_us
@@ -97,12 +96,53 @@ object PipelineQueries {
       j AS (
         SELECT g.user_id, g.bucket_us, l.value AS v_obs
         FROM grid g LEFT JOIN lastv l
-          ON l.user_id = g.user_id AND l.bucket_us = g.bucket_us)
-      SELECT user_id, bucket_us, v_obs,
-        LAST_VALUE(v_obs IGNORE NULLS) OVER (
+          ON l.user_id = g.user_id AND l.bucket_us = g.bucket_us),
+      ser AS (
+        SELECT user_id, bucket_us, v_obs,
+          LAST_VALUE(v_obs IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY bucket_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        FROM j)"""
+
+  private val qResample = QueryDef(
+    "q_resample_ffill",
+    (s, d) => graft.ops.Resample.resampleFfill(
+      Tables.events(s, d), "user_id", "ts", "event_id", "value",
+      stepUs = 3600000000L),
+    Some(resampleCtes + """
+      SELECT user_id, bucket_us, v_obs, v_ffill FROM ser"""))
+
+  /** Integer z-score anomaly flags over the regularized series
+    * (Resample.anomalyFlags): trailing-24-bucket window, z = 3,
+    * values quantized to 1e-4 units and the test cross-multiplied so
+    * no division/sqrt/float touches the decision — the oracle replays
+    * the exact BIGINT inequality.
+    */
+  private val qAnomaly = QueryDef(
+    "q_series_anomaly",
+    (s, d) => graft.ops.Resample.anomalyFlags(
+      graft.ops.Resample.resampleFfill(
+        Tables.events(s, d), "user_id", "ts", "event_id", "value",
+        stepUs = 3600000000L),
+      "user_id", window = 24, z = 3L),
+    Some(resampleCtes + """,
+      qz AS (
+        SELECT user_id, bucket_us, v_ffill,
+          CAST(round(v_ffill * 10000) AS BIGINT) AS q
+        FROM ser),
+      win AS (
+        SELECT user_id, bucket_us, v_ffill, q,
+          CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+          CAST(SUM(q) OVER w AS BIGINT) AS s,
+          CAST(SUM(q * q) OVER w AS BIGINT) AS qq
+        FROM qz WINDOW w AS (
           PARTITION BY user_id ORDER BY bucket_us
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
-      FROM j"""))
+          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      SELECT user_id, bucket_us, v_ffill, n_win,
+        (n_win = 24 AND
+          (n_win * q - s) * (n_win * q - s) > 9 * (n_win * qq - s * s))
+          AS anomaly
+      FROM win"""))
 
   private val qJson = QueryDef(
     "q_events_json_extract",
@@ -218,6 +258,6 @@ object PipelineQueries {
         CAST(MAX(ts_s) AS BIGINT) AS end_s
       FROM sess GROUP BY user_id, session_id"""))
 
-  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qJson, qValues, qStream,
+  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qStream,
     qStreamDedup, qStreamJoin, qSessions)
 }
