@@ -72,6 +72,13 @@ object Resample {
     * against the carried value. Magnitude headroom: |v_q| ≤ ~10⁹
     * keeps every term under 2⁶² for z ≤ 3, window ≤ 10⁴.
     *
+    * Detectability bound: a lone outlier inside its own trailing
+    * window tops out at z = (n−1)/√n (the point lifts the window's
+    * mean and variance itself), so pick z < (window−1)/√window or the
+    * flag can NEVER fire — z = 3 needs window ≥ 11; at window = 10,
+    * z = 3 lands exactly on equality (hand-verified) and the strict
+    * inequality stays false.
+    *
     * Output: (keyCol, bucket_us, v_ffill, n_win, anomaly).
     */
   def anomalyFlags(series: DataFrame, keyCol: String, window: Int,

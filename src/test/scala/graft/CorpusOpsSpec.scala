@@ -254,6 +254,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out((2L, base + 5 * hourUs)) == ((Some(7.0), 7.0)))
   }
 
+  test("anomaly flags: spike flagged after warm-up, flat series never") {
+    import graft.ops.Resample
+    // key 1: constant 5.0 except one spike at bucket 30; key 2: flat
+    val rows = (0 until 40).map(i =>
+      (1L, i * 100L, if (i == 30) 50.0 else 5.0)) ++
+      (0 until 40).map(i => (2L, i * 100L, 5.0))
+    val ser = rows.toDF("user_id", "bucket_us", "v_ffill")
+    // z=2: a lone spike inside its own trailing window tops out at
+    // z = (n-1)/sqrt(n) ≈ 2.85 for n=10 (at z=3 the inequality lands
+    // EXACTLY on equality — verified by hand — and strict > never fires)
+    val out = Resample.anomalyFlags(ser, "user_id", window = 10, z = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    // warm-up rows (n_win < 10) never flag
+    (0 until 9).foreach(i => assert(out((1L, i * 100L)) == ((i + 1L, false))))
+    // the spike is the only flagged bucket of key 1
+    val flagged1 = out.collect { case ((1L, b), (_, true)) => b }
+    assert(flagged1.toSeq == Seq(3000L), s"flagged $flagged1")
+    // flat series: variance 0 on both sides of the strict > — no flags
+    assert(out.collect { case ((2L, b), (_, true)) => b }.isEmpty)
+  }
+
   test("portable HLL: registers merge by max, estimate lands near truth") {
     import graft.ops.Sketches
     val items = spark.range(20000)
