@@ -1259,6 +1259,62 @@ object TextQueries {
     * The oracle mirrors the weight formula TEXTUALLY — same operand
     * order, same fixed-order 3-term sum.
     */
+  /** Bigram-LM fluency scoring (NgramLm): train an add-one-smoothed
+    * bigram model on the trusted `lang = 'en'` slice, score every doc
+    * by mean bigram conditional likelihood (integer ppm — the CCNet
+    * perplexity-bucket step made engine-replayable). The oracle
+    * replays training AND inference: unigram/bigram counts, the three
+    * smoothing cases (observed pair / seen history / OOV history), and
+    * the per-doc floor-divided mean.
+    */
+  private val qLmBigramScore = QueryDef(
+    "q_lm_bigram_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.NgramLm.train(
+        docs.where(col("lang") === "en"), "text")
+      graft.text.NgramLm.score(docs, "doc_id", "text", model)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      tr AS (SELECT t FROM tok WHERE lang = 'en'),
+      uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+      vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      big AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i + 1])) AS pair
+          FROM tr WHERE len(t) >= 2)
+        GROUP BY pair),
+      model AS (
+        SELECT pair,
+          CAST(1000000 * (c12 + 1) // (c1 + v) AS BIGINT) AS cond_ppm
+        FROM big
+        JOIN uni ON uni.w = split_part(big.pair, ' ', 1)
+        CROSS JOIN vs),
+      backoff AS (
+        SELECT w, CAST(1000000 // (c1 + v) AS BIGINT) AS bo_ppm
+        FROM uni CROSS JOIN vs),
+      sc AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM tok WHERE len(t) >= 2),
+      wgt AS (
+        SELECT sc.doc_id,
+          COALESCE(model.cond_ppm, backoff.bo_ppm,
+            CAST(1000000 // v AS BIGINT)) AS w_ppm
+        FROM sc
+        LEFT JOIN model USING (pair)
+        LEFT JOIN backoff ON backoff.w = split_part(sc.pair, ' ', 1)
+        CROSS JOIN vs)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
+      FROM wgt GROUP BY doc_id"""))
+
   private val qBm25 = QueryDef(
     "q_bm25_search",
     (s, d) =>
@@ -1314,7 +1370,7 @@ object TextQueries {
     qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
-    qDupSpanRemoval, qQualityClassifier, qHllSourceVocab,
+    qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qHllSourceVocab,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
 }

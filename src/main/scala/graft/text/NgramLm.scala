@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring — the KenLM-shaped fluency filter of
+  * a curation pipeline (CCNet trains a 5-gram LM on Wikipedia and
+  * buckets CommonCrawl by perplexity; the reference pipeline has no
+  * counterpart — this is north-star scope). A bigram model with
+  * add-one smoothing is trained on a trusted slice, then every doc is
+  * scored by its mean bigram conditional likelihood: fluent text built
+  * from the trusted distribution scores high, gibberish and
+  * boilerplate-mangled text score low.
+  *
+  * Determinism contract (the k-means/PageRank/QualityClassifier
+  * trade): all likelihoods are INTEGER ppm via floor division —
+  * cond(w₂|w₁) = 10⁶·(c₁₂+1) div (c₁+V), backoff for an unseen
+  * bigram 10⁶ div (c₁+V), OOV history 10⁶ div V; a doc's score is
+  * Σcond div n_bigrams. BIGINT sums are shuffle-order-free, so any
+  * engine replays the exact score. Headroom: 10⁶·(c₁₂+1) overflows
+  * long only past c₁₂ ≈ 9·10¹² occurrences of ONE bigram — far above
+  * a 100 TB corpus's hottest pair.
+  *
+  * Scale shape: training is two token-explode aggregates whose
+  * exchanges carry (term, long) — vocabulary-sized outputs; the
+  * trained model broadcasts (bigram vocabulary of a trusted slice,
+  * bounded by contract). Scoring is map-side bigram explode + two
+  * broadcast joins + one per-doc partial-agg shuffle carrying
+  * (id, count, sum). No UDFs; bigram assembly is a codegen'd HOF.
+  */
+object NgramLm {
+
+  val Scale = 1000000L
+
+  /** Adjacent word pairs of a token array as "w1 w2" strings (tokens
+    * are whitespace-split, so the single-space join is unambiguous);
+    * < 2 tokens → empty array. `element_at` is 1-based.
+    */
+  def wordBigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+
+  /** Trained model: (bigram, backoff, vocab) frames. `bigram` is
+    * (pair, cond_ppm) for observed pairs; `backoff` is (w, bo_ppm)
+    * for seen histories with unseen continuations; `vocab` is the
+    * 1-row (v) distinct-unigram count (joined in, never collected).
+    */
+  final case class Model(bigram: DataFrame, backoff: DataFrame,
+      vocab: DataFrame)
+
+  def train(trusted: DataFrame, textCol: String): Model = {
+    val tok = trusted.where(length(trim(col(textCol))) > 0)
+      .select(TextFunctions.tokens(col(textCol)).as("t"))
+    val uni = tok.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = tok.where(size(col("t")) >= 2)
+      .select(explode(wordBigrams(col("t"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+    val bigram = big
+      .join(uni, substring_index(col("pair"), " ", 1) === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("pair"),
+        expr(s"$Scale * (c12 + 1) div (c1 + v)").as("cond_ppm"))
+    val backoff = uni.crossJoin(broadcast(vocab))
+      .select(col("w"), expr(s"$Scale div (c1 + v)").as("bo_ppm"))
+    Model(bigram, backoff, vocab)
+  }
+
+  /** Score docs: mean bigram conditional likelihood in ppm. Docs with
+    * < 2 tokens have no bigrams and are absent from the output (they
+    * carry no evidence either way — gate them with the heuristic
+    * quality score instead). Output: (idCol, n_bigrams, lm_score_ppm).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame =
+    docs.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        explode(wordBigrams(TextFunctions.tokens(col(textCol))))
+          .as("pair"))
+      .join(broadcast(model.bigram), Seq("pair"), "left")
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .join(broadcast(model.backoff.withColumnRenamed("w", "w1")),
+        Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("w_ppm",
+        coalesce(col("cond_ppm"), col("bo_ppm"), expr(s"$Scale div v")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_ppm")).as("w_sum"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        expr("w_sum div n_bigrams").as("lm_score_ppm"))
+}

@@ -338,6 +338,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s(12L) == ((500000L, true))) // OOV everywhere → exactly the prior
   }
 
+  test("bigram LM: smoothing cases and floor-divided mean match hand arithmetic") {
+    import graft.text.NgramLm
+    // training corpus: "a b" ×2, "a c" ×1  →  c1(a)=3, c1(b)=2, c1(c)=1
+    // (b and c also start bigrams "b a" / "c a"? no — docs are 2 tokens)
+    val trusted = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val m = NgramLm.train(trusted, "text")
+    val v = m.vocab.collect().head.getLong(0)
+    assert(v == 3L) // {a, b, c}
+    val cond = m.bigram.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cond_ppm")).toMap
+    // c1(a)=3 (appears 3×): "a b": 10⁶·(2+1) div (3+3) = 500000
+    //                       "a c": 10⁶·(1+1) div (3+3) = 333333
+    assert(cond == Map("a b" -> 500000L, "a c" -> 333333L))
+    val bo = m.backoff.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("bo_ppm")).toMap
+    // backoff 10⁶ div (c1+v): a→166666, b→200000, c→250000
+    assert(bo == Map("a" -> 166666L, "b" -> 200000L, "c" -> 250000L))
+    // score: "a b a c" → bigrams [a b, b a, a c]:
+    //   observed 500000, backoff(b) 200000, observed 333333
+    //   sum 1033333 div 3 = 344444
+    // "z z" → OOV history: 10⁶ div 3 = 333333
+    val docs = Seq((10L, "a b a c"), (11L, "z z"), (12L, "a"))
+      .toDF("doc_id", "text")
+    val s = NgramLm.score(docs, "doc_id", "text", m).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_score_ppm"))).toMap
+    assert(s(10L) == ((3L, 344444L)))
+    assert(s(11L) == ((1L, 333333L)))
+    assert(!s.contains(12L)) // single-token doc: no bigrams, absent
+  }
+
   test("snapshot diff classifies adds/removes/changes; apply round-trips") {
     import graft.ops.SnapshotDiff
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
