@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Runtime Bloom pruning for fact-fact joins — the row-level runtime
+  * filter (a.k.a. sideways information passing) that turns "shuffle
+  * everything, join, discard 95%" into "discard 95% map-side, shuffle
+  * the survivors". Spark injects this itself behind
+  * `spark.sql.optimizer.runtime.bloomFilter.enabled` when statistics
+  * line up; this operator is the explicit, always-on form: build a
+  * Bloom sketch of the build side's join keys (one narrow pass,
+  * sketch size ∝ build-side cardinality — KBs to a few MB for a
+  * filtered dimension-ish side), plant it as a literal scan-stage
+  * `bloom_might_contain` filter on the fact side, then run the exact
+  * join. False positives survive the prefilter but die in the join,
+  * so the result is IDENTICAL to the plain join — the oracle is plain
+  * SQL and the hash compare proves the equivalence (the salted-join
+  * proof pattern).
+  *
+  * At 100 TB: the fact-side exchange is the dominant cost of a
+  * selective fact-fact join; with a 1% FPP sketch the shuffled volume
+  * drops to ~(selectivity + 1%) of the corpus. The build pays one
+  * extra aggregation (Spark's BloomFilterAggregate — partial sketches
+  * OR-merge, so the pass is map-side parallel like any agg).
+  *
+  * Guardrail: past `maxBuildRows` distinct keys the sketch stops
+  * being broadcast-cheap (Spark's own runtime filter has the same
+  * creation threshold) — the operator then SKIPS pruning and returns
+  * the plain join rather than shipping a hundred-MB literal.
+  */
+object BloomJoin {
+
+  /** `fact ⋈ build` on `factKey = buildKey`, fact side Bloom-pruned
+    * map-side before the shuffle. Result ≡ the plain inner join.
+    */
+  def bloomPrunedJoin(fact: DataFrame, build: DataFrame, factKey: String,
+      buildKey: String, fpp: Double = 0.01,
+      maxBuildRows: Long = 100000000L): DataFrame = {
+    val spark = fact.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    def join(f: DataFrame): DataFrame =
+      if (factKey == buildKey) f.join(build, Seq(factKey))
+      else f.join(build, f.col(factKey) === build.col(buildKey))
+    val n = build.count() // narrow pass; the count also sizes the sketch
+    if (n == 0L || n > maxBuildRows) join(fact)
+    else {
+      val bf = build.stat.bloomFilter(buildKey, n, fpp)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      join(fact.where(
+        call_function("bloom_might_contain", lit(bytes), col(factKey))))
+    }
+  }
+}

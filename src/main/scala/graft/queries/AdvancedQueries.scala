@@ -488,6 +488,42 @@ object AdvancedQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 
+  /** Runtime Bloom-pruned fact-fact join (graft.ops.BloomJoin): a
+    * selective orders slice builds a Bloom sketch of its keys; the
+    * sketch prunes lineitem MAP-SIDE before the join shuffle (the
+    * explicit form of Spark's runtime row-level filtering). Declared
+    * as an IDENTITY exhibit like q_salted_join: false positives die in
+    * the exact join, so pruned ≡ plain — the oracle is the unpruned
+    * SQL join and the hash compare is the proof. PlanSpec asserts the
+    * might_contain filter sits in the scan stage below the exchange —
+    * the property that cuts the fact shuffle to ~(selectivity + fpp)
+    * of the corpus at 100 TB.
+    */
+  private val qBloomJoin = QueryDef(
+    "q_bloom_join_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      graft.ops.BloomJoin
+        .bloomPrunedJoin(li, o, "o_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_orderpriority"""))
+
   /** Build-once memo for the bucketed layout (same contract as the
     * served IVF index): the QUERY is the co-located join; rewriting the
     * bucketed tables per invocation would time the layout build, which
@@ -581,5 +617,5 @@ object AdvancedQueries {
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
     qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources,
-    qPacking, qSalted, qSaltedJoin, qBucketedJoin, qTopKAgg)
+    qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

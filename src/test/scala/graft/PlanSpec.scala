@@ -173,6 +173,25 @@ class PlanSpec extends AnyFunSuite {
       s"text column crossed a shuffle: $exchanges")
   }
 
+  test("bloom-pruned join: might_contain filters the fact side below its exchange") {
+    val p = planString("q_bloom_join_revenue")
+    assert(p.contains("might_contain"), p)
+    // the prune must sit in the fact side's scan stage, i.e. BELOW an
+    // exchange — in the plan string the deepest nodes print last, so
+    // the filter's position must be after the last exchange header
+    // above it; cheap proxy: some exchange appears BEFORE the filter
+    // (the join's shuffle), and the filter is not above all exchanges
+    val filterAt = p.indexOf("might_contain")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 && firstExchange < filterAt,
+      "bloom prune should be below the join exchange (scan stage)")
+    // and it tests the fact-side order key (the sketch literal is one
+    // 0x… token; the probed column follows it) — at this SF the scan
+    // column is still l_orderkey (the rename projects above the scan)
+    assert("might_contain\\(0x[0-9A-F]+, [lo]_orderkey"
+      .r.findFirstIn(p).isDefined, "prune does not probe the join key")
+  }
+
   test("shingle build is map-side: no exchange between scan and gram explode") {
     // the Generate (explode of the zipped token array) must sit directly
     // on the scan-side project, with only the deliberate fanOut
