@@ -652,7 +652,20 @@ object TextQueries {
         graft.ops.Sketches.hllRegisters(items, "term", Seq("source")),
         Seq("source"))
     },
-    Some(s"""
+    hllSourceVocabOracle)
+
+  /** Streaming twin of q_hll_source_vocab: registers maintained as ONE
+    * streaming max-aggregate (state ≤ sources × 256 — bounded by sketch
+    * geometry, no watermark), estimate read from the final snapshot.
+    * `Sketches.hllRegisters` runs UNCHANGED on the unbounded frame, so
+    * the twin shares the batch oracle verbatim.
+    */
+  private val qStreamHll = QueryDef(
+    "q_stream_hll_vocab",
+    (s, d) => graft.streaming.StreamingSketch.runHllBatchEquivalent(s, d),
+    hllSourceVocabOracle)
+
+  private lazy val hllSourceVocabOracle: Option[String] = Some(s"""
       WITH tok AS (
         SELECT source, unnest($sqlTokens) AS term
         FROM documents WHERE length(trim(text)) > 0),
@@ -684,7 +697,7 @@ object TextQueries {
         (CAST(0.7213 AS DOUBLE) /
           (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)) * 65536 /
           (s + CAST(256 - n_nonzero AS DOUBLE)) AS hll_raw_estimate
-      FROM est"""))
+      FROM est""")
 
   /** Model-based quality classifier (text/QualityClassifier): train
     * integer-ppm token weights on a weakly labeled slice (doc_id%3=0,
@@ -1371,6 +1384,7 @@ object TextQueries {
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qHllSourceVocab,
+    qStreamHll,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
 }

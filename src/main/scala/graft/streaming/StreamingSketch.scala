@@ -38,6 +38,40 @@ object StreamingSketch {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Continuous HyperLogLog maintenance — same deployment shape as the
+    * CMS stream, same boundedness argument: the register table IS the
+    * aggregation state (≤ sources × 256 MAX-groups, corpus-independent,
+    * no watermark needed). `Sketches.hllRegisters` is stateless
+    * transforms + one max-aggregate, so the STREAMING register build is
+    * literally the batch operator applied to an unbounded frame — the
+    * strongest batch/stream parity claim available. The raw estimate is
+    * computed batch-side on the final snapshot (it is a read of the
+    * served sketch, not part of ingest).
+    */
+  def runHllBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_hll_${nameCounter.incrementAndGet()}"
+    val snapshot = StreamingRun.withStatePartitions(spark, 4) { s =>
+      val stream = StreamingContamination.documentsStream(s, sfDir)
+      val items = stream
+        .where(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
+      val q = graft.ops.Sketches.hllRegisters(items, "term", Seq("source"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snap = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      snap
+    }
+    graft.ops.Sketches.hllEstimate(snapshot, Seq("source"))
+  }
+
   /** Drive the streaming sketch over the bounded documents file and
     * return the final counter table (complete mode, memory sink).
     */

@@ -167,6 +167,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r(4) == true), "some doc must be flagged")
   }
 
+  test("streaming HLL estimate equals the batch sketch per source") {
+    import graft.sources.Tables
+    import graft.ops.Sketches
+    val docs = Tables.documents(spark, sf)
+    val items = docs.where(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
+    val batch = Sketches.hllEstimate(
+        Sketches.hllRegisters(items, "term", Seq("source")), Seq("source"))
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamingSketch
+      .runHllBatchEquivalent(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch) // MAX-merge is arrival-order-free
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming k-means assignment equals batch fit, stateless plan") {
     import graft.sources.Tables
     import graft.sim.KMeans
