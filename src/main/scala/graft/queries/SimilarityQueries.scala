@@ -44,6 +44,60 @@ object SimilarityQueries {
       ORDER BY score DESC, vec_id
       LIMIT 20"""
 
+  /** JL random-projection ANN (sim/RandomProjection): 64-dim → 16
+    * exact integer Rademacher projections, top-200 candidates by
+    * projected L2 via TakeOrderedAndProject, exact quantized re-rank.
+    * This corpus is the JL-ADVERSARIAL case (Gaussian background —
+    * pairwise distances concentrate, so projected rank ≈ noise;
+    * RpProbe: complete top-20 recall would need C ≈ 60-70% of the
+    * corpus even at 48 projections), so unlike LSH/IVF the declared
+    * contract is NOT exact-top-k equality: the oracle REPLAYS the
+    * whole pipeline — md5-parity signs, integer projections, the
+    * (pd2, id)-ordered candidate cut, the quantized re-rank — the
+    * q_ann_ivfpq replay pattern. A real embedding corpus with
+    * cluster structure is where the C≪N operating point earns its
+    * keep; here the exhibit pins the operator's exact semantics.
+    */
+  private val qRpTopK = QueryDef(
+    "q_ann_rp_topk",
+    (s, d) =>
+      graft.sim.RandomProjection.rpTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 20, nProj = 16, nCandidates = 200),
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      signs AS (
+        SELECT p.p, i.i,
+          CASE WHEN strpos('02468ace',
+            substr(md5('rp:' || p.p || ':' || (i.i - 1)), 1, 1)) > 0
+            THEN 1 ELSE -1 END AS s
+        FROM range(0, 16) p(p) CROSS JOIN range(1, 65) i(i)),
+      proj AS (
+        SELECT f.vec_id, s.p, CAST(SUM(f.qv * s.s) AS BIGINT) AS pr
+        FROM flat f JOIN signs s ON s.i = f.i
+        GROUP BY 1, 2),
+      qp AS (SELECT p, pr AS qpr FROM proj WHERE vec_id = 0),
+      pd AS (
+        SELECT proj.vec_id,
+          CAST(SUM((proj.pr - qp.qpr) * (proj.pr - qp.qpr)) AS BIGINT) AS pd2
+        FROM proj JOIN qp USING (p)
+        WHERE proj.vec_id <> 0
+        GROUP BY 1),
+      cand AS (
+        SELECT vec_id FROM pd ORDER BY pd2 ASC, vec_id LIMIT 200),
+      qf AS (SELECT i, qv AS qqv FROM flat WHERE vec_id = 0),
+      dots AS (
+        SELECT f.vec_id, SUM(f.qv * q.qqv) AS qdot, SUM(f.qv * f.qv) AS nrm
+        FROM flat f JOIN qf q USING (i)
+        WHERE f.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY f.vec_id),
+      qn AS (SELECT SUM(qqv * qqv) AS nrm0 FROM qf)
+      SELECT vec_id,
+        CAST(qdot AS BIGINT) /
+          (sqrt(CAST(nrm AS BIGINT)) * sqrt(CAST(nrm0 AS BIGINT))) AS score
+      FROM dots, qn
+      ORDER BY score DESC, vec_id
+      LIMIT 20"""))
+
   // ------------------------------------------------ brute-force top-k
   private val qTopKQuant = QueryDef(
     "q_ann_topk_quantized",
@@ -747,7 +801,7 @@ object SimilarityQueries {
         FROM cosd)
       WHERE rn <= 5"""))
 
-  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qIvf, qIvfServed,
+  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed,
     qCentroids, qCentroidVectors, qLabelOutliers)
