@@ -654,6 +654,110 @@ object TextQueries {
     },
     hllSourceVocabOracle)
 
+  /** Per-source data card (the dataset-report step every curation
+    * pipeline ends with — counts, token volume, empty/dup rates,
+    * language mix, mean heuristic quality, sketched vocabulary): five
+    * independent per-source aggregates joined on the handful of
+    * source keys. Every number is either integer-exact or a single
+    * pinned IEEE operation (q sums are dyadic quarters → exact; the
+    * two fractions are one division each; the HLL estimate is the
+    * dyadic-sum raw form) — the whole card replays in the oracle.
+    * 100 TB shape: each branch is a partial→final aggregate whose
+    * exchange carries (source, few longs); the dup branch shuffles
+    * 16-byte digests; the join side is |sources| rows.
+    */
+  private val qSourceDatacard = QueryDef(
+    "q_source_datacard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = TF.withQualityScore(docs, "text", "q")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+            .as("n_empty"),
+          sum(col("q")).as("q_sum"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      val dups = docs
+        .groupBy(col("source"), md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("n_dup_docs"))
+      val vocab = graft.ops.Sketches.hllEstimate(
+          graft.ops.Sketches.hllRegisters(
+            docs.where(length(trim(col("text"))) > 0)
+              .select(col("source"),
+                explode(TF.tokens(col("text"))).as("term")),
+            "term", Seq("source")),
+          Seq("source"))
+        .select(col("source"), col("hll_raw_estimate").as("vocab_est"))
+      base.join(dups, Seq("source")).join(vocab, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_empty"), col("n_en"),
+          (col("n_en") / col("n_docs")).as("en_frac"),
+          (col("q_sum") / col("n_docs")).as("mean_q"),
+          col("n_dup_docs"), col("vocab_est"))
+    },
+    Some(s"""
+      WITH ${sqlScoredCte("source, lang, text")},
+      base AS (
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM($sqlNTokens) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+          SUM(q) AS q_sum,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_en
+        FROM scored GROUP BY source),
+      dup AS (
+        SELECT source,
+          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+            AS n_dup_docs
+        FROM (SELECT source, md5(text) AS h, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2)
+        GROUP BY source),
+      tok AS (
+        SELECT source, unnest($sqlTokens) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      bits AS (
+        SELECT source, substr(md5(term), 1, 2) AS bucket,
+          substr(md5(term), 3, 8) AS tail
+        FROM tok),
+      lzt AS (
+        SELECT source, bucket, tail,
+          length(regexp_extract(tail, '^0*')) AS lzc
+        FROM bits),
+      rho AS (
+        SELECT source, bucket,
+          CASE WHEN lzc = 8 THEN 33
+            ELSE 1 + lzc * 4 +
+              CASE WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 8 THEN 0
+                   WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 4 THEN 1
+                   WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 2 THEN 2
+                   ELSE 3 END END AS rho
+        FROM lzt),
+      regs AS (
+        SELECT source, bucket, MAX(rho) AS m_reg FROM rho GROUP BY 1, 2),
+      est AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+          SUM(CAST(1 AS DOUBLE) /
+            CAST(CAST(1 AS BIGINT) << m_reg AS DOUBLE)) AS s
+        FROM regs GROUP BY 1),
+      vocab AS (
+        SELECT source,
+          (CAST(0.7213 AS DOUBLE) /
+            (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)) * 65536 /
+            (s + CAST(256 - n_nonzero AS DOUBLE)) AS vocab_est
+        FROM est)
+      SELECT source, n_docs, n_tokens, n_empty, n_en,
+        n_en / n_docs AS en_frac,
+        q_sum / n_docs AS mean_q,
+        n_dup_docs, vocab_est
+      FROM base JOIN dup USING (source) JOIN vocab USING (source)"""))
+
   /** Streaming twin of q_hll_source_vocab: registers maintained as ONE
     * streaming max-aggregate (state ≤ sources × 256 — bounded by sketch
     * geometry, no watermark), estimate read from the final snapshot.
@@ -1384,7 +1488,7 @@ object TextQueries {
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qHllSourceVocab,
-    qStreamHll,
+    qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
 }
