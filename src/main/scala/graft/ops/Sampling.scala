@@ -143,6 +143,56 @@ object Sampling {
     else pos
   }
 
+  /** Token-budget sampling — the "mix to N tokens per source" form of
+    * corpus composition (training mixtures are specified in tokens,
+    * not document rates): within each source, documents are taken in
+    * md5-shuffled order until the budget is reached. The kept set is
+    * exactly { doc : its EXCLUSIVE running token sum < budget } —
+    * deterministic, append-stable for already-kept docs (a new doc
+    * can only displace docs that sort after it), and engine-exact.
+    *
+    * Scale shape (the shuffledIndex two-level trick, refined): a
+    * global `SUM(...) OVER (PARTITION BY source ORDER BY digest)` is
+    * one task per source — dead at 100 TB. Instead: 2-hex-prefix
+    * range buckets (the bucket is a PREFIX of the digest, so
+    * (bucket, digest) order = global order) → per-(source, bucket)
+    * token totals (a tiny aggregate) → running bucket offsets over
+    * that ≤ |sources|·256-row frame → broadcast back. Buckets whose
+    * offset+total fit the budget pass with NO window at all; only the
+    * ONE boundary bucket per source (~1/256 of its rows) pays an
+    * in-bucket cumulative window. Everything else is a scan-stage
+    * filter.
+    */
+  def tokenBudgetSample(df: DataFrame, key: Column, sourceCol: Column,
+      nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val keyed = df
+      .withColumn("__dg", md5(key.cast("string")))
+      .withColumn("__b", substring(col("__dg"), 1, 2))
+      .withColumn("__n", nTokens.cast("long"))
+      .withColumn("__src", sourceCol)
+    val w256 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src")).orderBy(col("__b"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__src"), col("__b"))
+      .agg(sum(col("__n")).as("__bt"))
+      .withColumn("__before", coalesce(sum(col("__bt")).over(w256), lit(0L)))
+    val joined = keyed.join(broadcast(offsets), Seq("__src", "__b"))
+    val fullyKept = joined.where(col("__before") + col("__bt") <= budget)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"), col("__b")).orderBy(col("__dg"), key)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundaryKept = joined
+      .where(col("__before") < budget && col("__before") + col("__bt") > budget)
+      .withColumn("__cum", coalesce(sum(col("__n")).over(wIn), lit(0L)))
+      .where(col("__before") + col("__cum") < budget)
+      .drop("__cum")
+    fullyKept.unionByName(boundaryKept)
+      .drop("__dg", "__b", "__n", "__src", "__bt", "__before")
+  }
+
   /** Weighted source mixing — the corpus-composition primitive: each
     * source (crawl, books, code, …) is down-sampled at its own rate in
     * ONE map-side pass, deterministically (same md5-threshold trick as

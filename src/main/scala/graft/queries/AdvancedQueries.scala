@@ -402,6 +402,41 @@ object AdvancedQueries {
           ELSE FALSE
         END"""))
 
+  /** Token-budget mixing (Sampling.tokenBudgetSample): keep each
+    * source's md5-shuffle prefix until 2000 tokens — the mixture
+    * primitive specified in TOKENS (how training mixes are actually
+    * written) rather than doc rates. The engine runs the two-level
+    * bucket/prefix-sum shape (no per-source global window); the
+    * oracle replays the SEMANTIC rule — exclusive running token sum
+    * in (digest, id) order < budget — as one window, which is
+    * affordable at oracle scale and pins the identical kept set.
+    */
+  private val qTokenBudget = QueryDef(
+    "q_token_budget_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Sampling.tokenBudgetSample(
+        docs.select(col("doc_id"), col("source"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tok")),
+        col("doc_id"), col("source"), col("n_tok"), budget = 2000L)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+            AS BIGINT) AS n_tok,
+          md5(CAST(doc_id AS VARCHAR)) AS dg
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+          COALESCE(SUM(n_tok) OVER (
+            PARTITION BY source ORDER BY dg, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM t)
+      SELECT doc_id, source, n_tok FROM c WHERE cb < 2000"""))
+
   /** Sequence packing (graft.ops.Packing): documents → fixed
     * token-budget bins per shard, as one window prefix-sum (no driver
     * loop, no global sort — the window partitions by shard). The
@@ -616,6 +651,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

@@ -338,6 +338,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s(12L) == ((500000L, true))) // OOV everywhere → exactly the prior
   }
 
+  test("token-budget sample: keeps the md5-order prefix, straddler included") {
+    import graft.ops.Sampling
+    val docs = (1L to 40L).map(i => (i, "s", 10L)).toDF("id", "src", "n")
+    val kept = Sampling.tokenBudgetSample(docs, col("id"), col("src"),
+      col("n"), budget = 95L)
+    // exclusive running sum < 95 in md5(id) order → exactly 10 docs
+    // (9 fit fully at 90; the 10th straddles and is included)
+    assert(kept.count() == 10L)
+    // equivalence with the single-window formulation (the oracle rule)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = docs
+      .withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+      .where(col("cb") < 95L).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == expected)
+    // budget larger than the corpus keeps everything
+    assert(Sampling.tokenBudgetSample(docs, col("id"), col("src"),
+      col("n"), budget = 100000L).count() == 40L)
+  }
+
   test("bigram LM: smoothing cases and floor-divided mean match hand arithmetic") {
     import graft.text.NgramLm
     // training corpus: "a b" ×2, "a c" ×1  →  c1(a)=3, c1(b)=2, c1(c)=1
