@@ -68,18 +68,33 @@ object NgramLm {
     Model(bigram, backoff, vocab)
   }
 
+  /** Past this many observed bigrams the model stops being
+    * broadcast-cheap (~40 B/row → ~80 MB) and scoring auto-switches to
+    * a shuffle join — the FuzzyJoin verify-side pattern. Natural
+    * language obeys Heaps' law (bigram vocabulary grows ~n^0.8 of the
+    * TRUSTED slice, not the corpus), so real models stay under this;
+    * the LmProbe synthetic uniform corpus is the adversarial case that
+    * crosses it.
+    */
+  val BroadcastMaxBigrams = 2000000L
+
   /** Score docs: mean bigram conditional likelihood in ppm. Docs with
     * < 2 tokens have no bigrams and are absent from the output (they
     * carry no evidence either way — gate them with the heuristic
     * quality score instead). Output: (idCol, n_bigrams, lm_score_ppm).
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      model: Model): DataFrame =
+      model: Model): DataFrame = {
+    // vocabulary-sized count job — decides broadcast vs shuffle join
+    val bigSide =
+      if (model.bigram.count() <= BroadcastMaxBigrams)
+        broadcast(model.bigram)
+      else model.bigram
     docs.where(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         explode(wordBigrams(TextFunctions.tokens(col(textCol))))
           .as("pair"))
-      .join(broadcast(model.bigram), Seq("pair"), "left")
+      .join(bigSide, Seq("pair"), "left")
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .join(broadcast(model.backoff.withColumnRenamed("w", "w1")),
         Seq("w1"), "left")
@@ -90,4 +105,5 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w_ppm")).as("w_sum"))
       .select(col("id").as(idCol), col("n_bigrams"),
         expr("w_sum div n_bigrams").as("lm_score_ppm"))
+  }
 }
