@@ -52,9 +52,16 @@ object NgramLm {
   def train(trusted: DataFrame, textCol: String): Model = {
     val tok = trusted.where(length(trim(col(textCol))) > 0)
       .select(TextFunctions.tokens(col(textCol)).as("t"))
+    // Pinned (eager localCheckpoint): the unigram table feeds three
+    // consumers (vocab count, bigram smoothing join, backoff) and the
+    // finished model frames feed ≥ 2 consumers each in score() (the
+    // broadcast-reach count job + the join) — without pinning, every
+    // consumer would replay the training aggregates from the corpus.
+    // All three frames are vocabulary-sized, the pinning contract.
     val uni = tok.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
+      .localCheckpoint(true)
+    val vocab = uni.agg(count(lit(1)).as("v")).localCheckpoint(true)
     val big = tok.where(size(col("t")) >= 2)
       .select(explode(wordBigrams(col("t"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("c12"))
@@ -63,8 +70,10 @@ object NgramLm {
       .crossJoin(broadcast(vocab))
       .select(col("pair"),
         expr(s"$Scale * (c12 + 1) div (c1 + v)").as("cond_ppm"))
+      .localCheckpoint(true)
     val backoff = uni.crossJoin(broadcast(vocab))
       .select(col("w"), expr(s"$Scale div (c1 + v)").as("bo_ppm"))
+      .localCheckpoint(true)
     Model(bigram, backoff, vocab)
   }
 
