@@ -98,6 +98,43 @@ object SimilarityQueries {
       ORDER BY score DESC, vec_id
       LIMIT 20"""))
 
+  /** kNN join (Similarity.knnJoin): exact quantized top-5 neighbours
+    * for the whole vec_id%100 query set in ONE corpus scan — per-query
+    * ranking via the PairTopKAggregator partial top-k (no N×Q window
+    * sort; the oracle's ROW_NUMBER replays the same (score DESC, id)
+    * total order over exact scores).
+    */
+  private val qKnnJoin = QueryDef(
+    "q_knn_join",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
+    },
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+      dots AS (
+        SELECT g.vec_id AS query_id, f.vec_id, SUM(f.qv * g.qv) AS qdot
+        FROM flat f
+        JOIN flat g ON g.i = f.i AND g.vec_id % 100 = 0
+          AND f.vec_id <> g.vec_id
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT query_id, d.vec_id,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nq.nrm AS BIGINT)))
+            AS score
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.query_id)
+      SELECT query_id, CAST(rn AS INT) AS rank, vec_id, score FROM (
+        SELECT query_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+        FROM sc)
+      WHERE rn <= 5"""))
+
   // ------------------------------------------------ brute-force top-k
   private val qTopKQuant = QueryDef(
     "q_ann_topk_quantized",
@@ -801,7 +838,7 @@ object SimilarityQueries {
         FROM cosd)
       WHERE rn <= 5"""))
 
-  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qIvf, qIvfServed,
+  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed,
     qCentroids, qCentroidVectors, qLabelOutliers)

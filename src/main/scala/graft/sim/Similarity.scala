@@ -567,4 +567,38 @@ object Similarity {
       .where(col("__rn") <= k)
       .select(col("vec_id"), col("label"), col("cos_centroid"))
   }
+
+  /** kNN JOIN — top-k neighbours for EVERY query in a bounded query
+    * set at once (hard-negative mining, label propagation, retrieval
+    * eval all need the multi-query form; the single-query topK is the
+    * degenerate case). Shape: queries broadcast (bounded by contract —
+    * past broadcast reach, shard the query set and union, or compose
+    * with the served IVF layout to prune per query); ONE corpus scan
+    * scores all queries map-side; per-query ranking is the
+    * PairTopKAggregator partial top-k — shuffle carries ≤ |queries|·k
+    * (score, id) pairs per mapper, never the N×Q score matrix, and no
+    * window ever sorts it. Determinism: quantized scores + the
+    * aggregator's total (score DESC, id ASC) order make ranks exact.
+    *
+    * Output: (query_id, rank, vec_id, score), self-pairs excluded.
+    */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      scoreFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.q_vec_cosine): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qv")))
+    corpus.crossJoin(q)
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"),
+        scoreFn(col(vecCol), col("__qv")).as("__s"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.PairTopKAggregator
+        .top_k_pair(k)(col("__s"), col("__id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("score"))
+  }
 }

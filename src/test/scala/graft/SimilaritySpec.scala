@@ -150,4 +150,17 @@ class SimilaritySpec extends AnyFunSuite {
         math.sqrt((sq(0) * sq(0) + sq(1) * sq(1)).toDouble))
     assert(label0.head._3 == expected, "bit-exact cosine expected")
   }
+
+  test("kNN join: one scan, score-desc id-asc ranks, ties to smaller id, self excluded") {
+    import spark.implicits._
+    // v1 ≡ v3 (tie at cosine 1 with the v0 query → smaller id first);
+    // v2 orthogonal (cosine 0 ranks last)
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0L), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1, 1L), (0L, 2, 3L), (0L, 3, 2L)))
+  }
 }
