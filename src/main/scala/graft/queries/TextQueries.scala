@@ -1392,7 +1392,20 @@ object TextQueries {
         docs.where(col("lang") === "en"), "text")
       graft.text.NgramLm.score(docs, "doc_id", "text", model)
     },
-    Some(s"""
+    lmBigramOracle)
+
+  /** Streaming twin of q_lm_bigram_score (streaming/StreamingLm):
+    * model frozen from the trusted slice, arriving micro-batches
+    * scored via foreachBatch (stateless across batches — each doc
+    * arrives whole), union row-identical to the batch run under any
+    * arrival partitioning. Shares the batch oracle verbatim.
+    */
+  private val qStreamLm = QueryDef(
+    "q_stream_lm_score",
+    (s, d) => graft.streaming.StreamingLm.runBatchEquivalent(s, d),
+    lmBigramOracle)
+
+  private lazy val lmBigramOracle: Option[String] = Some(s"""
       WITH tok AS (
         SELECT doc_id, lang, $sqlTokens AS t
         FROM documents WHERE length(trim(text)) > 0),
@@ -1430,7 +1443,7 @@ object TextQueries {
         CROSS JOIN vs)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
-      FROM wgt GROUP BY doc_id"""))
+      FROM wgt GROUP BY doc_id""")
 
   private val qBm25 = QueryDef(
     "q_bm25_search",
@@ -1487,7 +1500,7 @@ object TextQueries {
     qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
-    qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qHllSourceVocab,
+    qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
