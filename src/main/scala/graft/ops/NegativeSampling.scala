@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic negative sampling — the contrastive-training data
+  * primitive (in-batch negatives' offline twin): every anchor draws k
+  * pseudo-random negatives from a shared candidate pool, reproducibly
+  * on any engine and at any parallelism (no RNG stream — draws are
+  * md5(anchor:candidate), the repo-standard portable hash).
+  *
+  * Shape at 100 TB: the pool is a deterministic md5-threshold sample
+  * of the corpus (Sampling.sampleByKey's rule) and BROADCASTS — its
+  * size is rate-controlled by contract; anchors scan once; the per-
+  * anchor draw ranking is the PairTopKAggregator partial top-k, so
+  * the anchor-side shuffle carries k (draw, id) pairs per anchor per
+  * mapper, never the N×|pool| draw matrix. No window sorts anything.
+  *
+  * Determinism of the ranking: draws order lexicographically on hex;
+  * the aggregator score is the NEGATED numeric value of the first 13
+  * hex chars (52 bits — exact in a double), which induces the same
+  * order; prefix collisions tie-break by candidate id in both engines.
+  *
+  * Composition note: for leakage-safe negatives, anti-join the output
+  * against the anchor's near-dup cluster (Dedup.nearDupClusters) so a
+  * paraphrase can never be its own "negative".
+  */
+object NegativeSampling {
+
+  /** (anchor_id, rank, neg_id) — k negatives per anchor, self excluded. */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+      poolRate: Double): DataFrame = {
+    val pool = broadcast(
+      df.select(col(idCol).cast("long").as("neg_id"))
+        .where(md5(col("neg_id").cast("string")) <
+          lit(Sampling.hexThreshold(poolRate))))
+    val draw = md5(concat_ws(":", col("anchor_id"), col("neg_id")))
+    val score: Column =
+      -conv(substring(draw, 1, 13), 16, 10).cast("double")
+    df.select(col(idCol).cast("long").as("anchor_id"))
+      .crossJoin(pool)
+      .where(col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), score.as("__s"), col("neg_id"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.PairTopKAggregator
+        .top_k_pair(k)(col("__s"), col("neg_id")).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neg_id"))
+  }
+}

@@ -402,6 +402,34 @@ object AdvancedQueries {
           ELSE FALSE
         END"""))
 
+  /** Deterministic negative sampling (ops/NegativeSampling): 4
+    * contrastive negatives per document from a 10% md5-threshold pool,
+    * draws = md5(anchor:candidate), per-anchor ranking via the partial
+    * pair-top-k (no N×pool window). The oracle replays pool, draws,
+    * and the (13-hex-prefix, id) rank order exactly.
+    */
+  private val qNegatives = QueryDef(
+    "q_negative_samples",
+    (s, d) =>
+      graft.ops.NegativeSampling.negativeSamples(
+        Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 4, poolRate = 0.1),
+    Some("""
+      WITH pool AS (
+        SELECT doc_id AS neg_id FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '19999999'),
+      d AS (
+        SELECT a.doc_id AS anchor_id, p.neg_id,
+          md5(a.doc_id || ':' || p.neg_id) AS draw
+        FROM documents a CROSS JOIN pool p
+        WHERE a.doc_id <> p.neg_id)
+      SELECT anchor_id, CAST(rn AS INT) AS rank, neg_id FROM (
+        SELECT anchor_id, neg_id,
+          ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY substr(draw, 1, 13), neg_id) AS rn
+        FROM d)
+      WHERE rn <= 4"""))
+
   /** Token-budget mixing (Sampling.tokenBudgetSample): keep each
     * source's md5-shuffle prefix until 2000 tokens — the mixture
     * primitive specified in TOKENS (how training mixes are actually
@@ -651,6 +679,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }
