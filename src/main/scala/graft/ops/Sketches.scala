@@ -91,6 +91,32 @@ object Sketches {
           .as("hll_raw_estimate")): _*)
   }
 
+  /** Rolling HLL merge over time — the property that makes sketches
+    * the 100 TB rollup currency: daily register tables MERGE BY MAX
+    * into any coarser window without touching raw data again. Input:
+    * a per-`dayCol` register table from `hllRegisters(items, key,
+    * Seq(dayCol))`; output: the raw estimate per day over the trailing
+    * `windowDays` window. The merge is a bounded theta-join (register
+    * rows × distinct days — calendar-bounded, the broadcast side) +
+    * one (day, bucket) max-aggregate; raw events are scanned exactly
+    * once, by the register build. A plain rolling window over the
+    * register table would MISS buckets present earlier in the window
+    * but absent on the anchor day — the join-to-day-spine form is the
+    * correct merge.
+    */
+  def hllRollingEstimate(registers: DataFrame, dayCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val spine = broadcast(
+      registers.select(col(dayCol).as("win_day")).distinct())
+    val merged = registers
+      .join(spine, datediff(col("win_day"), col(dayCol))
+        .between(0, windowDays - 1))
+      .groupBy(col("win_day").as(dayCol), col("bucket"))
+      .agg(max(col("m_reg")).as("m_reg"))
+    hllEstimate(merged, Seq(dayCol))
+  }
+
   /** Top-k keys by CMS estimate: every distinct key looks up its d
     * counters via a broadcast join against the (tiny) sketch and takes
     * the min; ranking is (estimate DESC, key). The distinct is the

@@ -164,6 +164,60 @@ object PipelineQueries {
         CAST(MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
       FROM events GROUP BY event_type"""))
 
+  /** Rolling distinct-user estimates by MERGING daily HLL registers
+    * (ops/Sketches.hllRollingEstimate): raw events are scanned once
+    * for the per-day register build; the trailing-3-day estimate is a
+    * register-table merge (MAX per bucket over a day-spine join) —
+    * the sketch-mergeability exhibit. Registers AND estimates replay
+    * bit-exactly (dyadic sums).
+    */
+  private val qHllRolling = QueryDef(
+    "q_hll_rolling_users",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      graft.ops.Sketches.hllRollingEstimate(
+        graft.ops.Sketches.hllRegisters(ev, "user_id", Seq("day")),
+        "day", windowDays = 3)
+    },
+    Some("""
+      WITH u AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      bits AS (
+        SELECT day, substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+          substr(md5(CAST(user_id AS VARCHAR)), 3, 8) AS tail
+        FROM u),
+      lzt AS (
+        SELECT day, bucket, tail,
+          length(regexp_extract(tail, '^0*')) AS lzc
+        FROM bits),
+      rho AS (
+        SELECT day, bucket,
+          CASE WHEN lzc = 8 THEN 33
+            ELSE 1 + lzc * 4 +
+              CASE WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 8 THEN 0
+                   WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 4 THEN 1
+                   WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 2 THEN 2
+                   ELSE 3 END END AS rho
+        FROM lzt),
+      regs AS (
+        SELECT day, bucket, MAX(rho) AS m_reg FROM rho GROUP BY 1, 2),
+      spine AS (SELECT DISTINCT day AS win_day FROM regs),
+      merged AS (
+        SELECT s.win_day AS day, r.bucket, MAX(r.m_reg) AS m_reg
+        FROM regs r JOIN spine s
+          ON date_diff('day', r.day, s.win_day) BETWEEN 0 AND 2
+        GROUP BY 1, 2),
+      est AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+          SUM(CAST(1 AS DOUBLE) /
+            CAST(CAST(1 AS BIGINT) << m_reg AS DOUBLE)) AS s
+        FROM merged GROUP BY 1)
+      SELECT day, n_nonzero,
+        (CAST(0.7213 AS DOUBLE) /
+          (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)) * 65536 /
+          (s + CAST(256 - n_nonzero AS DOUBLE)) AS hll_raw_estimate
+      FROM est"""))
+
   private val qValues = QueryDef(
     "q_events_value_stats",
     (s, d) =>
@@ -258,6 +312,6 @@ object PipelineQueries {
         CAST(MAX(ts_s) AS BIGINT) AS end_s
       FROM sess GROUP BY user_id, session_id"""))
 
-  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qStream,
+  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamJoin, qSessions)
 }
