@@ -293,7 +293,21 @@ object PipelineQueries {
   private val qSessions = QueryDef(
     "q_sessionize",
     (s, d) => graft.streaming.Sessionize.sessions(Tables.events(s, d), 1800L),
-    Some("""
+    sessionizeOracle)
+
+  /** Streaming twin of q_sessionize (Sessionize.sessionizeStream —
+    * flatMapGroupsWithState, event-time timeout, O(active users)
+    * state): driven over the bounded events file with a sentinel
+    * watermark flush, emitted sessions re-numbered per user by start
+    * order. Shares the batch oracle verbatim — the state-machine and
+    * the window formulation must agree session-for-session.
+    */
+  private val qStreamSessions = QueryDef(
+    "q_stream_sessionize",
+    (s, d) => graft.streaming.Sessionize.runBatchEquivalent(s, d, 1800L),
+    sessionizeOracle)
+
+  private lazy val sessionizeOracle: Option[String] = Some("""
       WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
       flagged AS (
@@ -310,8 +324,8 @@ object PipelineQueries {
         CAST(COUNT(*) AS BIGINT) AS n_events,
         CAST(MIN(ts_s) AS BIGINT) AS start_s,
         CAST(MAX(ts_s) AS BIGINT) AS end_s
-      FROM sess GROUP BY user_id, session_id"""))
+      FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamJoin, qSessions)
+    qStreamDedup, qStreamJoin, qSessions, qStreamSessions)
 }

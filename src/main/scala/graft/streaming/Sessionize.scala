@@ -92,4 +92,59 @@ object Sessionize {
           }
       }
   }
+
+  /** Drive the streaming sessionizer over the bounded events file and
+    * return rows matching the BATCH exhibit's schema
+    * (user_id, session_id, n_events, start_s, end_s) — so the declared
+    * streaming query shares q_sessionize's oracle verbatim.
+    *
+    * End-of-stream flush: event-time timeouts fire on the GLOBAL
+    * watermark, so ONE sentinel event (synthetic user −1) placed
+    * 2·gap past the corpus max advances the watermark beyond every
+    * real session's last+gap and flushes ALL user states; the
+    * sentinel's own session is dropped from the snapshot. session_id
+    * is re-derived from the emitted (disjoint, per-user) session
+    * bounds by start order — numbering is presentation, not state.
+    *
+    * Arrival-order contract: in-batch sorting handles disorder WITHIN
+    * a micro-batch; across batches a user's events must not regress in
+    * event time past the watermark delay (the bounded file lands in
+    * one micro-batch here, so the exhibit is exact under any file
+    * layout).
+    */
+  def runBatchEquivalent(spark: SparkSession, sfDir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val maxTsS = graft.sources.Tables.events(spark, sfDir)
+      .agg(max(col("ts").cast("long"))).head().getLong(0)
+    val snapshot = StreamingRun.withStatePartitions(spark, 4) { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val fileEvents = StreamingHourPivot.eventsStream(s, sfDir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[Event]
+      val sentinel =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val name = "stream_sessions_snap"
+      val q = sessionizeStream(fileEvents.union(sentinel.toDS()), gapSeconds)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+        sentinel.addData(Event(-1L, -1L,
+          new Timestamp((maxTsS + 2 * gapSeconds + 10) * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val snap = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      snap
+    }
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("start_s"))
+    snapshot.where(col("user_id") >= 0L)
+      .withColumn("session_id", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_s"), col("end_s"))
+  }
 }
