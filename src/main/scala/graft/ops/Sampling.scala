@@ -193,6 +193,31 @@ object Sampling {
       .drop("__dg", "__b", "__n", "__src", "__bt", "__before")
   }
 
+  /** Stratified fixed-n sampling — n rows per group regardless of
+    * group size (equal-allocation eval sets, per-source debug
+    * samples), deterministic: each group keeps its n smallest md5
+    * draws. NOT a rate (sampleByKey) and NOT a window row_number
+    * (which sorts every group member after shuffling all of them):
+    * the per-group ranking is the PairTopKAggregator partial top-k,
+    * so mappers ship ≤ n (draw, id) pairs per group they saw.
+    * The score is the negated numeric value of the first 13 hex chars
+    * (52 bits — exact in a double; ties broken by id), the
+    * NegativeSampling convention.
+    */
+  def stratifiedFixedN(df: DataFrame, key: Column, groupCol: Column,
+      n: Int): DataFrame = {
+    val draw = md5(key.cast("string"))
+    val score = -conv(substring(draw, 1, 13), 16, 10).cast("double")
+    df.select(groupCol.as("__grp"), score.as("__s"),
+        key.cast("long").as("__id"))
+      .groupBy(col("__grp"))
+      .agg(graft.functions.PairTopKAggregator
+        .top_k_pair(n)(col("__s"), col("__id")).as("top"))
+      .select(col("__grp"), posexplode(col("top")))
+      .select(col("__grp").as("group_key"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.id").as("id"))
+  }
+
   /** Weighted source mixing — the corpus-composition primitive: each
     * source (crawl, books, code, …) is down-sampled at its own rate in
     * ONE map-side pass, deterministically (same md5-threshold trick as

@@ -402,6 +402,26 @@ object AdvancedQueries {
           ELSE FALSE
         END"""))
 
+  /** Stratified fixed-n sampling (Sampling.stratifiedFixedN): the 5
+    * smallest md5 draws per source — equal-allocation selection via
+    * the partial pair-top-k (no per-group window sort). Oracle
+    * replays draws and the (13-hex-prefix, id) rank order.
+    */
+  private val qStratified = QueryDef(
+    "q_stratified_sample",
+    (s, d) =>
+      graft.ops.Sampling.stratifiedFixedN(
+        Tables.documents(s, d), col("doc_id"), col("source"), n = 5),
+    Some("""
+      SELECT source AS group_key, CAST(rn AS INT) AS rank, doc_id AS id
+      FROM (
+        SELECT source, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
+            AS rn
+        FROM documents)
+      WHERE rn <= 5"""))
+
   /** Deterministic negative sampling (ops/NegativeSampling): 4
     * contrastive negatives per document from a 10% md5-threshold pool,
     * draws = md5(anchor:candidate), per-anchor ranking via the partial
@@ -679,6 +699,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives, qStratified,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }
