@@ -338,6 +338,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s(12L) == ((500000L, true))) // OOV everywhere → exactly the prior
   }
 
+  test("rolling HLL merge includes buckets absent on the anchor day") {
+    import graft.ops.Sketches
+    import java.sql.Date
+    // hand-built register table: bucket "aa" seen ONLY on day 1 —
+    // a naive rolling window over present rows would drop it from
+    // day 3's trailing-3-day merge; the day-spine join must keep it
+    val regs = Seq(
+      (Date.valueOf("2024-01-01"), "aa", 5),
+      (Date.valueOf("2024-01-03"), "bb", 2),
+      (Date.valueOf("2024-01-03"), "aa", 1), // lower rho later: max wins
+      (Date.valueOf("2024-01-09"), "cc", 7))
+      .toDF("day", "bucket", "m_reg")
+    val est = Sketches.hllRollingEstimate(regs, "day", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est("2024-01-01") == 1L) // aa only
+    assert(est("2024-01-03") == 2L) // aa (max rho 5, from day 1) + bb
+    assert(est("2024-01-09") == 1L) // cc only — day 3 aged out
+    val merged = Sketches.hllRollingEstimate(regs, "day", 3)
+      .where(col("day") === "2024-01-03").head()
+    assert(merged.getLong(1) == 2L)
+  }
+
   test("token-budget sample: keeps the md5-order prefix, straddler included") {
     import graft.ops.Sampling
     val docs = (1L to 40L).map(i => (i, "s", 10L)).toDF("id", "src", "n")
