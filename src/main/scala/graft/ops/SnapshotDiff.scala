@@ -57,6 +57,38 @@ object SnapshotDiff {
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Incremental maintenance of a materialized (group → count, sum)
+    * aggregate from a changeset — update the view WITHOUT rescanning
+    * the base table (at 100 TB the base rescan is the cost; the delta
+    * is diff-sized): each diff row contributes an outflow from its OLD
+    * group (removed/changed: −1, −old value) and an inflow to its NEW
+    * group (added/changed: +1, +new value) — a changed row that moved
+    * groups naturally does both. Groups whose maintained count reaches
+    * 0 drop out (their sum is exactly 0 too — integer values by
+    * contract, the order-free-sum rule). `groupCol` and `valCol` must
+    * be among the diff's compare columns.
+    *
+    * Law (oracle-checked by q_incremental_agg): maintain(agg(v1),
+    * diff(v1, v2)) ≡ agg(v2).
+    */
+  def maintainSumAgg(oldAgg: DataFrame, changes: DataFrame,
+      groupCol: String, valCol: String,
+      nCol: String = "n", sumCol: String = "s"): DataFrame = {
+    val outflow = changes
+      .where(col("change_type").isin("removed", "changed"))
+      .select(col(s"old_$groupCol").as(groupCol),
+        lit(-1L).as(nCol), (-col(s"old_$valCol")).cast("long").as(sumCol))
+    val inflow = changes
+      .where(col("change_type").isin("added", "changed"))
+      .select(col(s"new_$groupCol").as(groupCol),
+        lit(1L).as(nCol), col(s"new_$valCol").cast("long").as(sumCol))
+    oldAgg.select(col(groupCol), col(nCol), col(sumCol))
+      .unionByName(outflow).unionByName(inflow)
+      .groupBy(col(groupCol))
+      .agg(sum(col(nCol)).as(nCol), sum(col(sumCol)).as(sumCol))
+      .where(col(nCol) > 0)
+  }
+
   /** Roll `oldDf` forward by a `diff` changeset: drop removed/changed
     * keys, append the new_* values of added/changed rows. Law (tested):
     * apply(old, diff(old, new)) ≡ new, row-for-row.

@@ -402,6 +402,44 @@ object AdvancedQueries {
           ELSE FALSE
         END"""))
 
+  /** Incremental aggregate maintenance (SnapshotDiff.maintainSumAgg):
+    * two deterministic snapshot versions of orders (v1 drops key%89,
+    * v2 drops key%97 and bumps key%13's cents — so adds, removes, AND
+    * group-value changes all occur), the per-priority (count, cents)
+    * aggregate of v1 maintained forward by the diff. The ORACLE is the
+    * direct aggregate over v2 — a green row proves
+    * maintain(agg(v1), diff(v1,v2)) ≡ agg(v2) without rescanning v1.
+    */
+  private val qIncrementalAgg = QueryDef(
+    "q_incremental_agg",
+    (s, d) => {
+      val cents = col("o_totalprice").cast(DecimalType(12, 2))
+        .multiply(lit(100)).cast("long")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents.as("cents"))
+      val v1 = base.where(col("o_orderkey") % 89 =!= 0)
+      val v2 = base.where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("cents", when(col("o_orderkey") % 13 === 0,
+          col("cents") + 1000L).otherwise(col("cents")))
+      val oldAgg = v1.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val changes = graft.ops.SnapshotDiff.diff(v1, v2,
+        Seq("o_orderkey"), Seq("o_orderpriority", "cents"))
+      graft.ops.SnapshotDiff
+        .maintainSumAgg(oldAgg, changes, "o_orderpriority", "cents")
+        .select(col("o_orderpriority"), col("n").as("n_orders"),
+          col("s").as("sum_cents"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          + CASE WHEN o_orderkey % 13 = 0 THEN 1000 ELSE 0 END)
+          AS BIGINT) AS sum_cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+      GROUP BY o_orderpriority"""))
+
   /** Stratified fixed-n sampling (Sampling.stratifiedFixedN): the 5
     * smallest md5 draws per source — equal-allocation selection via
     * the partial pair-top-k (no per-group window sort). Oracle
@@ -699,6 +737,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives, qStratified,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives, qStratified, qIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }
