@@ -105,6 +105,19 @@ class PlanSpec extends AnyFunSuite {
       s"vector payload crossed a hash exchange: $exchanges")
   }
 
+  test("kNN join: partial pair-top-k aggregate — no vector in any exchange") {
+    val p = planString("q_knn_join")
+    // scoring is map-side against the broadcast query set; the only
+    // hash exchange carries (query_id, top-k buffer), never embeddings
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, s"expected the per-query agg to shuffle:\n$p")
+    assert(exchanges.forall(e => !e.contains("embedding#") && !e.contains("__qv")),
+      s"vector payload crossed a hash exchange: $exchanges")
+    // and the aggregate runs partial→final (map-side top-k)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("served IVF: probe prunes cell partitions at the scan, no full-corpus filter") {
     val p = planString("q_ann_ivf_served")
     val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
