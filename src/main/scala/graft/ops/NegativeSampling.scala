@@ -37,7 +37,9 @@ object NegativeSampling {
     val draw = md5(concat_ws(":", col("anchor_id"), col("neg_id")))
     val score: Column =
       -conv(substring(draw, 1, 13), 16, 10).cast("double")
-    df.select(col(idCol).cast("long").as("anchor_id"))
+    // fanOut: |pool| md5 draws per anchor is the expensive stage; a
+    // single-split anchor file serializes it (AmplificationAudit)
+    Partitioning.fanOut(df.select(col(idCol).cast("long").as("anchor_id")))
       .crossJoin(pool)
       .where(col("anchor_id") =!= col("neg_id"))
       .select(col("anchor_id"), score.as("__s"), col("neg_id"))

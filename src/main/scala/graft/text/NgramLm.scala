@@ -99,7 +99,11 @@ object NgramLm {
       if (model.bigram.count() <= BroadcastMaxBigrams)
         broadcast(model.bigram)
       else model.bigram
-    docs.where(length(trim(col(textCol))) > 0)
+    // fanOut: the bigram explode + model lookups are the per-row-
+    // expensive stage; a single-split file would run it on one core
+    // (AmplificationAudit caught 5.7 s/1-task at sf0.1)
+    graft.ops.Partitioning.fanOut(
+        docs.where(length(trim(col(textCol))) > 0))
       .select(col(idCol).as("id"),
         explode(wordBigrams(TextFunctions.tokens(col(textCol))))
           .as("pair"))
