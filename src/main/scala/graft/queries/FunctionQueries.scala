@@ -115,5 +115,47 @@ object FunctionQueries {
         CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_parsed
       FROM events GROUP BY event_type"""))
 
-  def all: Seq[QueryDef] = Seq(qWindowFns, qDates, qStrings, qFromJson)
+  /** Build-once memo for the ORC layout (the bucketed-join contract):
+    * keyed on a content fingerprint so regenerated testdata forces a
+    * rewrite and repeat invocations serve the existing files.
+    */
+  private val builtOrc =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** ORC round-trip as a DATA-PLANE exhibit (MultiFormatSpec covers
+    * the unit level): orders written once to an ORC layout, the
+    * declared query reads it back and aggregates — the oracle runs on
+    * the original parquet, so a green row proves the ORC write+read
+    * path preserves every row and type exactly. ORC is columnar like
+    * parquet (predicate pushdown + column pruning apply — asserted in
+    * MultiFormatSpec); this makes the engine's source matrix
+    * parquet/csv/json/orc all exercised against oracles or specs.
+    */
+  private val qOrcRoundtrip = QueryDef(
+    "q_orc_roundtrip_totals",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.util.DataFingerprint.of(s, s"$d/orders.parquet")
+      val base = System.getProperty("java.io.tmpdir") + s"/graft_orc_$tag"
+      if (builtOrc.add(base) &&
+          !new java.io.File(s"$base/_SUCCESS").exists()) {
+        graft.sources.MultiFormat.write(
+          Tables.orders(s, d), base, "orc")
+      }
+      graft.sources.MultiFormat.read(s, base, format = Some("orc"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY o_orderstatus"""))
+
+  def all: Seq[QueryDef] =
+    Seq(qWindowFns, qDates, qStrings, qFromJson, qOrcRoundtrip)
 }
