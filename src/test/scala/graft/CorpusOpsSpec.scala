@@ -338,6 +338,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s(12L) == ((500000L, true))) // OOV everywhere → exactly the prior
   }
 
+  test("bloom-pruned join equals the plain join; guardrail skips the sketch") {
+    import graft.ops.BloomJoin
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c"), (2L, "d"))
+      .toDF("k", "payload")
+    val build = Seq((2L, "x"), (9L, "y")).toDF("bk", "attr")
+    val pruned = BloomJoin.bloomPrunedJoin(fact, build, "k", "bk")
+      .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+    assert(pruned == Set(Seq(2L, "b", "x"), Seq(2L, "d", "x")))
+    // past maxBuildRows the operator returns the plain join (no
+    // bloom literal in the plan) rather than a giant broadcast
+    val guarded = BloomJoin.bloomPrunedJoin(fact, build, "k", "bk",
+      maxBuildRows = 1L)
+    assert(!guarded.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+    assert(guarded.select("k", "payload", "attr")
+      .collect().map(_.toSeq).toSet == pruned)
+  }
+
   test("rolling HLL merge includes buckets absent on the anchor day") {
     import graft.ops.Sketches
     import java.sql.Date
