@@ -63,4 +63,48 @@ object GroupQuantile {
       .where(value >= col("__gq_thr"))
       .drop(thr.columns: _*)
   }
+
+  /** Assign each row a quantile BUCKET per group (CCNet's
+    * perplexity-bucket step generalized): `ps` ascending quantiles cut
+    * each group into ps.size+1 buckets; a row's bucket is the number
+    * of its group's thresholds its value meets (same lower/type-1
+    * threshold and tie rule as filterAtQuantile, so bucket membership
+    * is engine-exact for exact-valued scores). ALL thresholds come
+    * from ONE distribution aggregate + one conditional-min pass — the
+    * corpus never sorts, the threshold table broadcasts.
+    */
+  def bucketAtQuantiles(df: DataFrame, groupCols: Seq[Column],
+      value: Column, ps: Seq[Double],
+      outCol: String = "bucket"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1) &&
+      ps == ps.sorted && ps.distinct == ps,
+      s"quantiles must be ascending distinct in (0,1), got $ps")
+    val gNames = groupCols.zipWithIndex.map { case (_, i) => s"__gq_g$i" }
+    val keyed = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
+        value.as("__gq_v"): _*)
+    val dist = keyed.groupBy(gNames.map(col) :+ col("__gq_v"): _*)
+      .agg(count(lit(1)).as("__gq_n"))
+    val wCdf = Window.partitionBy(gNames.map(col): _*).orderBy(col("__gq_v"))
+    val wTot = Window.partitionBy(gNames.map(col): _*)
+    val thr = dist
+      .withColumn("__gq_cum", sum(col("__gq_n")).over(wCdf))
+      .withColumn("__gq_tot", sum(col("__gq_n")).over(wTot))
+      .groupBy(gNames.map(col): _*)
+      .agg(
+        min(when(col("__gq_cum") >= lit(ps.head) * col("__gq_tot"),
+          col("__gq_v"))).as("__gq_t0"),
+        ps.tail.zipWithIndex.map { case (p, i) =>
+          min(when(col("__gq_cum") >= lit(p) * col("__gq_tot"),
+            col("__gq_v"))).as(s"__gq_t${i + 1}")
+        }: _*)
+    df.join(broadcast(thr),
+        groupCols.zip(gNames).map { case (c, n) => c === thr(n) }
+          .reduce(_ && _))
+      .withColumn(outCol,
+        ps.indices.map(i =>
+          when(value >= col(s"__gq_t$i"), 1).otherwise(0))
+          .reduce(_ + _))
+      .drop(thr.columns: _*)
+  }
 }

@@ -1405,6 +1405,58 @@ object TextQueries {
     (s, d) => graft.streaming.StreamingLm.runBatchEquivalent(s, d),
     lmBigramOracle)
 
+  /** CCNet's perplexity-bucket step end to end: docs scored by the
+    * bigram LM, then cut per-language into terciles of lm_score_ppm
+    * via the GroupQuantile CDF algebra (corpus never sorts; the
+    * threshold table broadcasts). Bucket 2 = most fluent third under
+    * the trusted model — CCNet's "head". Scores are integer ppm, so
+    * thresholds, tie handling, and bucket membership replay exactly;
+    * the two tercile fractions are the same IEEE literals in both
+    * engines.
+    */
+  private val qLmBuckets = QueryDef(
+    "q_lm_ppl_buckets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.NgramLm.train(
+        docs.where(col("lang") === "en"), "text")
+      val scored = graft.text.NgramLm.score(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.ops.GroupQuantile.bucketAtQuantiles(scored, Seq(col("lang")),
+          col("lm_score_ppm"), Seq(1.0 / 3, 2.0 / 3), "ppl_bucket")
+        .groupBy(col("lang"), col("ppl_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(lm_score_ppm) div count(1)").as("mean_score_ppm"))
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT t.doc_id, t.lm_score_ppm, documents.lang
+        FROM (${lmBigramOracle.get}) t
+        JOIN documents USING (doc_id)),
+      dist AS (
+        SELECT lang, lm_score_ppm AS v, COUNT(*) AS n
+        FROM sc GROUP BY 1, 2),
+      cdf AS (
+        SELECT lang, v,
+          SUM(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+          SUM(n) OVER (PARTITION BY lang) AS tot
+        FROM dist),
+      thr AS (
+        SELECT lang,
+          MIN(CASE WHEN cum >= (CAST(1 AS DOUBLE) / 3) * tot THEN v END) AS t0,
+          MIN(CASE WHEN cum >= (CAST(2 AS DOUBLE) / 3) * tot THEN v END) AS t1
+        FROM cdf GROUP BY lang),
+      b AS (
+        SELECT sc.lang,
+          (CASE WHEN lm_score_ppm >= t0 THEN 1 ELSE 0 END +
+           CASE WHEN lm_score_ppm >= t1 THEN 1 ELSE 0 END) AS ppl_bucket,
+          lm_score_ppm
+        FROM sc JOIN thr ON thr.lang = sc.lang)
+      SELECT lang, CAST(ppl_bucket AS INT) AS ppl_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(lm_score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm
+      FROM b GROUP BY 1, 2"""))
+
   private lazy val lmBigramOracle: Option[String] = Some(s"""
       WITH tok AS (
         SELECT doc_id, lang, $sqlTokens AS t
@@ -1500,7 +1552,7 @@ object TextQueries {
     qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
-    qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qHllSourceVocab,
+    qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
