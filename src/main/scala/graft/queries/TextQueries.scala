@@ -1502,7 +1502,80 @@ object TextQueries {
     (s, d) =>
       graft.text.Bm25.search(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("hash", "join", "vector"), k = 20),
+    Some(bm25OracleSql))
+
+  /** Hybrid retrieval — the RAG-stack fusion step: BM25 keyword top-20
+    * and exact-cosine vector top-20 (documents and embeddings share
+    * the id space) fused by reciprocal-rank fusion, rrf(d) =
+    * Σ 1/(60 + rank_r(d)) over the retrievers that returned d.
+    * Determinism: ranks are integers over already-deterministic
+    * retriever orders; each 1/(60+r) is ONE double division and the
+    * two-term sum has a fixed evaluation order — both engines run the
+    * identical IEEE ops. The rank windows run over k-row frames (the
+    * vocabCoverage rule), never the corpus.
+    */
+  private val qHybrid = QueryDef(
+    "q_hybrid_retrieval",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val wKw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val kw = graft.text.Bm25.search(Tables.documents(s, d), "doc_id",
+          "text", terms = Seq("hash", "join", "vector"), k = 20)
+        .withColumn("rank_kw", row_number().over(wKw))
+        .select(col("doc_id"), col("rank_kw"))
+      val wVec = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("vec_id"))
+      val vec = graft.sim.Similarity.topKByQueryId(
+          Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L,
+          k = 20, scoreFn = graft.functions.VectorFunctions.q_vec_cosine)
+        .withColumn("rank_vec", row_number().over(wVec))
+        .select(col("vec_id").as("doc_id"), col("rank_vec"))
+      kw.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_kw")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
     Some(s"""
+      WITH kw AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_kw
+        FROM ($bm25OracleSql) bmtop),
+      flat AS (
+        SELECT vec_id,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      qf AS (SELECT i, qv AS qqv FROM flat WHERE vec_id = 0),
+      dots AS (
+        SELECT f.vec_id, SUM(f.qv * q.qqv) AS qdot, SUM(f.qv * f.qv) AS nrm
+        FROM flat f JOIN qf q USING (i)
+        GROUP BY f.vec_id),
+      qn AS (SELECT SUM(qqv * qqv) AS nrm0 FROM qf),
+      vectop AS (
+        SELECT vec_id AS doc_id,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(nrm AS BIGINT)) * sqrt(CAST(nrm0 AS BIGINT))) AS score
+        FROM dots, qn
+        WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id
+        LIMIT 20),
+      vec AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_vec
+        FROM vectop)
+      SELECT doc_id,
+        COALESCE(CAST(1 AS DOUBLE) / (60 + rank_kw), CAST(0 AS DOUBLE)) +
+        COALESCE(CAST(1 AS DOUBLE) / (60 + rank_vec), CAST(0 AS DOUBLE))
+          AS rrf
+      FROM kw FULL JOIN vec USING (doc_id)
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10"""))
+
+  private lazy val bm25OracleSql: String = s"""
       WITH dl AS (
         SELECT doc_id, CAST($sqlNTokens AS BIGINT) AS dl FROM documents),
       stats AS (
@@ -1545,11 +1618,11 @@ object TextQueries {
           + COALESCE(w_vector, CAST(0.0 AS DOUBLE)) AS bm25
       FROM dl LEFT JOIN piv ON piv.doc_id = dl.doc_id
       ORDER BY bm25 DESC, dl.doc_id
-      LIMIT 20"""))
+      LIMIT 20"""
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact, qBm25, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
+    qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
     qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
