@@ -892,6 +892,58 @@ object TextQueries {
         COALESCE(agg.cleaned_text, '') AS cleaned_text
       FROM tok LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)"""))
 
+  /** Intra-doc repeated-span removal (Dedup.selfSpanRemoval): cut
+    * every position covered by an 8-token window that repeats an
+    * EARLIER identical window in the same doc (keep-first). Oracle
+    * mirrors dup_span_removal's positional reconstruction with the
+    * duplicate test swapped to the within-doc earlier-occurrence
+    * EXISTS.
+    */
+  private val qSelfSpanRemoval = QueryDef(
+    "q_self_span_removal",
+    (s, d) => graft.text.Dedup.selfSpanRemoval(
+      Tables.documents(s, d), "doc_id", "text", k = 3),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM tok WHERE len(t) >= 3),
+      wins AS (
+        SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+      covw AS (
+        SELECT w.doc_id, w.i FROM wins w
+        WHERE EXISTS (SELECT 1 FROM wins w2
+          WHERE w2.doc_id = w.doc_id AND w2.g = w.g AND w2.i < w.i)),
+      cov AS (
+        SELECT DISTINCT doc_id, p FROM (
+          SELECT doc_id, unnest(range(i, i + 3)) AS p FROM covw)),
+      runs AS (
+        SELECT doc_id, p,
+          p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov),
+      stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed,
+          CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
+        FROM runs GROUP BY 1),
+      posi AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM tok),
+      kept AS (
+        SELECT posi.doc_id, posi.p, posi.t[posi.p] AS w FROM posi
+        WHERE NOT EXISTS (SELECT 1 FROM cov
+          WHERE cov.doc_id = posi.doc_id AND cov.p = posi.p)),
+      agg AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned_text
+        FROM kept GROUP BY 1)
+      SELECT tok.doc_id,
+        CAST(len(tok.t) AS BIGINT) AS n_tokens,
+        COALESCE(stats.n_removed, 0) AS n_removed,
+        COALESCE(stats.n_spans, 0) AS n_spans,
+        COALESCE(stats.n_removed, 0) / len(tok.t) AS removed_frac,
+        COALESCE(agg.cleaned_text, '') AS cleaned_text
+      FROM tok LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)"""))
+
   /** Train/test decontamination (Dedup.contaminationFlags): corpus =
     * doc_id%97≠0, probe "benchmark" set = doc_id%97=0; flag corpus docs
     * sharing ≥1 distinct 3-gram shingle with any probe doc. The probe
@@ -1625,7 +1677,7 @@ object TextQueries {
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
-    qDupSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
+    qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
     qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)

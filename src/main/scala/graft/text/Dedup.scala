@@ -808,13 +808,52 @@ object Dedup {
     */
   def dupSpanRemoval(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    // Both pinned frames are corpus-sized (token arrays; ~100 windows
-    // per doc) → SERIALIZED pinning: UnsafeRow bytes, disk-evictable.
-    // Deserialized pinning OOM'd the 8g probe heap at 1M docs.
+    val (toks, wins) = spanWins(df, idCol, textCol, k)
+    val dupSpans = wins.select(col("s"), col("id")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1).select(col("s"))
+    val cov = wins.join(dupSpans, Seq("s"), "left_semi")
+      .select(col("id"), col("i"), (col("i") + (k - 1)).as("e"))
+    exciseCovered(toks, cov, idCol)
+  }
+
+  /** INTRA-doc repeated-span removal — the self-repetition cleaner
+    * (the excision twin of the Gopher repetition SIGNALS): a position
+    * is cut when some k-token window containing it repeats an EARLIER
+    * identical window in the SAME document; the first occurrence
+    * survives (keep-first — there is a well-defined canonical holder
+    * inside one doc, unlike cross-doc where every holder loses).
+    * Composes with dupSpanRemoval: cross-doc boilerplate vanishes
+    * everywhere, in-doc loops collapse to one copy.
+    *
+    * Same 100 TB shape as dupSpanRemoval: only (id, hash, pos) rows
+    * cross exchanges; the duplicate test is a per-(id, hash) min-pos
+    * aggregate (not a self-join); intervals merge before anything
+    * position-sized moves; the cut is the shared map-side HOF.
+    */
+  def selfSpanRemoval(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val (toks, wins) = spanWins(df, idCol, textCol, k)
+    val repeats = wins.groupBy(col("id"), col("s"))
+      .agg(min(col("i")).as("i0"), count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .select(col("id"), col("s"), col("i0"))
+    val cov = wins.join(repeats, Seq("id", "s"))
+      .where(col("i") > col("i0"))
+      .select(col("id"), col("i"), (col("i") + (k - 1)).as("e"))
+    exciseCovered(toks, cov, idCol)
+  }
+
+  /** Shared window build for the span-removal pair: pinned token
+    * arrays + stride-1 k-windows with 1-based start positions. Both
+    * pinned frames are corpus-sized (token arrays; ~100 windows per
+    * doc) → SERIALIZED pinning: UnsafeRow bytes, disk-evictable
+    * (deserialized pinning OOM'd the 8g probe heap at 1M docs).
+    */
+  private def spanWins(df: DataFrame, idCol: String, textCol: String,
+      k: Int): (DataFrame, DataFrame) = {
     val toks = pinnedSerFrame(fanOut(df.where(length(trim(col(textCol))) > 0))
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t")))
-    // Stride-1 windows WITH their 1-based start position (dupSpanStats
-    // discards position; removal needs it).
     val tcol = col("t")
     val wlen = greatest(size(tcol) - (k - 1), lit(0))
     val zipped = arrays_zip((1 to k).map(i => slice(tcol, lit(i), wlen)): _*)
@@ -822,13 +861,16 @@ object Dedup {
       .select(col("id"), posexplode(zipped).as(Seq("p0", "z")))
       .select(col("id"), (col("p0") + 1).as("i"),
         xxhash64((0 until k).map(j => col(s"z.$j")): _*).as("s")))
-    val dupSpans = wins.select(col("s"), col("id")).distinct()
-      .groupBy(col("s")).agg(count(lit(1)).as("nd"))
-      .where(col("nd") > 1).select(col("s"))
-    // Covered intervals [i, i+k-1], merged per doc (adjacent runs fuse:
-    // coverage is positional, so touching intervals are one removed run).
-    val cov = wins.join(dupSpans, Seq("s"), "left_semi")
-      .select(col("id"), col("i"), (col("i") + (k - 1)).as("e"))
+    (toks, wins)
+  }
+
+  /** Shared excision tail: merge covered intervals [i, e] per doc
+    * (adjacent runs fuse — coverage is positional, so touching
+    * intervals are one removed run), cut with the map-side indexed-
+    * filter HOF, emit counts + cleaned text.
+    */
+  private def exciseCovered(toks: DataFrame, cov: DataFrame,
+      idCol: String): DataFrame = {
     val byStart = Window.partitionBy(col("id")).orderBy(col("i"))
     val prevMax = max(col("e"))
       .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
