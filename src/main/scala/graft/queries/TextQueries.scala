@@ -90,7 +90,8 @@ object TextQueries {
     * between the histogram and the percentile-filter oracles.
     * `passCols` = source columns carried through alongside `q`.
     */
-  private def sqlScoredCte(passCols: String): String = s"""
+  private def sqlScoredCte(passCols: String,
+      src: String = "documents"): String = s"""
       scored AS (
         SELECT $passCols, (
           (CASE WHEN $sqlNTokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
@@ -103,7 +104,7 @@ object TextQueries {
                  ($sqlCharsNoWs - length(regexp_replace(regexp_replace(text, '\\s', '', 'g'), '[^A-Za-z0-9]', '', 'g'))) / $sqlCharsNoWs <= 0.2
                  THEN 1.0 ELSE 0.0 END)
         ) / 4.0 AS q
-        FROM documents)"""
+        FROM $src)"""
 
   private val qQuality = QueryDef(
     "q_quality_score_histogram",
@@ -566,6 +567,113 @@ object TextQueries {
         UNION
         SELECT e.s AS id, reach.r FROM edges e, reach WHERE e.d = reach.id)
       SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) = id"""))
+
+  /** The END-TO-END curation pipeline as ONE declared query — the
+    * "complete engine" exhibit chaining five operator families the way
+    * a production run would: exact+near dedup keepers (dedupCorpus) →
+    * benchmark decontamination (drop docs sharing any 3-gram with the
+    * %97 probe set; anti-join on the CONTAMINATED side so shingle-less
+    * docs pass) → per-language lower-quartile quality gate
+    * (GroupQuantile CDF) → deterministic train/val/test split
+    * (md5-range) → per-(split, lang) doc/token counts. The oracle
+    * replays every stage: the recursive keeper closure, probe-shingle
+    * contamination, the scored-CDF threshold, the hex split CASE.
+    */
+  private val qCurationE2E = QueryDef(
+    "q_curation_end2end",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      val probes = docs.where(col("doc_id") % 97 === 0)
+      val keepers = Dedup.dedupCorpus(corpus, "doc_id", "text",
+        threshold = 0.5)
+      val clean = corpus.join(keepers, Seq("doc_id"), "left_semi")
+      val contaminated = Dedup.contaminationFlags(clean, probes,
+          "doc_id", "text", shingleN = 3, minOverlap = 1)
+        .where(col("contaminated")).select(col("doc_id"))
+      val decon = clean.join(contaminated, Seq("doc_id"), "left_anti")
+      val gated = graft.ops.GroupQuantile.filterAtQuantile(
+        TF.withQualityScore(decon, "text", "q"),
+        Seq(col("lang")), col("q"), p = 0.25)
+      graft.ops.Sampling.assignSplit(gated, col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      exact AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM corpus)
+        WHERE rn = 1),
+      kept AS (
+        SELECT d.doc_id, d.text FROM corpus d JOIN exact USING (doc_id)),""" +
+      sqlShingleCtes("kept") + s""",
+      rawpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jpairs AS (
+        SELECT id_a, id_b FROM rawpairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM jpairs
+        UNION ALL SELECT id_b, id_a FROM jpairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM exact
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e, reach WHERE e.d = reach.id),
+      keepers AS (
+        SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) = id),
+      ptok AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+        WHERE doc_id % 97 = 0 AND length(trim(text)) > 0),
+      psh AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+          range(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        FROM ptok WHERE len(t) >= 3),
+      kex AS (
+        SELECT sh.doc_id, unnest(sh.s) AS g
+        FROM sh JOIN keepers USING (doc_id)),
+      contam AS (SELECT DISTINCT kex.doc_id FROM kex JOIN psh USING (g)),
+      surv AS (
+        SELECT c.* FROM corpus c
+        JOIN keepers USING (doc_id)
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      ${sqlScoredCte(
+        s"doc_id, lang, CAST($sqlNTokens AS BIGINT) AS n_tok", "surv")},
+      dist AS (
+        SELECT lang, q, COUNT(*) AS n FROM scored GROUP BY lang, q),
+      cdf AS (
+        SELECT lang, q,
+          SUM(n) OVER (PARTITION BY lang ORDER BY q) AS cum,
+          SUM(n) OVER (PARTITION BY lang) AS tot
+        FROM dist),
+      thr AS (
+        SELECT lang, MIN(q) AS q_thr FROM cdf
+        WHERE cum >= 0.25 * tot GROUP BY lang),
+      gated AS (
+        SELECT s.doc_id, s.lang, s.n_tok
+        FROM scored s JOIN thr t ON s.lang = t.lang
+        WHERE s.q >= t.q_thr),
+      sp AS (
+        SELECT lang, n_tok,
+          CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'train'
+               WHEN md5(CAST(doc_id AS VARCHAR)) < 'f3333333' THEN 'val'
+               ELSE 'test' END AS split
+        FROM gated)
+      SELECT split, lang,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM sp GROUP BY 1, 2"""))
 
   /** Gopher-style repetition filter (TextFunctions.repetitionSignals):
     * top-2-gram occurrence fraction + duplicate-3-gram fraction per
@@ -1676,7 +1784,7 @@ object TextQueries {
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
-    qSimhash, qSimhashGuarantee, qCorpusDedup, qRepetition, qDupSpans,
+    qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
