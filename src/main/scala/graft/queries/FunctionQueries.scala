@@ -156,6 +156,47 @@ object FunctionQueries {
         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
       FROM orders GROUP BY o_orderstatus"""))
 
+  private val builtZorder =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Z-ordered layout as a DATA-PLANE exhibit (LayoutSpec covers the
+    * rectangle-bounds property): orders compacted into a
+    * Morton-clustered layout on (o_custkey, o_totalprice) once
+    * (fingerprint-memoized), then a two-dimensional selective filter
+    * aggregates over it. The oracle runs the SAME filter on the raw
+    * parquet — a green row proves the clustered rewrite is
+    * row-preserving, while the layout's footer min/max rectangles are
+    * what make EITHER predicate skip files at scale (each output file
+    * is a small hyper-rectangle in every z-column; LayoutSpec contrasts
+    * spans vs linear sort).
+    */
+  private val qZorderScan = QueryDef(
+    "q_zorder_scan_totals",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.util.DataFingerprint.of(s, s"$d/orders.parquet")
+      val base = System.getProperty("java.io.tmpdir") + s"/graft_zord_$tag"
+      if (builtZorder.add(base) &&
+          !new java.io.File(s"$base/_SUCCESS").exists()) {
+        graft.ops.Compaction.compactZOrder(s, s"$d/orders.parquet", base,
+          zCols = Seq("o_custkey", "o_totalprice"),
+          targetFileBytes = 256L * 1024)
+      }
+      s.read.parquet(base)
+        .where(col("o_custkey") < 500 && col("o_totalprice") > 150000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_custkey < 500 AND o_totalprice > 150000.0
+      GROUP BY o_orderstatus"""))
+
   def all: Seq[QueryDef] =
-    Seq(qWindowFns, qDates, qStrings, qFromJson, qOrcRoundtrip)
+    Seq(qWindowFns, qDates, qStrings, qFromJson, qOrcRoundtrip, qZorderScan)
 }
