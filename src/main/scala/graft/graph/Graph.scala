@@ -30,12 +30,27 @@ object Graph {
     *
     * 100 TB shape: the self-join is per GROUP (order baskets — tens of
     * rows), never global; the exchange carries (group, item) ids. A
-    * pathological mega-group would square — cap or salt upstream if
-    * baskets are unbounded.
+    * pathological mega-group would square `maxGroupSize²` — so the
+    * guard is ENFORCED, not advisory: one narrow pre-aggregate checks
+    * the largest group and the operator fails loudly (naming the size)
+    * before any pair is emitted. The deduped (group, item) frame is
+    * checkpointed once so the guard pass and the self-join share one
+    * materialization. Callers with legitimately huge groups raise the
+    * cap consciously or top-N-cap upstream.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
-      itemCol: String): DataFrame = {
+      itemCol: String, maxGroupSize: Long = 10000L): DataFrame = {
     val g = df.select(col(groupCol).as("g"), col(itemCol).as("a")).distinct()
+      .localCheckpoint(true)
+    val worst = g.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head()
+    if (!worst.isNullAt(0)) {
+      val mx = worst.getLong(0)
+      require(mx <= maxGroupSize,
+        s"coOccurrenceEdges: largest $groupCol group has $mx distinct items " +
+          s"(cap $maxGroupSize) — the per-group self-join would emit ~${mx * mx} " +
+          "pairs for that group alone; cap or sample baskets upstream, or raise maxGroupSize")
+    }
     val pairs = g.join(g.withColumnRenamed("a", "b"), Seq("g"))
       .where(col("a") =!= col("b"))
       .select(col("a").as("src"), col("b").as("dst")).distinct()

@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   * extra aggregation (Spark's BloomFilterAggregate — partial sketches
   * OR-merge, so the pass is map-side parallel like any agg).
   *
-  * Guardrail: past `maxBuildRows` distinct keys the sketch stops
+  * Guardrail: past `maxBuildKeys` DISTINCT keys the sketch stops
   * being broadcast-cheap (Spark's own runtime filter has the same
   * creation threshold) — the operator then SKIPS pruning and returns
-  * the plain join rather than shipping a hundred-MB literal.
+  * the plain join rather than shipping a hundred-MB literal. Both the
+  * guardrail and the sketch's expectedNumItems use an approximate
+  * distinct-key count (HLL++, one narrow agg), not the raw row count:
+  * a build side with heavily duplicated keys would otherwise oversize
+  * the sketch AND trip the guardrail for no reason.
   */
 object BloomJoin {
 
@@ -36,14 +40,19 @@ object BloomJoin {
     */
   def bloomPrunedJoin(fact: DataFrame, build: DataFrame, factKey: String,
       buildKey: String, fpp: Double = 0.01,
-      maxBuildRows: Long = 100000000L): DataFrame = {
+      maxBuildKeys: Long = 100000000L): DataFrame = {
     val spark = fact.sparkSession
     graft.functions.VectorFunctions.register(spark)
     def join(f: DataFrame): DataFrame =
       if (factKey == buildKey) f.join(build, Seq(factKey))
       else f.join(build, f.col(factKey) === build.col(buildKey))
-    val n = build.count() // narrow pass; the count also sizes the sketch
-    if (n == 0L || n > maxBuildRows) join(fact)
+    // One narrow agg: approximate DISTINCT keys (HLL++, 2% default rsd)
+    // sizes the sketch and feeds the guardrail. Padded ×1.1 so HLL
+    // under-estimates can't push the realized FPP above the target.
+    val nDistinct = build
+      .agg(approx_count_distinct(col(buildKey)).as("n")).head().getLong(0)
+    val n = math.ceil(nDistinct * 1.1).toLong
+    if (n == 0L || n > maxBuildKeys) join(fact)
     else {
       val bf = build.stat.bloomFilter(buildKey, n, fpp)
       val bytes = {

@@ -103,12 +103,23 @@ object Sketches {
     * register table would MISS buckets present earlier in the window
     * but absent on the anchor day — the join-to-day-spine form is the
     * correct merge.
+    *
+    * Output contract: by default the anchor-day spine is the DISTINCT
+    * days PRESENT in the register table — a calendar day with zero
+    * registered rows produces NO output row, even when earlier days
+    * fall inside its trailing window. Callers that need gap days
+    * (dashboards over sparse sources) pass an explicit `daySpine`
+    * DataFrame — one date column, any name — and get one output row
+    * per spine day instead.
     */
   def hllRollingEstimate(registers: DataFrame, dayCol: String,
-      windowDays: Int): DataFrame = {
+      windowDays: Int, daySpine: Option[DataFrame] = None): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
+    val spineSrc = daySpine.getOrElse(registers.select(col(dayCol)))
+    require(spineSrc.columns.length == 1,
+      s"daySpine must have exactly one date column, got ${spineSrc.columns.mkString(",")}")
     val spine = broadcast(
-      registers.select(col(dayCol).as("win_day")).distinct())
+      spineSrc.toDF("win_day").select(col("win_day").cast("date")).distinct())
     val merged = registers
       .join(spine, datediff(col("win_day"), col(dayCol))
         .between(0, windowDays - 1))

@@ -114,8 +114,17 @@ object Sessionize {
     */
   def runBatchEquivalent(spark: SparkSession, sfDir: String,
       gapSeconds: Long = 1800L): DataFrame = {
-    val maxTsS = graft.sources.Tables.events(spark, sfDir)
-      .agg(max(col("ts").cast("long"))).head().getLong(0)
+    // The flush sentinel reserves user_id −1 and the snapshot drops
+    // user_id < 0, so a corpus with negative ids (or no rows at all —
+    // the max(ts) below would be null) must fail LOUDLY, not lose data.
+    val bounds = graft.sources.Tables.events(spark, sfDir)
+      .agg(max(col("ts").cast("long")).as("max_ts"),
+        min(col("user_id").cast("long")).as("min_uid")).head()
+    require(!bounds.isNullAt(0), s"events at $sfDir is empty — nothing to sessionize")
+    require(bounds.getLong(1) >= 0L,
+      s"events at $sfDir has negative user_id ${bounds.getLong(1)}; " +
+        "the streaming flush sentinel reserves user_id -1")
+    val maxTsS = bounds.getLong(0)
     val snapshot = StreamingRun.withStatePartitions(spark, 4) { s =>
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -363,59 +363,185 @@ object TextFunctions {
     * implement exactly that scan, which is what makes the whole
     * trained trajectory hash-checkable.
     *
-    * Scale shape (the Lloyd's-style iterative contract): per round one
-    * map-side pair explode, ONE vocabulary-sized shuffle (partial
-    * counts), a 1-row collect (the argmax), and a map-side rewrite of
-    * the symbol strings, re-pinned per round (localCheckpoint — plan
-    * must not nest N replaces). No corpus row ever shuffles.
+    * Scale shape — the three tricks that decouple per-round cost from
+    * CORPUS size (the round-7 verdict's top item; the naive loop was
+    * one full-corpus rewrite + one driver round-trip PER merge):
+    *
+    *  1. **Word-count collapse.** Pairs never cross token boundaries
+    *     (each token is fenced separately), so the corpus collapses to
+    *     (distinct token, weight) in ONE corpus-sized aggregate — the
+    *     only job that ever touches corpus-scale data. Every round
+    *     thereafter operates on the vocabulary-sized word table (Heaps'
+    *     law: ~10M-100M distinct words for a 100 TB corpus vs ~10^13
+    *     token instances).
+    *  2. **Incremental pair-delta maintenance.** A merge of (l,r) only
+    *     changes counts of pairs adjacent to a merge site, and only in
+    *     words CONTAINING the fenced pattern. Each batch computes exact
+    *     per-merge deltas from the fold stages of affected words and
+    *     folds them into the running pair-count table — the global pair
+    *     recount happens once, at init.
+    *  3. **Batched merge selection.** Per driver round-trip the trainer
+    *     accepts a PREFIX of the (n DESC, l, r) candidate order whose
+    *     pairs are mutually non-interacting — no shared raw symbol, no
+    *     symbol equal to an earlier accepted pair's concatenation — so
+    *     earlier merges in the batch provably cannot change later
+    *     members' counts or pattern positions. Because merges can
+    *     CREATE pairs that outrank a later batch member, the batch is
+    *     then verified exactly against the computed deltas (driver-side
+    *     replay over the changed-pair set, UTF-8 binary tie-order) and
+    *     truncated at the first step where the sequential trajectory
+    *     would diverge. Result: bit-identical to the one-merge-at-a-time
+    *     loop, at up to batchSize merges per ~3 Spark jobs on Zipfian
+    *     counts (flat/tied counts degrade gracefully toward 1/batch).
     *
     * Returns (round, merge_left, merge_right, n) — the learned merge
-    * table, `rounds` rows.
+    * table, `rounds` rows; `n` is the selection-time corpus pair count.
     */
   def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
-    require(rounds >= 1)
+      rounds: Int, batchSize: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && batchSize >= 1)
     val spark = df.sparkSession
     val F = "\u0001"
     val FF = F + F
     val chars = transform(sequence(lit(1), length(col("tok"))),
       i => col("tok").substr(i, lit(1)))
-    // fanOut BEFORE the first checkpoint: a single-file source arrives
-    // as one partition and localCheckpoint would PIN that layout for
-    // every round (AmplificationAudit caught 3×1.1 s one-task stages)
+    def pairArr(s: Column): Column = {
+      val sy = split(s.substr(lit(2), length(s) - 2), FF)
+      val idx = when(size(sy) >= 2, sequence(lit(1), size(sy) - 1))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i => struct(element_at(sy, i).as("l"),
+        element_at(sy, i + 1).as("r")))
+    }
     // contract: a token CONTAINING the fence char would corrupt the
     // symbol framing — fail loudly (real corpora should strip control
-    // chars upstream; silently dropping tokens would skew pair counts)
-    var fenced = graft.ops.Partitioning.fanOut(
+    // chars upstream; silently dropping tokens would skew pair counts).
+    // fanOut BEFORE the aggregate: a single-file source arrives as one
+    // partition and the tokenize+explode map side would be one task.
+    var words = graft.ops.Partitioning.fanOut(
       df.select(explode(tokens(col(textCol))).as("tok"))
         .where(length(col("tok")) >= 1))
       .select(when(col("tok").contains(F), raise_error(concat(
           lit("bpeTrainMerges: token contains the U+0001 fence char: "),
           col("tok")))).otherwise(col("tok")).as("tok"))
-      .select(concat(lit(F), array_join(chars, FF), lit(F)).as("s"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+      .select(concat(lit(F), array_join(chars, FF), lit(F)).as("s"), col("w"))
       .localCheckpoint(true)
+    var pairCounts = words
+      .select(explode(pairArr(col("s"))).as("p"), col("w"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("w")).as("n"))
+      .localCheckpoint(true)
+    // unsigned UTF-8 byte order — what both Spark (UTF8String) and
+    // DuckDB use for string ORDER BY; Java's String.compareTo (UTF-16
+    // code units) disagrees on supplementary characters
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def beats(cN: Long, cL: String, cR: String,
+        pN: Long, pL: String, pR: String): Boolean =
+      cN > pN || (cN == pN &&
+        (utf8Lt(cL, pL) || (cL == pL && utf8Lt(cR, pR))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (round <- 1 to rounds) {
-      val syms = split(col("s").substr(lit(2), length(col("s")) - 2), FF)
-      val pairs = fenced
-        .select(syms.as("__syms"))
-        .where(size(col("__syms")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("__syms")) - 1),
-          i => struct(element_at(col("__syms"), i).as("l"),
-            element_at(col("__syms"), i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("n"))
+    while (merges.size < rounds) {
+      val want = math.min(batchSize, rounds - merges.size)
+      val cands = pairCounts
         .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(math.max(want * 4, 64))
         .collect()
-      require(pairs.nonEmpty,
-        s"BPE round $round: corpus has no adjacent symbol pairs left")
-      val (l, r, n) = (pairs(0).getString(0), pairs(0).getString(1),
-        pairs(0).getLong(2))
-      merges += ((round, l, r, n))
-      fenced = fenced.select(call_function("replace", col("s"),
-          lit(F + l + FF + r + F), lit(F + l + r + F)).as("s"))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(cands.nonEmpty,
+        s"BPE round ${merges.size + 1}: corpus has no adjacent symbol pairs left")
+      // accept the longest CONSECUTIVE prefix of non-interacting pairs
+      // (a skipped candidate's count would be changed by the batch, so
+      // the order past it is unknowable without another round-trip)
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var stop = false
+      for (c <- cands if !stop && accepted.size < want) {
+        val (l, r, _) = c
+        val clash = accepted.exists { case (al, ar, _) =>
+          val made = al + ar
+          l == al || l == ar || r == al || r == ar || l == made || r == made
+        }
+        if (clash) stop = true else accepted += c
+      }
+      val k = accepted.size
+      // fold stages over affected words only: st0 = s, st_i = st_{i-1}
+      // with merge i applied. Pattern positions are invariant under the
+      // other accepted merges (non-interaction), so the PRE-image
+      // `contains` filter is exact.
+      val pats = accepted.map { case (l, r, _) =>
+        (F + l + FF + r + F, F + l + r + F) }.toSeq
+      val affected = words.where(
+        pats.map(p => col("s").contains(p._1)).reduce(_ || _))
+      val stages = pats.scanLeft(col("s")) { case (c, (pat, rep)) =>
+        call_function("replace", c, lit(pat), lit(rep)) }
+      val staged = affected.select(
+        col("w") +: stages.zipWithIndex.map { case (c, i) => c.as(s"st$i") }: _*)
+      val deltaParts = (1 to k).flatMap { i => Seq(
+        transform(pairArr(col(s"st$i")), x =>
+          struct(lit(i).as("i"), x.getField("l").as("l"),
+            x.getField("r").as("r"), col("w").as("d"))),
+        transform(pairArr(col(s"st${i - 1}")), x =>
+          struct(lit(i).as("i"), x.getField("l").as("l"),
+            x.getField("r").as("r"), (-col("w")).as("d")))) }
+      val deltas = staged
+        .select(explode(concat(deltaParts: _*)).as("e"))
+        .groupBy(col("e.i").as("i"), col("e.l").as("l"), col("e.r").as("r"))
+        .agg(sum(col("e.d")).as("d"))
+        .where(col("d") =!= 0L)
         .localCheckpoint(true)
+      // exact trajectory verification: replay steps 2..k over the
+      // changed-pair set (an unchanged pair outside the accepted prefix
+      // cannot outrank an accepted pair by the sort order). Collect is
+      // bounded: past the cap, fall back to the single certain merge.
+      val kEff =
+        if (k == 1) 1
+        else if (deltas.count() > 200000L) 1
+        else {
+          val cur = scala.collection.mutable.Map.empty[(String, String), Long]
+          deltas.select(col("l"), col("r")).distinct()
+            .join(pairCounts, Seq("l", "r"), "left")
+            .collect().foreach { r =>
+              cur((r.getString(0), r.getString(1))) =
+                if (r.isNullAt(2)) 0L else r.getLong(2) }
+          val byStep = deltas.collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+            .groupBy(_._1)
+          var good = 1
+          var diverged = false
+          while (!diverged && good < k) {
+            byStep.getOrElse(good, Array.empty).foreach { case (_, l, r, d) =>
+              cur((l, r)) = cur.getOrElse((l, r), 0L) + d }
+            val (pL, pR, pN) = accepted(good)
+            diverged = cur.exists { case ((l, r), c) =>
+              c > 0L && (l != pL || r != pR) && beats(c, l, r, pN, pL, pR) }
+            if (!diverged) good += 1
+          }
+          good
+        }
+      val kept = accepted.take(kEff)
+      val foldCol = kept.foldLeft(col("s")) { case (c, (l, r, _)) =>
+        call_function("replace", c,
+          lit(F + l + FF + r + F), lit(F + l + r + F)) }
+      words = words.select(foldCol.as("s"), col("w")).localCheckpoint(true)
+      pairCounts = pairCounts
+        .join(deltas.where(col("i") <= kEff)
+            .groupBy(col("l"), col("r")).agg(sum(col("d")).as("d")),
+          Seq("l", "r"), "full_outer")
+        .select(col("l"), col("r"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+        .where(col("n") > 0L)
+        .localCheckpoint(true)
+      kept.foreach { case (l, r, n) =>
+        merges += ((merges.size + 1, l, r, n)) }
     }
     import spark.implicits._
     merges.toSeq.toDF("round", "merge_left", "merge_right", "n")

@@ -7,17 +7,24 @@ import graft.text.TextFunctions
 
 /** Scale probe for the iterative BPE trainer beyond the sf tables:
   * N synthetic ~100-token documents (DedupBench's deterministic
-  * generator shape), `rounds` merge rounds, then the encode pass.
-  * Reports wall per phase — the per-round cost is one map-side pair
-  * explode + a vocabulary-sized shuffle + a map-side rewrite, so the
-  * trainer should scale like rounds × one corpus scan.
+  * generator shape), trained to `rounds` merges, plus a 1-round run to
+  * split INIT cost (the one corpus-sized word-collapse + pair count)
+  * from the MARGINAL per-round cost of the merge loop.
   *
-  * Usage: runMain graft.tools.BpeProbe [numDocsThousands] [rounds]
+  * The round-7 verdict's acceptance bar: at >=100 rounds the marginal
+  * per-round cost must be decoupled from corpus size. With the
+  * word-count collapse the merge loop only ever touches the distinct-
+  * word table (identical across doc counts for this generator's fixed
+  * 5000-word vocabulary), so `marginal_per_round_sec` should be ~flat
+  * as docs scale 10x while `round1_sec` (init) grows with the corpus.
+  *
+  * Usage: runMain graft.tools.BpeProbe [numDocsThousands] [rounds] [batchSize]
   */
 object BpeProbe {
   def main(args: Array[String]): Unit = {
     val nK = args.headOption.map(_.toInt).getOrElse(200)
-    val rounds = args.lift(1).map(_.toInt).getOrElse(3)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(100)
+    val batchSize = args.lift(2).map(_.toInt).getOrElse(32)
     val n = nK * 1000L
     val spark = Session.get("bpe-probe")
 
@@ -32,17 +39,25 @@ object BpeProbe {
     val total = docs.count()
     System.err.println(s"[bpe-probe] generated $total docs")
 
+    // 1 round = init (corpus-sized) + one batch round-trip
     val t0 = System.nanoTime()
-    val merges = TextFunctions.bpeTrainMerges(docs, "text", rounds)
-      .collect().map(r => (r.getString(1), r.getString(2)))
-    val trainSec = (System.nanoTime() - t0) / 1e9
+    TextFunctions.bpeTrainMerges(docs, "text", rounds = 1, batchSize).count()
+    val round1Sec = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val nSyms = TextFunctions.bpeEncodeSymbols(docs, "text", merges.toSeq)
-      .count()
-    val encodeSec = (System.nanoTime() - t1) / 1e9
+    val merges = TextFunctions.bpeTrainMerges(docs, "text", rounds, batchSize)
+      .orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val trainSec = (System.nanoTime() - t1) / 1e9
+    val marginal = (trainSec - round1Sec) / math.max(rounds - 1, 1)
 
-    println(f"""{"workload":"bpe_train","docs":$total,"rounds":$rounds,"train_sec":$trainSec%.2f,"encode_sec":$encodeSec%.2f,"merges":"${merges.map(p => p._1 + "+" + p._2).mkString(",")}","encoded_symbols":$nSyms}""")
+    val t2 = System.nanoTime()
+    val nSyms = TextFunctions.bpeEncodeSymbols(docs, "text",
+        merges.toSeq.take(16))
+      .count()
+    val encodeSec = (System.nanoTime() - t2) / 1e9
+
+    println(f"""{"workload":"bpe_train","docs":$total,"rounds":$rounds,"batch_size":$batchSize,"round1_sec":$round1Sec%.2f,"train_sec":$trainSec%.2f,"marginal_per_round_sec":$marginal%.4f,"encode16_sec":$encodeSec%.2f,"merges_learned":${merges.length},"encoded_symbols":$nSyms}""")
     spark.stop()
   }
 }

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Session
+import graft.ops.NegativeSampling
+
+/** Scale probe for deterministic negative sampling: prices the
+  * broadcast rung against the sharded shuffle-join rung on the SAME
+  * inputs and asserts they produce identical (anchor, rank, neg_id)
+  * rows — the Bloom/LM probe pattern (prove the identity, price the
+  * switch). The pool here fits broadcast either way; the probe forces
+  * the sharded rung with maxBroadcastPool=0 to measure its overhead,
+  * which is the price paid only when the pool CANNOT broadcast (at a
+  * fixed poolRate on 100 TB the pool is ~10^10 ids — far past any
+  * broadcast; the sharded rung's per-task memory is |pool|/shards).
+  *
+  * Usage: runMain graft.tools.NegSampleProbe [numAnchorsThousands] [poolRate] [k]
+  */
+object NegSampleProbe {
+  def main(args: Array[String]): Unit = {
+    val nK = args.headOption.map(_.toInt).getOrElse(100)
+    val poolRate = args.lift(1).map(_.toDouble).getOrElse(0.1)
+    val k = args.lift(2).map(_.toInt).getOrElse(4)
+    val n = nK * 1000L
+    val spark = Session.get("negsample-probe")
+
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = ids.count()
+    System.err.println(s"[negsample-probe] $total anchors, poolRate=$poolRate, k=$k")
+
+    val t0 = System.nanoTime()
+    val bc = NegativeSampling.negativeSamples(ids, "doc_id", k, poolRate)
+    val bcRows = bc.count()
+    val bcSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val sh = NegativeSampling.negativeSamples(ids, "doc_id", k, poolRate,
+      maxBroadcastPool = 0L, shards = 64)
+    val shRows = sh.count()
+    val shSec = (System.nanoTime() - t1) / 1e9
+
+    val diff = bc.exceptAll(sh).count() + sh.exceptAll(bc).count()
+    require(diff == 0L && bcRows == shRows,
+      s"rung outputs diverge: diff=$diff bcRows=$bcRows shRows=$shRows")
+
+    println(f"""{"workload":"negative_sampling","anchors":$total,"pool_rate":$poolRate,"k":$k,"rows":$bcRows,"broadcast_sec":$bcSec%.2f,"sharded_sec":$shSec%.2f,"identical":true}""")
+    spark.stop()
+  }
+}

@@ -346,10 +346,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     val pruned = BloomJoin.bloomPrunedJoin(fact, build, "k", "bk")
       .select("k", "payload", "attr").collect().map(_.toSeq).toSet
     assert(pruned == Set(Seq(2L, "b", "x"), Seq(2L, "d", "x")))
-    // past maxBuildRows the operator returns the plain join (no
-    // bloom literal in the plan) rather than a giant broadcast
+    // past maxBuildKeys DISTINCT keys the operator returns the plain
+    // join (no bloom literal in the plan) rather than a giant broadcast
     val guarded = BloomJoin.bloomPrunedJoin(fact, build, "k", "bk",
-      maxBuildRows = 1L)
+      maxBuildKeys = 1L)
+    // duplicated keys must NOT trip the key-count guardrail: 4 rows,
+    // 2 distinct keys, cap 3 → sketch still applies. The fact side is
+    // range-based (not a LocalRelation) so the optimizer can't fold
+    // the bloom filter away before the plan assertion sees it.
+    val dupBuild = Seq((2L, "x"), (2L, "x2"), (9L, "y"), (9L, "y2"))
+      .toDF("bk", "attr")
+    val factR = spark.range(1, 5)
+      .select(col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+    val dupPruned = BloomJoin.bloomPrunedJoin(factR, dupBuild,
+      "k", "bk", maxBuildKeys = 3L)
+    assert(dupPruned.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+    assert(dupPruned.select("k", "payload", "attr")
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq(2L, "p2", "x"), Seq(2L, "p2", "x2")))
+    // and the same 4-row build WOULD trip a row-count guardrail — prove
+    // the cap counts keys, not rows, by also asserting the inverse
+    val rowGuard = BloomJoin.bloomPrunedJoin(factR, dupBuild,
+      "k", "bk", maxBuildKeys = 1L)
+    assert(!rowGuard.queryExecution.executedPlan.toString
+      .contains("might_contain"))
     assert(!guarded.queryExecution.executedPlan.toString
       .contains("might_contain"))
     assert(guarded.select("k", "payload", "attr")
@@ -376,6 +397,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     val merged = Sketches.hllRollingEstimate(regs, "day", 3)
       .where(col("day") === "2024-01-03").head()
     assert(merged.getLong(1) == 2L)
+    // default spine = days present → the gap day 2024-01-02 has no row
+    assert(!est.contains("2024-01-02"))
+    // an explicit day spine fills the gap: day 2's trailing-3 window
+    // reaches back to day 1's "aa" register
+    val spine = Seq(Date.valueOf("2024-01-02")).toDF("d")
+    val gap = Sketches.hllRollingEstimate(regs, "day", 3, Some(spine))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(gap("2024-01-02") == 1L)
   }
 
   test("token-budget sample: keeps the md5-order prefix, straddler included") {
@@ -597,6 +626,78 @@ class CorpusOpsSpec extends AnyFunSuite {
         val got = TextFunctions.bpeTrainMerges(
           docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
             .toDF("doc_id", "text"), "text", rounds = 3)
+          .orderBy("round")
+          .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+        assert(got == expected, s"seed=$seed docs=$docs:\n  $got\n  $expected")
+      }
+    }
+  }
+
+  test("BPE batch verification truncates when a created pair outranks a batch member") {
+    import graft.text.TextFunctions
+    // token "Azy"×5 + token "bc"×5: the batch accepts [(A,z),(b,c)]
+    // (disjoint, consecutive in (n DESC,l,r) order), but merging (A,z)
+    // CREATES (Az,y) with count 5, which ties (b,c)=5 and wins the
+    // UTF-8 tie ("Az" < "b") — the sequential trajectory merges (Az,y)
+    // second. The delta verify must catch that and truncate the batch.
+    val docs = ((1 to 5).map(i => (i.toLong, "Azy")) ++
+      (6 to 10).map(i => (i.toLong, "bc"))).toDF("doc_id", "text")
+    val merges = TextFunctions.bpeTrainMerges(docs, "text", rounds = 3)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges == Seq((1, "A", "z", 5L), (2, "Az", "y", 5L),
+      (3, "b", "c", 5L)), merges.toString)
+  }
+
+  test("BPE batched training matches the reference on wide-alphabet corpora") {
+    import graft.text.TextFunctions
+    // same reference as above, but a 12-letter alphabet and longer
+    // words so candidate pairs are often DISJOINT — the batch path
+    // (kEff >= 2) actually runs, unlike the 3-letter corpora
+    def refBpe(docs: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+      var corpus: Seq[Vector[String]] = docs
+        .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .map(_.map(_.toString).toVector)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val counts = corpus.flatMap(t =>
+          if (t.size < 2) Nil
+          else (0 until t.size - 1).map(i => (t(i), t(i + 1))))
+          .groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), n) = counts.minBy { case ((l, rr), _n) => (-_n, l, rr) }
+          out += ((l, rr, n))
+          corpus = corpus.map { t =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < t.size) {
+              if (i + 1 < t.size && t(i) == l && t(i + 1) == rr) {
+                b += (l + rr); i += 2
+              } else { b += t(i); i += 1 }
+            }
+            b.result()
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      val docs = Seq.fill(3)(
+        Seq.fill(10 + rnd.nextInt(10))(
+          Seq.fill(2 + rnd.nextInt(7))("abcdefghijkl" (rnd.nextInt(12)))
+            .mkString).mkString(" "))
+      val expected = refBpe(docs, 8)
+      if (expected.size == 8) {
+        val got = TextFunctions.bpeTrainMerges(
+          docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"), "text", rounds = 8)
           .orderBy("round")
           .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
           .toSeq

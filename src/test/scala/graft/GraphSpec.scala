@@ -18,6 +18,19 @@ class GraphSpec extends AnyFunSuite {
     assert(e == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L)))
   }
 
+  test("co-occurrence edges: pathological mega-group fails loudly, not silently squares") {
+    // one basket with 50 distinct items; cap at 10 → must refuse with
+    // the group size in the message, BEFORE emitting ~2500 pairs
+    val mega = (1L to 50L).map(i => (1L, i)).toDF("g", "item")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.coOccurrenceEdges(mega, "g", "item", maxGroupSize = 10L).count()
+    }
+    assert(ex.getMessage.contains("50"))
+    // at or under the cap it proceeds: 50·49 directed pairs
+    assert(Graph.coOccurrenceEdges(mega, "g", "item",
+      maxGroupSize = 50L).count() == 50L * 49L)
+  }
+
   test("fixed-point pagerank matches the hand-unrolled integer trajectory") {
     // 1→2, 2→1, 3→1; base 10⁶, damping 85/100, teleport 150000.
     // iter1: r1=150000+85%·2e6=1850000, r2=1000000, r3=150000
