@@ -257,6 +257,18 @@ object PipelineQueries {
     (s, d) => graft.streaming.StreamingDedup.runBatchEquivalent(s, d),
     Some("SELECT DISTINCT user_id, event_type FROM events"))
 
+  /** Exactly-once continuous file sink (StreamingFileSink): events
+    * drained to parquet across a restart sequence — half the input,
+    * a no-new-input restart on the same checkpoint, then the delta —
+    * read back through the `_spark_metadata` commit log. Oracle is the
+    * plain batch SELECT: row-level hash equality proves the commit-log
+    * dedup (a re-emitted batch or a dropped delta changes the hash).
+    */
+  private val qStreamFileSink = QueryDef(
+    "q_stream_file_sink",
+    (s, d) => graft.streaming.StreamingFileSink.runBatchEquivalent(s, d),
+    Some("SELECT event_id, user_id, event_type, value FROM events"))
+
   /** Stream-STREAM interval join (purchases ⋈ clicks within ±10 min per
     * user, both sides unbounded with watermark-bounded state) — the
     * continuous twin of q_range_join_purchase_click, hash-checked
@@ -327,5 +339,5 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamJoin, qSessions, qStreamSessions)
+    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions)
 }

@@ -590,9 +590,11 @@ object SimilarityQueries {
     * produces coarse cells; the pq chain produces codes + LUT; the
     * probe subquery picks the nProbe cells nearest the query; the
     * final ADC sum ranks only vectors in probed cells. One SQL
-    * statement replays the ENTIRE composed index.
+    * statement replays the ENTIRE composed index. Parametrized by the
+    * query vector id so the two serve exhibits can hit the SAME built
+    * index with different queries (build-once/serve-many).
     */
-  private val ivfpqSql: String = {
+  private def ivfpqSql(qid: Long): String = {
     def kStep(n: Int, cent: String) = s"""
       kd$n AS (
         SELECT f.vec_id, c.cluster, SUM((f.qv - c.qc) * (f.qv - c.qc)) AS d
@@ -650,7 +652,7 @@ object SimilarityQueries {
           SELECT cluster, ROW_NUMBER() OVER (ORDER BY d, cluster) AS rn
           FROM (
             SELECT c.cluster, SUM((q.qv - c.qc) * (q.qv - c.qc)) AS d
-            FROM kcent2 c JOIN flat q ON q.vec_id = 0 AND q.p = c.p
+            FROM kcent2 c JOIN flat q ON q.vec_id = $qid AND q.p = c.p
             GROUP BY 1))
         WHERE rn <= CASE
           WHEN (SELECT COUNT(*) FROM embeddings) < 512 THEN 8 ELSE 3 END),
@@ -665,39 +667,47 @@ object SimilarityQueries {
       lut AS (
         SELECT c.j, c.code, SUM((q.qv - c.qc) * (q.qv - c.qc)) AS d
         FROM cent2 c JOIN sub q
-          ON q.vec_id = 0 AND q.j = c.j AND q.spos = c.spos
+          ON q.vec_id = $qid AND q.j = c.j AND q.spos = c.spos
         GROUP BY 1, 2)
       SELECT a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
       FROM a2 a
       JOIN lut l ON l.j = a.j AND l.code = a.code
       JOIN ka2 kc ON kc.vec_id = a.vec_id
-      WHERE kc.cluster IN (SELECT cluster FROM probe) AND a.vec_id <> 0
+      WHERE kc.cluster IN (SELECT cluster FROM probe) AND a.vec_id <> $qid
       GROUP BY a.vec_id
       ORDER BY adc, a.vec_id
       LIMIT 20"""
   }
 
-  /** Per-JVM memo for the trained IVF+PQ models (coarse cells + PQ
-    * codebooks), fingerprint-keyed like the layout memos: training is
-    * ~6 full corpus scans, and a min-of-N bench invoking the one-shot
-    * exhibit should pay it once, not N times — the models are frozen
-    * artifacts of the corpus, which is exactly what the fingerprint
-    * keys. The SERVED exhibit persists the same artifacts as sidecars;
-    * this memo is its in-process twin for the layout-free query.
+  /** Build-if-absent + serve for the cell-partitioned IVF+PQ layout,
+    * shared by BOTH IVF+PQ exhibits: one verify/bench run builds the
+    * index once and every query — any query vector — serves from the
+    * same codes parquet. This is the round-7 verdict's fold: the
+    * former one-shot exhibit re-trained cells + codebooks and
+    * full-scan-assigned per invocation; at scale the only sane plan is
+    * the served one (probe cells rank on the driver against the
+    * `_kcentroids` sidecar, the scan prunes to probed `cluster=`
+    * directories — PartitionFilters, PlanSpec-asserted — and ADC ranks
+    * the surviving code rows map-side). Training determinism makes the
+    * layout's models identical to what a fresh one-shot would train,
+    * so the unrolled oracle is unchanged.
     */
-  private val trainedIvfPq = new java.util.concurrent.ConcurrentHashMap[
-    String, (KMeans.Centroids, ProductQuantizer.PqModel)]()
-
-  private def ivfPqModels(s: org.apache.spark.sql.SparkSession,
-      d: String): (KMeans.Centroids, ProductQuantizer.PqModel) =
-    trainedIvfPq.computeIfAbsent(
-      d + "|" + graft.util.DataFingerprint.of(s, s"$d/embeddings.parquet"),
-      _ => {
-        val emb = Tables.embeddings(s, d)
-        (KMeans.fitCentroids(emb, "vec_id", "embedding", k = 8, iters = 2),
-          ProductQuantizer.train(emb, "vec_id", "embedding",
-            m = 8, k = 16, iters = 2))
-      })
+  private def ivfPqServe(s: org.apache.spark.sql.SparkSession, d: String,
+      qid: Long): org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val dir = buildDir(s, d, "graft_ivfpq_index", "embeddings")
+    if (builtIvfIndexes.add(dir))
+      ProductQuantizer.buildAndWriteIvfPqIndex(emb, "vec_id", "embedding",
+        dir, kCells = 8, iters = 2, m = 8, kCodes = 16)
+    val index = ProductQuantizer.readIvfPqIndex(s, dir)
+    val query = emb.where(col("vec_id") === qid)
+      .select(KMeans.quantize(col("embedding")))
+      .head().getSeq[Long](0).toArray
+    val nProbe = Similarity.autoNProbe(emb.count(), 8, base = 3)
+    ProductQuantizer.ivfPqSearch(index, "vec_id", query,
+      nProbe = nProbe, k = 20, excludeId = Some(qid))
+  }
 
   /** The composed IVF+PQ index (coarse integer-kmeans cells + fine PQ
     * codes): the full FAISS-style shape with every stage deterministic,
@@ -705,49 +715,28 @@ object SimilarityQueries {
     * codebook training, encoding, and the ADC ranking. nProbe follows
     * the autoNProbe density rule (all 8 cells below 64 vectors/cell,
     * 3/8 at density) — the oracle's probe CTE mirrors the same CASE.
+    * Serves query vec_id=1 from the layout q_ann_ivfpq_served builds —
+    * the build-once/serve-MANY contract exercised with two distinct
+    * queries over one index.
     */
   private val qIvfPq = QueryDef(
     "q_ann_ivfpq_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val (cells, model) = ivfPqModels(s, d)
-      val query = emb.where(col("vec_id") === 0L)
-        .select(KMeans.quantize(col("embedding")))
-        .head().getSeq[Long](0).toArray
-      val nProbe = Similarity.autoNProbe(emb.count(), 8, base = 3)
-      ProductQuantizer.ivfPqTopK(emb, "vec_id", "embedding", query,
-        cells, model, nProbe = nProbe, k = 20, excludeId = Some(0L))
-    },
-    Some(ivfpqSql))
+    (s, d) => ivfPqServe(s, d, qid = 1L),
+    Some(ivfpqSql(1L)))
 
-  /** The SERVED IVF+PQ twin — build-once/serve-many over the
+  /** The SERVED IVF+PQ exhibit — build-once/serve-many over the
     * cell-partitioned codes layout (ProductQuantizer
     * .buildAndWriteIvfPqIndex): probe cells rank on the driver against
     * the `_kcentroids` sidecar, the scan prunes to the probed
     * `cluster=` directories (PartitionFilters — PlanSpec-asserted),
     * and ADC ranks the ~nProbe/kCells surviving code rows map-side.
     * No training, no full-corpus re-assignment, no vector reads in the
-    * serve plan. Same operating point as q_ann_ivfpq_topk → shares its
-    * oracle.
+    * serve plan.
     */
   private val qIvfPqServed = QueryDef(
     "q_ann_ivfpq_served",
-    (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val emb = Tables.embeddings(s, d)
-      val dir = buildDir(s, d, "graft_ivfpq_index", "embeddings")
-      if (builtIvfIndexes.add(dir))
-        ProductQuantizer.buildAndWriteIvfPqIndex(emb, "vec_id", "embedding",
-          dir, kCells = 8, iters = 2, m = 8, kCodes = 16)
-      val index = ProductQuantizer.readIvfPqIndex(s, dir)
-      val query = emb.where(col("vec_id") === 0L)
-        .select(KMeans.quantize(col("embedding")))
-        .head().getSeq[Long](0).toArray
-      val nProbe = Similarity.autoNProbe(emb.count(), 8, base = 3)
-      ProductQuantizer.ivfPqSearch(index, "vec_id", query,
-        nProbe = nProbe, k = 20, excludeId = Some(0L))
-    },
-    Some(ivfpqSql))
+    (s, d) => ivfPqServe(s, d, qid = 0L),
+    Some(ivfpqSql(0L)))
 
   /** The hour-pivot proof applied to clustering: the SAME assignment
     * ran as a continuous query (frozen batch-trained centroids, pure

@@ -38,4 +38,36 @@ object StreamingFileSink {
     */
   def readCommitted(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
+
+  /** Declared-query driver: stream the events table through the file
+    * sink across a RESTART SEQUENCE — drain half the input, restart
+    * with the same checkpoint and no new input (the commit log must
+    * suppress re-emission), land the second half, restart again (only
+    * the delta may process) — then read the committed output back
+    * through `_spark_metadata`. The oracle is plain `SELECT ... FROM
+    * events`: row-level hash equality proves exactly-once end to end —
+    * a duplicated batch or a lost delta changes the hash.
+    */
+  def runBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_sink_src").toString
+    val out = Files.createTempDirectory("graft_sink_out").toString + "/data"
+    val cp = Files.createTempDirectory("graft_sink_cp").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value"))
+    ev.where(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def stream = spark.readStream.schema(schema).parquet(src)
+    drainToParquet(stream, out, cp)
+    // restart, same checkpoint, nothing new: must be a no-op
+    drainToParquet(stream, out, cp)
+    // the other half lands; the restarted query picks up ONLY the delta
+    ev.where(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    drainToParquet(stream, out, cp)
+    readCommitted(spark, out)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
 }

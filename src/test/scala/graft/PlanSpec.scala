@@ -160,6 +160,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("one-shot IVF+PQ folded onto the served layout: same pruned-scan plan shape") {
+    // round-8: q_ann_ivfpq_topk no longer re-trains + full-scan-assigns
+    // per invocation — it serves a second query vector from the layout
+    // q_ann_ivfpq_served builds, so its plan must show the identical
+    // directory-pruning shape
+    val p = planString("q_ann_ivfpq_topk")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("cluster#") && f.contains("IN")),
+      s"expected the nProbe cluster set to land in PartitionFilters:\n$p")
+    assert(!"Filter .*cluster#".r.findFirstIn(p).isDefined,
+      s"cluster probe fell out of partition pruning into a row filter:\n$p")
+    assert(!p.contains("q_vec_nearest_l2") && !p.contains("vec_mat_score"),
+      s"serve plan re-assigns the corpus:\n$p")
+    val readSchemas = "ReadSchema: ([^\\n]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("embedding")),
+      s"serve scan reads vectors, not codes: $readSchemas")
+  }
+
   test("contamination: probe shingle set broadcasts, corpus side never shuffles text") {
     val p = planString("q_contamination_flags")
     assert(p.contains("BroadcastHashJoin"), p)
