@@ -66,6 +66,10 @@ object SkewJoinProbe {
       (sec, cs)
     }
 
+    // untimed warmup: codegen + shuffle infra, off the measured runs
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    fact.sample(0.01).join(dim, Seq("k")).count()
+
     val (plainSec, plainCs) = timed("plain (no skew split)", skewSplit = false) {
       fact.join(dim, Seq("k"))
     }
