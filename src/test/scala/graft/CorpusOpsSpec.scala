@@ -706,6 +706,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE batching is trajectory-invariant: batchSize 1 and 32 agree on random corpora") {
+    import graft.text.TextFunctions
+    // direct equivalence proof of the batched selection, independent of
+    // any reference implementation: batchSize=1 IS the sequential
+    // trainer, so any batching unsoundness shows up as a divergence
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(2000 + seed)
+      val docs = Seq.fill(4)(
+        Seq.fill(8 + rnd.nextInt(8))(
+          Seq.fill(2 + rnd.nextInt(6))("abcdefgh" (rnd.nextInt(8)))
+            .mkString).mkString(" "))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val seq1 = TextFunctions.bpeTrainMerges(docs, "text", rounds = 6,
+        batchSize = 1).orderBy("round").collect().map(_.toSeq).toSeq
+      val seq32 = TextFunctions.bpeTrainMerges(docs, "text", rounds = 6,
+        batchSize = 32).orderBy("round").collect().map(_.toSeq).toSeq
+      assert(seq1 == seq32, s"seed=$seed:\n  $seq1\n  $seq32")
+    }
+  }
+
   test("CMS: estimates dominate exact counts; clear heavy hitters rank exactly") {
     import graft.ops.Sketches
     // zipf-ish: token t_i appears (50 - i) times → exact ranking known
