@@ -562,9 +562,17 @@ object TextFunctions {
     val chars = transform(sequence(lit(1), length(col("tok"))),
       i => col("tok").substr(i, lit(1)))
     val fenced0: Column = concat(lit(F), array_join(chars, FF), lit(F))
-    val merged = merges.foldLeft(fenced0) { case (c, (l, r)) =>
-      call_function("replace", c, lit(F + l + FF + r + F), lit(F + l + r + F))
-    }
+    // ONE `aggregate` HOF over the merge table as an array literal —
+    // not N nested replace calls. Identical fold semantics, but the
+    // plan stays O(1) in the merge count: a real 30k-merge tokenizer
+    // would otherwise nest 30k expression nodes and kill analysis and
+    // codegen. (Per-row cost is still O(merges * len) scans — the
+    // declarative price; a rank-based greedy encoder as a custom
+    // codegen'd Expression is the next rung if encode ever dominates.)
+    val mergeLit: Column = typedlit(merges.map { case (l, r) =>
+      (F + l + FF + r + F, F + l + r + F) })
+    val merged = aggregate(mergeLit, fenced0, (acc, m) =>
+      call_function("replace", acc, m.getField("_1"), m.getField("_2")))
     graft.ops.Partitioning.fanOut(
       df.select(explode(tokens(col(textCol))).as("tok"))
         .where(length(col("tok")) >= 1))

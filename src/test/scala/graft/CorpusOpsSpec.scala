@@ -706,6 +706,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE encode: aggregate-HOF fold matches a reference encode at 40 merges") {
+    import graft.text.TextFunctions
+    // encode is ONE aggregate HOF over the merge-table literal — the
+    // plan must stay analyzable at real merge counts, and the result
+    // must equal the reference's sequential greedy merge application
+    val rnd = new scala.util.Random(77)
+    val docs = Seq.fill(5)(
+      Seq.fill(12)(Seq.fill(3 + rnd.nextInt(6))("abcdefghij" (rnd.nextInt(10)))
+        .mkString).mkString(" "))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = TextFunctions.bpeTrainMerges(df, "text", rounds = 40)
+      .orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 40)
+    def refApply(tok: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < tok.size) {
+        if (i + 1 < tok.size && tok(i) == l && tok(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += tok(i); i += 1 }
+      }
+      b.result()
+    }
+    val expected = docs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .map(_.map(_.toString).toVector)
+      .map(t => merges.foldLeft(t) { case (v, (l, r)) => refApply(v, l, r) })
+      .flatten.groupBy(identity).map { case (s, v) => s -> v.size }
+    val got = TextFunctions.bpeEncodeSymbols(df, "text", merges)
+      .groupBy(col("symbol")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected, s"\n  got=$got\n  exp=$expected")
+  }
+
   test("BPE batching is trajectory-invariant: batchSize 1 and 32 agree on random corpora") {
     import graft.text.TextFunctions
     // direct equivalence proof of the batched selection, independent of
