@@ -71,8 +71,13 @@ object SnapshotDiff {
     * Law (oracle-checked by q_incremental_agg): maintain(agg(v1),
     * diff(v1, v2)) ≡ agg(v2).
     */
-  def maintainSumAgg(oldAgg: DataFrame, changes: DataFrame,
-      groupCol: String, valCol: String,
+  /** The (group, ±1, ±value) flow rows a changeset contributes to a
+    * maintained (count, sum) view — the delta currency of incremental
+    * view maintenance, factored out so the STREAMING maintainer
+    * (`streaming/StreamingViewMaintenance`) folds the identical flows
+    * through a continuous aggregation.
+    */
+  def changeFlows(changes: DataFrame, groupCol: String, valCol: String,
       nCol: String = "n", sumCol: String = "s"): DataFrame = {
     val outflow = changes
       .where(col("change_type").isin("removed", "changed"))
@@ -82,8 +87,14 @@ object SnapshotDiff {
       .where(col("change_type").isin("added", "changed"))
       .select(col(s"new_$groupCol").as(groupCol),
         lit(1L).as(nCol), col(s"new_$valCol").cast("long").as(sumCol))
+    outflow.unionByName(inflow)
+  }
+
+  def maintainSumAgg(oldAgg: DataFrame, changes: DataFrame,
+      groupCol: String, valCol: String,
+      nCol: String = "n", sumCol: String = "s"): DataFrame = {
     oldAgg.select(col(groupCol), col(nCol), col(sumCol))
-      .unionByName(outflow).unionByName(inflow)
+      .unionByName(changeFlows(changes, groupCol, valCol, nCol, sumCol))
       .groupBy(col(groupCol))
       .agg(sum(col(nCol)).as(nCol), sum(col(sumCol)).as(sumCol))
       .where(col(nCol) > 0)

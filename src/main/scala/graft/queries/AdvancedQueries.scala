@@ -440,6 +440,27 @@ object AdvancedQueries {
       FROM orders WHERE o_orderkey % 97 <> 0
       GROUP BY o_orderpriority"""))
 
+  /** STREAMING materialized-view maintenance (streaming/
+    * StreamingViewMaintenance): the maintained (priority → count, sum)
+    * view as the state of one continuous aggregation over change-flow
+    * rows — seed view in drain 1, the v1→v2 changeset lands as a
+    * second file-source increment, base table never rescanned. Shares
+    * q_incremental_agg's oracle (the direct v2 aggregate): the
+    * maintain ≡ recompute law, proven for the continuous maintainer.
+    */
+  private val qStreamIncrementalAgg = QueryDef(
+    "q_stream_incremental_agg",
+    (s, d) => graft.streaming.StreamingViewMaintenance
+      .runBatchEquivalent(s, d),
+    Some("""
+      SELECT o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          + CASE WHEN o_orderkey % 13 = 0 THEN 1000 ELSE 0 END)
+          AS BIGINT) AS sum_cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+      GROUP BY o_orderpriority"""))
+
   /** Stratified fixed-n sampling (Sampling.stratifiedFixedN): the 5
     * smallest md5 draws per source — equal-allocation selection via
     * the partial pair-top-k (no per-group window sort). Oracle
@@ -737,6 +758,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives, qStratified, qIncrementalAgg,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }
