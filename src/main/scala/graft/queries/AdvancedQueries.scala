@@ -509,6 +509,37 @@ object AdvancedQueries {
         FROM d)
       WHERE rn <= 4"""))
 
+  /** The PAST-BROADCAST rung of the same operator, forced
+    * (maxBroadcastPool=0): pool hash-sharded into 64 buckets, anchors
+    * replicated across shards, shuffle-join on the shard key, same
+    * partial pair-top-k with the same comparator — the output must be
+    * bit-identical, so it shares q_negative_samples' full-replay
+    * oracle verbatim (the salted-join ≡ plain-join proof pattern,
+    * applied to the rung a 100 TB pool actually needs).
+    */
+  private val qNegativesSharded = QueryDef(
+    "q_negative_samples_sharded",
+    (s, d) =>
+      graft.ops.NegativeSampling.negativeSamples(
+        Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 4, poolRate = 0.1,
+        maxBroadcastPool = 0L, shards = 64),
+    Some("""
+      WITH pool AS (
+        SELECT doc_id AS neg_id FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '19999999'),
+      d AS (
+        SELECT a.doc_id AS anchor_id, p.neg_id,
+          md5(a.doc_id || ':' || p.neg_id) AS draw
+        FROM documents a CROSS JOIN pool p
+        WHERE a.doc_id <> p.neg_id)
+      SELECT anchor_id, CAST(rn AS INT) AS rank, neg_id FROM (
+        SELECT anchor_id, neg_id,
+          ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY substr(draw, 1, 13), neg_id) AS rn
+        FROM d)
+      WHERE rn <= 4"""))
+
   /** Token-budget mixing (Sampling.tokenBudgetSample): keep each
     * source's md5-shuffle prefix until 2000 tokens — the mixture
     * primitive specified in TOKENS (how training mixes are actually
@@ -758,6 +789,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives, qNegativesSharded, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }
