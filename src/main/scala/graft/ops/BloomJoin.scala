@@ -46,13 +46,16 @@ object BloomJoin {
     def join(f: DataFrame): DataFrame =
       if (factKey == buildKey) f.join(build, Seq(factKey))
       else f.join(build, f.col(factKey) === build.col(buildKey))
-    // One narrow agg: approximate DISTINCT keys (HLL++, 2% default rsd)
-    // sizes the sketch and feeds the guardrail. Padded ×1.1 so HLL
-    // under-estimates can't push the realized FPP above the target.
+    // One narrow agg: approximate DISTINCT keys (HLL++ at an explicit
+    // 2% rsd — Spark's DEFAULT rsd is 5%, which a ×1.1 pad would only
+    // cover to ~2σ) sizes the sketch. The pad keeps HLL under-estimates
+    // from pushing the realized FPP above the target; the guardrail
+    // compares the UNPADDED estimate so pruning isn't skipped below
+    // the documented cap.
     val nDistinct = build
-      .agg(approx_count_distinct(col(buildKey)).as("n")).head().getLong(0)
+      .agg(approx_count_distinct(col(buildKey), 0.02).as("n")).head().getLong(0)
     val n = math.ceil(nDistinct * 1.1).toLong
-    if (n == 0L || n > maxBuildKeys) join(fact)
+    if (nDistinct == 0L || nDistinct > maxBuildKeys) join(fact)
     else {
       val bf = build.stat.bloomFilter(buildKey, n, fpp)
       val bytes = {

@@ -107,10 +107,13 @@ object Sketches {
     * Output contract: by default the anchor-day spine is the DISTINCT
     * days PRESENT in the register table — a calendar day with zero
     * registered rows produces NO output row, even when earlier days
-    * fall inside its trailing window. Callers that need gap days
+    * fall inside its trailing window. Callers that need such gap days
     * (dashboards over sparse sources) pass an explicit `daySpine`
-    * DataFrame — one date column, any name — and get one output row
-    * per spine day instead.
+    * DataFrame — one date column, any name. Note the merge join is
+    * inner either way: a spine day whose ENTIRE trailing window is
+    * register-free (before the first data, or after a gap longer than
+    * the window) still emits no row — there is no sketch to estimate
+    * from; treat absent days as distinct-count 0 downstream.
     */
   def hllRollingEstimate(registers: DataFrame, dayCol: String,
       windowDays: Int, daySpine: Option[DataFrame] = None): DataFrame = {

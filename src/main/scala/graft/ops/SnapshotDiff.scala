@@ -57,25 +57,14 @@ object SnapshotDiff {
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
-  /** Incremental maintenance of a materialized (group → count, sum)
-    * aggregate from a changeset — update the view WITHOUT rescanning
-    * the base table (at 100 TB the base rescan is the cost; the delta
-    * is diff-sized): each diff row contributes an outflow from its OLD
-    * group (removed/changed: −1, −old value) and an inflow to its NEW
-    * group (added/changed: +1, +new value) — a changed row that moved
-    * groups naturally does both. Groups whose maintained count reaches
-    * 0 drop out (their sum is exactly 0 too — integer values by
-    * contract, the order-free-sum rule). `groupCol` and `valCol` must
-    * be among the diff's compare columns.
-    *
-    * Law (oracle-checked by q_incremental_agg): maintain(agg(v1),
-    * diff(v1, v2)) ≡ agg(v2).
-    */
   /** The (group, ±1, ±value) flow rows a changeset contributes to a
     * maintained (count, sum) view — the delta currency of incremental
-    * view maintenance, factored out so the STREAMING maintainer
-    * (`streaming/StreamingViewMaintenance`) folds the identical flows
-    * through a continuous aggregation.
+    * view maintenance: each diff row contributes an outflow from its
+    * OLD group (removed/changed: −1, −old value) and an inflow to its
+    * NEW group (added/changed: +1, +new value) — a changed row that
+    * moved groups naturally does both. Factored out so the STREAMING
+    * maintainer (`streaming/StreamingViewMaintenance`) folds the
+    * identical flows through a continuous aggregation.
     */
   def changeFlows(changes: DataFrame, groupCol: String, valCol: String,
       nCol: String = "n", sumCol: String = "s"): DataFrame = {
@@ -90,6 +79,19 @@ object SnapshotDiff {
     outflow.unionByName(inflow)
   }
 
+  /** Incremental maintenance of a materialized (group → count, sum)
+    * aggregate from a changeset — update the view WITHOUT rescanning
+    * the base table (at 100 TB the base rescan is the cost; the delta
+    * is diff-sized): fold [[changeFlows]] into the old view with one
+    * group-sum. Groups whose maintained count reaches 0 drop out
+    * (their sum is exactly 0 too — integer values by contract, the
+    * order-free-sum rule). `groupCol` and `valCol` must be among the
+    * diff's compare columns.
+    *
+    * Law (oracle-checked by q_incremental_agg, and by
+    * q_stream_incremental_agg for the continuous maintainer):
+    * maintain(agg(v1), diff(v1, v2)) ≡ agg(v2).
+    */
   def maintainSumAgg(oldAgg: DataFrame, changes: DataFrame,
       groupCol: String, valCol: String,
       nCol: String = "n", sumCol: String = "s"): DataFrame = {

@@ -121,6 +121,8 @@ object Sessionize {
       .agg(max(col("ts").cast("long")).as("max_ts"),
         min(col("user_id").cast("long")).as("min_uid")).head()
     require(!bounds.isNullAt(0), s"events at $sfDir is empty — nothing to sessionize")
+    require(!bounds.isNullAt(1),
+      s"events at $sfDir has only NULL user_id values — nothing to sessionize")
     require(bounds.getLong(1) >= 0L,
       s"events at $sfDir has negative user_id ${bounds.getLong(1)}; " +
         "the streaming flush sentinel reserves user_id -1")

@@ -46,7 +46,8 @@ object StreamingViewMaintenance {
         Seq("o_orderkey"), Seq("o_orderpriority", "cents")),
       "o_orderpriority", "cents")
 
-    val src = Files.createTempDirectory("graft_view_src").toString
+    val srcRoot = Files.createTempDirectory("graft_view_src")
+    val src = srcRoot.toString
     seedFlows.write.mode("append").parquet(src)
     val schema = spark.read.parquet(src).schema
     val name = s"stream_view_${nameCounter.incrementAndGet()}"
@@ -69,6 +70,14 @@ object StreamingViewMaintenance {
         s.table(name).collectAsList(), s.table(name).schema)
       s.catalog.dropTempView(name)
       snap
+    }
+    // the snapshot is driver-resident; drop the temp flow source so
+    // repeated invocations (bench min-of-N, multi-SF sweeps) don't
+    // accumulate in /tmp
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(srcRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     snapshot.where(col("n") > 0)
       .select(col("o_orderpriority"), col("n").as("n_orders"),
