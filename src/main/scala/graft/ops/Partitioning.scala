@@ -13,7 +13,13 @@ object Partitioning {
     * map-side until their own shuffle.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // a streaming frame can't be partition-counted (`df.rdd` plans the
+    // query); micro-batches split per source file anyway, so pass
+    // through — the shared map-side operators stay streaming-legal
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
   }
 }

@@ -1437,6 +1437,18 @@ object TextQueries {
         FROM f3)
       GROUP BY symbol ORDER BY n DESC, symbol LIMIT 100"""))
 
+  /** Tokenize-at-ingest (streaming/StreamingBpe): merges trained
+    * batch-side (frozen model), the SAME aggregate-HOF encode applied
+    * to the unbounded document stream, per-symbol counts as one
+    * vocabulary-bounded streaming aggregation. Shares
+    * q_bpe_encode_vocab's oracle verbatim — the continuous encoder
+    * must emit exactly the batch symbol table.
+    */
+  private val qStreamBpeEncode = QueryDef(
+    "q_stream_bpe_encode",
+    (s, d) => graft.streaming.StreamingBpe.runBatchEquivalent(s, d),
+    qBpeEncode.oracle)
+
   /** Count-Min heavy-hitter tokens (ops/Sketches): the corpus token
     * stream feeds a 4×256 md5-bucketed counter sketch; every distinct
     * token's estimate is the min over its 4 counters (≥ true count by
@@ -1782,7 +1794,7 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
+    qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
