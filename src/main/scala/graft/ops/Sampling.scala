@@ -243,4 +243,46 @@ object Sampling {
     }
     df.where(keep)
   }
+
+  /** Temperature-flattened source mixing at τ = 1/2 — the multilingual
+    * /multi-source corpus-balancing primitive (sampling sources
+    * proportional to size^τ rather than size, so tail sources aren't
+    * drowned by the head): each source keeps
+    * p = ⌊√n_source⌋ / ⌊√n_max⌋ of its documents via the same
+    * md5-threshold draw as `sampleByKey`, with thresholds COMPUTED IN
+    * THE PLAN from the source counts (one aggregate + a broadcast join
+    * — no driver round-trip, no literals to maintain).
+    *
+    * Why τ is pinned to 1/2: IEEE-754 `sqrt` is CORRECTLY ROUNDED on
+    * every engine, so ⌊√n⌋ is a deterministic BIGINT everywhere —
+    * whereas `pow(n, τ)` is only faithfully rounded (±1 ulp,
+    * implementation-specific) and a 1-ulp rate difference can flip a
+    * boundary document and break the cross-engine hash. The ratio is
+    * one double division of exact integers and the threshold one
+    * multiply+floor — both single IEEE ops, identical on all engines.
+    * The max source's p = 1 maps to threshold "g" (lexicographically
+    * above every hex digest), keeping it complete rather than dropping
+    * the ~2^-32 digest tail.
+    *
+    * Scale shape: counts are one source-sized aggregate; the per-source
+    * threshold table broadcasts; the keep decision is a scan-stage
+    * filter — no corpus shuffle anywhere.
+    */
+  def temperatureMixSqrt(df: DataFrame, sourceCol: Column,
+      key: Column): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__src"), floor(sqrt(col("__n"))).as("__w"))
+    val wmax = counts.agg(max(col("__w")).as("__wmax"))
+    val thresholds = counts.crossJoin(broadcast(wmax))
+      .select(col("__src"),
+        when(col("__w") >= col("__wmax"), lit("g"))
+          .otherwise(format_string("%08x",
+            floor((col("__w").cast("double") / col("__wmax").cast("double"))
+              * lit(4294967296.0)).cast("long")))
+          .as("__thr"))
+    df.join(broadcast(thresholds), sourceCol === col("__src"))
+      .where(md5(key.cast("string")) < col("__thr"))
+      .drop("__src", "__thr")
+  }
 }

@@ -402,6 +402,36 @@ object AdvancedQueries {
           ELSE FALSE
         END"""))
 
+  /** Temperature-flattened mixing at τ=1/2
+    * (Sampling.temperatureMixSqrt): sources sampled ∝ ⌊√n⌋/⌊√n_max⌋ —
+    * the corpus-balancing rule that keeps tail sources from being
+    * drowned — with per-source thresholds computed IN THE PLAN from
+    * the counts. τ is pinned to 1/2 because IEEE sqrt is correctly
+    * rounded on every engine (pow is not), so the oracle replays
+    * count → ⌊√n⌋ → ratio → hex threshold → md5 draw bit-exactly.
+    */
+  private val qTemperatureMix = QueryDef(
+    "q_temperature_mix",
+    (s, d) => graft.ops.Sampling.temperatureMixSqrt(
+      Tables.documents(s, d).select(col("source"), col("doc_id")),
+      col("source"), col("doc_id")),
+    Some("""
+      WITH counts AS (
+        SELECT source,
+          CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      mx AS (SELECT MAX(w) AS wmax FROM counts),
+      thr AS (
+        SELECT source,
+          CASE WHEN w >= wmax THEN 'g'
+               ELSE printf('%08x', CAST(FLOOR(
+                 (CAST(w AS DOUBLE) / CAST(wmax AS DOUBLE))
+                   * 4294967296.0) AS BIGINT)) END AS t
+        FROM counts CROSS JOIN mx)
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN thr ON d.source = thr.source
+      WHERE md5(CAST(d.doc_id AS VARCHAR)) < thr.t"""))
+
   /** Incremental aggregate maintenance (SnapshotDiff.maintainSumAgg):
     * two deterministic snapshot versions of orders (v1 drops key%89,
     * v2 drops key%97 and bumps key%13's cents — so adds, removes, AND
@@ -789,6 +819,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTokenBudget, qNegatives, qNegativesSharded, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

@@ -407,6 +407,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(gap("2024-01-02") == 1L)
   }
 
+  test("temperature mix (tau=1/2): max source complete, tail flattened to sqrt ratio") {
+    import graft.ops.Sampling
+    // A: 6400 docs (w=80), B: 100 docs (w=10) → p_B = 10/80 = 0.125
+    val docs = ((1L to 6400L).map(i => ("A", i)) ++
+      (10001L to 10100L).map(i => ("B", i))).toDF("source", "doc_id")
+    val kept = Sampling.temperatureMixSqrt(docs, col("source"), col("doc_id"))
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p = 1 → COMPLETE, including any digest in the 'ffffffff' tail
+    assert(bySrc("A") == 6400L)
+    // B at p = 0.125 over a uniform digest draw: ~12.5 of 100 expected
+    val b = bySrc.getOrElse("B", 0L)
+    assert(b > 0 && b < 40, s"B kept $b of 100 at p=0.125")
+    // deterministic: re-running selects the identical keeper set
+    val first = kept.where(col("source") === "B")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.temperatureMixSqrt(docs, col("source"), col("doc_id"))
+      .where(col("source") === "B")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == again)
+  }
+
   test("token-budget sample: keeps the md5-order prefix, straddler included") {
     import graft.ops.Sampling
     val docs = (1L to 40L).map(i => (i, "s", 10L)).toDF("id", "src", "n")
