@@ -409,17 +409,34 @@ object AdvancedQueries {
     * the counts. τ is pinned to 1/2 because IEEE sqrt is correctly
     * rounded on every engine (pow is not), so the oracle replays
     * count → ⌊√n⌋ → ratio → hex threshold → md5 draw bit-exactly.
+    *
+    * The synthetic documents table is source-UNIFORM (equal counts →
+    * every p = 1 → the exhibit would be vacuous), so sources are
+    * regrouped deterministically into a skewed macro-mix first —
+    * head 50%, mid 30%, two 10% tails — making the flattening branch
+    * (p < 1 thresholds) do real selection under the hash compare.
     */
   private val qTemperatureMix = QueryDef(
     "q_temperature_mix",
     (s, d) => graft.ops.Sampling.temperatureMixSqrt(
-      Tables.documents(s, d).select(col("source"), col("doc_id")),
+      Tables.documents(s, d).select(
+        when(pmod(col("doc_id"), lit(10)) < 5, lit("head"))
+          .when(pmod(col("doc_id"), lit(10)) < 8, lit("mid"))
+          .otherwise(concat(lit("tail"), pmod(col("doc_id"), lit(10))))
+          .as("source"),
+        col("doc_id")),
       col("source"), col("doc_id")),
     Some("""
-      WITH counts AS (
+      WITH docs AS (
+        SELECT CASE WHEN doc_id % 10 < 5 THEN 'head'
+                    WHEN doc_id % 10 < 8 THEN 'mid'
+                    ELSE 'tail' || CAST(doc_id % 10 AS VARCHAR) END AS source,
+          doc_id
+        FROM documents),
+      counts AS (
         SELECT source,
           CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
-        FROM documents GROUP BY source),
+        FROM docs GROUP BY source),
       mx AS (SELECT MAX(w) AS wmax FROM counts),
       thr AS (
         SELECT source,
@@ -429,7 +446,7 @@ object AdvancedQueries {
                    * 4294967296.0) AS BIGINT)) END AS t
         FROM counts CROSS JOIN mx)
       SELECT d.source, d.doc_id
-      FROM documents d JOIN thr ON d.source = thr.source
+      FROM docs d JOIN thr ON d.source = thr.source
       WHERE md5(CAST(d.doc_id AS VARCHAR)) < thr.t"""))
 
   /** Incremental aggregate maintenance (SnapshotDiff.maintainSumAgg):
