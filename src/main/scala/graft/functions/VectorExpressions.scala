@@ -591,6 +591,9 @@ object VectorFunctions {
       "bloom_might_contain",
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode",
+      exprs => BpeEncode(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Column API: codegen'd dot product of two array<float> columns.

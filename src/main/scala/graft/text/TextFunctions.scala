@@ -557,31 +557,22 @@ object TextFunctions {
     */
   def bpeEncodeSymbols(df: org.apache.spark.sql.DataFrame, textCol: String,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
-    val F = "\u0001"
-    val FF = F + F
-    val chars = transform(sequence(lit(1), length(col("tok"))),
-      i => col("tok").substr(i, lit(1)))
-    val fenced0: Column = concat(lit(F), array_join(chars, FF), lit(F))
-    // ONE `aggregate` HOF over the merge table as an array literal —
-    // not N nested replace calls. Identical fold semantics, but the
-    // plan stays O(1) in the merge count: a real 30k-merge tokenizer
-    // would otherwise nest 30k expression nodes and kill analysis and
-    // codegen. (Per-row cost is still O(merges * len) scans — the
-    // declarative price; a rank-based greedy encoder as a custom
-    // codegen'd Expression is the next rung if encode ever dominates.)
-    val mergeLit: Column = typedlit(merges.map { case (l, r) =>
-      (F + l + FF + r + F, F + l + r + F) })
-    val merged = aggregate(mergeLit, fenced0, (acc, m) =>
-      call_function("replace", acc, m.getField("_1"), m.getField("_2")))
+    // The native-Expression rung (functions/BpeExpressions.BpeEncode):
+    // the merge table rides as two foldable array literals, each token
+    // pays one in-place array pass per merge. The earlier
+    // aggregate-HOF formulation had the same O(merges * len) bound but
+    // evaluated interpreted AND rebuilt the fenced string once per
+    // merge (BpeProbe measured the gap at 1000 merges). Fold semantics
+    // are bit-identical (rank order, greedy L2R non-overlapping per
+    // pass) -- pinned by the randomized reference tests and the
+    // q_bpe_encode_vocab oracle. No fence-char contract on encode:
+    // symbols are array elements, nothing to corrupt.
+    graft.functions.VectorFunctions.register(df.sparkSession)
     graft.ops.Partitioning.fanOut(
       df.select(explode(tokens(col(textCol))).as("tok"))
         .where(length(col("tok")) >= 1))
-      .select(when(col("tok").contains(F), raise_error(concat(
-          lit("bpeEncodeSymbols: token contains the U+0001 fence char: "),
-          col("tok")))).otherwise(col("tok")).as("tok"))
-      .select(merged.as("__m"))
-      .select(explode(
-        split(col("__m").substr(lit(2), length(col("__m")) - 2), FF))
+      .select(explode(call_function("bpe_encode", col("tok"),
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2))))
         .as("symbol"))
   }
 

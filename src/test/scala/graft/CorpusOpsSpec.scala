@@ -728,11 +728,11 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("BPE encode: aggregate-HOF fold matches a reference encode at 40 merges") {
+  test("BPE encode: native BpeEncode expression matches a reference encode at 40 merges") {
     import graft.text.TextFunctions
-    // encode is ONE aggregate HOF over the merge-table literal — the
-    // plan must stay analyzable at real merge counts, and the result
-    // must equal the reference's sequential greedy merge application
+    // encode is ONE native expression with the merge table as foldable
+    // array literals — the plan stays O(1) in merge count, and the
+    // result must equal the reference's sequential greedy application
     val rnd = new scala.util.Random(77)
     val docs = Seq.fill(5)(
       Seq.fill(12)(Seq.fill(3 + rnd.nextInt(6))("abcdefghij" (rnd.nextInt(10)))
