@@ -763,6 +763,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == expected, s"\n  got=$got\n  exp=$expected")
   }
 
+  test("BPE encode: non-BMP code points are single symbols, matching the trainer's unit") {
+    import graft.text.TextFunctions
+    // U+1F600 is one code point but two UTF-16 chars — the native
+    // encoder must split by CODE POINT like the trainer's substr(i,1)
+    // (UTF8String counts code points), or a surrogate pair would be
+    // torn into two invalid half-symbols
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, s"a${emoji}b a${emoji}b")).toDF("doc_id", "text")
+    // merge (a, emoji) then (a+emoji, b): every token collapses fully
+    val merges = Seq(("a", emoji), ("a" + emoji, "b"))
+    val syms = TextFunctions.bpeEncodeSymbols(docs, "text", merges)
+      .collect().map(_.getString(0)).toSeq
+    assert(syms == Seq(s"a${emoji}b", s"a${emoji}b"), syms.toString)
+  }
+
   test("BPE batching is trajectory-invariant: batchSize 1 and 32 agree on random corpora") {
     import graft.text.TextFunctions
     // direct equivalence proof of the batched selection, independent of
