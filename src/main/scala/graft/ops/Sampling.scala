@@ -270,6 +270,13 @@ object Sampling {
     */
   def temperatureMixSqrt(df: DataFrame, sourceCol: Column,
       key: Column): DataFrame = {
+    // a NULL source group would silently vanish (the keep join is
+    // null-unsafe) while still competing for w_max and skewing every
+    // real source's rate — fail loudly instead (the Sessionize
+    // sentinel-guard convention); route unattributed rows to a named
+    // source upstream if they should participate
+    require(df.where(sourceCol.isNull).isEmpty,
+      "temperatureMixSqrt: null source values present — name them upstream")
     val counts = df.groupBy(sourceCol.as("__src"))
       .agg(count(lit(1)).as("__n"))
       .select(col("__src"), floor(sqrt(col("__n"))).as("__w"))

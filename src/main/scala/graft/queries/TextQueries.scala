@@ -1438,8 +1438,8 @@ object TextQueries {
       GROUP BY symbol ORDER BY n DESC, symbol LIMIT 100"""))
 
   /** Tokenize-at-ingest (streaming/StreamingBpe): merges trained
-    * batch-side (frozen model), the SAME aggregate-HOF encode applied
-    * to the unbounded document stream, per-symbol counts as one
+    * batch-side (frozen model), the SAME native BpeEncode expression
+    * applied to the unbounded document stream, per-symbol counts as one
     * vocabulary-bounded streaming aggregation. Shares
     * q_bpe_encode_vocab's oracle verbatim — the continuous encoder
     * must emit exactly the batch symbol table.

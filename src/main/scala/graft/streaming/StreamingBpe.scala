@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 /** Tokenize-at-ingest — the deployment shape of a trained tokenizer:
   * merges are TRAINED batch-side (the frozen-model contract shared
   * with streaming k-means assignment and LM scoring), then applied to
-  * the unbounded document stream as the SAME stateless aggregate-HOF
-  * encode the batch path uses; the per-symbol frequency table is one
+  * the unbounded document stream through the SAME stateless native
+  * `BpeEncode` expression the batch path uses; the per-symbol
+  * frequency table is one
   * streaming groupBy whose state is vocabulary-sized (bounded by the
   * post-merge symbol vocabulary, corpus-independent — the
   * sketch-stream boundedness argument, no watermark needed).

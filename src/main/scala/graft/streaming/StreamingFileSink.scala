@@ -54,36 +54,39 @@ object StreamingFileSink {
     val srcRoot = Files.createTempDirectory("graft_sink_src")
     val outRoot = Files.createTempDirectory("graft_sink_out")
     val cpRoot = Files.createTempDirectory("graft_sink_cp")
-    val src = srcRoot.toString
-    val out = outRoot.toString + "/data"
-    val cp = cpRoot.toString
-    val ev = graft.sources.Tables.events(spark, sfDir)
-      .select(col("event_id").cast("long").as("event_id"),
-        col("user_id").cast("long").as("user_id"),
-        col("event_type"), col("value"))
-    // pmod, not %: Spark's % returns negative remainders, so a negative
-    // odd id would fall out of BOTH halves — silent loss vs the oracle
-    val half = pmod(col("event_id"), lit(2L))
-    ev.where(half === 0L).write.mode("append").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    def stream = spark.readStream.schema(schema).parquet(src)
-    drainToParquet(stream, out, cp)
-    // restart, same checkpoint, nothing new: must be a no-op
-    drainToParquet(stream, out, cp)
-    // the other half lands; the restarted query picks up ONLY the delta
-    ev.where(half === 1L).write.mode("append").parquet(src)
-    drainToParquet(stream, out, cp)
-    // snapshot THROUGH the commit log, then delete the temp dirs — a
-    // lazily-read result frame would pin gigabytes of /tmp per
-    // invocation across bench min-of-N and multi-SF verify sweeps
-    val committed = readCommitted(spark, out)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val snap = spark.createDataFrame(committed.collectAsList(), committed.schema)
-    Seq(srcRoot, outRoot, cpRoot).foreach { root =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-    snap
+    try {
+      val src = srcRoot.toString
+      val out = outRoot.toString + "/data"
+      val cp = cpRoot.toString
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value"))
+      // pmod, not %: Spark's % returns negative remainders, so a
+      // negative odd id would fall out of BOTH halves — silent loss
+      val half = pmod(col("event_id"), lit(2L))
+      ev.where(half === 0L).write.mode("append").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def stream = spark.readStream.schema(schema).parquet(src)
+      drainToParquet(stream, out, cp)
+      // restart, same checkpoint, nothing new: must be a no-op
+      drainToParquet(stream, out, cp)
+      // the other half lands; the restart picks up ONLY the delta
+      ev.where(half === 1L).write.mode("append").parquet(src)
+      drainToParquet(stream, out, cp)
+      // snapshot THROUGH the commit log so the temp dirs can be
+      // deleted before returning — the bounded-SF harness contract
+      // shared with every memory-sink driver (driver-resident result;
+      // verification exhibits run at <= sf0.1 ≈ 105k rows / ~4 MB).
+      // The production surface is drainToParquet/readCommitted
+      // themselves; a lazily-read result frame here would instead pin
+      // one events-sized /tmp copy per invocation across bench
+      // min-of-N and multi-SF sweeps.
+      val committed = readCommitted(spark, out)
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+      spark.createDataFrame(committed.collectAsList(), committed.schema)
+    } finally
+      Seq(srcRoot, outRoot, cpRoot).foreach(StreamingRun.deleteRecursively)
   }
 }

@@ -7,6 +7,22 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamingRun {
 
+  /** Recursive temp-dir delete for the batch-equivalence drivers —
+    * closes the `Files.walk` stream (its javadoc requires it) and
+    * tolerates already-missing paths, so it is safe from `finally`
+    * blocks on partially-created directories.
+    */
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
     * a streaming query fixes its STATE partition count from this conf
     * at start, and every state partition owns store instances that

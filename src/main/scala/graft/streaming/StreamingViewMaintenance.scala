@@ -47,6 +47,7 @@ object StreamingViewMaintenance {
       "o_orderpriority", "cents")
 
     val srcRoot = Files.createTempDirectory("graft_view_src")
+    try {
     val src = srcRoot.toString
     seedFlows.write.mode("append").parquet(src)
     val schema = spark.read.parquet(src).schema
@@ -71,16 +72,12 @@ object StreamingViewMaintenance {
       s.catalog.dropTempView(name)
       snap
     }
-    // the snapshot is driver-resident; drop the temp flow source so
-    // repeated invocations (bench min-of-N, multi-SF sweeps) don't
-    // accumulate in /tmp
-    locally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(srcRoot).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    // the snapshot is driver-resident, so the temp flow source can go
+    // (repeated invocations — bench min-of-N, multi-SF sweeps — must
+    // not accumulate in /tmp); the finally covers failed drains too
     snapshot.where(col("n") > 0)
       .select(col("o_orderpriority"), col("n").as("n_orders"),
         col("s").as("sum_cents"))
+    } finally StreamingRun.deleteRecursively(srcRoot)
   }
 }

@@ -427,6 +427,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       .where(col("source") === "B")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(first == again)
+    // a NULL source must fail loudly, not silently vanish from the
+    // null-unsafe keep join while skewing w_max
+    val withNull = docs.unionByName(
+      Seq((null.asInstanceOf[String], 99999L)).toDF("source", "doc_id"))
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixSqrt(withNull, col("source"), col("doc_id"))
+    }
+    assert(ex.getMessage.contains("null source"))
   }
 
   test("token-budget sample: keeps the md5-order prefix, straddler included") {
