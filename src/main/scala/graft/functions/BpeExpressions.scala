@@ -17,15 +17,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.text.TextFunctions.bpeTrainMerges]]: merges applied in
   * rank order, each as one greedy left-to-right non-overlapping pass
   * (a merged symbol is never re-examined within its own pass) — the
-  * reference loop the randomized CorpusOpsSpec tests pin. The win
-  * over the aggregate-HOF formulation is constant-factor but large:
-  * higher-order functions evaluate INTERPRETED and rebuild the whole
-  * fenced string once per merge (O(merges) string allocations per
-  * token), while this eval runs one in-place array pass per merge and
-  * exits early once a token is down to one symbol. Same
-  * O(merges × len) bound, ~none of the allocation. CodegenFallback:
-  * the per-row loop dominates any virtual-call overhead, and the
-  * operator sits behind an explode anyway.
+  * reference loop the randomized CorpusOpsSpec tests pin.
+  *
+  * The eval does NOT walk the merge table: it looks up each of the
+  * token's adjacent pairs in a pair→rank hash (built once per
+  * expression instance) and repeatedly merges the leftmost occurrence
+  * of the minimal present rank that is ≥ the last-applied rank. That
+  * is provably identical to the pass-by-pass fold for ANY table, not
+  * just trained ones: (a) one greedy L2R pass ≡ repeatedly merging
+  * the pair's leftmost occurrence, because a merge rewrites adjacency
+  * only at its own site and the new symbol l+r can equal neither l
+  * nor r, so no new occurrence of the SAME pair can appear; (b) the
+  * rank pointer enforces the fold's never-revisit rule — a pair
+  * created at a lower rank than the last-applied pass is skipped,
+  * exactly as the fold skips it (its pass already ran). Cost is
+  * O(applied_merges × len) per token, INDEPENDENT of merge-table
+  * size — a 30k-merge production vocabulary costs the same as a 40-
+  * merge test one — where the pass fold pays O(table × len) even for
+  * tokens containing none of the pairs. CodegenFallback: the per-row
+  * loop dominates any virtual-call overhead, and the operator sits
+  * behind an explode anyway.
   *
   * Unlike the trainer, no fence-character contract is needed here:
   * symbols are array elements — there is no string framing to
@@ -52,7 +63,14 @@ case class BpeEncode(tok: Expression, lArr: Expression, rArr: Expression)
             s" / ${lArr.dataType.catalogString} / ${rArr.dataType.catalogString}")
     }
 
-  @transient private lazy val (mergeL, mergeR, mergeOut) = {
+  /** pair→(rank, merged) hash, nested on the left symbol to avoid a
+    * tuple allocation per lookup. A duplicate pair keeps its LOWEST
+    * rank — in the pass fold a later duplicate pass is always a no-op
+    * (the earlier pass removed every occurrence and merging cannot
+    * recreate the same pair), so dropping it preserves semantics.
+    */
+  @transient private lazy val rankOf
+      : java.util.HashMap[String, java.util.HashMap[String, Array[AnyRef]]] = {
     def strings(e: Expression): Array[String] = {
       val a = e.eval(null).asInstanceOf[ArrayData]
       Array.tabulate(a.numElements())(i => a.getUTF8String(i).toString)
@@ -61,7 +79,17 @@ case class BpeEncode(tok: Expression, lArr: Expression, rArr: Expression)
     val rs = strings(rArr)
     require(ls.length == rs.length,
       s"bpe_encode: ${ls.length} lefts vs ${rs.length} rights")
-    (ls, rs, ls.zip(rs).map { case (l, r) => l + r })
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Array[AnyRef]]]()
+    var i = 0
+    while (i < ls.length) {
+      val inner = m.computeIfAbsent(ls(i),
+        _ => new java.util.HashMap[String, Array[AnyRef]]())
+      if (!inner.containsKey(rs(i)))
+        inner.put(rs(i),
+          Array[AnyRef](Integer.valueOf(i), ls(i) + rs(i)))
+      i += 1
+    }
+    m
   }
 
   override def nullSafeEval(input: Any, l: Any, r: Any): Any = {
@@ -76,26 +104,41 @@ case class BpeEncode(tok: Expression, lArr: Expression, rArr: Expression)
       n += 1
       ci += w
     }
-    var mi = 0
-    while (mi < mergeL.length && n >= 2) {
-      val ml = mergeL(mi)
-      val mr = mergeR(mi)
-      val out = mergeOut(mi)
-      // one greedy L2R non-overlapping pass, writing in place
-      var read = 0
-      var write = 0
-      while (read < n) {
-        if (read + 1 < n && syms(read) == ml && syms(read + 1) == mr) {
-          syms(write) = out
-          read += 2
-        } else {
-          syms(write) = syms(read)
-          read += 1
+    // merge the leftmost occurrence of the minimal eligible rank
+    // (eligible = rank ≥ last applied) until none remains — the exact
+    // pass-fold equivalent, O(applied × len), table-size-independent
+    var pointer = 0
+    val table = rankOf
+    var done = n < 2
+    while (!done) {
+      var best = -1
+      var bestPos = -1
+      var bestOut: String = null
+      var i = 0
+      while (i < n - 1) {
+        val inner = table.get(syms(i))
+        if (inner ne null) {
+          val hit = inner.get(syms(i + 1))
+          if (hit ne null) {
+            val rk = hit(0).asInstanceOf[Integer].intValue()
+            if (rk >= pointer && (best == -1 || rk < best)) {
+              best = rk
+              bestPos = i
+              bestOut = hit(1).asInstanceOf[String]
+            }
+          }
         }
-        write += 1
+        i += 1
       }
-      n = write
-      mi += 1
+      if (best == -1) done = true
+      else {
+        syms(bestPos) = bestOut
+        var j = bestPos + 1
+        while (j < n - 1) { syms(j) = syms(j + 1); j += 1 }
+        n -= 1
+        pointer = best
+        if (n < 2) done = true
+      }
     }
     val arr = new Array[Any](n)
     var i = 0

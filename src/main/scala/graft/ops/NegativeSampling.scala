@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic negative sampling — the contrastive-training data
@@ -22,9 +23,18 @@ import org.apache.spark.sql.functions._
   *    partial top-k per anchor — map-side partials emit k pairs per
   *    anchor per shard, the final aggregate merges them exactly
   *    (same (draw, id) comparator ⇒ identical output). Per-task
-  *    memory is |pool|/shards; the total draw work is inherently
-  *    anchors×|pool| in both rungs — the rung changes MEMORY and
-  *    broadcast feasibility, not compute. No window sorts anything.
+  *    memory is |pool|/shards; under THIS spec (rank every
+  *    candidate's draw) total work is anchors×|pool| in both rungs —
+  *    the rung changes MEMORY and broadcast feasibility, not compute.
+  *    No window sorts anything.
+  *
+  * That anchors×|pool| compute is a property of the rank-the-whole-
+  * pool SPEC, not of negative sampling itself: drawing k of P does
+  * not require P work per anchor. [[negativeSamplesByIndex]] is the
+  * compute-scale rung — O(anchors × k) draws via a dense pool index —
+  * under its own (equally deterministic, oracle-replayable) spec.
+  * At 10⁹ anchors × 10⁸ pool the rank spec is ~10¹⁷ digests
+  * (infeasible); the index spec is ~10¹⁰ (routine).
   *
   * Determinism of the ranking: draws order lexicographically on hex;
   * the aggregator score is the NEGATED numeric value of the first 13
@@ -52,9 +62,15 @@ object NegativeSampling {
     // single-split anchor file serializes it (AmplificationAudit)
     val anchors = Partitioning.fanOut(
       df.select(col(idCol).cast("long").as("anchor_id")))
-    val poolN = pool.agg(approx_count_distinct(col("neg_id"))).head().getLong(0)
+    // rung decision: skip the corpus-sized approx-count job entirely
+    // when the caller forces the sharded rung (maxBroadcastPool <= 0)
+    val broadcastable = maxBroadcastPool > 0L && {
+      val poolN =
+        pool.agg(approx_count_distinct(col("neg_id"))).head().getLong(0)
+      poolN <= maxBroadcastPool
+    }
     val joined =
-      if (poolN <= maxBroadcastPool)
+      if (broadcastable)
         anchors.crossJoin(broadcast(pool))
       else {
         // past broadcast reach: hash-shard the pool, replicate each
@@ -68,6 +84,92 @@ object NegativeSampling {
     joined
       .where(col("anchor_id") =!= col("neg_id"))
       .select(col("anchor_id"), score.as("__s"), col("neg_id"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.PairTopKAggregator
+        .top_k_pair(k)(col("__s"), col("neg_id")).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neg_id"))
+  }
+
+  /** (anchor_id, rank, neg_id) — up to k negatives per anchor in
+    * O(anchors × k) DRAW work, the compute-scale rung.
+    *
+    * Spec (deterministic, engine-portable, oracle-replayable):
+    *  1. Pool = ids passing the md5 poolRate threshold (same pool as
+    *     [[negativeSamples]]).
+    *  2. Dense index 0..P−1 over the pool in bucket-major order:
+    *     sort key (id mod indexBuckets, id). The bucketing makes the
+    *     index assignment computable WITHOUT a global window — a
+    *     per-bucket row_number (parallel across `indexBuckets`
+    *     partitions) plus cumulative bucket offsets from a
+    *     ≤indexBuckets-row aggregate — while the oracle states it as
+    *     one `ROW_NUMBER() OVER (ORDER BY id % B, id) − 1`.
+    *  3. Each anchor draws m = k × oversample candidate indices:
+    *     draw j ∈ [0, m) ↦ toInt(md5(anchor":"j)[0,13)) mod P
+    *     (52 bits — exact in every engine).
+    *  4. Join draws to the indexed pool on the index (shuffle keyed
+    *     by index: anchors×m rows meet P rows — no pool replication,
+    *     no anchor×pool product anywhere).
+    *  5. Reject self-hits; collapse duplicate hits per anchor to the
+    *     smallest j; rank surviving negatives by j ascending; keep
+    *     the first k. With m = oversample×k the survival shortfall
+    *     probability is ~(m²/2P + m/P) tail — and "up to k" is the
+    *     spec, replayed identically by the oracle, so determinism
+    *     never depends on the tail not happening.
+    *
+    * Work: anchors×m digests + an anchors×m ⋈ P shuffle join — vs
+    * anchors×P digests in the rank-spec rungs. Indexing is one O(P)
+    * pass (amortizable: the index is itself a declared, hash-checkable
+    * artifact and can be persisted alongside the pool).
+    */
+  def negativeSamplesByIndex(df: DataFrame, idCol: String, k: Int,
+      poolRate: Double, oversample: Int = 3,
+      indexBuckets: Int = 256): DataFrame = {
+    require(k >= 1 && oversample >= 2 && indexBuckets >= 1)
+    val pool = df.select(col(idCol).cast("long").as("neg_id"))
+      .where(md5(col("neg_id").cast("string")) <
+        lit(Sampling.hexThreshold(poolRate)))
+    // dense bucket-major index: per-bucket row_number + tiny offsets
+    val poolB = pool.withColumn("__b",
+      pmod(col("neg_id"), lit(indexBuckets.toLong)).cast("int"))
+    val counts = poolB.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    // ≤indexBuckets rows: the exclusive prefix-sum window is bounded
+    val offsets = counts.withColumn("__off",
+      coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val poolTotal = counts.agg(sum(col("__n"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(poolTotal > 0L, s"negativeSamplesByIndex: empty pool at " +
+      s"poolRate=$poolRate — no candidates to draw from")
+    val indexed = poolB
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("neg_id"))) - 1)
+      .join(broadcast(offsets.select(col("__b"), col("__off"))), Seq("__b"))
+      .select((col("__off") + col("__rn")).cast("long").as("__idx"),
+        col("neg_id"))
+    val m = k * oversample
+    val anchors = Partitioning.fanOut(
+      df.select(col(idCol).cast("long").as("anchor_id")))
+    val draws = anchors
+      .select(col("anchor_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("__j"))
+      .withColumn("__idx",
+        pmod(conv(substring(md5(concat_ws(":",
+          col("anchor_id"), col("__j"))), 1, 13), 16, 10).cast("long"),
+          lit(poolTotal)))
+    val hits = draws.join(indexed, Seq("__idx"))
+      .where(col("anchor_id") =!= col("neg_id"))
+      .groupBy(col("anchor_id"), col("neg_id"))
+      .agg(min(col("__j")).as("__j"))
+    // per-anchor j values are distinct (one j ↦ one index ↦ one id),
+    // so score −j is tie-free; top-k ascending-j via the partial agg
+    hits
+      .select(col("anchor_id"), (-col("__j")).cast("double").as("__s"),
+        col("neg_id"))
       .groupBy(col("anchor_id"))
       .agg(graft.functions.PairTopKAggregator
         .top_k_pair(k)(col("__s"), col("neg_id")).as("top"))

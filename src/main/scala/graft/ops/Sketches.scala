@@ -118,11 +118,17 @@ object Sketches {
   def hllRollingEstimate(registers: DataFrame, dayCol: String,
       windowDays: Int, daySpine: Option[DataFrame] = None): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val spineSrc = daySpine.getOrElse(registers.select(col(dayCol)))
-    require(spineSrc.columns.length == 1,
-      s"daySpine must have exactly one date column, got ${spineSrc.columns.mkString(",")}")
-    val spine = broadcast(
-      spineSrc.toDF("win_day").select(col("win_day").cast("date")).distinct())
+    // default spine passes the register day column through UNCAST so
+    // the output day keeps the caller's type; only an explicit
+    // daySpine (arbitrary caller frame) is normalized to date
+    val spine = broadcast(daySpine match {
+      case Some(sp) =>
+        require(sp.columns.length == 1,
+          s"daySpine must have exactly one date column, got ${sp.columns.mkString(",")}")
+        sp.toDF("win_day").select(col("win_day").cast("date")).distinct()
+      case None =>
+        registers.select(col(dayCol).as("win_day")).distinct()
+    })
     val merged = registers
       .join(spine, datediff(col("win_day"), col(dayCol))
         .between(0, windowDays - 1))

@@ -587,6 +587,49 @@ object AdvancedQueries {
         FROM d)
       WHERE rn <= 4"""))
 
+  /** The COMPUTE-scale rung of negative sampling
+    * (NegativeSampling.negativeSamplesByIndex): O(anchors × k) draw
+    * work under its own spec — dense bucket-major pool index, per-
+    * anchor candidate indices md5(anchor:j) mod P, join on index,
+    * reject self/duplicates, rank by draw number. The rank-spec rungs
+    * above pay anchors×|pool| digests BY SPEC; this is the rung a
+    * 10⁹-anchor × 10⁸-pool corpus actually runs. The oracle replays
+    * the whole spec: the index assignment (one bucket-major
+    * ROW_NUMBER), the 52-bit hex-prefix draw, and the min-j dedupe.
+    */
+  private val qNegativesDraws = QueryDef(
+    "q_negative_samples_draws",
+    (s, d) =>
+      graft.ops.NegativeSampling.negativeSamplesByIndex(
+        Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 4, poolRate = 0.1),
+    Some("""
+      WITH pool AS (
+        SELECT doc_id AS neg_id FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '19999999'),
+      idx AS (
+        SELECT neg_id,
+          ROW_NUMBER() OVER (ORDER BY neg_id % 256, neg_id) - 1 AS pidx
+        FROM pool),
+      p AS (SELECT COUNT(*) AS pn FROM pool),
+      draws AS (
+        SELECT a.doc_id AS anchor_id, j.j,
+          CAST(('0x' || substr(md5(a.doc_id || ':' || j.j), 1, 13))
+            AS UBIGINT) % p.pn AS pidx
+        FROM documents a
+        CROSS JOIN (SELECT unnest(range(12)) AS j) j
+        CROSS JOIN p),
+      hits AS (
+        SELECT d.anchor_id, MIN(d.j) AS j, i.neg_id
+        FROM draws d JOIN idx i USING (pidx)
+        WHERE i.neg_id <> d.anchor_id
+        GROUP BY d.anchor_id, i.neg_id)
+      SELECT anchor_id, CAST(rn AS INT) AS rank, neg_id FROM (
+        SELECT anchor_id, neg_id,
+          ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY j) AS rn
+        FROM hits)
+      WHERE rn <= 4"""))
+
   /** Token-budget mixing (Sampling.tokenBudgetSample): keep each
     * source's md5-shuffle prefix until 2000 tokens — the mixture
     * primitive specified in TOKENS (how training mixes are actually
@@ -836,6 +879,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

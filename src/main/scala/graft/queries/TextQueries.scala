@@ -1113,6 +1113,20 @@ object TextQueries {
     (s, d) => graft.streaming.StreamingContamination.runBatchEquivalent(s, d),
     Some(sqlContamination))
 
+  /** The streaming filter's BLOOM rung, forced (maxLiteralShingles=0,
+    * the q_negative_samples_sharded forcing pattern): probe sketch
+    * built once, `foreachBatch` applies the batch Bloom prefilter +
+    * exact verify per micro-batch into a parquet sink. Per-document
+    * flags make per-batch application exactly the batch semantics, so
+    * the SAME oracle hash-checks the rung a production-sized probe set
+    * (past literal/broadcast reach) actually needs.
+    */
+  private val qStreamContaminationBloom = QueryDef(
+    "q_stream_contamination_bloom",
+    (s, d) => graft.streaming.StreamingContamination
+      .runBatchEquivalentAuto(s, d, maxLiteralShingles = 0L),
+    Some(sqlContamination))
+
   /** Fuzzy entity-resolution join (FuzzyJoin.fuzzyJoinTop1): the part
     * catalog split into two disjoint "vendor feeds" (even/odd partkey),
     * entity string = name+brand+type+size; each even-side record gets
@@ -1800,5 +1814,5 @@ object TextQueries {
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
-    qStreamContamination, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
+    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
 }

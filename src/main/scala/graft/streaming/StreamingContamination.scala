@@ -26,8 +26,15 @@ import graft.text.{Dedup, TextFunctions}
   * 100 TB (per-doc cost bounded, no cross-doc coordination).
   *
   * Boundary: a probe set beyond comfortable literal/broadcast size
-  * (≫10⁷ shingles ≈ 100 MB) moves to `foreachBatch` over the batch
-  * `contaminationFlags` (broadcast stream-static join) instead.
+  * (≫10⁷ shingles ≈ 100 MB) moves to the `foreachBatch` Bloom rung
+  * ([[runBatchEquivalentBloom]]): the sketch is built ONCE (~7.3
+  * bits/key at 3% fpp — shippable where a literal array is not), each
+  * micro-batch runs the batch `applyBloomFlags` (map-side sketch
+  * prefilter → exact semi-join verify → per-doc rollup). Flags are
+  * per-document, so per-batch application IS the batch semantics —
+  * no cross-batch state. [[runBatchEquivalentAuto]] picks the rung by
+  * counting the probe's distinct shingles, the NgramLm
+  * broadcast→shuffle auto-switch pattern.
   *
   * The per-row HOF (`transform`) evaluates interpreted, ~6× the CPU of
   * the batch path's codegen'd explode (measured for the batch shapes,
@@ -131,6 +138,68 @@ object StreamingContamination {
         s.table(name).collectAsList(), s.table(name).schema)
       s.catalog.dropTempView(name)
       snapshot
+    }
+  }
+
+  /** Probe sets past this many distinct shingles stop being literal-
+    * array-cheap in the stream's plan (8 B/hash plus per-task literal
+    * deserialization) and the driver auto-switches to the Bloom rung.
+    */
+  val MaxLiteralProbeShingles = 4000000L
+
+  /** Rung dispatch: one bounded count job over the probe's distinct
+    * shingles decides literal-array (map-side, zero shuffle) vs
+    * foreachBatch Bloom (sketch prefilter + exact verify). Both rungs
+    * emit identical rows — the shared batch oracle hash-checks either.
+    */
+  def runBatchEquivalentAuto(spark: SparkSession, sfDir: String,
+      maxLiteralShingles: Long = MaxLiteralProbeShingles): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nProbeShingles =
+      if (maxLiteralShingles <= 0L) Long.MaxValue // rung forced: skip the job
+      else Dedup.shingleHashFrame(
+          docs.where(col("doc_id") % 97 === 0), "doc_id", "text", 3)
+        .agg(approx_count_distinct(col("s"))).head().getLong(0)
+    if (nProbeShingles <= maxLiteralShingles) runBatchEquivalent(spark, sfDir)
+    else runBatchEquivalentBloom(spark, sfDir)
+  }
+
+  /** The Bloom rung driven batch-equivalently: build the probe sketch
+    * once, stream the corpus, run `Dedup.applyBloomFlags` per
+    * micro-batch through `foreachBatch`, sink each batch's flags to a
+    * shared parquet directory (the production sink shape — a memory
+    * sink would hide the write path), and read the union back. The
+    * emitted rows must equal the batch `contaminationFlagsBloom`
+    * output — and therefore `contaminationFlags` (bloom is
+    * exact-after-verify) — whatever the micro-batch boundaries.
+    */
+  def runBatchEquivalentBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (probeSh, sketch) = Dedup.bloomProbeBuild(
+      docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+      shingleN = 3, fpp = 0.03)
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_stream_bloom")
+      try {
+        val stream = documentsStream(s, sfDir)
+          .where(col("doc_id") % 97 =!= 0)
+        val q = stream.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            Dedup.applyBloomFlags(batch.toDF(), probeSh, sketch,
+                "doc_id", "text", shingleN = 3, minOverlap = 1)
+              .write.mode("append").parquet(outDir.toString)
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        // snapshot to the driver (bounded: per-doc flags) BEFORE the
+        // finally deletes the backing files
+        val res = s.read.parquet(outDir.toString)
+        s.createDataFrame(res.collectAsList(), res.schema)
+      } finally StreamingRun.deleteRecursively(outDir)
     }
   }
 }

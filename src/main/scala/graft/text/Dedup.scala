@@ -716,8 +716,20 @@ object Dedup {
   def contaminationFlagsBloom(corpus: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       minOverlap: Int = 1, fpp: Double = 0.03): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.functions.VectorFunctions.register(spark)
+    val (probeSh, sketch) =
+      bloomProbeBuild(probes, idCol, textCol, shingleN, fpp)
+    applyBloomFlags(corpus, probeSh, sketch, idCol, textCol, shingleN,
+      minOverlap)
+  }
+
+  /** BUILD side of the Bloom rung, separated so a streaming consumer
+    * (StreamingContamination's foreachBatch path) pays it ONCE, not
+    * per micro-batch: the pinned distinct probe shingle-hash frame
+    * plus its serialized Bloom sketch.
+    */
+  private[graft] def bloomProbeBuild(probes: DataFrame, idCol: String,
+      textCol: String, shingleN: Int,
+      fpp: Double): (DataFrame, Array[Byte]) = {
     // Probe side is bounded by contract (benchmarks/blocklists) and
     // feeds three consumers (count, sketch build, exact verify) →
     // pinned, the no-unpersist-hook pattern.
@@ -730,6 +742,19 @@ object Dedup {
       bf.writeTo(bos)
       bos.toByteArray
     }
+    (probeSh, sketch)
+  }
+
+  /** APPLY side of the Bloom rung: prefilter the corpus shingles with
+    * the literal sketch (map-side), exact-verify survivors against the
+    * probe frame, roll up per document. Batch-callable on any corpus
+    * slice — including one micro-batch of a stream — because the flags
+    * are per-document, no cross-slice state.
+    */
+  private[graft] def applyBloomFlags(corpus: DataFrame, probeSh: DataFrame,
+      sketch: Array[Byte], idCol: String, textCol: String,
+      shingleN: Int, minOverlap: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val mightHit = org.apache.spark.sql.functions
       .call_function("bloom_might_contain", lit(sketch), col("s"))
     val corpusSh = pinned(shingleHashFrame(corpus, idCol, textCol, shingleN))

@@ -588,10 +588,13 @@ object TextFunctions {
     * tokens PRESENT IN BOTH sources (one self-equi-join on token):
     * each side's absent-token mass is recovered from totals,
     * Σ_{a only} n_a·N_b = (N_a − Σ_both n_a)·N_b — so no full-outer
-    * join and no token-grid materialization. Overflow headroom (ANSI):
-    * the abs-sum bounds at sharedVocab · N_a · N_b — safe to ~10⁶
-    * tokens/source at 10⁵ vocab; larger corpora should drift-compare
-    * on a sampled slice (Sampling.sampleByKey) or bucket counts.
+    * join and no token-grid materialization. The numerator algebra
+    * runs in DECIMAL (the Registry determinism pattern): counts and
+    * totals cast to DECIMAL(18,0) (exact to 10¹⁸ tokens/source), each
+    * cross-product lands in DECIMAL(37,0) with no precision cap, and
+    * the abs-sum accumulates in DECIMAL(38,0) — bound sharedVocab ·
+    * N_a · N_b ≈ 10²⁹ at 10⁵ vocab × 10¹² tokens/source, no overflow
+    * cliff anywhere on the 100 TB path. One final double division.
     *
     * Shape at scale: counts are a (source × vocab)-sized aggregate;
     * the self-join shuffles counts by token (never text); totals are
@@ -603,9 +606,23 @@ object TextFunctions {
       textCol: String): org.apache.spark.sql.DataFrame = {
     val tok = df.select(col(sourceCol).as("src"),
       explode(tokens(col(textCol))).as("t"))
-    val counts = tok.groupBy(col("src"), col("t")).agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+    driftFromCounts(
+      tok.groupBy(col("src"), col("t")).agg(count(lit(1)).as("n")))
+  }
+
+  /** The drift algebra over a prebuilt (src, t, n) count frame —
+    * separated so the DECIMAL-exactness contract is testable at
+    * synthetic 10¹²-token-per-source counts (no corpus could inject
+    * them through the tokenizer). All products run DECIMAL(18)×
+    * DECIMAL(18) → DECIMAL(37) (uncapped), sums in DECIMAL(38).
+    */
+  private[graft] def driftFromCounts(
+      counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d18 = "decimal(18,0)"
+    val totals = counts.groupBy(col("src"))
+      .agg(sum(col("n")).cast(d18).as("tot"))
     val ct = counts.join(broadcast(totals), Seq("src"))
+      .select(col("src"), col("t"), col("n").cast(d18).as("n"), col("tot"))
     val inner = ct.as("a").join(ct.as("b"),
         col("a.t") === col("b.t") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
@@ -620,10 +637,11 @@ object TextFunctions {
         col("x.tot").as("tot_a"), col("y.tot").as("tot_b"))
     pairs.join(inner, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
-        ((coalesce(col("s_abs"), lit(0L)) +
-          (col("tot_a") - coalesce(col("s_a"), lit(0L))) * col("tot_b") +
-          (col("tot_b") - coalesce(col("s_b"), lit(0L))) * col("tot_a")) /
-          (col("tot_a") * col("tot_b"))).as("l1_drift"))
+        ((coalesce(col("s_abs"), lit(0).cast(d18)) +
+          (col("tot_a") - coalesce(col("s_a"), lit(0).cast(d18))) * col("tot_b") +
+          (col("tot_b") - coalesce(col("s_b"), lit(0).cast(d18))) * col("tot_a"))
+          .cast("double") /
+          (col("tot_a") * col("tot_b")).cast("double")).as("l1_drift"))
   }
 
   def commonNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,

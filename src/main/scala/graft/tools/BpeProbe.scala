@@ -51,15 +51,29 @@ object BpeProbe {
     val trainSec = (System.nanoTime() - t1) / 1e9
     val marginal = (trainSec - round1Sec) / math.max(rounds - 1, 1)
 
-    // encode with the FULL learned merge table: the aggregate-HOF
-    // encoder keeps the plan O(1) in merge count, so this scales to
-    // real tokenizer sizes (per-row cost is merges x string scan)
+    // encode with the FULL learned merge table: the native BpeEncode
+    // Catalyst expression (foldable merge-table literals → O(1) plan
+    // size in merge count; per-row cost is O(applied_merges x len) via
+    // the pair->rank hash, independent of table size)
     val t2 = System.nanoTime()
     val nSyms = TextFunctions.bpeEncodeSymbols(docs, "text", merges.toSeq)
       .count()
     val encodeSec = (System.nanoTime() - t2) / 1e9
 
-    println(f"""{"workload":"bpe_train","docs":$total,"rounds":$rounds,"batch_size":$batchSize,"round1_sec":$round1Sec%.2f,"train_sec":$trainSec%.2f,"marginal_per_round_sec":$marginal%.4f,"encode_all_sec":$encodeSec%.2f,"merges_learned":${merges.length},"encoded_symbols":$nSyms}""")
+    // table-size independence: pad the learned table with 9x inert
+    // merges (left symbols that cannot occur in any token) — applied
+    // work is unchanged, so encode time must stay flat where a
+    // walk-the-table encoder grows ~10x
+    val padded = merges.toSeq ++
+      (0 until 9 * merges.length).map(i => (s"pad$i", "x"))
+    val t3 = System.nanoTime()
+    val nSymsPad = TextFunctions.bpeEncodeSymbols(docs, "text", padded)
+      .count()
+    val encodePadSec = (System.nanoTime() - t3) / 1e9
+    require(nSymsPad == nSyms,
+      s"inert table padding changed the encoding: $nSyms vs $nSymsPad")
+
+    println(f"""{"workload":"bpe_train","docs":$total,"rounds":$rounds,"batch_size":$batchSize,"round1_sec":$round1Sec%.2f,"train_sec":$trainSec%.2f,"marginal_per_round_sec":$marginal%.4f,"encode_all_sec":$encodeSec%.2f,"encode_10x_table_sec":$encodePadSec%.2f,"merges_learned":${merges.length},"encoded_symbols":$nSyms}""")
     spark.stop()
   }
 }

@@ -45,7 +45,24 @@ object NegSampleProbe {
     require(diff == 0L && bcRows == shRows,
       s"rung outputs diverge: diff=$diff bcRows=$bcRows shRows=$shRows")
 
-    println(f"""{"workload":"negative_sampling","anchors":$total,"pool_rate":$poolRate,"k":$k,"rows":$bcRows,"broadcast_sec":$bcSec%.2f,"sharded_sec":$shSec%.2f,"identical":true}""")
+    // compute-scale rung: time the O(anchors×k) index-draw spec at the
+    // probe pool AND at a 5× pool — rank-spec work grows with |pool|,
+    // index-spec work doesn't (it re-pays only the O(P) indexing pass)
+    def timeDraws(rate: Double): (Double, Long) = {
+      val t = System.nanoTime()
+      val rows = NegativeSampling
+        .negativeSamplesByIndex(ids, "doc_id", k, rate).count()
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+    val (dxSec, dxRows) = timeDraws(poolRate)
+    val rate5 = math.min(1.0, poolRate * 5)
+    val (dx5Sec, dx5Rows) = timeDraws(rate5)
+    val t2 = System.nanoTime()
+    val rank5Rows = NegativeSampling.negativeSamples(
+      ids, "doc_id", k, rate5).count()
+    val rank5Sec = (System.nanoTime() - t2) / 1e9
+
+    println(f"""{"workload":"negative_sampling","anchors":$total,"pool_rate":$poolRate,"k":$k,"rows":$bcRows,"broadcast_sec":$bcSec%.2f,"sharded_sec":$shSec%.2f,"identical":true,"draws_sec":$dxSec%.2f,"draws_rows":$dxRows,"pool_rate_5x":$rate5,"draws_5x_sec":$dx5Sec%.2f,"draws_5x_rows":$dx5Rows,"rank_5x_sec":$rank5Sec%.2f,"rank_5x_rows":$rank5Rows}""")
     spark.stop()
   }
 }

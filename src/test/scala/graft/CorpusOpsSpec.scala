@@ -886,4 +886,69 @@ class CorpusOpsSpec extends AnyFunSuite {
     // doc 4 matches nothing → score 0, still present (left join), last
     assert(scores(4L) == 0.0 && order.last == 4L)
   }
+
+  test("source drift: DECIMAL algebra exact at 10^12-token-per-source counts") {
+    // n_a*N_b here reaches 3*10^24 — past BIGINT (9.2*10^18), the old
+    // overflow cliff. The BigInt reference is ground truth.
+    val counts = Seq(
+      ("A", "t1", 400000000000L), ("A", "t2", 600000000000L),
+      ("B", "t1", 1000000000000L), ("B", "t3", 2000000000000L),
+      ("C", "t4", 700000000000L))
+    val got = graft.text.TextFunctions.driftFromCounts(
+        counts.toDF("src", "t", "n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def drift(a: String, b: String): Double = {
+      val ca = counts.filter(_._1 == a).map(x => x._2 -> BigInt(x._3)).toMap
+      val cb = counts.filter(_._1 == b).map(x => x._2 -> BigInt(x._3)).toMap
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      val num = (ca.keySet ++ cb.keySet).toSeq.map { t =>
+        (ca.getOrElse(t, BigInt(0)) * nb - cb.getOrElse(t, BigInt(0)) * na).abs
+      }.sum
+      num.toDouble / (na * nb).toDouble
+    }
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    for (((a, b), v) <- got) assert(v == drift(a, b), s"pair ($a,$b)")
+    // disjoint vocabularies (A,C) must land at exactly 2
+    assert(got(("A", "C")) == 2.0)
+  }
+
+  test("negative samples by index: matches a naive replay of the draw spec") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.NegativeSampling
+    val k = 3
+    val ids = spark.range(200).select(col("id").as("doc_id"))
+    val got = NegativeSampling.negativeSamplesByIndex(
+      ids, "doc_id", k, poolRate = 0.3, oversample = 3, indexBuckets = 16)
+
+    // naive replay of the spec with global windows (fine at 200 rows)
+    val pool = ids.select(col("doc_id").as("neg_id"))
+      .where(md5(col("neg_id").cast("string")) <
+        lit(Sampling.hexThreshold(0.3)))
+    val idx = pool.withColumn("pidx", row_number().over(
+      Window.orderBy(pmod(col("neg_id"), lit(16L)), col("neg_id"))) - 1)
+    val pn = pool.count()
+    val m = k * 3
+    val draws = ids.select(col("doc_id").as("anchor_id"))
+      .crossJoin(spark.range(m).select(col("id").as("j")))
+      .withColumn("pidx", pmod(conv(substring(md5(concat_ws(":",
+        col("anchor_id"), col("j"))), 1, 13), 16, 10).cast("long"),
+        lit(pn)))
+    val want = draws.join(idx, "pidx")
+      .where(col("neg_id") =!= col("anchor_id"))
+      .groupBy("anchor_id", "neg_id").agg(min("j").as("j"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("anchor_id").orderBy("j")).cast("int"))
+      .where(col("rank") <= k).select("anchor_id", "rank", "neg_id")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+
+    // contract checks: no self-negatives, ≤k per anchor, negatives ⊆ pool
+    val rows = got.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val perAnchor = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perAnchor.forall(_ <= k) && perAnchor.exists(_ == k))
+    val poolSet = pool.collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => poolSet.contains(r.getLong(2))))
+  }
 }
