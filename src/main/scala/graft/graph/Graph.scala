@@ -112,11 +112,25 @@ object Graph {
     * Each triangle then exists exactly once as a<b<c in that order;
     * exploding its corners gives per-node counts.
     *
+    * Join rung: `maxBroadcastEdges` > 0 broadcasts the ORIENTED edge
+    * list (16 B/row of longs) into BOTH the wedge join and the closure
+    * semi-join — everything downstream of orientation goes map-side,
+    * zero wedge shuffle. Measured A/B (TriangleProfile, sf0.1, 49M
+    * wedges vs 1.2M oriented edges, same JVM): broadcast ~7.9 s vs
+    * shuffle ~6.7 s typical — on a single box the wedge exchange is
+    * memory-local and CHEAPER than the broadcast build, so the default
+    * stays 0 (shuffle; also Spark's own choice at this relation size).
+    * Raise it on a real cluster where the ~24 B × wedges exchange
+    * crosses the network and the oriented edge list fits executor
+    * memory. Both rungs are the same joins — output identical
+    * (GraphSpec asserts it). The count that decides is free:
+    * `oriented` is already checkpoint-materialized.
+    *
     * Output: (idCol, n_triangles) for every node in `nodes` (0 for
     * triangle-free nodes).
     */
   def triangleCounts(edges: DataFrame, nodes: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String, maxBroadcastEdges: Long = 0L): DataFrame = {
     val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // total order: (degree, id); keep each undirected edge low→high
     val withDeg = edges
@@ -127,11 +141,15 @@ object Graph {
         (col("ds") === col("dd") && col("src") < col("dst")))
       .select(col("src").as("lo"), col("dst").as("hi"))
       .localCheckpoint(true)
+    val edgeSide =
+      if (maxBroadcastEdges > 0L && oriented.count() <= maxBroadcastEdges)
+        broadcast(oriented)
+      else oriented
     // wedges from the LOW endpoint, closed by an oriented edge b→c
     val tri = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
+      .join(edgeSide.as("e2"), col("e1.hi") === col("e2.lo"))
       .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
-      .join(oriented.as("e3"),
+      .join(edgeSide.as("e3"),
         col("a") === col("e3.lo") && col("c") === col("e3.hi"), "left_semi")
     val corner = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))

@@ -70,5 +70,10 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 4L).forall(out(_) == 3L))
     assert((5L to 9L).forall(out(_) == 0L))
+    // broadcast rung (cluster knob): identical counts
+    val outB = Graph.triangleCounts(edges, nodes, "id",
+        maxBroadcastEdges = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outB == out)
   }
 }
