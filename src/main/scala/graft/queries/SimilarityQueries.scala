@@ -594,7 +594,10 @@ object SimilarityQueries {
     * query vector id so the two serve exhibits can hit the SAME built
     * index with different queries (build-once/serve-many).
     */
-  private def ivfpqSql(qid: Long): String = {
+  private def ivfpqSql(qid: Long): String =
+    ivfpqSqlWithTail(qid, s"${ivfpqAdcSelect(qid)} LIMIT 20")
+
+  private def ivfpqSqlWithTail(qid: Long, tail: String): String = {
     def kStep(n: Int, cent: String) = s"""
       kd$n AS (
         SELECT f.vec_id, c.cluster, SUM((f.qv - c.qc) * (f.qv - c.qc)) AS d
@@ -669,15 +672,33 @@ object SimilarityQueries {
         FROM cent2 c JOIN sub q
           ON q.vec_id = $qid AND q.j = c.j AND q.spos = c.spos
         GROUP BY 1, 2)
+      $tail"""
+  }
+
+  private def ivfpqAdcSelect(qid: Long) = s"""
       SELECT a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
       FROM a2 a
       JOIN lut l ON l.j = a.j AND l.code = a.code
       JOIN ka2 kc ON kc.vec_id = a.vec_id
       WHERE kc.cluster IN (SELECT cluster FROM probe) AND a.vec_id <> $qid
       GROUP BY a.vec_id
-      ORDER BY adc, a.vec_id
-      LIMIT 20"""
-  }
+      ORDER BY adc, a.vec_id"""
+
+  /** The refined exhibit's oracle: the SAME unrolled pipeline down to
+    * the ADC ordering, truncated to the k×refine shortlist (the (adc,
+    * vec_id) total order makes the cut deterministic), then exact
+    * quantized squared-L2 re-rank over shortlist rows only.
+    */
+  private def ivfpqRefinedSql(qid: Long, k: Int, refine: Int): String =
+    ivfpqSqlWithTail(qid, s"""
+      , short AS (${ivfpqAdcSelect(qid)} LIMIT ${k * refine})
+      SELECT f.vec_id,
+        CAST(SUM((f.qv - q.qv) * (f.qv - q.qv)) AS BIGINT) AS d2
+      FROM flat f JOIN flat q ON q.vec_id = $qid AND q.p = f.p
+      WHERE f.vec_id IN (SELECT vec_id FROM short)
+      GROUP BY 1
+      ORDER BY d2, f.vec_id
+      LIMIT $k""")
 
   /** Build-if-absent + serve for the cell-partitioned IVF+PQ layout,
     * shared by BOTH IVF+PQ exhibits: one verify/bench run builds the
@@ -708,6 +729,37 @@ object SimilarityQueries {
     ProductQuantizer.ivfPqSearch(index, "vec_id", query,
       nProbe = nProbe, k = 20, excludeId = Some(qid))
   }
+
+  /** The REFINE rung over the same served layout
+    * (ProductQuantizer.ivfPqSearchRefined — FAISS IndexRefineFlat's
+    * shape): ADC ranks a k×refine shortlist from the pruned codes
+    * scan, then ONLY those rows' full vectors are point-read from the
+    * base table (id pushdown) and re-ranked by exact quantized
+    * squared-L2. This is the rung that restores recall when true
+    * neighbor gaps sit below 8-byte PQ resolution (IvfPqScaleProbe:
+    * recall@20 0.03 → with refine — see SCALE_NOTES round 9). The
+    * oracle replays the full pipeline INCLUDING the deterministic
+    * shortlist cut and the exact re-rank.
+    */
+  private val qIvfPqRefined = QueryDef(
+    "q_ann_ivfpq_refined",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val dir = buildDir(s, d, "graft_ivfpq_index", "embeddings")
+      if (builtIvfIndexes.add(dir))
+        ProductQuantizer.buildAndWriteIvfPqIndex(emb, "vec_id", "embedding",
+          dir, kCells = 8, iters = 2, m = 8, kCodes = 16)
+      val index = ProductQuantizer.readIvfPqIndex(s, dir)
+      val qid = 2L
+      val query = emb.where(col("vec_id") === qid)
+        .select(KMeans.quantize(col("embedding")))
+        .head().getSeq[Long](0).toArray
+      val nProbe = Similarity.autoNProbe(emb.count(), 8, base = 3)
+      ProductQuantizer.ivfPqSearchRefined(index, emb, "vec_id", "embedding",
+        query, nProbe = nProbe, k = 20, refine = 5, excludeId = Some(qid))
+    },
+    Some(ivfpqRefinedSql(2L, k = 20, refine = 5)))
 
   /** The composed IVF+PQ index (coarse integer-kmeans cells + fine PQ
     * codes): the full FAISS-style shape with every stage deterministic,
@@ -829,6 +881,6 @@ object SimilarityQueries {
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
-    qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed,
+    qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined,
     qCentroids, qCentroidVectors, qLabelOutliers)
 }

@@ -288,6 +288,40 @@ object ProductQuantizer {
       idCol, query, index.model, k, excludeId)
   }
 
+  /** ADC-shortlist + EXACT re-rank — the refine rung every production
+    * IVF+PQ deployment runs (FAISS's IndexRefineFlat): PQ codes rank
+    * candidates, but within a tight cluster the true neighbor gaps are
+    * smaller than 8-byte quantization error, so ADC ties and recall
+    * collapses (IvfPqScaleProbe measured recall@20 ≈ 0.03 on planted-
+    * cluster vectors — ~20/cluster-size, i.e. arbitrary). The fix:
+    * take the ADC top `k × refine` shortlist (deterministic — (adc,
+    * id) total order), fetch ONLY those rows' full vectors from the
+    * base table (id-pushdown point reads — bounded at refine×k rows),
+    * and rank by exact integer quantized-L2. The shortlist id list is
+    * a bounded driver-side frame (hundreds), the house probe-id
+    * pattern; the scan cost is one pushed-filter read of refine×k
+    * rows, NOT a corpus scan.
+    *
+    * Output: (idCol, d2) — exact quantized squared-L2, ascending
+    * (d2, id), k rows.
+    */
+  def ivfPqSearchRefined(index: IvfPqIndex, base: DataFrame, idCol: String,
+      vecCol: String, query: Array[Long], nProbe: Int, k: Int,
+      refine: Int = 10, excludeId: Option[Long] = None): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    graft.functions.VectorFunctions.register(base.sparkSession)
+    val shortlist = ivfPqSearch(index, idCol, query, nProbe, k * refine,
+      excludeId).select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    base.where(col(idCol).isin(shortlist: _*))
+      .select(col(idCol),
+        org.apache.spark.sql.functions.element_at(
+          graft.functions.VectorFunctions.q_vec_nearest_l2(
+            KMeans.quantize(col(vecCol)), typedLit(query.toSeq)), 2)
+          .as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k by ADC over an encoded corpus: per row, the
     * distance is m lookups into the flat LUT literal, summed in fixed
     * subspace order — map-side, then TakeOrderedAndProject. Code ids

@@ -381,21 +381,28 @@ object TextFunctions {
     *     folds them into the running pair-count table — the global pair
     *     recount happens once, at init.
     *  3. **Batched merge selection.** Per driver round-trip the trainer
-    *     accepts a PREFIX of the (n DESC, l, r) candidate order whose
-    *     pairs are mutually non-interacting — no shared raw symbol, no
-    *     symbol equal to an earlier accepted pair's concatenation — so
-    *     earlier merges in the batch provably cannot change later
-    *     members' counts or pattern positions. Because merges can
-    *     CREATE pairs that outrank a later batch member, the batch is
-    *     then verified exactly against the computed deltas (driver-side
-    *     replay over the changed-pair set, UTF-8 binary tie-order) and
-    *     truncated at the first step where the sequential trajectory
-    *     would diverge. Result: bit-identical to the one-merge-at-a-time
-    *     loop, at up to batchSize merges per ~3 Spark jobs on Zipfian
-    *     counts (flat/tied counts degrade gracefully toward 1/batch).
+    *     scans the (n DESC, l, r) candidate order and accepts up to
+    *     batchSize pairs, skipping only a pair whose symbol EQUALS an
+    *     earlier accepted pair's concatenation (a batch-created symbol
+    *     — the one case where the pre-image `contains` filter below
+    *     would miss affected words, since pattern occurrences can
+    *     never otherwise be CREATED by other merges; shared raw
+    *     symbols are fine — the fold applies stages sequentially, so
+    *     destruction is handled exactly). The batch is then verified
+    *     exactly against the computed deltas (driver-side replay over
+    *     the changed-pair set PLUS skipped candidates, UTF-8 binary
+    *     tie-order, each accepted member ranked at its CURRENT
+    *     replayed count) and truncated at the first step where the
+    *     sequential trajectory would diverge. Result: bit-identical to
+    *     the one-merge-at-a-time loop, at up to batchSize merges per
+    *     ~3 Spark jobs — including on flat/all-tied counts, where the
+    *     former no-shared-symbol rule degraded to 1 merge/round-trip
+    *     (BpeProbe's flat-tie row measures the repaired shape).
     *
     * Returns (round, merge_left, merge_right, n) — the learned merge
-    * table, `rounds` rows; `n` is the selection-time corpus pair count.
+    * table, `rounds` rows; `n` is the pair's corpus count AT ITS OWN
+    * MERGE STEP (deltas from earlier batch members applied), exactly
+    * the count the sequential loop would report.
     */
   def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
       rounds: Int, batchSize: Int = 32): org.apache.spark.sql.DataFrame = {
@@ -459,18 +466,29 @@ object TextFunctions {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       require(cands.nonEmpty,
         s"BPE round ${merges.size + 1}: corpus has no adjacent symbol pairs left")
-      // accept the longest CONSECUTIVE prefix of non-interacting pairs
-      // (a skipped candidate's count would be changed by the batch, so
-      // the order past it is unknowable without another round-trip)
+      // accept up to `want` pairs scanning the ranked candidates,
+      // SKIPPING only a candidate that reuses a symbol CREATED by an
+      // earlier accepted member (l/r == its concatenation): that is
+      // the one case where the pre-image `contains` filter below could
+      // miss words gaining the pattern mid-batch. Shared RAW symbols
+      // are accepted — the staged fold applies merges sequentially
+      // (fenced replace per stage), so destroyed/shifted occurrences
+      // are exact, and the verification replay ranks each member at
+      // its CURRENT (delta-adjusted) count. Skipped candidates enter
+      // the replay at their original counts so a wrongly-ordered
+      // acceptance is always caught and truncated. (The former
+      // no-shared-symbol stop-at-first-clash rule degraded to 1
+      // merge/round-trip on flat-count corpora: all ties → the
+      // lexicographic neighbor always shared the left symbol.)
       val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var stop = false
-      for (c <- cands if !stop && accepted.size < want) {
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (c <- cands if accepted.size < want) {
         val (l, r, _) = c
         val clash = accepted.exists { case (al, ar, _) =>
           val made = al + ar
-          l == al || l == ar || r == al || r == ar || l == made || r == made
+          l == made || r == made
         }
-        if (clash) stop = true else accepted += c
+        if (clash) skipped += c else accepted += c
       }
       val k = accepted.size
       // fold stages over affected words only: st0 = s, st_i = st_{i-1}
@@ -481,15 +499,23 @@ object TextFunctions {
         (F + l + FF + r + F, F + l + r + F) }.toSeq
       val affected = words.where(
         pats.map(p => col("s").contains(p._1)).reduce(_ || _))
-      val stages = pats.scanLeft(col("s")) { case (c, (pat, rep)) =>
-        call_function("replace", c, lit(pat), lit(rep)) }
-      val staged = affected.select(
-        col("w") +: stages.zipWithIndex.map { case (c, i) => c.as(s"st$i") }: _*)
+      // stages st0..stk as ONE runtime-fold column — NOT a k-deep
+      // nested replace expression tree: whole-stage codegen's
+      // subexpression-elimination state duplicates deep shared chains
+      // into the generated source super-linearly (observed: a 2 GB
+      // source string → OOM at k≈30 on a wide-alphabet corpus). The
+      // aggregate HOF keeps the plan O(1) in k; the per-row work is
+      // the same k replaces the tree form ran.
+      val stagesCol = aggregate(
+        typedLit(pats), array(col("s")),
+        (acc, p) => array_append(acc, call_function("replace",
+          element_at(acc, -1), p.getField("_1"), p.getField("_2"))))
+      val staged = affected.select(col("w"), stagesCol.as("sts"))
       val deltaParts = (1 to k).flatMap { i => Seq(
-        transform(pairArr(col(s"st$i")), x =>
+        transform(pairArr(element_at(col("sts"), i + 1)), x =>
           struct(lit(i).as("i"), x.getField("l").as("l"),
             x.getField("r").as("r"), col("w").as("d"))),
-        transform(pairArr(col(s"st${i - 1}")), x =>
+        transform(pairArr(element_at(col("sts"), i)), x =>
           struct(lit(i).as("i"), x.getField("l").as("l"),
             x.getField("r").as("r"), (-col("w")).as("d")))) }
       val deltas = staged
@@ -499,12 +525,19 @@ object TextFunctions {
         .where(col("d") =!= 0L)
         .localCheckpoint(true)
       // exact trajectory verification: replay steps 2..k over the
-      // changed-pair set (an unchanged pair outside the accepted prefix
-      // cannot outrank an accepted pair by the sort order). Collect is
-      // bounded: past the cap, fall back to the single certain merge.
-      val kEff =
-        if (k == 1) 1
-        else if (deltas.count() > 200000L) 1
+      // changed-pair set PLUS the skipped candidates (an unchanged,
+      // unskipped pair outside `cands` cannot outrank an accepted pair:
+      // `cands` is the global (n desc, l, r) top block, so everything
+      // outside ranks below every accepted member unless a delta moved
+      // it — and then it IS in the replay set). Collect is bounded:
+      // past the cap, fall back to the single certain merge.
+      // stepCounts(i) = accepted(i)'s corpus count AT ITS OWN STEP —
+      // with shared-symbol batches an earlier member can change a
+      // later member's count, and both the divergence ranking and the
+      // emitted merge row must use the sequential-loop value
+      val (kEff, stepCounts) =
+        if (k == 1) (1, Seq(accepted(0)._3))
+        else if (deltas.count() > 200000L) (1, Seq(accepted(0)._3))
         else {
           val cur = scala.collection.mutable.Map.empty[(String, String), Long]
           deltas.select(col("l"), col("r")).distinct()
@@ -512,25 +545,48 @@ object TextFunctions {
             .collect().foreach { r =>
               cur((r.getString(0), r.getString(1))) =
                 if (r.isNullAt(2)) 0L else r.getLong(2) }
+          // EVERY candidate (accepted, skipped, unscanned) enters at
+          // its original count: with shared-symbol batches a member's
+          // count can DROP mid-batch, so the post-delta order among
+          // candidates themselves can invert (ties resolve
+          // lexicographically at the NEW counts) — the replay must be
+          // able to rank them all
+          cands.foreach { case (l, r, n0) =>
+            if (!cur.contains((l, r))) cur((l, r)) = n0 }
           val byStep = deltas.collect()
             .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
             .groupBy(_._1)
+          // pairs OUTSIDE `cands` with unchanged counts are not in the
+          // replay set; they all rank below the candidate floor's
+          // ORIGINAL key, so an accepted member is only provably still
+          // the true next merge while its CURRENT key outranks that
+          // floor (unless cands was the exhaustive pair population)
+          val (fL, fR, fN) = cands.last
+          val exhaustive = cands.length < math.max(want * 4, 64)
+          val stepN = scala.collection.mutable.ArrayBuffer(accepted(0)._3)
           var good = 1
           var diverged = false
           while (!diverged && good < k) {
             byStep.getOrElse(good, Array.empty).foreach { case (_, l, r, d) =>
               cur((l, r)) = cur.getOrElse((l, r), 0L) + d }
             val (pL, pR, pN) = accepted(good)
-            diverged = cur.exists { case ((l, r), c) =>
-              c > 0L && (l != pL || r != pR) && beats(c, l, r, pN, pL, pR) }
-            if (!diverged) good += 1
+            val pNcur = cur.getOrElse((pL, pR), pN)
+            diverged = pNcur <= 0L ||
+              !(exhaustive || beats(pNcur, pL, pR, fN, fL, fR)) ||
+              cur.exists { case ((l, r), c) =>
+                c > 0L && (l != pL || r != pR) && beats(c, l, r, pNcur, pL, pR) }
+            if (!diverged) { stepN += pNcur; good += 1 }
           }
-          good
+          (good, stepN.toSeq)
         }
       val kept = accepted.take(kEff)
-      val foldCol = kept.foldLeft(col("s")) { case (c, (l, r, _)) =>
-        call_function("replace", c,
-          lit(F + l + FF + r + F), lit(F + l + r + F)) }
+      // same O(1)-plan runtime fold for the words update (the nested
+      // form is fine single-use at small k, but keep one shape)
+      val keptPats = kept.map { case (l, r, _) =>
+        (F + l + FF + r + F, F + l + r + F) }.toSeq
+      val foldCol = aggregate(typedLit(keptPats), col("s"),
+        (acc, p) => call_function("replace",
+          acc, p.getField("_1"), p.getField("_2")))
       words = words.select(foldCol.as("s"), col("w")).localCheckpoint(true)
       pairCounts = pairCounts
         .join(deltas.where(col("i") <= kEff)
@@ -540,8 +596,8 @@ object TextFunctions {
           (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
         .where(col("n") > 0L)
         .localCheckpoint(true)
-      kept.foreach { case (l, r, n) =>
-        merges += ((merges.size + 1, l, r, n)) }
+      kept.zip(stepCounts).foreach { case ((l, r, _), nStep) =>
+        merges += ((merges.size + 1, l, r, nStep)) }
     }
     import spark.implicits._
     merges.toSeq.toDF("round", "merge_left", "merge_right", "n")

@@ -18,23 +18,42 @@ import graft.text.TextFunctions
   * 5000-word vocabulary), so `marginal_per_round_sec` should be ~flat
   * as docs scale 10x while `round1_sec` (init) grows with the corpus.
   *
-  * Usage: runMain graft.tools.BpeProbe [numDocsThousands] [rounds] [batchSize]
+  * `corpus = flat` swaps in the pathological ALL-TIED corpus (every
+  * distinct 2-letter word over a 26-letter alphabet, each once: 676
+  * words, every pair count = 1): round-8's no-shared-symbol batch
+  * acceptance degraded to 1 merge/driver-round-trip here (the
+  * lexicographic tie neighbor always shares its left symbol); the
+  * round-9 creation-only rule + current-count replay accepts full
+  * batches. Compare `flat` at batchSize 32 vs 1 — the ratio IS the
+  * round-trip collapse.
+  *
+  * Usage: runMain graft.tools.BpeProbe [numDocsThousands] [rounds] [batchSize] [corpus]
   */
 object BpeProbe {
   def main(args: Array[String]): Unit = {
     val nK = args.headOption.map(_.toInt).getOrElse(200)
     val rounds = args.lift(1).map(_.toInt).getOrElse(100)
     val batchSize = args.lift(2).map(_.toInt).getOrElse(32)
-    val n = nK * 1000L
+    val corpusKind = args.lift(3).getOrElse("zipf")
+    val n = if (corpusKind == "flat") 676L else nK * 1000L
     val spark = Session.get("bpe-probe")
 
     val vocab = typedLit((0 until 5000).map(i => s"w$i"))
-    val docs = spark.range(n)
-      .select(col("id").as("doc_id"),
-        concat_ws(" ", transform(sequence(lit(0), lit(99)),
-          i => element_at(vocab,
-            pmod(xxhash64(col("id"), i), lit(5000)).cast("int") + 1)))
-          .as("text"))
+    val docs = (if (corpusKind == "flat")
+      spark.range(676)
+        .select(col("id").as("doc_id"),
+          concat(
+            element_at(typedLit(('a' to 'z').map(_.toString)),
+              (col("id") / 26).cast("int") + 1),
+            element_at(typedLit(('a' to 'z').map(_.toString)),
+              pmod(col("id"), lit(26)).cast("int") + 1)).as("text"))
+    else
+      spark.range(n)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(99)),
+            i => element_at(vocab,
+              pmod(xxhash64(col("id"), i), lit(5000)).cast("int") + 1)))
+            .as("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = docs.count()
     System.err.println(s"[bpe-probe] generated $total docs")
