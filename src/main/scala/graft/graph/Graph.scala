@@ -104,6 +104,59 @@ object Graph {
       (col("rank") / lit(base.toDouble)).as("rank_units"))
   }
 
+  /** Synchronous seeded label propagation — the semi-supervised
+    * labeling primitive a curation pipeline runs over a similarity or
+    * co-occurrence graph (propagate a small set of trusted labels —
+    * topic, quality tier, license class — to the unlabeled majority).
+    *
+    * Semantics, pinned for cross-engine replay:
+    *  - labels₀(n) = seed(n) where seeded, NULL elsewhere;
+    *  - each iteration, every node takes the MAJORITY label of its
+    *    currently-labeled in-neighbors (count DESC, tie → smallest
+    *    label — realized as one `min(struct(-count, label))`, no
+    *    per-node window);
+    *  - seeds are CLAMPED (a seed never changes); a node with no
+    *    labeled neighbor keeps its previous label;
+    *  - output after `iters` rounds: every node, label −1 where still
+    *    unlabeled (NULL-free output hashes identically everywhere).
+    *
+    * Scale shape per iteration (the pageRank discipline): one join of
+    * edges against the CURRENT labeled frame (shuffles (id, label)
+    * pairs — never adjacency), one (dst, label) count aggregate, one
+    * per-node argmax aggregate, lineage cut via localCheckpoint. With
+    * synchronous updates and integer tie-breaks the whole trajectory
+    * is deterministic — the oracle unrolls it round by round.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      nodes: DataFrame, idCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation needs iters >= 1")
+    val seedsN = seeds
+      .select(col(idCol).cast("long").as("id"),
+        col("label").cast("long").as("seed_label"))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .join(seedsN, Seq("id"), "left")
+      .select(col("id"), col("seed_label").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.where(col("label").isNotNull)
+          .select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("vote"))
+      labels = labels.join(votes, Seq("id"), "left")
+        .join(seedsN, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("seed_label"), col("vote"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as(idCol),
+      coalesce(col("label"), lit(-1L)).as("label"))
+  }
+
   /** Per-node triangle counts over an undirected simple graph given as
     * symmetric (src, dst) edges. Orientation: each undirected edge is
     * kept once, low→high by (degree, id) — the classic trick that

@@ -64,6 +64,58 @@ object GraphQueries {
       SELECT id AS part_id, rank, rank / $base.0 AS rank_units
       FROM r$iters"""))
 
+  /** One unrolled label-propagation step: majority vote of labeled
+    * in-neighbors (count DESC, tie → smallest label), seeds clamped,
+    * no-labeled-neighbor nodes keep their previous label.
+    */
+  private def sqlLpStep(i: Int): String = s"""
+      v$i AS (
+        SELECT e.dst AS id, l.label, COUNT(*) AS c
+        FROM e JOIN lp${i - 1} l ON l.id = e.src
+        WHERE l.label IS NOT NULL
+        GROUP BY 1, 2),
+      b$i AS (
+        SELECT id, label AS vote FROM (
+          SELECT id, label,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+          FROM v$i) WHERE rn = 1),
+      lp$i AS (
+        SELECT l.id, COALESCE(s.label, b.vote, l.label) AS label
+        FROM lp${i - 1} l
+        LEFT JOIN b$i b USING (id)
+        LEFT JOIN seeds s USING (id))"""
+
+  /** Seeded label propagation over the co-purchase graph
+    * (Graph.labelPropagation) — the semi-supervised labeling
+    * primitive: every 11th part is seeded with a 5-way label; three
+    * synchronous majority-vote rounds spread the labels along basket
+    * co-occurrence. Integer labels, exact counts, min-struct
+    * tie-breaks → the oracle unrolls the trajectory round by round
+    * (the PageRank oracle pattern).
+    */
+  private val qLabelProp = QueryDef(
+    "q_copurchase_labelprop",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val nodes = li.select(col("l_partkey")).distinct()
+      val seeds = nodes.where(pmod(col("l_partkey"), lit(11)) === 0)
+        .select(col("l_partkey"),
+          pmod(col("l_partkey"), lit(5)).as("label"))
+      Graph.labelPropagation(edges, seeds, nodes, "l_partkey", iters = iters)
+        .withColumnRenamed("l_partkey", "part_id")
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      seeds AS (
+        SELECT id, id % 5 AS label FROM nodes WHERE id % 11 = 0),
+      lp0 AS (
+        SELECT n.id, s.label FROM nodes n LEFT JOIN seeds s USING (id)),
+      ${(1 to iters).map(sqlLpStep).mkString(",")}
+      SELECT id AS part_id,
+        CAST(COALESCE(label, -1) AS BIGINT) AS label
+      FROM lp$iters"""))
+
   /** Exact per-node triangle counts over the same graph,
     * degree-oriented (lo→hi by (degree, id)) so each triangle is
     * enumerated once from its lowest-degree corner — the orientation
@@ -100,5 +152,5 @@ object GraphQueries {
       SELECT n.id AS part_id, COALESCE(cnt.n_triangles, 0) AS n_triangles
       FROM nodes n LEFT JOIN cnt ON cnt.id = n.id"""))
 
-  def all: Seq[QueryDef] = Seq(qPageRank, qTriangles)
+  def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles)
 }

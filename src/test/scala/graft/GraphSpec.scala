@@ -76,4 +76,26 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(outB == out)
   }
+
+  test("label propagation: hand-checked spread, tie to smallest, clamp, isolate -1") {
+    // path 1-2-3-4-5, isolate 6; seeds 1->10, 5->20
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("id")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("id", "label")
+    def run(iters: Int) = Graph.labelPropagation(edges, seeds, nodes,
+      "id", iters).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: 2<-10, 4<-20, 3 has no labeled neighbor yet
+    assert(run(1) == Map(1L -> 10L, 2L -> 10L, 3L -> -1L,
+      4L -> 20L, 5L -> 20L, 6L -> -1L))
+    // iter2: 3 sees 10 and 20 once each -> tie -> smallest (10);
+    // seeds stay clamped; isolate stays -1
+    assert(run(2) == Map(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> -1L))
+    // iter3: unseeded 4 now ties between 3 (10) and 5 (20) -> flips
+    // to the smaller label; the clamped seed 5 itself never moves
+    assert(run(3) == Map(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 10L, 5L -> 20L, 6L -> -1L))
+  }
 }
