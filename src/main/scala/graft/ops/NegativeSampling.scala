@@ -177,4 +177,94 @@ object NegativeSampling {
       .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neg_id"))
   }
+
+  /** (anchor_id, rank, neg_id) — up to k negatives per anchor drawn
+    * WITH PROBABILITY ∝ `weightCol` (the word2vec-style frequency-
+    * weighted negative draw), still O(anchors × k) work.
+    *
+    * Spec (deterministic, engine-portable):
+    *  1. Pool = (id, w) passing the md5 poolRate threshold; rows with
+    *     w ≤ 0 are never drawable and are dropped.
+    *  2. Each pool row owns the half-open interval [lo, lo+w) of the
+    *     cumulative weight line in bucket-major (id mod B, id) order —
+    *     lo is an EXCLUSIVE prefix sum built scalably as per-bucket
+    *     running sums (window partitioned by bucket) plus ≤B bucket
+    *     offsets; the oracle states it as one window over the total
+    *     order.
+    *  3. Draw j ↦ u = toInt(md5(anchor":"j)[0,13)) mod W (W = total
+    *     weight); the drawn negative is the interval containing u —
+    *     heavy rows own more of the line, hence the ∝w marginal.
+    *  4. The u→interval lookup is a BIN JOIN, not an inequality scan:
+    *     intervals explode onto fixed-width bins (binWidth ~ W/4P ⇒
+    *     ~5P bin rows total), draws compute their single bin, the
+    *     equi-join meets them, one containment filter remains. The
+    *     RangeJoin bucketing pattern applied to the weight line.
+    *  5. Same tail as [[negativeSamplesByIndex]]: reject self,
+    *     collapse duplicate hits to the smallest j (⇒ distinct
+    *     negatives — draws are with replacement, the output is not),
+    *     rank by j, keep k.
+    */
+  def negativeSamplesWeighted(df: DataFrame, idCol: String,
+      weightCol: String, k: Int, poolRate: Double, oversample: Int = 3,
+      indexBuckets: Int = 256): DataFrame = {
+    require(k >= 1 && oversample >= 2 && indexBuckets >= 1)
+    val pool = df.select(col(idCol).cast("long").as("neg_id"),
+        col(weightCol).cast("long").as("__w"))
+      .where(md5(col("neg_id").cast("string")) <
+        lit(Sampling.hexThreshold(poolRate)))
+      .where(col("__w") > 0L)
+    val poolB = pool.withColumn("__b",
+      pmod(col("neg_id"), lit(indexBuckets.toLong)).cast("int"))
+    val bTotals = poolB.groupBy(col("__b"))
+      .agg(sum(col("__w")).as("__bw"), count(lit(1)).as("__n"))
+    val offsets = bTotals.withColumn("__off",
+      coalesce(sum(col("__bw")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val (totalW, poolN) = bTotals
+      .agg(sum(col("__bw")), sum(col("__n"))).head() match {
+        case r if r.isNullAt(0) => (0L, 0L)
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    require(totalW > 0L, s"negativeSamplesWeighted: empty pool or zero " +
+      s"total weight at poolRate=$poolRate")
+    val binW = math.max(1L, totalW / math.max(4L * poolN, 1L))
+    val intervals = poolB
+      .withColumn("__run",
+        coalesce(sum(col("__w")).over(
+          Window.partitionBy(col("__b")).orderBy(col("neg_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets.select(col("__b"), col("__off"))), Seq("__b"))
+      .select(col("neg_id"),
+        (col("__off") + col("__run")).as("__lo"),
+        (col("__off") + col("__run") + col("__w")).as("__hi"))
+    val binned = intervals.select(col("neg_id"), col("__lo"), col("__hi"),
+      explode(sequence(expr(s"__lo div $binW"),
+        expr(s"(__hi - 1) div $binW"))).as("__bin"))
+    val m = k * oversample
+    val anchors = Partitioning.fanOut(
+      df.select(col(idCol).cast("long").as("anchor_id")))
+    val draws = anchors
+      .select(col("anchor_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("__j"))
+      .withColumn("__u",
+        pmod(conv(substring(md5(concat_ws(":",
+          col("anchor_id"), col("__j"))), 1, 13), 16, 10).cast("long"),
+          lit(totalW)))
+      .withColumn("__bin", expr(s"__u div $binW"))
+    val hits = draws.join(binned, Seq("__bin"))
+      .where(col("__u") >= col("__lo") && col("__u") < col("__hi"))
+      .where(col("anchor_id") =!= col("neg_id"))
+      .groupBy(col("anchor_id"), col("neg_id"))
+      .agg(min(col("__j")).as("__j"))
+    hits
+      .select(col("anchor_id"), (-col("__j")).cast("double").as("__s"),
+        col("neg_id"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.PairTopKAggregator
+        .top_k_pair(k)(col("__s"), col("neg_id")).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neg_id"))
+  }
 }

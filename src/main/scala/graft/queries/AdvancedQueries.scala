@@ -630,6 +630,52 @@ object AdvancedQueries {
         FROM hits)
       WHERE rn <= 4"""))
 
+  /** WEIGHTED negative sampling
+    * (NegativeSampling.negativeSamplesWeighted): draws ∝ n_chars —
+    * the word2vec-style frequency-weighted draw — still O(anchors×k):
+    * each pool doc owns a cumulative-weight interval (bucket-major
+    * prefix sum), a draw u = md5(anchor:j) mod totalW picks the
+    * containing interval via a bin equi-join. The oracle replays the
+    * weight line (one total-order window), the 52-bit draws, and the
+    * interval containment as a plain inequality join.
+    */
+  private val qNegativesWeighted = QueryDef(
+    "q_negative_samples_weighted",
+    (s, d) =>
+      graft.ops.NegativeSampling.negativeSamplesWeighted(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 4, poolRate = 0.1),
+    Some("""
+      WITH pool AS (
+        SELECT doc_id AS neg_id, CAST(n_chars AS BIGINT) AS w
+        FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '19999999' AND n_chars > 0),
+      iv AS (
+        SELECT neg_id,
+          COALESCE(SUM(w) OVER (ORDER BY neg_id % 256, neg_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+          COALESCE(SUM(w) OVER (ORDER BY neg_id % 256, neg_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS hi
+        FROM pool),
+      tot AS (SELECT SUM(w) AS tw FROM pool),
+      draws AS (
+        SELECT a.doc_id AS anchor_id, j.j,
+          CAST(('0x' || substr(md5(a.doc_id || ':' || j.j), 1, 13))
+            AS UBIGINT) % t.tw AS u
+        FROM documents a
+        CROSS JOIN (SELECT unnest(range(12)) AS j) j
+        CROSS JOIN tot t),
+      hits AS (
+        SELECT d.anchor_id, MIN(d.j) AS j, i.neg_id
+        FROM draws d JOIN iv i ON d.u >= i.lo AND d.u < i.hi
+        WHERE i.neg_id <> d.anchor_id
+        GROUP BY 1, 3)
+      SELECT anchor_id, CAST(rn AS INT) AS rank, neg_id FROM (
+        SELECT anchor_id, neg_id,
+          ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY j) AS rn
+        FROM hits)
+      WHERE rn <= 4"""))
+
   /** Token-budget mixing (Sampling.tokenBudgetSample): keep each
     * source's md5-shuffle prefix until 2000 tokens — the mixture
     * primitive specified in TOKENS (how training mixes are actually
@@ -879,6 +925,6 @@ object AdvancedQueries {
       WHERE rn <= 3"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

@@ -913,6 +913,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(("A", "C")) == 2.0)
   }
 
+  test("weighted negative samples: naive interval replay + weight bias") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.NegativeSampling
+    val k = 3
+    // id 6 passes the 0.5 md5 pool filter and carries 100x weight
+    val df = spark.range(300).select(col("id").as("doc_id"),
+      when(col("id") === 6, 1000L).otherwise(lit(10L)).as("wt"))
+    val got = NegativeSampling.negativeSamplesWeighted(
+      df, "doc_id", "wt", k, poolRate = 0.5, oversample = 3,
+      indexBuckets = 16)
+
+    // naive replay: one global window over the same bucket-major order
+    val pool = df.select(col("doc_id").as("neg_id"),
+        col("wt").cast("long").as("w"))
+      .where(md5(col("neg_id").cast("string")) <
+        lit(Sampling.hexThreshold(0.5)))
+      .where(col("w") > 0)
+    val iv = pool.withColumn("lo", coalesce(sum("w").over(
+        Window.orderBy(pmod(col("neg_id"), lit(16L)), col("neg_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("hi", col("lo") + col("w"))
+    val totalW = pool.agg(sum("w")).head().getLong(0)
+    val m = k * 3
+    val draws = df.select(col("doc_id").as("anchor_id"))
+      .crossJoin(spark.range(m).select(col("id").as("j")))
+      .withColumn("u", pmod(conv(substring(md5(concat_ws(":",
+        col("anchor_id"), col("j"))), 1, 13), 16, 10).cast("long"),
+        lit(totalW)))
+    val want = draws.join(iv,
+        col("u") >= col("lo") && col("u") < col("hi"))
+      .where(col("neg_id") =!= col("anchor_id"))
+      .groupBy("anchor_id", "neg_id").agg(min("j").as("j"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("anchor_id").orderBy("j")).cast("int"))
+      .where(col("rank") <= k).select("anchor_id", "rank", "neg_id")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+
+    // bias: id 6 owns ~40% of the weight line -> drawn for most anchors
+    val anchorsWithHeavy = got.where(col("neg_id") === 6L)
+      .select("anchor_id").distinct().count()
+    assert(anchorsWithHeavy > 200,
+      s"heavy doc drawn for only $anchorsWithHeavy/300 anchors")
+    val perAnchor = got.collect().groupBy(_.getLong(0)).values.map(_.length)
+    assert(perAnchor.forall(_ <= k))
+  }
+
   test("negative samples by index: matches a naive replay of the draw spec") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.NegativeSampling
