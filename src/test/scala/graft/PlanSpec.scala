@@ -362,4 +362,34 @@ class PlanSpec extends AnyFunSuite {
     assert("EventTimeWatermark".r.findAllIn(p).size == 2,
       "both sides must carry a watermark for state cleanup")
   }
+
+  test("index-draw negative sampling: no cartesian product, only bounded global windows") {
+    val p = planString("q_negative_samples_draws")
+    // the O(anchors×k) claim in plan form: draws meet the pool through
+    // an equi-join on the index, never an anchors×pool product
+    assert(!p.contains("CartesianProduct"), s"anchors×pool product:\n$p")
+    // the only partition-less window is the ≤indexBuckets-row offsets
+    // prefix-sum; the per-bucket row_number must stay partitioned
+    val globalWindows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+      .filterNot(_.contains("windowspecdefinition(__b#"))
+    assert(globalWindows.size <= 1,
+      s"unexpected global windows:\n${globalWindows.mkString("\n")}")
+  }
+
+  test("weighted negative sampling: bin equi-join, no inequality-only join") {
+    val p = planString("q_negative_samples_weighted")
+    assert(!p.contains("CartesianProduct"),
+      s"interval lookup fell back to a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval lookup is an inequality-only join:\n$p")
+  }
+
+  test("refined IVF+PQ: shortlist re-rank point-reads by pushed id filter") {
+    val p = planString("q_ann_ivfpq_refined")
+    // the exact re-rank must reach the base parquet as an In() pushdown
+    // over the bounded shortlist, not a full scan + row filter only
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(p).isDefined,
+      s"shortlist ids not pushed to the base scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
