@@ -340,8 +340,27 @@ object ProductQuantizer {
       // position 0, which for j>0 would silently read the previous
       // subspace's last LUT entry — fail loudly instead: encoded input
       // must come from this model's training.
-      val idArr = array(model.codebooks(j).ids.map(lit(_)): _*)
-      val pos = array_position(idArr, col(s"code_$j")).cast("int")
+      //
+      // When the id space is DENSE (the normal case — seed code ids
+      // are the k smallest corpus ids, usually 0..k−1), the lookup is
+      // a direct O(1) index into a position array literal (holes = 0
+      // = absent). The array_position fallback scans O(k) ids per row
+      // per subspace — at a production 256-code book that is 2048
+      // comparisons per candidate, MORE than the exact 64-dim
+      // distance it is supposed to avoid.
+      val ids = model.codebooks(j).ids
+      val maxId = ids.max
+      val pos: Column =
+        if (maxId + 1 <= 4 * ids.size + 64) {
+          val posArr = new Array[Int](maxId + 1)
+          ids.zipWithIndex.foreach { case (id, i) => posArr(id) = i + 1 }
+          when(col(s"code_$j").between(0, maxId),
+            element_at(typedLit(posArr.toSeq), col(s"code_$j") + 1))
+            .otherwise(lit(0)).cast("int")
+        } else {
+          val idArr = array(ids.map(lit(_)): _*)
+          array_position(idArr, col(s"code_$j")).cast("int")
+        }
       element_at(flat, lit(offsets(j)) +
         when(pos === 0, raise_error(concat(
           lit(s"adcTopK: code_$j value "), col(s"code_$j").cast("string"),

@@ -55,6 +55,12 @@ object NegSampleProbe {
       ((System.nanoTime() - t) / 1e9, rows)
     }
     val (dxSec, dxRows) = timeDraws(poolRate)
+    // weighted rung shares the draw shape; weight = id mod 97 + 1
+    val tw = System.nanoTime()
+    val wRows = NegativeSampling.negativeSamplesWeighted(
+      ids.withColumn("wt", pmod(col("doc_id"), lit(97L)) + 1L),
+      "doc_id", "wt", k, poolRate).count()
+    val wSec = (System.nanoTime() - tw) / 1e9
     val rate5 = math.min(1.0, poolRate * 5)
     val (dx5Sec, dx5Rows) = timeDraws(rate5)
     val t2 = System.nanoTime()
@@ -62,7 +68,7 @@ object NegSampleProbe {
       ids, "doc_id", k, rate5).count()
     val rank5Sec = (System.nanoTime() - t2) / 1e9
 
-    println(f"""{"workload":"negative_sampling","anchors":$total,"pool_rate":$poolRate,"k":$k,"rows":$bcRows,"broadcast_sec":$bcSec%.2f,"sharded_sec":$shSec%.2f,"identical":true,"draws_sec":$dxSec%.2f,"draws_rows":$dxRows,"pool_rate_5x":$rate5,"draws_5x_sec":$dx5Sec%.2f,"draws_5x_rows":$dx5Rows,"rank_5x_sec":$rank5Sec%.2f,"rank_5x_rows":$rank5Rows}""")
+    println(f"""{"workload":"negative_sampling","anchors":$total,"pool_rate":$poolRate,"k":$k,"rows":$bcRows,"broadcast_sec":$bcSec%.2f,"sharded_sec":$shSec%.2f,"identical":true,"draws_sec":$dxSec%.2f,"draws_rows":$dxRows,"weighted_sec":$wSec%.2f,"weighted_rows":$wRows,"pool_rate_5x":$rate5,"draws_5x_sec":$dx5Sec%.2f,"draws_5x_rows":$dx5Rows,"rank_5x_sec":$rank5Sec%.2f,"rank_5x_rows":$rank5Rows}""")
     spark.stop()
   }
 }
