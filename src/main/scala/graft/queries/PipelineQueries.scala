@@ -299,6 +299,66 @@ object PipelineQueries {
       FROM p JOIN c ON p.user_id = c.user_id
       WHERE abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000"""))
 
+  /** First-touch funnel conversion (ops/Funnel.funnelSummary):
+    * view → click → purchase anchored at each user's earliest view,
+    * strictly-ordered steps within a 7-day window — the product-
+    * analytics step-drop-off table. Epoch-second integers; the oracle
+    * replays the per-step min-after-previous chain with the same
+    * first-touch anchoring.
+    */
+  private val qFunnel = QueryDef(
+    "q_funnel_conversion",
+    (s, d) => graft.ops.Funnel.funnelSummary(Tables.events(s, d),
+      "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"), windowSec = 604800L),
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS ts, event_type
+        FROM events),
+      s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT s1.user_id, s1.t1,
+          MIN(CASE WHEN e.ts > s1.t1 AND e.ts <= s1.t1 + 604800
+              THEN e.ts END) AS t2
+        FROM s1 LEFT JOIN e
+          ON e.user_id = s1.user_id AND e.event_type = 'click'
+        GROUP BY 1, 2),
+      s3 AS (
+        SELECT s2.user_id, s2.t1, s2.t2,
+          MIN(CASE WHEN s2.t2 IS NOT NULL AND e.ts > s2.t2
+                AND e.ts <= s2.t1 + 604800 THEN e.ts END) AS t3
+        FROM s2 LEFT JOIN e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        GROUP BY 1, 2, 3)
+      SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+        CAST(COUNT(t1) AS BIGINT) AS n_users FROM s3
+      UNION ALL SELECT CAST(2 AS INT), 'click',
+        CAST(COUNT(t2) AS BIGINT) FROM s3
+      UNION ALL SELECT CAST(3 AS INT), 'purchase',
+        CAST(COUNT(t3) AS BIGINT) FROM s3"""))
+
+  /** Weekly cohort retention (ops/Funnel.cohortRetention): users
+    * cohorted by the epoch-week of their first event, counted at each
+    * later active-week offset — integer epoch-week arithmetic both
+    * engines replay exactly.
+    */
+  private val qRetention = QueryDef(
+    "q_cohort_retention",
+    (s, d) => graft.ops.Funnel.cohortRetention(Tables.events(s, d),
+      "user_id", "ts"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS wk
+        FROM events),
+      f AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, wk FROM e)
+      SELECT f.cohort_week, CAST(a.wk - f.cohort_week AS INT) AS week_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM f JOIN a USING (user_id)
+      GROUP BY 1, 2"""))
+
   /** Gap-based sessionization (30 min) — lag + running-sum windows,
     * integer-second bounds for engine portability.
     */
@@ -339,5 +399,5 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions)
+    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention)
 }
