@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Funnel
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("funnel-test", "4").getOrCreate()
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "ts", "event_type")
+
+  test("funnel: first-touch anchoring, strict order, window cap") {
+    val events = ev(
+      // user 1: clean conversion view(10) -> click(20) -> purchase(30)
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE the first view never counts; later click
+      // at the same second as the view fails the strict > test
+      (2L, 5L, "click"), (2L, 10L, "view"), (2L, 10L, "click"),
+      // user 3: FIRST view at 10 converts nothing inside the window;
+      // the second view at 500 would have converted — first-touch
+      // says not converted past step 1 (click at 510 is outside
+      // 10+100, purchase exists only after that click)
+      (3L, 10L, "view"), (3L, 500L, "view"),
+      (3L, 510L, "click"), (3L, 520L, "purchase"),
+      // user 4: steps out of order (purchase before click)
+      (4L, 10L, "view"), (4L, 20L, "purchase"), (4L, 30L, "click"),
+      // user 5: no view at all -> not in the funnel
+      (5L, 10L, "click"), (5L, 20L, "purchase"))
+    val per = Funnel.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.get(3), r.getInt(4))).toMap
+    assert(per(1L) == (10L, 20L, 30L, 3))
+    assert(per(2L) == (10L, null, null, 1))
+    assert(per(3L) == (10L, null, null, 1))
+    // user 4 reaches click (30 > 10, inside window); no purchase AFTER it
+    assert(per(4L) == (10L, 30L, null, 2))
+    assert(!per.contains(5L))
+
+    val summary = Funnel.funnelSummary(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), windowSec = 100L)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(summary == Map(1 -> ("view", 4L), 2 -> ("click", 2L),
+      3 -> ("purchase", 1L)))
+  }
+
+  test("cohort retention: weekly cohorts with offsets, distinct users per cell") {
+    val wk = 604800L
+    val events = ev(
+      // user 1: first week 0, active weeks 0 and 2 (twice — distinct)
+      (1L, 100L, "view"), (1L, 2 * wk + 1, "view"), (1L, 2 * wk + 2, "view"),
+      // user 2: first week 0, only week 0
+      (2L, 200L, "view"),
+      // user 3: first week 1, active weeks 1 and 2
+      (3L, wk + 5, "view"), (3L, 2 * wk + 5, "view"))
+    val got = Funnel.cohortRetention(events, "user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0) -> 2L, (0L, 2) -> 1L,
+      (1L, 0) -> 1L, (1L, 1) -> 1L))
+  }
+}
