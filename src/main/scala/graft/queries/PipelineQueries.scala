@@ -359,6 +359,77 @@ object PipelineQueries {
       FROM f JOIN a USING (user_id)
       GROUP BY 1, 2"""))
 
+  /** Shared oracle for both SCD2 exhibits: the full-changelog type-2
+    * history of each user's event_type attribute — run-collapse via
+    * LAG-compare, valid_to via LEAD on the collapsed frame. Epoch-micro
+    * integers; is_current as INT (no boolean columns cross the oracle).
+    */
+  private val scd2Oracle: Option[String] = Some("""
+      WITH cl AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        FROM events),
+      marked AS (
+        SELECT user_id, ts_us, event_type,
+          LAG(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        FROM cl),
+      starts AS (
+        SELECT user_id, event_type, ts_us AS valid_from
+        FROM marked WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, valid_from,
+        LEAD(valid_from) OVER (
+          PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        CAST(CASE WHEN LEAD(valid_from) OVER (
+          PARTITION BY user_id ORDER BY valid_from) IS NULL
+          THEN 1 ELSE 0 END AS INT) AS is_current
+      FROM starts""")
+
+  private def scd2ChangeLog(s: org.apache.spark.sql.SparkSession,
+      d: String) =
+    Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      col("event_type"))
+
+  private def scd2Out(h: org.apache.spark.sql.DataFrame) =
+    h.select(col("user_id"), col("event_type"),
+      col("valid_from"), col("valid_to"),
+      col("is_current").cast("int").as("is_current"))
+
+  /** SCD2 history build (ops/Scd2.historyFromChangeLog): the events
+    * stream read as an append-only changelog of each user's
+    * event_type attribute, collapsed into type-2 validity intervals.
+    */
+  private val qScd2 = QueryDef(
+    "q_scd2_history",
+    (s, d) => scd2Out(graft.ops.Scd2.historyFromChangeLog(
+      scd2ChangeLog(s, d), Seq("user_id"), "ts_us", "event_id",
+      Seq("event_type"))),
+    scd2Oracle)
+
+  /** SCD2 incremental MERGE (ops/Scd2.applyChanges): the changelog is
+    * time-split at its midpoint (bounds broadcast-joined, no driver
+    * collect), history built on the first half, the second half
+    * applied as the nightly slice. Shares q_scd2_history's oracle —
+    * apply(history(A), B) ≡ history(A ∪ B) is the merge-correctness
+    * equivalence, hash-proven.
+    */
+  private val qScd2Apply = QueryDef(
+    "q_scd2_apply",
+    (s, d) => {
+      val ev = scd2ChangeLog(s, d)
+      val bounds = ev.agg(
+        ((min(col("ts_us")) + max(col("ts_us"))) / 2)
+          .cast("long").as("__cut"))
+      val withCut = ev.crossJoin(broadcast(bounds))
+      val base = withCut.where(col("ts_us") < col("__cut")).drop("__cut")
+      val delta = withCut.where(col("ts_us") >= col("__cut")).drop("__cut")
+      val h = graft.ops.Scd2.historyFromChangeLog(
+        base, Seq("user_id"), "ts_us", "event_id", Seq("event_type"))
+      scd2Out(graft.ops.Scd2.applyChanges(
+        h, delta, Seq("user_id"), "ts_us", "event_id", Seq("event_type")))
+    },
+    scd2Oracle)
+
   /** Gap-based sessionization (30 min) — lag + running-sum windows,
     * integer-second bounds for engine portability.
     */
@@ -399,5 +470,6 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention)
+    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
+    qScd2, qScd2Apply)
 }

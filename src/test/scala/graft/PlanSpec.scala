@@ -384,6 +384,17 @@ class PlanSpec extends AnyFunSuite {
       s"interval lookup is an inequality-only join:\n$p")
   }
 
+  test("scd2 history: run-collapse pays ONE key shuffle, both windows reuse it") {
+    val p = planString("q_scd2_history")
+    // two window passes (run-start lag, valid_to lead) over the same
+    // hashpartitioning(user_id) — the filter between them preserves
+    // the distribution, so exactly one exchange feeds both
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"run-collapse should shuffle once on the key:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("refined IVF+PQ: shortlist re-rank point-reads by pushed id filter") {
     val p = planString("q_ann_ivfpq_refined")
     // the exact re-rank must reach the base parquet as an In() pushdown
