@@ -211,4 +211,40 @@ object Graph {
       .select(col("id").as(idCol),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Multi-source BFS levels: the hop distance (≤ maxHops) from the
+    * nearest seed, over directed (src, dst) edges — the graph-traversal
+    * primitive (k-hop neighborhoods, blast-radius, contamination reach
+    * through a link graph) the fixed-point operators above don't cover.
+    *
+    * Semantics: hop(n) = 0 for seeds; else the minimum i ≤ maxHops
+    * with an edge path of length i from any seed. Nodes beyond
+    * maxHops are absent from the output. Min-hop is order-independent,
+    * so the trajectory is deterministic and an oracle can unroll it.
+    *
+    * Scale shape per hop (the pageRank discipline): one equi-join of
+    * edges against the CURRENT frontier (ids only cross the exchange —
+    * never adjacency lists), one distinct, one anti-join against the
+    * reached set, lineage cut via localCheckpoint. Frontiers shrink as
+    * the reached set saturates; a 10⁹-edge graph pays ~3 id-keyed
+    * shuffles per hop regardless of hub degree.
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, idCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "bfsLevels needs maxHops >= 1")
+    var reached = seeds.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = reached.select(col("id"))
+    for (i <- 1 to maxHops) {
+      val next = edges
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(reached.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hop", lit(i))
+        .localCheckpoint(true)
+      reached = reached.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("id"))
+    }
+    reached.select(col("id").as(idCol), col("hop"))
+  }
 }

@@ -152,5 +152,37 @@ object GraphQueries {
       SELECT n.id AS part_id, COALESCE(cnt.n_triangles, 0) AS n_triangles
       FROM nodes n LEFT JOIN cnt ON cnt.id = n.id"""))
 
-  def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles)
+  /** One unrolled BFS hop: the frontier's unseen neighbors at hop i. */
+  private def sqlBfsStep(i: Int): String = s"""
+      n$i AS (
+        SELECT DISTINCT e.dst AS id
+        FROM e JOIN r${i - 1} r ON r.id = e.src AND r.hop = ${i - 1}
+        WHERE e.dst NOT IN (SELECT id FROM r${i - 1})),
+      r$i AS (
+        SELECT id, hop FROM r${i - 1}
+        UNION ALL SELECT id, $i AS hop FROM n$i)"""
+
+  /** Multi-source BFS reach (Graph.bfsLevels): hop distance ≤ 3 from
+    * the seed parts (every 97th) through basket co-occurrence — the
+    * k-hop blast-radius primitive. Min-hop levels are deterministic;
+    * the oracle unrolls the frontier expansion hop by hop.
+    */
+  private val qBfs = QueryDef(
+    "q_bfs_reachability",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val seeds = li.select(col("l_partkey")).distinct()
+        .where(pmod(col("l_partkey"), lit(97)) === 0)
+      Graph.bfsLevels(edges, seeds, "l_partkey", maxHops = 3)
+        .withColumnRenamed("l_partkey", "part_id")
+        .withColumn("hop", col("hop").cast("int"))
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      r0 AS (SELECT id, 0 AS hop FROM nodes WHERE id % 97 = 0),
+      ${(1 to 3).map(sqlBfsStep).mkString(",")}
+      SELECT id AS part_id, CAST(hop AS INT) AS hop FROM r3"""))
+
+  def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs)
 }

@@ -98,4 +98,22 @@ class GraphSpec extends AnyFunSuite {
     assert(run(3) == Map(1L -> 10L, 2L -> 10L, 3L -> 10L,
       4L -> 10L, 5L -> 20L, 6L -> -1L))
   }
+
+  test("bfs levels: min-hop on a diamond, cycle stops, horizon excluded") {
+    // path 1→2→3→4→5 plus diamond shortcut 1→6, 6→4, and back-edge
+    // 3→1 (cycle). seeds {1}. maxHops 3:
+    //   hop0: 1; hop1: 2,6; hop2: 3,4 (4 via the SHORT path through 6,
+    //   not hop 3 via the path); hop3: 5. back-edge to 1 re-reaches a
+    //   seen node — anti-join drops it.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (6L, 4L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = Graph.bfsLevels(edges, seeds, "id", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 6L -> 1, 3L -> 2, 4L -> 2, 5L -> 3))
+    // horizon: maxHops=2 must EXCLUDE node 5 entirely, not report -1
+    val got2 = Graph.bfsLevels(edges, seeds, "id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 == Map(1L -> 0, 2L -> 1, 6L -> 1, 3L -> 2, 4L -> 2))
+  }
 }
