@@ -396,7 +396,57 @@ object RelationalQueries {
         CAST(COUNT(*) AS BIGINT) AS n
       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
 
+  /** Data-quality expectations audit (ops/Expectations.audit): five
+    * declared checks over orders — null key, price range (the 400k cap
+    * deliberately FAILS so the passed=0 path is exercised), status
+    * enum, key uniqueness, customer referential integrity — fused into
+    * ONE scan + ONE aggregate (FK membership rides a broadcast left
+    * join; uniqueness rides the same scan as a distinct count).
+    */
+  private val qDqAudit = QueryDef(
+    "q_dq_audit",
+    (s, d) => {
+      import graft.ops.Expectations._
+      audit(Tables.orders(s, d), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", lit(0.0), lit(400000.0)),
+        InSet("o_orderstatus", Seq("F", "O", "P")),
+        Unique("o_orderkey"),
+        ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey",
+          "customer")))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o.*, c.c_custkey AS fk_cust
+        FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+          CAST(SUM(CASE WHEN o_custkey IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+          CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+            AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+          CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('F', 'O', 'P')
+            THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+          CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v3,
+          CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND fk_cust IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        FROM base)
+      SELECT 'not_null(o_custkey)' AS check_name, v0 AS violations,
+        total, CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INT) AS passed
+      FROM agg
+      UNION ALL SELECT 'in_range(o_totalprice)', v1, total,
+        CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INT) FROM agg
+      UNION ALL SELECT 'in_set(o_orderstatus)', v2, total,
+        CAST(CASE WHEN v2 = 0 THEN 1 ELSE 0 END AS INT) FROM agg
+      UNION ALL SELECT 'unique(o_orderkey)', v3, total,
+        CAST(CASE WHEN v3 = 0 THEN 1 ELSE 0 END AS INT) FROM agg
+      UNION ALL SELECT 'fk(o_custkey->customer.c_custkey)', v4, total,
+        CAST(CASE WHEN v4 = 0 THEN 1 ELSE 0 END AS INT) FROM agg"""))
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
-    qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets)
+    qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit)
 }
