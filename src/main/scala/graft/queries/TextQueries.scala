@@ -1195,6 +1195,38 @@ object TextQueries {
           t -> length(t) > 0)) AS INT) AS n_subwords
       FROM documents"""))
 
+  /** Banded phrase-postings inverted index (TfIdf.invertedIndex over
+    * word bigrams): sorted doc-id posting lists + parallel tf arrays
+    * for grams with 2 ≤ df ≤ 50. The df band is applied BEFORE lists
+    * materialize, so stopword-scale postings never build (the unigram
+    * vocabulary here is 31 dense terms — every unigram IS a stopword;
+    * bigrams give the banded middle a real index serves from).
+    * Array-valued output, hash-checked.
+    */
+  private val qInvertedIndex = QueryDef(
+    "q_inverted_index",
+    (s, d) => graft.text.TfIdf.invertedIndex(Tables.documents(s, d),
+      "doc_id", "text", n = 2, minDf = 2L, maxDf = 50L),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+          i -> t[i] || ' ' || t[i+1])) AS term
+        FROM tok WHERE len(t) >= 2),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bg GROUP BY doc_id, term),
+      df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+      SELECT tf.term, df.df,
+        list(tf.doc_id ORDER BY tf.doc_id) AS postings,
+        list(tf.tf ORDER BY tf.doc_id) AS tfs
+      FROM tf JOIN df USING (term)
+      WHERE df.df BETWEEN 2 AND 50
+      GROUP BY tf.term, df.df"""))
+
   /** Top-3 terms per document by the integer tf-idf ordering
     * (tf DESC, df ASC, term ASC) — keyword extraction with a fully
     * integer/string output, hash-exact against SQL.
@@ -1814,5 +1846,5 @@ object TextQueries {
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
-    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qRedact)
+    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qRedact)
 }

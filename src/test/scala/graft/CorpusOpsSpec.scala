@@ -29,6 +29,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top((3L, 2)) == ("cherry", 1L, 2L))
   }
 
+  test("inverted index: df band pre-filters, postings sorted, tf parallel") {
+    val docs = Seq(
+      (3L, "a b a b c"),   // bigrams: "a b"×2, "b a", "b c"
+      (1L, "a b x"),       // "a b", "b x"
+      (2L, "z b c"))       // "z b", "b c"
+      .toDF("doc_id", "text")
+    val idx = TfIdf.invertedIndex(docs, "doc_id", "text",
+        n = 2, minDf = 2L, maxDf = 50L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))).toMap
+    // band 2..50 keeps only "a b" (df 2) and "b c" (df 2); the df-1
+    // grams ("b a", "b x", "z b") are dropped BEFORE any list builds
+    assert(idx.keySet == Set("a b", "b c"))
+    // postings ascending by doc_id with the PARALLEL tf array:
+    // doc 3 has "a b" twice
+    assert(idx("a b") == (2L, Seq(1L, 3L), Seq(1L, 2L)))
+    assert(idx("b c") == (2L, Seq(2L, 3L), Seq(1L, 1L)))
+    // unigram mode: every term has df <= 3; band [3,3] keeps only 'b'
+    val uni = TfIdf.invertedIndex(docs, "doc_id", "text",
+        n = 1, minDf = 3L, maxDf = 3L)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](2)).toMap
+    assert(uni == Map("b" -> Seq(1L, 2L, 3L)))
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("range join matches naive inequality join exactly, no duplicates") {
