@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A/B experiment readout: per metric group, Welch's two-sample z-test
+  * between arms — the decision table every event-logged experiment
+  * (and every data-mix ablation measured by an online metric) ends in.
+  *
+  * Determinism (the registry's exact-decimal rule): all MOMENTS (n,
+  * Σx, Σx²) accumulate in exact DECIMAL — x is quantized to
+  * DECIMAL(12,2) once, x² is the exact decimal product — so the
+  * reduction is order-independent. The final means / variances / z are
+  * then ONE fixed tree of IEEE double ops over those exact inputs;
+  * any engine replaying the same tree bit-matches.
+  *
+  * Shape at scale: one partial→final hash aggregate over (group) with
+  * both arms' moments as conditional sums — a single shuffle of
+  * 6-column moment rows, no per-arm self-join, no window. 100 TB of
+  * events reduce to |groups| rows before anything non-associative
+  * happens.
+  */
+object Experiment {
+
+  /** Two-sample z-test per `groupCol`. `armCol` must be 0 (control)
+    * or 1 (treatment). Output: group, n_a, n_b, mean_a, mean_b, z —
+    * z NULL when either arm has < 2 observations or both variances
+    * are zero.
+    */
+  def twoSampleZ(df: DataFrame, groupCol: String, armCol: String,
+      valCol: String): DataFrame = {
+    val x = col(valCol).cast(DecimalType(12, 2))
+    def arm(a: Int, c: Column): Column = when(col(armCol) === a, c)
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(arm(0, lit(1))).as("n_a"),
+      count(arm(1, lit(1))).as("n_b"),
+      sum(arm(0, x)).as("s_a"),
+      sum(arm(1, x)).as("s_b"),
+      sum(arm(0, x * x)).as("ss_a"),
+      sum(arm(1, x * x)).as("ss_b"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / col(n)
+    // sample variance from exact moments: (Σx² − (Σx)²/n) / (n−1)
+    def variance(ss: String, s: String, n: String): Column =
+      (col(ss).cast("double") -
+        col(s).cast("double") * col(s).cast("double") / col(n)) /
+        (col(n) - lit(1L))
+    val se = sqrt(variance("ss_a", "s_a", "n_a") / col("n_a") +
+      variance("ss_b", "s_b", "n_b") / col("n_b"))
+    agg.select(col(groupCol), col("n_a"), col("n_b"),
+      mean("s_a", "n_a").as("mean_a"),
+      mean("s_b", "n_b").as("mean_b"),
+      when(col("n_a") >= 2L && col("n_b") >= 2L && se > 0.0,
+        (mean("s_a", "n_a") - mean("s_b", "n_b")) / se).as("z"))
+  }
+}

@@ -430,6 +430,43 @@ object PipelineQueries {
     },
     scd2Oracle)
 
+  /** A/B experiment readout (ops/Experiment.twoSampleZ): users split
+    * into arms by user_id parity, Welch z per event_type on `value`.
+    * Moments are exact DECIMAL (order-independent); the z itself is one
+    * mirrored tree of IEEE double ops — hash-exact across engines.
+    */
+  private val qAbTest = QueryDef(
+    "q_ab_test_z",
+    (s, d) => graft.ops.Experiment.twoSampleZ(
+      Tables.events(s, d)
+        .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int")),
+      "event_type", "arm", "value"),
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+          CAST(value AS DECIMAL(12,2)) AS x
+        FROM events),
+      m AS (
+        SELECT event_type,
+          CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+          CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+          SUM(CASE WHEN arm = 0 THEN x END) AS s_a,
+          SUM(CASE WHEN arm = 1 THEN x END) AS s_b,
+          SUM(CASE WHEN arm = 0 THEN x * x END) AS ss_a,
+          SUM(CASE WHEN arm = 1 THEN x * x END) AS ss_b
+        FROM e GROUP BY event_type)
+      SELECT event_type, n_a, n_b,
+        CAST(s_a AS DOUBLE) / n_a AS mean_a,
+        CAST(s_b AS DOUBLE) / n_b AS mean_b,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND sqrt(
+            ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a
+          + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b) > 0.0
+        THEN (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / sqrt(
+            ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a
+          + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b)
+        END AS z
+      FROM m"""))
+
   /** Gap-based sessionization (30 min) — lag + running-sum windows,
     * integer-second bounds for engine portability.
     */
@@ -471,5 +508,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply)
+    qScd2, qScd2Apply, qAbTest)
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Experiment
+
+class ExperimentSpec extends AnyFunSuite {
+  lazy val spark = Session.builder("experiment-test", "4").getOrCreate()
+  import spark.implicits._
+
+  test("two-sample z: hand-computed Welch z, degenerate arms -> NULL") {
+    val df = Seq(
+      // group m: arm0 {1,3} (mean 2, var 2), arm1 {2,6} (mean 4, var 8)
+      ("m", 0, 1.0), ("m", 0, 3.0), ("m", 1, 2.0), ("m", 1, 6.0),
+      // group one: a single arm-0 observation -> z NULL
+      ("one", 0, 5.0), ("one", 1, 1.0), ("one", 1, 2.0),
+      // group flat: identical values in both arms -> se 0 -> z NULL
+      ("flat", 0, 7.0), ("flat", 0, 7.0), ("flat", 1, 7.0), ("flat", 1, 7.0))
+      .toDF("g", "arm", "v")
+    val out = Experiment.twoSampleZ(df, "g", "arm", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.get(5))).toMap
+    val (na, nb, ma, mb, z) = out("m")
+    assert((na, nb, ma, mb) == (2L, 2L, 2.0, 4.0))
+    // z = (2-4)/sqrt(2/2 + 8/2) = -2/sqrt(5)
+    assert(math.abs(z.asInstanceOf[Double] - (-2.0 / math.sqrt(5.0))) < 1e-12)
+    assert(out("one")._5 == null)
+    assert(out("flat")._5 == null)
+    assert(out("flat")._3 == 7.0 && out("flat")._4 == 7.0)
+  }
+}
