@@ -430,6 +430,18 @@ object PipelineQueries {
     },
     scd2Oracle)
 
+  /** Streaming twin of q_scd2_history (StreamingScd2 —
+    * flatMapGroupsWithState, O(live keys) state: one open version per
+    * key; closed versions stream out as successors land). Driven over
+    * the bounded events file with a sentinel watermark flush; shares
+    * the batch oracle verbatim — continuous fold ≡ batch rebuild,
+    * hash-proven.
+    */
+  private val qStreamScd2 = QueryDef(
+    "q_stream_scd2",
+    (s, d) => graft.streaming.StreamingScd2.runBatchEquivalent(s, d),
+    scd2Oracle)
+
   /** A/B experiment readout (ops/Experiment.twoSampleZ): users split
     * into arms by user_id parity, Welch z per event_type on `value`.
     * Moments are exact DECIMAL (order-independent); the z itself is one
@@ -508,5 +520,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qAbTest)
+    qScd2, qScd2Apply, qStreamScd2, qAbTest)
 }
