@@ -442,6 +442,31 @@ object PipelineQueries {
     (s, d) => graft.streaming.StreamingScd2.runBatchEquivalent(s, d),
     scd2Oracle)
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences (ops/Transitions.eventTransitions): exact integer
+    * counts + one final double division for the row-normalized
+    * probability.
+    */
+  private val qTransitions = QueryDef(
+    "q_event_transitions",
+    (s, d) => graft.ops.Transitions.eventTransitions(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type"),
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS from_type,
+          LEAD(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      t AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS total_from
+        FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n, t.total_from,
+        CAST(c.n AS DOUBLE) / t.total_from AS p
+      FROM c JOIN t USING (from_type)"""))
+
   /** A/B experiment readout (ops/Experiment.twoSampleZ): users split
     * into arms by user_id parity, Welch z per event_type on `value`.
     * Moments are exact DECIMAL (order-independent); the z itself is one
@@ -520,5 +545,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qAbTest)
+    qScd2, qScd2Apply, qStreamScd2, qAbTest, qTransitions)
 }

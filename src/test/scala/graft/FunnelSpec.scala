@@ -63,4 +63,22 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Map((0L, 0) -> 2L, (0L, 2) -> 1L,
       (1L, 0) -> 1L, (1L, 1) -> 1L))
   }
+
+  test("event transitions: adjacent pairs per user, row-normalized") {
+    // user 1: a,b,c,a  -> a→b, b→c, c→a ; user 2: a,c -> a→c
+    val ev2 = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "a"), (2L, 1L, 5L, "a"), (2L, 2L, 6L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Transitions.eventTransitions(
+        ev2, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      ("a", "b") -> (1L, 2L, 0.5), ("a", "c") -> (1L, 2L, 0.5),
+      ("b", "c") -> (1L, 1L, 1.0), ("c", "a") -> (1L, 1L, 1.0)))
+    // a user's LAST event contributes no transition (no wraparound):
+    // 6 events, 2 users -> 4 transitions
+    assert(got.values.map(_._1).sum == 4L)
+  }
 }
