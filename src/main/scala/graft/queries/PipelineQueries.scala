@@ -442,6 +442,41 @@ object PipelineQueries {
     (s, d) => graft.streaming.StreamingScd2.runBatchEquivalent(s, d),
     scd2Oracle)
 
+  /** RFM segmentation (ops/Segmentation.rfmSegments): every user
+    * scored 1..5 on recency / frequency / monetary by equi-depth rank
+    * — ranks via the distributed two-level prefix sum
+    * (Ranking.globalRank), never a single-partition window. The oracle
+    * replays the same (metric, user_id) total orders and floor
+    * formula with plain ROW_NUMBERs.
+    */
+  private val qRfm = QueryDef(
+    "q_rfm_segments",
+    (s, d) => graft.ops.Segmentation.rfmSegments(
+      Tables.events(s, d), "user_id", "ts", "value", buckets = 5),
+    Some("""
+      WITH m AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq,
+          MAX(epoch_us(ts)) AS last_us,
+          SUM(CAST(value AS DECIMAL(12,2))) AS mon
+        FROM events GROUP BY 1),
+      r AS (
+        SELECT user_id, freq, mon,
+          ROW_NUMBER() OVER (ORDER BY last_us, user_id) AS r_rn,
+          ROW_NUMBER() OVER (ORDER BY freq, user_id) AS f_rn,
+          ROW_NUMBER() OVER (ORDER BY mon, user_id) AS m_rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS nu
+        FROM m),
+      s AS (
+        SELECT user_id, freq, CAST(mon AS DOUBLE) AS monetary,
+          CAST(FLOOR((r_rn - 1) * 5 / nu) + 1 AS INT) AS r_score,
+          CAST(FLOOR((f_rn - 1) * 5 / nu) + 1 AS INT) AS f_score,
+          CAST(FLOOR((m_rn - 1) * 5 / nu) + 1 AS INT) AS m_score
+        FROM r)
+      SELECT user_id, freq, monetary, r_score, f_score, m_score,
+        CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+          || '-' || CAST(m_score AS VARCHAR) AS segment
+      FROM s"""))
+
   /** First-order Markov transition matrix over per-user event
     * sequences (ops/Transitions.eventTransitions): exact integer
     * counts + one final double division for the row-normalized
@@ -545,5 +580,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qAbTest, qTransitions)
+    qScd2, qScd2Apply, qStreamScd2, qAbTest, qTransitions, qRfm)
 }
