@@ -54,4 +54,31 @@ object Experiment {
       when(col("n_a") >= 2L && col("n_b") >= 2L && se > 0.0,
         (mean("s_a", "n_a") - mean("s_b", "n_b")) / se).as("z"))
   }
+
+  /** Pearson χ² contingency cells between two categorical columns:
+    * per (a, b) cell the observed count, the independence-expected
+    * count (row·col/grand) and the χ² contribution (o−e)²/e. Observed
+    * counts and margins are exact BIGINTs; expected/contribution are
+    * one fixed double tree over them. Σ contribution = the χ²
+    * statistic at (|a|−1)(|b|−1) dof.
+    *
+    * Shape: one (a,b) aggregate collapses the corpus to the
+    * contingency table; margins re-aggregate THAT table (never the
+    * corpus) and join back broadcast.
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("observed")).as("__rt"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("observed")).as("__ct"))
+    val grand = cells.agg(sum(col("observed")).as("__g"))
+    val e = col("__rt").cast("double") * col("__ct") / col("__g")
+    cells.join(broadcast(rowT), Seq(aCol))
+      .join(broadcast(colT), Seq(bCol))
+      .crossJoin(broadcast(grand))
+      .select(col(aCol), col(bCol), col("observed"),
+        e.as("expected"),
+        ((col("observed") - e) * (col("observed") - e) / e)
+          .as("contribution"))
+  }
 }

@@ -154,4 +154,30 @@ object Sketches {
       .orderBy(col("cms_estimate").desc, col("key"))
       .limit(k)
   }
+
+  /** Set-overlap estimate by sketch algebra: |A∩B| ≈ est(A) + est(B)
+    * − est(A∪B), where the union sketch is a MAX-merge of the two
+    * register tables — no raw data is re-scanned. This is THE reason
+    * sketches are the 100 TB audience/coverage currency: pairwise
+    * overlaps across any set family come from one register table per
+    * set (≤ 256 rows each), never from re-joining the corpora.
+    *
+    * Output: one row (est_a, est_b, est_union, est_overlap) — every
+    * term the raw dyadic-sum estimate (hllEstimate's determinism
+    * contract), the overlap one mirrored (a + b) − u double tree.
+    * Inclusion–exclusion can go slightly negative on near-disjoint
+    * sets (raw-estimate noise); callers clamp downstream if needed.
+    */
+  def hllOverlap(regA: DataFrame, regB: DataFrame): DataFrame = {
+    def est(r: DataFrame, as: String) =
+      hllEstimate(r).select(col("hll_raw_estimate").as(as))
+    val union = regA.select(col("bucket"), col("m_reg"))
+      .unionByName(regB.select(col("bucket"), col("m_reg")))
+      .groupBy(col("bucket")).agg(max(col("m_reg")).as("m_reg"))
+    est(regA, "est_a")
+      .crossJoin(est(regB, "est_b"))
+      .crossJoin(est(union, "est_union"))
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
 }

@@ -477,6 +477,104 @@ object PipelineQueries {
           || '-' || CAST(m_score AS VARCHAR) AS segment
       FROM s"""))
 
+  /** One set's HLL register pipeline in SQL (mirrors
+    * Sketches.hllRegisters/hllEstimate over a user-id set CTE `src`).
+    */
+  private def sqlHllSet(src: String, tag: String): String = s"""
+      bits_$tag AS (
+        SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+          substr(md5(CAST(user_id AS VARCHAR)), 3, 8) AS tail
+        FROM $src),
+      lzt_$tag AS (
+        SELECT bucket, tail,
+          length(regexp_extract(tail, '^0*')) AS lzc FROM bits_$tag),
+      regs_$tag AS (
+        SELECT bucket, MAX(CASE WHEN lzc = 8 THEN 33
+          ELSE 1 + lzc * 4 +
+            CASE WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 8 THEN 0
+                 WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 4 THEN 1
+                 WHEN strpos('0123456789abcdef', substr(tail, lzc + 1, 1)) - 1 >= 2 THEN 2
+                 ELSE 3 END END) AS m_reg
+        FROM lzt_$tag GROUP BY 1),
+      est_$tag AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+          SUM(CAST(1 AS DOUBLE) /
+            CAST(CAST(1 AS BIGINT) << m_reg AS DOUBLE)) AS s
+        FROM regs_$tag),
+      v_$tag AS (
+        SELECT (CAST(0.7213 AS DOUBLE) /
+          (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)) * 65536 /
+          (s + CAST(256 - n_nonzero AS DOUBLE)) AS e
+        FROM est_$tag)"""
+
+  /** HLL set algebra (Sketches.hllOverlap): viewers ∩ purchasers
+    * estimated by inclusion–exclusion over register tables — the union
+    * sketch is a MAX-merge of the per-set registers, raw events are
+    * never re-joined. All three estimates are the dyadic-sum raw form,
+    * so the oracle replays them bit-exactly.
+    */
+  private val qHllOverlap = QueryDef(
+    "q_hll_overlap",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def regs(t: String) = graft.ops.Sketches.hllRegisters(
+        ev.where(col("event_type") === t).select(col("user_id")),
+        "user_id")
+      graft.ops.Sketches.hllOverlap(regs("view"), regs("purchase"))
+    },
+    Some(s"""
+      WITH ua AS (SELECT user_id FROM events WHERE event_type = 'view'),
+      ub AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+      ${sqlHllSet("ua", "a")},
+      ${sqlHllSet("ub", "b")},
+      regs_u AS (
+        SELECT bucket, MAX(m_reg) AS m_reg FROM (
+          SELECT bucket, m_reg FROM regs_a
+          UNION ALL SELECT bucket, m_reg FROM regs_b) t GROUP BY 1),
+      est_u AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+          SUM(CAST(1 AS DOUBLE) /
+            CAST(CAST(1 AS BIGINT) << m_reg AS DOUBLE)) AS s
+        FROM regs_u),
+      v_u AS (
+        SELECT (CAST(0.7213 AS DOUBLE) /
+          (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)) * 65536 /
+          (s + CAST(256 - n_nonzero AS DOUBLE)) AS e
+        FROM est_u)
+      SELECT v_a.e AS est_a, v_b.e AS est_b, v_u.e AS est_union,
+        v_a.e + v_b.e - v_u.e AS est_overlap
+      FROM v_a CROSS JOIN v_b CROSS JOIN v_u"""))
+
+  /** Pearson χ² contingency cells (Experiment.chiSquareCells) between
+    * event_type and the user-parity arm — observed/margins exact
+    * BIGINT, expected and contribution one mirrored double tree.
+    */
+  private val qChi2 = QueryDef(
+    "q_chi2_independence",
+    (s, d) => graft.ops.Experiment.chiSquareCells(
+      Tables.events(s, d)
+        .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int")),
+      "event_type", "arm"),
+    Some("""
+      WITH cells AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+          CAST(COUNT(*) AS BIGINT) AS observed
+        FROM events GROUP BY 1, 2),
+      rt AS (
+        SELECT event_type, CAST(SUM(observed) AS BIGINT) AS rt
+        FROM cells GROUP BY 1),
+      ct AS (
+        SELECT arm, CAST(SUM(observed) AS BIGINT) AS ct
+        FROM cells GROUP BY 1),
+      g AS (SELECT CAST(SUM(observed) AS BIGINT) AS g FROM cells)
+      SELECT c.event_type, c.arm, c.observed,
+        CAST(rt.rt AS DOUBLE) * ct.ct / g.g AS expected,
+        (c.observed - CAST(rt.rt AS DOUBLE) * ct.ct / g.g)
+          * (c.observed - CAST(rt.rt AS DOUBLE) * ct.ct / g.g)
+          / (CAST(rt.rt AS DOUBLE) * ct.ct / g.g) AS contribution
+      FROM cells c
+      JOIN rt USING (event_type) JOIN ct USING (arm) CROSS JOIN g"""))
+
   /** First-order Markov transition matrix over per-user event
     * sequences (ops/Transitions.eventTransitions): exact integer
     * counts + one final double division for the row-normalized
@@ -580,5 +678,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qAbTest, qTransitions, qRfm)
+    qScd2, qScd2Apply, qStreamScd2, qAbTest, qTransitions, qRfm, qChi2, qHllOverlap)
 }

@@ -324,6 +324,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(once == global)
   }
 
+  test("hll overlap: identical sets overlap fully, inclusion-exclusion tracks truth") {
+    import graft.ops.Sketches
+    def keys(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(concat(lit("k"), col("id")).as("key"))
+    def regs(lo: Int, hi: Int) = Sketches.hllRegisters(keys(lo, hi), "key")
+    // identical sets: union sketch == either sketch, so the algebra is
+    // EXACT: est_overlap == est_a == est_b, no tolerance needed
+    val same = Sketches.hllOverlap(regs(0, 5000), regs(0, 5000)).head()
+    assert(same.getDouble(0) == same.getDouble(1))
+    assert(same.getDouble(3) == same.getDouble(0))
+    // 0..6000 vs 4000..10000: true overlap 2000 of 6000 each — the
+    // estimate should land within the raw-HLL error band
+    val part = Sketches.hllOverlap(regs(0, 6000), regs(4000, 10000)).head()
+    assert(math.abs(part.getDouble(3) - 2000.0) / 2000.0 < 0.35,
+      s"overlap ${part.getDouble(3)}")
+    // and est_union <= est_a + est_b by construction
+    assert(part.getDouble(2) <= part.getDouble(0) + part.getDouble(1))
+  }
+
   test("geo neighbor join: finds cross-cell pairs once, respects the radius exactly") {
     import graft.ops.GeoJoin
     // r=100: (1,2) dist2=8² → in; (1,3) 100² boundary → in (<=);

@@ -29,4 +29,22 @@ class ExperimentSpec extends AnyFunSuite {
     assert(out("flat")._5 == null)
     assert(out("flat")._3 == 7.0 && out("flat")._4 == 7.0)
   }
+
+  test("chi-square cells: hand-computed 2x2 contingency") {
+    // observed: (x,0)=30 (x,1)=10 (y,0)=10 (y,1)=50 -> margins
+    // rt x=40 y=60, ct 0=40 1=60, grand 100
+    val rows = Seq.fill(30)(("x", 0)) ++ Seq.fill(10)(("x", 1)) ++
+      Seq.fill(10)(("y", 0)) ++ Seq.fill(50)(("y", 1))
+    val df = rows.toDF("a", "b")
+    val out = Experiment.chiSquareCells(df, "a", "b")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(("x", 0)) == (30L, 16.0, 196.0 / 16.0))
+    assert(out(("x", 1)) == (10L, 24.0, 196.0 / 24.0))
+    assert(out(("y", 0)) == (10L, 24.0, 196.0 / 24.0))
+    assert(out(("y", 1)) == (50L, 36.0, 196.0 / 36.0))
+    // chi2 statistic = sum of contributions ~= 22.685
+    val stat = out.values.map(_._3).sum
+    assert(math.abs(stat - (12.25 + 196.0 / 24 * 2 + 196.0 / 36)) < 1e-12)
+  }
 }
