@@ -292,4 +292,30 @@ object Sampling {
       .where(md5(key.cast("string")) < col("__thr"))
       .drop("__src", "__thr")
   }
+
+  /** Curriculum ordering — the easy-first (or quality-first) write
+    * order curriculum training wants: rows are banded by equi-depth
+    * rank on `scoreCol` (band 1 = highest score), then md5-SHUFFLED
+    * WITHIN each band, and `curriculum_pos` enumerates the result
+    * globally (band-major). Banding uses the windowless floor formula;
+    * both ranks go through Ranking.globalRank — two distributed
+    * range-partition passes, zero corpus-wide single-partition
+    * windows. Deterministic given (score, id, seed): any engine
+    * replays band AND position exactly.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+      bands: Int, seed: Long): DataFrame = {
+    require(bands >= 2, "need at least 2 bands")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val banded = Ranking.globalRank(df,
+        Seq(col(scoreCol).desc, col(idCol)), "__r")
+      .crossJoin(broadcast(n))
+      .withColumn("band",
+        Ranking.equiDepthScore(col("__r"), col("__n"), bands))
+      .drop("__r", "__n")
+    val digest = md5(concat(col(idCol).cast("string"), lit(s":$seed")))
+    Ranking.globalRank(banded.withColumn("__d", digest),
+        Seq(col("band"), col("__d"), col(idCol)), "curriculum_pos")
+      .drop("__d")
+  }
 }

@@ -106,6 +106,36 @@ object TextQueries {
         ) / 4.0 AS q
         FROM $src)"""
 
+  /** Curriculum ordering (ops/Sampling.curriculumOrder): documents
+    * banded 1..5 by equi-depth quality rank (band 1 = best), shuffled
+    * within band, globally enumerated band-major — the quality-first
+    * write order curriculum training consumes. Both ranks are the
+    * distributed two-level prefix sum; the oracle replays the same
+    * total orders with plain ROW_NUMBERs.
+    */
+  private val qCurriculum = QueryDef(
+    "q_curriculum_order",
+    (s, d) => graft.ops.Sampling.curriculumOrder(
+      TF.withQualityScore(Tables.documents(s, d), "text", "q")
+        .select(col("doc_id"), col("q")),
+      "doc_id", "q", bands = 5, seed = 7L),
+    Some(s"""
+      WITH ${sqlScoredCte("doc_id")},
+      r AS (
+        SELECT doc_id, q,
+          ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM scored),
+      b AS (
+        SELECT doc_id, q,
+          CAST(FLOOR((rn - 1) * 5 / n) + 1 AS INT) AS band
+        FROM r)
+      SELECT doc_id, q, band,
+        CAST(ROW_NUMBER() OVER (ORDER BY band,
+          md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) AS BIGINT)
+          AS curriculum_pos
+      FROM b"""))
+
   private val qQuality = QueryDef(
     "q_quality_score_histogram",
     (s, d) =>
@@ -1846,5 +1876,5 @@ object TextQueries {
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
-    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qRedact)
+    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qCurriculum, qRedact)
 }
