@@ -63,11 +63,17 @@ case class BpeEncode(tok: Expression, lArr: Expression, rArr: Expression)
             s" / ${lArr.dataType.catalogString} / ${rArr.dataType.catalogString}")
     }
 
-  /** pair→(rank, merged) hash, nested on the left symbol to avoid a
-    * tuple allocation per lookup. A duplicate pair keeps its LOWEST
-    * rank — in the pass fold a later duplicate pass is always a no-op
-    * (the earlier pass removed every occurrence and merging cannot
-    * recreate the same pair), so dropping it preserves semantics.
+  /** pair→(ranks, merged) hash, nested on the left symbol to avoid a
+    * tuple allocation per lookup. A duplicate (l, r) entry keeps ALL
+    * its ranks (ascending): within one pass a merge cannot recreate
+    * its own pair (l+r equals neither l nor r), but a LATER merge
+    * whose concatenation equals l or r can — ambiguous decompositions
+    * like "aba" from both ("ab","a") and ("a","ba") let a trainer
+    * legitimately re-learn an already-merged pair, and the pass fold
+    * then merges the recreated occurrences at the duplicate's later
+    * rank. The eval picks the minimal stored rank ≥ the pointer, so
+    * it follows the fold on such tables too (ranks arrays are length
+    * 1 on any dedup-trained table — the scan is free).
     */
   @transient private lazy val rankOf
       : java.util.HashMap[String, java.util.HashMap[String, Array[AnyRef]]] = {
@@ -84,9 +90,11 @@ case class BpeEncode(tok: Expression, lArr: Expression, rArr: Expression)
     while (i < ls.length) {
       val inner = m.computeIfAbsent(ls(i),
         _ => new java.util.HashMap[String, Array[AnyRef]]())
-      if (!inner.containsKey(rs(i)))
-        inner.put(rs(i),
-          Array[AnyRef](Integer.valueOf(i), ls(i) + rs(i)))
+      val prev = inner.get(rs(i))
+      if (prev eq null)
+        inner.put(rs(i), Array[AnyRef](Array(i), ls(i) + rs(i)))
+      else
+        prev(0) = prev(0).asInstanceOf[Array[Int]] :+ i
       i += 1
     }
     m
@@ -120,8 +128,15 @@ case class BpeEncode(tok: Expression, lArr: Expression, rArr: Expression)
         if (inner ne null) {
           val hit = inner.get(syms(i + 1))
           if (hit ne null) {
-            val rk = hit(0).asInstanceOf[Integer].intValue()
-            if (rk >= pointer && (best == -1 || rk < best)) {
+            // minimal stored rank ≥ pointer (ranks ascending)
+            val ranks = hit(0).asInstanceOf[Array[Int]]
+            var rk = -1
+            var k = 0
+            while (rk == -1 && k < ranks.length) {
+              if (ranks(k) >= pointer) rk = ranks(k)
+              k += 1
+            }
+            if (rk >= 0 && (best == -1 || rk < best)) {
               best = rk
               bestPos = i
               bestOut = hit(1).asInstanceOf[String]

@@ -39,19 +39,35 @@ object Experiment {
       sum(arm(1, x)).as("s_b"),
       sum(arm(0, x * x)).as("ss_a"),
       sum(arm(1, x * x)).as("ss_b"))
+    // Every division guards its divisor with nullif: under ANSI mode
+    // (Spark 4 default) a degenerate group (empty arm, n = 1) would
+    // otherwise FAIL THE JOB with DIVIDE_BY_ZERO — and codegen's
+    // subexpression elimination can hoist se out of the when() that
+    // textually guards it, so short-circuiting cannot be relied on.
     def mean(s: String, n: String): Column =
-      col(s).cast("double") / col(n)
-    // sample variance from exact moments: (Σx² − (Σx)²/n) / (n−1)
+      col(s).cast("double") / nullif(col(n), lit(0L))
+    // sample variance from exact moments: (Σx² − (Σx)²/n) / (n−1);
+    // NULL (not an error) when n < 2
     def variance(ss: String, s: String, n: String): Column =
       (col(ss).cast("double") -
-        col(s).cast("double") * col(s).cast("double") / col(n)) /
-        (col(n) - lit(1L))
-    val se = sqrt(variance("ss_a", "s_a", "n_a") / col("n_a") +
-      variance("ss_b", "s_b", "n_b") / col("n_b"))
+        col(s).cast("double") * col(s).cast("double") /
+          nullif(col(n), lit(0L))) /
+        nullif(col(n) - lit(1L), lit(0L))
+    // Each variance clamped at 0: double rounding can push a
+    // near-zero variance slightly negative, which would make se NaN —
+    // and Spark sorts NaN ABOVE all numbers, so `NaN > 0.0` is TRUE
+    // and z would emit NaN instead of the documented NULL. greatest()
+    // also absorbs the n<2 NULL (greatest(NULL, 0.0) = 0.0); the
+    // n_a/n_b >= 2 gate below still nulls z for those groups.
+    val se = sqrt(
+      greatest(variance("ss_a", "s_a", "n_a"), lit(0.0)) /
+        nullif(col("n_a"), lit(0L)) +
+      greatest(variance("ss_b", "s_b", "n_b"), lit(0.0)) /
+        nullif(col("n_b"), lit(0L)))
     agg.select(col(groupCol), col("n_a"), col("n_b"),
       mean("s_a", "n_a").as("mean_a"),
       mean("s_b", "n_b").as("mean_b"),
-      when(col("n_a") >= 2L && col("n_b") >= 2L && se > 0.0,
+      when(col("n_a") >= 2L && col("n_b") >= 2L && !isnan(se) && se > 0.0,
         (mean("s_a", "n_a") - mean("s_b", "n_b")) / se).as("z"))
   }
 

@@ -61,7 +61,13 @@ object Scd2 {
       .where(col("__new"))
     // valid_to = the next run's start; computed on the collapsed frame
     // (version-sized, not changelog-sized) under the same partitioning.
-    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ts"))
+    // Ordered by (__ts, __tie), not __ts alone: two runs of one key CAN
+    // start at the same instant (equal-ts attribute flips, and
+    // applyChanges' re-opened row at ts = valid_from meeting a
+    // same-instant incoming row) — without the tiebreaker the lead()
+    // assignment of valid_to / is_current would be nondeterministic.
+    val w2 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__tie"))
     starts
       .withColumn(VT, lead(col("__ts"), 1) over w2)
       .select(keyCols.map(col) ++ attrCols.map(col) ++ Seq(

@@ -369,18 +369,18 @@ object PipelineQueries {
         SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
         FROM events),
       marked AS (
-        SELECT user_id, ts_us, event_type,
+        SELECT user_id, ts_us, event_type, event_id,
           LAG(event_type) OVER (
             PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
         FROM cl),
       starts AS (
-        SELECT user_id, event_type, ts_us AS valid_from
+        SELECT user_id, event_type, ts_us AS valid_from, event_id
         FROM marked WHERE prev IS NULL OR prev <> event_type)
       SELECT user_id, event_type, valid_from,
         LEAD(valid_from) OVER (
-          PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+          PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
         CAST(CASE WHEN LEAD(valid_from) OVER (
-          PARTITION BY user_id ORDER BY valid_from) IS NULL
+          PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
           THEN 1 ELSE 0 END AS INT) AS is_current
       FROM starts""")
 
@@ -624,18 +624,20 @@ object PipelineQueries {
           SUM(CASE WHEN arm = 1 THEN x END) AS s_b,
           SUM(CASE WHEN arm = 0 THEN x * x END) AS ss_a,
           SUM(CASE WHEN arm = 1 THEN x * x END) AS ss_b
-        FROM e GROUP BY event_type)
-      SELECT event_type, n_a, n_b,
-        CAST(s_a AS DOUBLE) / n_a AS mean_a,
-        CAST(s_b AS DOUBLE) / n_b AS mean_b,
-        CASE WHEN n_a >= 2 AND n_b >= 2 AND sqrt(
-            ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a
-          + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b) > 0.0
-        THEN (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / sqrt(
-            ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a
-          + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b)
-        END AS z
-      FROM m"""))
+        FROM e GROUP BY event_type),
+      se AS (
+        SELECT event_type, n_a, n_b,
+          CAST(s_a AS DOUBLE) / n_a AS mean_a,
+          CAST(s_b AS DOUBLE) / n_b AS mean_b,
+          sqrt(
+            greatest((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1), 0.0) / n_a
+          + greatest((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1), 0.0) / n_b)
+          AS se
+        FROM m)
+      SELECT event_type, n_a, n_b, mean_a, mean_b,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND NOT isnan(se) AND se > 0.0
+        THEN (mean_a - mean_b) / se END AS z
+      FROM se"""))
 
   /** Gap-based sessionization (30 min) — lag + running-sum windows,
     * integer-second bounds for engine portability.

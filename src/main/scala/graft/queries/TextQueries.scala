@@ -1231,12 +1231,22 @@ object TextQueries {
     * materialize, so stopword-scale postings never build (the unigram
     * vocabulary here is 31 dense terms — every unigram IS a stopword;
     * bigrams give the banded middle a real index serves from).
-    * Array-valued output, hash-checked.
+    *
+    * The DECLARED output serializes the posting/tf arrays to
+    * comma-joined strings: the driver's oracle harness canonicalizes
+    * by sorting every column, and array cells are unhashable there.
+    * Library consumers use TfIdf.invertedIndex directly and keep the
+    * array-typed columns; the query layer projects a hashable view
+    * of the exact same lists (order is pinned by doc_id on both
+    * sides, so the serialization is deterministic).
     */
   private val qInvertedIndex = QueryDef(
     "q_inverted_index",
     (s, d) => graft.text.TfIdf.invertedIndex(Tables.documents(s, d),
-      "doc_id", "text", n = 2, minDf = 2L, maxDf = 50L),
+        "doc_id", "text", n = 2, minDf = 2L, maxDf = 50L)
+      .select(col("term"), col("df"),
+        concat_ws(",", col("postings")).as("postings_csv"),
+        concat_ws(",", col("tfs")).as("tfs_csv")),
     Some("""
       WITH tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -1251,11 +1261,70 @@ object TextQueries {
       df AS (
         SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
       SELECT tf.term, df.df,
-        list(tf.doc_id ORDER BY tf.doc_id) AS postings,
-        list(tf.tf ORDER BY tf.doc_id) AS tfs
+        array_to_string(list(tf.doc_id ORDER BY tf.doc_id), ',') AS postings_csv,
+        array_to_string(list(tf.tf ORDER BY tf.doc_id), ',') AS tfs_csv
       FROM tf JOIN df USING (term)
       WHERE df.df BETWEEN 2 AND 50
       GROUP BY tf.term, df.df"""))
+
+  /** Build-once memo for the served inverted index (term-sharded
+    * parquet layout of q_inverted_index's banded bigram index). */
+  private val builtPhraseIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensurePhraseIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val dir = System.getProperty("java.io.tmpdir") +
+      "/graft_phrase_index_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.util.DataFingerprint.of(s, s"$d/documents.parquet")
+    if (builtPhraseIndexes.add(dir))
+      graft.text.TfIdf.buildAndWriteIndex(Tables.documents(s, d),
+        "doc_id", "text", n = 2, minDf = 2L, maxDf = 50L, dir)
+    dir
+  }
+
+  /** The inverted index's SERVE path (TfIdf.conjunctiveLookup): a
+    * conjunctive two-phrase query answered from the term-sharded index
+    * layout alone — shard partition-pruned at the scan, posting lists
+    * intersected by doc_id, ranked by summed tf. The exhibit's query
+    * terms are the anchor doc's top-2 banded bigrams (deterministic,
+    * non-empty by construction — the anchor doc matches itself); a
+    * real caller passes its own literals. PlanSpec asserts the lookup
+    * never touches documents.parquet and the shard set lands in
+    * PartitionFilters.
+    */
+  private val qPhraseLookup = QueryDef(
+    "q_index_phrase_lookup",
+    (s, d) => {
+      val index = graft.text.TfIdf.readIndex(s, ensurePhraseIndex(s, d))
+      val terms = graft.text.TfIdf.anchorQueryTerms(index, 2)
+      graft.text.TfIdf.conjunctiveLookup(index, terms)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+          i -> t[i] || ' ' || t[i+1])) AS term
+        FROM tok WHERE len(t) >= 2),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bg GROUP BY doc_id, term),
+      df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      banded AS (
+        SELECT tf.doc_id, tf.term, tf.tf
+        FROM tf JOIN df USING (term) WHERE df.df BETWEEN 2 AND 50),
+      anchor AS (
+        SELECT MIN(doc_id) AS doc_id FROM (
+          SELECT doc_id FROM banded GROUP BY doc_id HAVING COUNT(*) >= 2)),
+      qterms AS (
+        SELECT b.term FROM banded b JOIN anchor a USING (doc_id)
+        ORDER BY b.tf DESC, b.term LIMIT 2)
+      SELECT b.doc_id, CAST(SUM(b.tf) AS BIGINT) AS score
+      FROM banded b JOIN qterms USING (term)
+      GROUP BY b.doc_id HAVING COUNT(*) = 2"""))
 
   /** Top-3 terms per document by the integer tf-idf ordering
     * (tf DESC, df ASC, term ASC) — keyword extraction with a fully
@@ -1876,5 +1945,5 @@ object TextQueries {
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qFuzzyJoin,
-    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qCurriculum, qRedact)
+    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
 }

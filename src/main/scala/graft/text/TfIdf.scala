@@ -77,6 +77,91 @@ object TfIdf {
         col("__p.doc_id").as("postings"), col("__p.tf").as("tfs"))
   }
 
+  /** Shard of a term under the served-index layout: pmod(xxhash64, n),
+    * evaluated with the SAME Catalyst expression executors run, so a
+    * driver-side literal term resolves to the partition the writer put
+    * its posting list in.
+    */
+  def termShard(term: String, nShards: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term))),
+        42L) // xxhash64's default seed — must match the writer's column
+      .eval(null).asInstanceOf[Long]
+    (((h % nShards) + nShards) % nShards).toInt
+  }
+
+  /** Build the banded inverted index and persist it term-sharded:
+    * `shard = pmod(xxhash64(term), nShards)` as a partition column, so
+    * a serve-time lookup for a handful of terms prunes to their shards
+    * AT THE SCAN (PartitionFilters, no corpus or full-index read). At
+    * 100 TB this is the index's sharding policy: the directory layout
+    * IS the term router, and a conjunctive query touches
+    * ≤ |query terms| shards of the banded middle.
+    */
+  def buildAndWriteIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long, maxDf: Long, dir: String,
+      nShards: Int = 32): Unit =
+    invertedIndex(df, idCol, textCol, n, minDf, maxDf)
+      .withColumn("shard",
+        pmod(xxhash64(col("term")), lit(nShards.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Read a served index written by [[buildAndWriteIndex]]. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Flatten a (term, postings, tfs) index frame to (term, doc_id, tf)
+    * posting rows. Lists are band-bounded (≤ maxDf entries), so the
+    * explode is cheap by construction.
+    */
+  def postings(index: DataFrame): DataFrame =
+    index.select(col("term"),
+        explode(arrays_zip(col("postings"), col("tfs"))).as("__p"))
+      .select(col("term"), col("__p.postings").as("doc_id"),
+        col("__p.tfs").as("tf"))
+
+  /** Conjunctive (AND-of-terms) lookup served from the index ALONE —
+    * the read path of [[invertedIndex]]: filter to the query terms'
+    * shards (partition-pruned) and terms, intersect posting lists by
+    * doc_id (a doc matches iff every query term posts it), rank by
+    * summed tf. Never touches the corpus; the df band bounds every
+    * posting list, so the whole lookup is ≤ |terms| × maxDf rows.
+    */
+  def conjunctiveLookup(index: DataFrame, terms: Seq[String],
+      nShards: Int = 32): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val shards = terms.map(termShard(_, nShards)).distinct
+    postings(index
+        .where(col("shard").isin(shards: _*) &&
+          col("term").isin(terms: _*)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"), sum(col("tf")).as("score"))
+      .where(col("__n") === lit(terms.distinct.size.toLong))
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** Deterministic exhibit query terms: the top-`k` banded terms (by
+    * tf DESC, term ASC) of the LOWEST doc_id that has at least `k`
+    * banded terms — derived from the index alone, and guaranteeing the
+    * conjunctive lookup a non-empty result (the anchor doc matches by
+    * construction). The collect is k strings — the serve contract's
+    * query literal, not a data-plane collect.
+    */
+  def anchorQueryTerms(index: DataFrame, k: Int): Seq[String] = {
+    val p = postings(index)
+    val anchor = p.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= k)
+      .agg(min(col("doc_id")).as("doc_id"))
+    p.join(broadcast(anchor), Seq("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Top-k terms per document by the integer tf-idf ordering
     * (tf DESC, df ASC, term ASC — term as the total tiebreaker).
     */

@@ -829,6 +829,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(syms == Seq(s"a${emoji}b", s"a${emoji}b"), syms.toString)
   }
 
+  test("BPE encode: duplicate merge-table pairs re-merge at their later rank") {
+    import graft.text.TextFunctions
+    // A later merge whose output equals a pair's left symbol can
+    // recreate an already-merged pair: with table [(xy,z), (x,y),
+    // (xy,z)] on "xyz", pass 0 is a no-op (no "xy" symbol yet),
+    // pass 1 builds it, and the pass fold merges (xy,z) at the
+    // DUPLICATE's rank 2. An encoder that kept only the lowest rank
+    // would skip it (0 < pointer) and emit ["xy","z"].
+    val docs = Seq((1L, "xyz")).toDF("doc_id", "text")
+    val merges = Seq(("xy", "z"), ("x", "y"), ("xy", "z"))
+    val syms = TextFunctions.bpeEncodeSymbols(docs, "text", merges)
+      .collect().map(_.getString(0)).toSeq
+    assert(syms == Seq("xyz"), syms.toString)
+  }
+
   test("BPE batching is trajectory-invariant: batchSize 1 and 32 agree on random corpora") {
     import graft.text.TextFunctions
     // direct equivalence proof of the batched selection, independent of

@@ -30,6 +30,26 @@ class ExperimentSpec extends AnyFunSuite {
     assert(out("flat")._3 == 7.0 && out("flat")._4 == 7.0)
   }
 
+  test("two-sample z: rounding-negative variance clamps, never emits NaN") {
+    // Three 6.70s: the moments are exact DECIMAL, but replaying the
+    // double tree (ss − s²/n)/(n−1) gives ~−1.4e-14 — and Spark's
+    // `NaN > 0.0` is TRUE (NaN sorts above all numbers), so without
+    // the clamp sqrt(negative) leaks z = NaN. greatest(var, 0.0)
+    // turns arm 0 into a zero-variance arm and the Welch z comes
+    // from arm 1's variance alone.
+    val df = Seq(
+      ("g", 0, 6.70), ("g", 0, 6.70), ("g", 0, 6.70),
+      ("g", 1, 1.0), ("g", 1, 3.0))
+      .toDF("g", "arm", "v")
+    val z = Experiment.twoSampleZ(df, "g", "arm", "v")
+      .collect().head.get(5)
+    assert(z != null, "z must be defined (arm 1 has real variance)")
+    val zd = z.asInstanceOf[Double]
+    assert(!zd.isNaN, s"z is NaN: the variance clamp is missing")
+    // mean_a 6.7, mean_b 2, var_b 2 -> z = (6.7-2)/sqrt(0 + 2/2)
+    assert(math.abs(zd - (6.7 - 2.0)) < 1e-9, zd.toString)
+  }
+
   test("chi-square cells: hand-computed 2x2 contingency") {
     // observed: (x,0)=30 (x,1)=10 (y,0)=10 (y,1)=50 -> margins
     // rt x=40 y=60, ct 0=40 1=60, grand 100

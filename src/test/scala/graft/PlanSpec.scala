@@ -118,6 +118,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("phrase lookup: serves from the sharded index only, shards pruned at the scan") {
+    val p = planString("q_index_phrase_lookup")
+    // the lookup must never re-read the corpus — only the index layout
+    assert(!p.contains("documents.parquet"),
+      s"phrase lookup fell back to a corpus scan:\n$p")
+    assert(p.contains("graft_phrase_index"), p)
+    // the query terms' shard set lands in PartitionFilters (directory
+    // pruning), not a post-scan row filter over every shard
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("shard#")),
+      s"expected the term shards to land in PartitionFilters:\n$p")
+    assert(!"Filter [^\\n]*shard#".r.findFirstIn(p).isDefined,
+      s"shard probe fell out of partition pruning into a row filter:\n$p")
+  }
+
   test("served IVF: probe prunes cell partitions at the scan, no full-corpus filter") {
     val p = planString("q_ann_ivf_served")
     val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r

@@ -28,6 +28,22 @@ class QueriesSpec extends AnyFunSuite {
       s"COVERAGE.md oracle count stale: $withOracle")
   }
 
+  test("declared outputs are atomic-typed (driver harness hashability)") {
+    // The driver's oracle harness canonicalizes by sorting every column
+    // in pandas; array/map/struct cells are unhashable there and turn a
+    // correct query into an `err` row. Library operators may return
+    // arrays — the DECLARED projection must serialize them.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf).schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(bad.isEmpty,
+        s"$name declares non-atomic columns ${bad.map(_.name).mkString(",")}")
+    }
+  }
+
   test("every oracleSql key has a queries entry") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
