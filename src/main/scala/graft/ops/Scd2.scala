@@ -80,10 +80,35 @@ object Scd2 {
     * changelog rows (ts = valid_from, tie = Long.MinValue so they sort
     * before any same-instant incoming row) and re-collapsed together
     * with the slice. Output schema identical to historyFromChangeLog.
+    *
+    * The strictly-later contract is ENFORCED, not just documented
+    * (`enforceAppendOnly`, on by default): a backfilled row — incoming
+    * ts ≤ its key's open valid_from — would silently rewrite the open
+    * interval while leaving the already-closed rows it actually
+    * belongs under untouched, i.e. a wrong history with no error. The
+    * guard counts such rows with ONE key-hash join of the slice
+    * against the |keys|-sized open frame (the Sessionize null-user
+    * pattern: a bounded eager check that fails LOUDLY) and aborts
+    * with a sample of offending keys; late data needs a rebuild via
+    * historyFromChangeLog.
     */
   def applyChanges(history: DataFrame, changes: DataFrame,
       keyCols: Seq[String], tsCol: String, tieCol: String,
-      attrCols: Seq[String]): DataFrame = {
+      attrCols: Seq[String], enforceAppendOnly: Boolean = true): DataFrame = {
+    if (enforceAppendOnly) {
+      val open = history.where(col(CUR))
+        .select(keyCols.map(col) :+ col(VF).as("__open_vf"): _*)
+      val late = changes
+        .select(keyCols.map(col) :+ col(tsCol).cast("long").as("__ts"): _*)
+        .join(open, keyCols)
+        .where(col("__ts") <= col("__open_vf"))
+      val sample = late.select(keyCols.map(col): _*).limit(3).collect()
+      require(sample.isEmpty,
+        s"Scd2.applyChanges: changelog rows at or before their key's " +
+          s"open valid_from (e.g. keys ${sample.mkString(", ")}) — " +
+          "late/backfilled data silently corrupts an incremental " +
+          "merge; rebuild with historyFromChangeLog instead")
+    }
     val closed = history.where(!col(CUR))
     val reopened = history.where(col(CUR)).select(
       keyCols.map(col) ++ Seq(
@@ -97,5 +122,37 @@ object Scd2 {
       reopened.unionByName(slice), keyCols, tsCol, tieCol, attrCols)
     closed.select(recollapsed.columns.map(col): _*)
       .unionByName(recollapsed)
+  }
+
+  /** Point-in-time enrichment — the SERVE path of the history (the
+    * feature-store "as-of the event" join): each fact row picks up the
+    * attribute version that was valid AT ITS OWN timestamp,
+    * `valid_from ≤ fact.ts < valid_to` (open interval: valid_to NULL).
+    * Left join: facts predating their key's first version (or with no
+    * history at all) keep NULL attributes instead of dropping — the
+    * training-data contract, where a missing historical feature must
+    * surface as null, never as a silently dropped example.
+    *
+    * Shape at scale: ONE key-equi sort-merge join with the interval
+    * predicate as a residual filter — versions of a key are disjoint,
+    * so each fact matches at most one history row (no fan-out), and
+    * nothing shuffles except on the dimension key both sides already
+    * aggregate by. No window over facts, no per-fact history scan.
+    */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val f = facts.as("f")
+    val h = history
+      .select(keyCols.map(col) ++ attrCols.map(col) :+
+        col(VF) :+ col(VT): _*)
+      .as("h")
+    val keyEq = keyCols.map(k => col(s"f.$k") === col(s"h.$k"))
+      .reduce(_ && _)
+    val inInterval = col(s"f.$tsCol") >= col(s"h.$VF") &&
+      (col(s"h.$VT").isNull || col(s"f.$tsCol") < col(s"h.$VT"))
+    f.join(h, keyEq && inInterval, "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        attrCols.map(c => col(s"h.$c")) :+ col(s"h.$VF"): _*)
   }
 }

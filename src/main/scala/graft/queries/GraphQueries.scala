@@ -184,5 +184,33 @@ object GraphQueries {
       ${(1 to 3).map(sqlBfsStep).mkString(",")}
       SELECT id AS part_id, CAST(hop AS INT) AS hop FROM r3"""))
 
-  def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs)
+  /** Frequent-pair lift over order baskets (ops/Association.pairLift):
+    * support/confidence/lift for part pairs co-ordered at least twice,
+    * items below the frequency floor pruned BEFORE the pair join
+    * (a-priori — an infrequent item can never join a frequent pair).
+    * Counts are exact BIGINTs; lift = (n_ab·n)/(n_a·n_b) and
+    * confidence = n_ab/n_a are one fixed double tree each.
+    */
+  private val qLift = QueryDef(
+    "q_basket_lift",
+    (s, d) => graft.ops.Association.pairLift(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+      minItemCount = 2L, minPairCount = 2L),
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      c AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1),
+      f AS (SELECT * FROM c WHERE c >= 2),
+      fg AS (SELECT g.g, g.i, f.c FROM g JOIN f USING (i)),
+      p AS (
+        SELECT a.i AS item_a, b.i AS item_b, a.c AS n_a, b.c AS n_b,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM fg a JOIN fg b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2),
+      n AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n FROM g)
+      SELECT item_a, item_b, n_ab, n_a, n_b,
+        (CAST(n_ab AS DOUBLE) * n.n) / (CAST(n_a AS DOUBLE) * n_b) AS lift,
+        CAST(n_ab AS DOUBLE) / n_a AS confidence
+      FROM p, n"""))
+
+  def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift)
 }

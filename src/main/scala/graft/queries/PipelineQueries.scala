@@ -442,6 +442,52 @@ object PipelineQueries {
     (s, d) => graft.streaming.StreamingScd2.runBatchEquivalent(s, d),
     scd2Oracle)
 
+  /** Point-in-time SCD2 serve path (ops/Scd2.pointInTimeJoin): every
+    * event enriched with the event_type version valid AT ITS OWN
+    * timestamp — the feature-store as-of join, and the read path the
+    * history exists for. One key-equi SMJ with the interval residual;
+    * disjoint versions mean at most one match per fact. The facts here
+    * are the same events the history was built from, so each event
+    * lands inside a version by construction and the joined attribute
+    * echoes the event's own type — the oracle proves interval
+    * construction and lookup agree END TO END (a fact ts equal to a
+    * version boundary must pick the NEW version, zero-length equal-ts
+    * versions match nothing).
+    */
+  private val qScd2Pit = QueryDef(
+    "q_scd2_pit",
+    (s, d) => {
+      val ev = scd2ChangeLog(s, d)
+      val h = graft.ops.Scd2.historyFromChangeLog(
+        ev, Seq("user_id"), "ts_us", "event_id", Seq("event_type"))
+      graft.ops.Scd2.pointInTimeJoin(
+        ev.select(col("user_id"), col("event_id"), col("ts_us")),
+        h, Seq("user_id"), "ts_us", Seq("event_type"))
+    },
+    Some("""
+      WITH cl AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        FROM events),
+      marked AS (
+        SELECT user_id, ts_us, event_type, event_id,
+          LAG(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        FROM cl),
+      starts AS (
+        SELECT user_id, event_type, ts_us AS valid_from, event_id
+        FROM marked WHERE prev IS NULL OR prev <> event_type),
+      hist AS (
+        SELECT user_id, event_type, valid_from,
+          LEAD(valid_from) OVER (
+            PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+        FROM starts)
+      SELECT f.user_id, f.event_id, f.ts_us,
+        h.event_type, h.valid_from
+      FROM cl f LEFT JOIN hist h
+        ON f.user_id = h.user_id
+        AND f.ts_us >= h.valid_from
+        AND (h.valid_to IS NULL OR f.ts_us < h.valid_to)"""))
+
   /** RFM segmentation (ops/Segmentation.rfmSegments): every user
     * scored 1..5 on recency / frequency / monetary by equi-depth rank
     * — ranks via the distributed two-level prefix sum
@@ -680,5 +726,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qAbTest, qTransitions, qRfm, qChi2, qHllOverlap)
+    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qAbTest, qTransitions, qRfm, qChi2, qHllOverlap)
 }

@@ -446,7 +446,89 @@ object RelationalQueries {
       UNION ALL SELECT 'fk(o_custkey->customer.c_custkey)', v4, total,
         CAST(CASE WHEN v4 = 0 THEN 1 ELSE 0 END AS INT) FROM agg"""))
 
+  /** k-anonymity audit (ops/Privacy.kAnonymityAudit): cohort sizes of
+    * the (nation, market segment) quasi-identifier combination over
+    * customers, flagged against k=5 — one partial→final hash aggregate
+    * over the QID tuple; the shuffle carries distinct combinations.
+    */
+  private val qKAnon = QueryDef(
+    "q_k_anonymity",
+    (s, d) => graft.ops.Privacy.kAnonymityAudit(
+      Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 5L),
+    Some("""
+      SELECT c_nationkey, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS INT) AS is_safe
+      FROM customer GROUP BY 1, 2"""))
+
+  /** k-anonymity suppression (ops/Privacy.suppressBelowK): customers
+    * re-released with the (nation, segment) QIDs nulled wherever the
+    * cohort is smaller than 5 — row counts and non-QID columns intact.
+    * The sub-k cohort list joins back null-safely (a NULL QID is a
+    * cohort too: "withheld" is identifying).
+    */
+  private val qKAnonSuppress = QueryDef(
+    "q_k_anon_suppress",
+    (s, d) => graft.ops.Privacy.suppressBelowK(
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+      Seq("c_nationkey", "c_mktsegment"), k = 5L),
+    Some("""
+      WITH cohorts AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2)
+      SELECT c.c_custkey,
+        CASE WHEN co.n < 5 THEN NULL ELSE c.c_nationkey END AS c_nationkey,
+        CASE WHEN co.n < 5 THEN NULL ELSE c.c_mktsegment END AS c_mktsegment
+      FROM customer c JOIN cohorts co
+        ON c.c_nationkey IS NOT DISTINCT FROM co.c_nationkey
+        AND c.c_mktsegment IS NOT DISTINCT FROM co.c_mktsegment"""))
+
+  /** Snapshot profile drift (ops/Profiling.profileDrift): column-level
+    * row/null/distinct counts of the pre-1995 orders snapshot vs the
+    * full table, with null-rate delta and distinct-count ratio — the
+    * schema-decay tripwire. One aggregate pass per snapshot (multi-
+    * distinct in a single agg via Expand); the unpivot runs on the
+    * 1-row aggregate, never on data.
+    */
+  private val qProfileDrift = QueryDef(
+    "q_profile_drift",
+    (s, d) => graft.ops.Profiling.profileDrift(
+      Tables.orders(s, d).where(col("o_orderdate") < to_date(lit("1995-01-01"))),
+      Tables.orders(s, d),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority")),
+    Some("""
+      WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1995-01-01'),
+      p1 AS (
+        SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows_v1,
+          CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls_v1,
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_v1 FROM v1
+        UNION ALL SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+          CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM v1
+        UNION ALL SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+          CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM v1),
+      p2 AS (
+        SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows_v2,
+          CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls_v2,
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_v2 FROM orders
+        UNION ALL SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+          CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+          CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+      SELECT p1.col_name, n_rows_v1, n_nulls_v1, n_distinct_v1,
+        n_rows_v2, n_nulls_v2, n_distinct_v2,
+        CAST(n_nulls_v2 AS DOUBLE) / nullif(n_rows_v2, 0) -
+          CAST(n_nulls_v1 AS DOUBLE) / nullif(n_rows_v1, 0) AS null_rate_delta,
+        CAST(n_distinct_v2 AS DOUBLE) / nullif(n_distinct_v1, 0)
+          AS distinct_ratio
+      FROM p1 JOIN p2 USING (col_name)"""))
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
-    qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit)
+    qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit,
+    qKAnon, qKAnonSuppress, qProfileDrift)
 }

@@ -30,19 +30,26 @@ import graft.sim.{KMeans, ProductQuantizer}
   * corpus like the declared build path — the probe prices exactly the
   * operator users run.
   *
-  * Usage: runMain graft.tools.IvfPqScaleProbe [numVecsMillions] [kCells] [iters]
+  * The 4th arg sets planted-cluster size (default 20): `1 256 2 1000`
+  * is the pathological mega-cluster rung — top-20 becomes WITHIN-
+  * cluster ranking below ADC resolution, the rung that motivates
+  * `ivfPqSearchRefinedAdaptive` (measured: fixed refine=10 recall
+  * 0.36, adaptive ≥0.9 — see SCALE_NOTES).
+  *
+  * Usage: runMain graft.tools.IvfPqScaleProbe [numVecsMillions] [kCells] [iters] [membersPerCluster]
   */
 object IvfPqScaleProbe {
   def main(args: Array[String]): Unit = {
     val nM = args.headOption.map(_.toInt).getOrElse(10)
     val kCells = args.lift(1).map(_.toInt).getOrElse(256)
     val iters = args.lift(2).map(_.toInt).getOrElse(2)
+    val members = args.lift(3).map(_.toInt).getOrElse(20)
     val n = nM * 1000000L
     val spark = Session.builder("ivfpq-scale", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     VectorFunctions.register(spark)
 
-    val nCenters = math.max(1000L, n / 20L)
+    val nCenters = math.max(1L, n / members)
     val center = pmod(xxhash64(col("id")), lit(nCenters))
     val vec = transform(sequence(lit(0), lit(63)),
       i => (((pmod(xxhash64(center, i), lit(2001)) - 1000) / 1000.0) * 0.9 +
@@ -99,23 +106,34 @@ object IvfPqScaleProbe {
             refine = 10, excludeId = Some(qid))
           .collect().map(_.getLong(0)).toSet
         val latR = (System.nanoTime() - tr) / 1e9
+        val ta = System.nanoTime()
+        val adaptive = ProductQuantizer.ivfPqSearchRefinedAdaptive(index,
+            vecs, "vec_id", "embedding", qv, nProbe = nProbe, k = 20,
+            initialRefine = 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val latA = (System.nanoTime() - ta) / 1e9
         (lat, ann.intersect(gt).size / 20.0,
-          latR, refined.intersect(gt).size / 20.0)
+          latR, refined.intersect(gt).size / 20.0,
+          latA, adaptive.intersect(gt).size / 20.0)
       }
       val lats = perQuery.map(_._1).sorted
       val rec = perQuery.map(_._2).sum / perQuery.size
       val latsR = perQuery.map(_._3).sorted
       val recR = perQuery.map(_._4).sum / perQuery.size
+      val latsA = perQuery.map(_._5).sorted
+      val recA = perQuery.map(_._6).sum / perQuery.size
       System.err.println(f"[ivfpq-scale] nProbe=$nProbe%-3d " +
         f"adc lat ${lats(lats.size / 2)}%.2f s recall $rec%.2f | " +
-        f"refined lat ${latsR(latsR.size / 2)}%.2f s recall $recR%.2f")
-      (nProbe, lats(lats.size / 2), rec, latsR(latsR.size / 2), recR)
+        f"refined lat ${latsR(latsR.size / 2)}%.2f s recall $recR%.2f | " +
+        f"adaptive lat ${latsA(latsA.size / 2)}%.2f s recall $recA%.2f")
+      (nProbe, lats(lats.size / 2), rec, latsR(latsR.size / 2), recR,
+        latsA(latsA.size / 2), recA)
     }
 
-    val resStr = results.map { case (p, l, r, lr, rr) =>
-      f"""{"n_probe":$p,"serve_median_sec":$l%.2f,"recall_at_20":$r%.2f,"refined_median_sec":$lr%.2f,"refined_recall_at_20":$rr%.2f}"""
+    val resStr = results.map { case (p, l, r, lr, rr, la, ra) =>
+      f"""{"n_probe":$p,"serve_median_sec":$l%.2f,"recall_at_20":$r%.2f,"refined_median_sec":$lr%.2f,"refined_recall_at_20":$rr%.2f,"adaptive_median_sec":$la%.2f,"adaptive_recall_at_20":$ra%.2f}"""
     }.mkString("[", ",", "]")
-    println(f"""{"workload":"ivfpq_scale","vectors":$n,"k_cells":$kCells,"iters":$iters,"build_sec":$buildSec%.1f,"index_bytes":$idxBytes,"raw_bytes":$rawBytes,"results":$resStr}""")
+    println(f"""{"workload":"ivfpq_scale","vectors":$n,"k_cells":$kCells,"iters":$iters,"members_per_cluster":$members,"build_sec":$buildSec%.1f,"index_bytes":$idxBytes,"raw_bytes":$rawBytes,"results":$resStr}""")
     spark.stop()
   }
 }

@@ -144,6 +144,79 @@ class PqSpec extends AnyFunSuite {
     assert(served == plain, s"$served != $plain")
   }
 
+  test("adaptive refine recovers exact top-k where a fixed shortlist truncates ADC ties") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // One tight 100-member cluster spread only along component 0
+    // (5 quantized units apart — far below PQ code resolution, so ADC
+    // ties in bands much wider than k×refine) plus 5 far outliers.
+    val dim = 8
+    val members = (0 until 100).map { i =>
+      (i.toLong, (0 until dim).map(c => if (c == 0) 0.0005f * i else 0.5f))
+    }
+    val far = (100 until 105).map { i =>
+      (i.toLong, (0 until dim).map(_ => -10.0f + (i - 100) * 0.1f))
+    }
+    val df = (members ++ far).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_adaptive_spec").toString + "/idx"
+    ProductQuantizer.buildAndWriteIvfPqIndex(df, "vec_id", "embedding",
+      dir, kCells = 1, iters = 2, m = 2, kCodes = 4)
+    val index = ProductQuantizer.readIvfPqIndex(spark, dir)
+    val query = df.where(col("vec_id") === 60L)
+      .select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0).toArray
+    val exact = df.select(col("vec_id"), element_at(
+        graft.functions.VectorFunctions.q_vec_nearest_l2(
+          KMeans.quantize(col("embedding")), typedLit(query.toSeq)), 2)
+        .as("d2"))
+      .where(col("vec_id") =!= 60L)
+      .orderBy(col("d2"), col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    // the motivating failure: a refine=1 shortlist cuts the tied band
+    // by (adc, id) and misses the true neighbors entirely
+    val fixed = ProductQuantizer.ivfPqSearchRefined(index, df, "vec_id",
+        "embedding", query, nProbe = 1, k = 5, refine = 1,
+        excludeId = Some(60L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fixed != exact,
+      s"fixture must tie ADC so the fixed shortlist truncates: $fixed")
+    val adaptive = ProductQuantizer.ivfPqSearchRefinedAdaptive(index, df,
+        "vec_id", "embedding", query, nProbe = 1, k = 5,
+        initialRefine = 1, excludeId = Some(60L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(adaptive == exact, s"$adaptive != $exact")
+  }
+
+  test("adaptive refine stabilizes in one round when ADC is exact, matching the fixed rung") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // kCodes = corpus size: after training every subvector is its own
+    // code centroid, so ADC == exact d2, the doubled fetch cannot
+    // reorder the prefix top-k, and the rule stops at round one —
+    // adaptive ≡ fixed at the initial factor with one doubled fetch.
+    val dim = 8
+    def v(i: Int): Seq[Float] =
+      (0 until dim).map(c => ((i * 31 + c * 7) % 19 - 9) / 10.0f)
+    val df = (0 until 30).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_adaptive_eq_spec").toString + "/idx"
+    ProductQuantizer.buildAndWriteIvfPqIndex(df, "vec_id", "embedding",
+      dir, kCells = 1, iters = 2, m = 2, kCodes = 30)
+    val index = ProductQuantizer.readIvfPqIndex(spark, dir)
+    val query = df.where(col("vec_id") === 2L)
+      .select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0).toArray
+    val fixed = ProductQuantizer.ivfPqSearchRefined(index, df, "vec_id",
+        "embedding", query, nProbe = 1, k = 5, refine = 1,
+        excludeId = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adaptive = ProductQuantizer.ivfPqSearchRefinedAdaptive(index, df,
+        "vec_id", "embedding", query, nProbe = 1, k = 5,
+        initialRefine = 1, excludeId = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(adaptive == fixed,
+      s"exact-ADC corpus: adaptive must equal fixed at the initial factor\n  $adaptive\n  $fixed")
+  }
+
   test("ADC equals brute-force distance through the codebooks") {
     val emb = Tables.embeddings(spark, sf).limit(64)
     val model = ProductQuantizer.train(emb, "vec_id", "embedding",

@@ -72,4 +72,43 @@ class Scd2Spec extends AnyFunSuite {
     // and the unchanged-key extension specifically:
     assert(rows(merged).contains((2L, "a", 2L, null, true)))
   }
+
+  test("point-in-time join: boundary picks the new version, pre-history facts stay null") {
+    val h = history(cl(
+      (1L, 5L, 0L, "x"), (1L, 9L, 1L, "y")))
+    val facts = Seq((1L, 10L, 3L), (1L, 11L, 5L), (1L, 12L, 7L),
+      (1L, 13L, 9L), (1L, 14L, 20L), (2L, 15L, 5L))
+      .toDF("k", "fact_id", "ts")
+    val out = Scd2.pointInTimeJoin(facts, h, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => r.getLong(1) -> (r.get(3), r.get(4))).toMap
+    assert(out(10L) == ((null, null)), "fact before first version")
+    assert(out(11L) == (("x", 5L)), "boundary ts joins the version starting there")
+    assert(out(12L) == (("x", 5L)))
+    assert(out(13L) == (("y", 9L)), "boundary ts picks the NEW version")
+    assert(out(14L) == (("y", 9L)), "open interval matches")
+    assert(out(15L) == ((null, null)), "unknown key keeps nulls")
+    // at most one match per fact — no fan-out
+    assert(Scd2.pointInTimeJoin(facts, h, Seq("k"), "ts", Seq("v"))
+      .count() == facts.count())
+  }
+
+  test("apply: late/backfilled rows trip the append-only guard") {
+    val h = history(cl((1L, 5L, 0L, "x"), (1L, 9L, 1L, "y")))
+    // open interval of key 1 starts at ts=9; a row at ts=9 (equal) or
+    // ts=3 (before) violates the strictly-later contract and would
+    // silently corrupt the merge — the guard must abort instead
+    Seq(9L, 3L).foreach { ts =>
+      val e = intercept[IllegalArgumentException] {
+        Scd2.applyChanges(h, cl((1L, ts, 7L, "z")),
+          Seq("k"), "ts", "tie", Seq("v"))
+      }
+      assert(e.getMessage.contains("open valid_from"), e.getMessage)
+    }
+    // strictly-later rows pass, and enforcement can be waived
+    assert(rows(Scd2.applyChanges(h, cl((1L, 10L, 7L, "z")),
+      Seq("k"), "ts", "tie", Seq("v")))
+      .contains((1L, "z", 10L, null, true)))
+    Scd2.applyChanges(h, cl((1L, 3L, 7L, "z")),
+      Seq("k"), "ts", "tie", Seq("v"), enforceAppendOnly = false).collect()
+  }
 }
