@@ -247,4 +247,48 @@ object Graph {
     }
     reached.select(col("id").as(idCol), col("hop"))
   }
+
+  /** Connected components by synchronous min-label propagation
+    * (HashMin): every node starts labeled with its own id; each round
+    * takes the min over itself and its neighbors' labels. After
+    * diameter rounds every node carries its component's minimum id —
+    * the canonical component label. `runToFixpoint` stops early when a
+    * round changes nothing (the convergence test is a bounded
+    * existence probe — limit 1 — not a full count), with `iters` as
+    * the hard cap.
+    *
+    * Shape at scale: one (dst ← min label) keyed shuffle per round
+    * over the edge list, the label frame is node-sized (two longs),
+    * lineage cut per round (localCheckpoint — the BFS/PageRank
+    * pattern). O(diameter) rounds; co-purchase-style graphs with a
+    * giant dense component have tiny diameters, the favorable case.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      idCol: String, iters: Int,
+      runToFixpoint: Boolean = false): DataFrame = {
+    require(iters >= 1, "connectedComponents needs iters >= 1")
+    var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      val msgs = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      if (runToFixpoint)
+        converged = next
+          .join(labels.select(col("id"), col("label").as("__old")),
+            Seq("id"))
+          .where(col("label") =!= col("__old"))
+          .limit(1).count() == 0L
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("component"))
+  }
 }

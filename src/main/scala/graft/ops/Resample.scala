@@ -101,4 +101,63 @@ object Resample {
               (col("__n") * col("__qq") - col("__s") * col("__s")))
           .as("anomaly"))
   }
+
+  /** Exact trailing-window quantile per key per day — the robust
+    * rolling statistic (median and friends) that mean-based windows
+    * can't give you. The quantile is the rational num/den (type-1 /
+    * lower: the smallest value whose cumulative count reaches
+    * ⌈n·num/den⌉, compared as cum·den ≥ tot·num in exact integers), so
+    * the whole computation is engine-exact for exact-valued inputs.
+    *
+    * Shape at scale (the hllRollingEstimate pattern): the corpus is
+    * scanned ONCE into per-(key, day, value) distribution counts; the
+    * trailing-window merge then runs on that distribution-sized frame
+    * via a broadcast day-spine range join and re-aggregation — raw
+    * rows never multiply by the window width. The CDF windows run per
+    * (key, window-day) over distinct values only. Anchor days are the
+    * days observed anywhere in the input (each key reports on every
+    * spine day its trailing window touches).
+    *
+    * `dayCol` must be an integral day bucket (e.g.
+    * `unix_micros(ts) div 86 400 000 000`) — integer day arithmetic
+    * keeps the spine join and the oracle trivially aligned.
+    */
+  def rollingQuantile(df: DataFrame, keyCols: Seq[String],
+      dayCol: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, windowDays: Int,
+      num: Long, den: Long): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    require(num > 0 && num <= den, "quantile num/den must be in (0, 1]")
+    val daily = df
+      .select(keyCols.map(col) :+ dayCol.cast("long").as("__day") :+
+        value.as("__v"): _*)
+      .groupBy(keyCols.map(col) :+ col("__day") :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
+    rollingQuantileFromDaily(daily, keyCols, windowDays, num, den)
+  }
+
+  /** The window-merge + quantile stage of [[rollingQuantile]], over an
+    * already-built per-(key, __day, __v) count frame `daily` — public
+    * so a continuously-maintained daily distribution (the streaming
+    * twin's state) serves the identical read path.
+    */
+  def rollingQuantileFromDaily(daily: DataFrame, keyCols: Seq[String],
+      windowDays: Int, num: Long, den: Long): DataFrame = {
+    val spine = daily.select(col("__day").as("win_day")).distinct()
+    val merged = daily
+      .join(broadcast(spine),
+        (col("win_day") - col("__day")).between(0, windowDays - 1))
+      .groupBy(keyCols.map(col) :+ col("win_day") :+ col("__v"): _*)
+      .agg(sum(col("__n")).as("__n"))
+    val wCdf = Window
+      .partitionBy(keyCols.map(col) :+ col("win_day"): _*)
+      .orderBy(col("__v"))
+    val wTot = Window.partitionBy(keyCols.map(col) :+ col("win_day"): _*)
+    merged
+      .withColumn("__cum", sum(col("__n")).over(wCdf))
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+      .where(col("__cum") * lit(den) >= col("__tot") * lit(num))
+      .groupBy(keyCols.map(col) :+ col("win_day"): _*)
+      .agg(min(col("__v")).as("q"), max(col("__tot")).as("n_obs"))
+  }
 }

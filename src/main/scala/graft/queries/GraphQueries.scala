@@ -212,5 +212,41 @@ object GraphQueries {
         CAST(n_ab AS DOUBLE) / n_a AS confidence
       FROM p, n"""))
 
-  def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift)
+  /** One unrolled HashMin round: every node takes the min over itself
+    * and its neighbors' previous-round labels.
+    */
+  private def sqlCcStep(i: Int): String = s"""
+      c$i AS (
+        SELECT n.id, LEAST(n.label, COALESCE(m.minl, n.label)) AS label
+        FROM c${i - 1} n LEFT JOIN (
+          SELECT e.dst AS id, MIN(l.label) AS minl
+          FROM e JOIN c${i - 1} l ON e.src = l.id
+          GROUP BY 1) m ON m.id = n.id)"""
+
+  /** Connected components over the co-purchase graph
+    * (Graph.connectedComponents — synchronous min-label HashMin, one
+    * keyed shuffle per round): the declared query pins the label state
+    * after 3 rounds (the unrolled-trajectory oracle, same pattern as
+    * PageRank/labelprop/BFS; a full-convergence oracle would need an
+    * all-pairs closure DuckDB 1.0 can't express at sf0.1). The
+    * operator's `runToFixpoint` mode — true components — is
+    * GraphSpec-pinned on multi-component fixtures.
+    */
+  private val qComponents = QueryDef(
+    "q_copurchase_components",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val nodes = li.select(col("l_partkey")).distinct()
+      Graph.connectedComponents(edges, nodes, "l_partkey", iters = 3)
+        .withColumnRenamed("l_partkey", "part_id")
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      c0 AS (SELECT id, id AS label FROM nodes),
+      ${(1 to 3).map(sqlCcStep).mkString(",")}
+      SELECT id AS part_id, label AS component FROM c3"""))
+
+  def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift,
+    qComponents)
 }

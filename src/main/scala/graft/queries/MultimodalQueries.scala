@@ -109,5 +109,45 @@ object MultimodalQueries {
       ORDER BY score DESC, media_id
       LIMIT 20"""))
 
-  def all: Seq[QueryDef] = Seq(qFeatures, qMediaAnn)
+  /** The RESIZE transform declared through the gate (the one media
+    * transform the other two exhibits don't exercise): every payload
+    * re-scaled to a 64×48 byte budget via the batched partition-local
+    * path — out = min(max(1, len·(64·48)/(w·h)), len), integer floor
+    * arithmetic the oracle replays from (n_chars-derived) metadata.
+    * Payloads never shuffle: resize is map-side; only (id, kind,
+    * lengths) leave the scan stage.
+    */
+  private val qResize = QueryDef(
+    "q_media_resize_budget",
+    (s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        (pmod(col("n_chars"), lit(64)) * 10 + 10).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(48)) * 10 + 10).cast("int").as("height"),
+        lit(16000).as("sampleRate"),
+        (col("n_chars") * 10).cast("long").as("durationMs"))
+      Multimodal.resize(Multimodal.mediaTable(media), w = 64, h = 48).toDF()
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          length(col("payload")).cast("long").as("n_bytes_resized"),
+          col("meta.width").cast("int").as("width"),
+          col("meta.height").cast("int").as("height"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+        CAST(LEAST(GREATEST(1,
+          strlen(text) * (64 * 48) //
+            ((n_chars % 64 * 10 + 10) * (n_chars % 48 * 10 + 10))),
+          strlen(text)) AS BIGINT) AS n_bytes_resized,
+        CAST(64 AS INT) AS width,
+        CAST(48 AS INT) AS height
+      FROM documents"""))
+
+  def all: Seq[QueryDef] = Seq(qFeatures, qMediaAnn, qResize)
 }

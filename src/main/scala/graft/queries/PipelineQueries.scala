@@ -144,6 +144,62 @@ object PipelineQueries {
           AS anomaly
       FROM win"""))
 
+  /** Trailing-7-day exact median of event value per event type
+    * (Resample.rollingQuantile): the robust rolling statistic, with
+    * the quantile decided by exact integer cross-multiplication over
+    * DECIMAL-quantized values. The corpus aggregates ONCE into
+    * per-(type, day, value) counts; the 7-day merge is a broadcast
+    * day-spine range join over that distribution-sized frame — raw
+    * rows never multiply by the window width.
+    */
+  private val qRollingMedian = QueryDef(
+    "q_rolling_median",
+    (s, d) => graft.ops.Resample.rollingQuantile(
+        Tables.events(s, d), Seq("event_type"),
+        expr("unix_micros(ts) div 86400000000"),
+        col("value").cast(DecimalType(12, 2)),
+        windowDays = 7, num = 1L, den = 2L)
+      .select(col("event_type"), col("win_day"), col("n_obs"),
+        col("q").cast("double").as("med")),
+    rollingMedianOracle)
+
+  /** Streaming twin of q_rolling_median
+    * (StreamingRollingQuantile): the daily distribution is ONE
+    * streaming groupBy count (distribution-sized state); the window
+    * merge + exact-rank quantile reuse the batch operator's code path
+    * over the maintained snapshot. Two event_id-parity increments
+    * force the second drain to fold counts INTO existing groups;
+    * shares the batch oracle verbatim.
+    */
+  private val qStreamRollingMedian = QueryDef(
+    "q_stream_rolling_median",
+    (s, d) => graft.streaming.StreamingRollingQuantile
+      .runBatchEquivalent(s, d),
+    rollingMedianOracle)
+
+  private lazy val rollingMedianOracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(value AS DECIMAL(12,2)) AS v
+        FROM events),
+      daily AS (
+        SELECT event_type, day, v, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2, 3),
+      spine AS (SELECT DISTINCT day AS win_day FROM daily),
+      merged AS (
+        SELECT d.event_type, s.win_day, d.v, CAST(SUM(d.n) AS BIGINT) AS n
+        FROM daily d JOIN spine s ON s.win_day - d.day BETWEEN 0 AND 6
+        GROUP BY 1, 2, 3),
+      cdf AS (
+        SELECT event_type, win_day, v,
+          SUM(n) OVER (PARTITION BY event_type, win_day ORDER BY v) AS cum,
+          SUM(n) OVER (PARTITION BY event_type, win_day) AS tot
+        FROM merged)
+      SELECT event_type, win_day, CAST(MAX(tot) AS BIGINT) AS n_obs,
+        CAST(MIN(v) AS DOUBLE) AS med
+      FROM cdf WHERE cum * 2 >= tot * 1
+      GROUP BY 1, 2""")
+
   private val qJson = QueryDef(
     "q_events_json_extract",
     (s, d) =>
@@ -724,7 +780,7 @@ object PipelineQueries {
         CAST(MAX(ts_s) AS BIGINT) AS end_s
       FROM sess GROUP BY user_id, session_id""")
 
-  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qJson, qValues, qHllRolling, qStream,
+  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qAbTest, qTransitions, qRfm, qChi2, qHllOverlap)
 }

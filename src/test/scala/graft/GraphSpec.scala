@@ -116,4 +116,22 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got2 == Map(1L -> 0, 2L -> 1, 6L -> 1, 3L -> 2, 4L -> 2))
   }
+
+  test("connected components: fixpoint labels each component by its min id") {
+    // path 1-2-3-4 (diameter 3 — needs >1 round), triangle 5-6-7,
+    // isolate 8; symmetric edges
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 8L).toDF("id")
+    val got = Graph.connectedComponents(edges, nodes, "id",
+        iters = 20, runToFixpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
+    // a capped run is the k-round HashMin state, not yet converged:
+    // node 4 has only seen labels within 1 hop after round 1
+    val capped = Graph.connectedComponents(edges, nodes, "id", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(4L) == 3L && capped(2L) == 1L && capped(8L) == 8L)
+  }
 }
