@@ -107,4 +107,49 @@ object GroupQuantile {
           .reduce(_ + _))
       .drop(thr.columns: _*)
   }
+
+  /** Winsorized (clamped-tail) group statistics — the robust mean a
+    * metrics pipeline reports when a handful of outliers would
+    * otherwise own the average: per group, every value is clamped into
+    * [t_lo, t_hi] (the pLo / pHi type-1 quantile thresholds, same
+    * lower-threshold tie rule as the rest of this module) and the
+    * clamped mean is taken. `value` should be exact-typed (DECIMAL /
+    * integer) — the clamped sum then reduces order-independently and
+    * the mean is ONE final double division.
+    *
+    * Same shape as filterAtQuantile: thresholds come from ONE
+    * distribution aggregate + CDF windows over DISTINCT values, the
+    * per-group threshold table broadcasts back, and the clamped mean
+    * is one partial→final aggregate. The corpus never sorts.
+    */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String],
+      value: Column, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi < 1,
+      s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
+    val keyed = df.select(groupCols.map(col) :+ value.as("__v"): _*)
+    val dist = keyed.groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val wCdf = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v"))
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    val thr = dist
+      .withColumn("__cum", sum(col("__n")).over(wCdf))
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("__cum") >= lit(pLo) * col("__tot"), col("__v")))
+          .as("__tlo"),
+        min(when(col("__cum") >= lit(pHi) * col("__tot"), col("__v")))
+          .as("__thi"))
+    keyed.join(broadcast(thr), groupCols)
+      .select(groupCols.map(col) ++ Seq(col("__tlo"), col("__thi"),
+        least(greatest(col("__v"), col("__tlo")), col("__thi"))
+          .as("__w")): _*)
+      .groupBy(groupCols.map(col) :+ col("__tlo") :+ col("__thi"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("__s"))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        col("__tlo").cast("double").as("t_lo"),
+        col("__thi").cast("double").as("t_hi"),
+        (col("__s").cast("double") / col("n")).as("winsorized_mean")): _*)
+  }
 }

@@ -39,4 +39,32 @@ object Transitions {
         col("total_from"),
         (col("n").cast("double") / col("total_from")).as("p"))
   }
+
+  /** Length-`len` event paths (the n-gram generalization of the
+    * transition matrix — journey mining): within each key, every
+    * window of `len` consecutive event types is one path occurrence;
+    * output the path counts at or above `minCount`. Same one-key-
+    * shuffle shape — the lead() windows reuse the single (ts, tie)
+    * sort — and the path aggregate is |alphabet|^len bounded with
+    * map-side partials; the path crosses the exchange as one
+    * delimited string, not `len` columns.
+    */
+  def eventPaths(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, len: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(len >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val steps = (1 until len).foldLeft(
+      events.select(col(keyCol), col(tsCol), col(tieCol),
+        col(typeCol).as("__s0"))) { (acc, i) =>
+      acc.withColumn(s"__s$i", lead(col("__s0"), i) over w)
+    }
+    steps
+      .where(col(s"__s${len - 1}").isNotNull)
+      .select(concat_ws(">", (0 until len).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
 }

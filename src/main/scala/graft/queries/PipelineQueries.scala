@@ -702,6 +702,112 @@ object PipelineQueries {
         CAST(c.n AS DOUBLE) / t.total_from AS p
       FROM c JOIN t USING (from_type)"""))
 
+  /** Length-3 user-journey paths (ops/Transitions.eventPaths): every
+    * window of 3 consecutive event types per user, counted corpus-wide
+    * with a min-count floor — the n-gram generalization of the
+    * transition matrix. One key shuffle; the lead() windows share one
+    * (ts, tie) sort; paths cross the exchange as delimited strings.
+    */
+  private val qEventPaths = QueryDef(
+    "q_event_paths",
+    (s, d) => graft.ops.Transitions.eventPaths(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      len = 3, minCount = 2L),
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS s0,
+          LEAD(event_type, 1) OVER w AS s1,
+          LEAD(event_type, 2) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT s0 || '>' || s1 || '>' || s2 AS path,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE s2 IS NOT NULL
+      GROUP BY 1 HAVING COUNT(*) >= 2"""))
+
+  /** Golden-record consolidation (ops/GoldenRecord.consolidate): every
+    * user's events collapse to one canonical profile row — smallest
+    * event_id as canonical id, member count, and per-attribute MODE
+    * (most frequent non-null, ties to smallest) for event_type and the
+    * cents-quantized value. |attrs| narrow keyed aggregates, argmax by
+    * integer min-struct, no windows.
+    */
+  private val qGolden = QueryDef(
+    "q_golden_record",
+    (s, d) => graft.ops.GoldenRecord.consolidate(
+        Tables.events(s, d)
+          .withColumn("value_cents",
+            col("value").cast(DecimalType(12, 2))
+              .multiply(lit(100)).cast("long")),
+        Seq("user_id"), "event_id", Seq("event_type", "value_cents")),
+    Some("""
+      WITH base AS (
+        SELECT user_id, CAST(MIN(event_id) AS BIGINT) AS canonical_id,
+          CAST(COUNT(*) AS BIGINT) AS n_records
+        FROM events GROUP BY 1),
+      c1 AS (
+        SELECT user_id, event_type AS v, COUNT(*) AS c FROM events
+        WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      m1 AS (
+        SELECT user_id, v AS mode_event_type FROM (
+          SELECT user_id, v, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY c DESC, v) AS rn FROM c1)
+        WHERE rn = 1),
+      c2 AS (
+        SELECT user_id,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+          COUNT(*) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      m2 AS (
+        SELECT user_id, v AS mode_value_cents FROM (
+          SELECT user_id, v, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY c DESC, v) AS rn FROM c2)
+        WHERE rn = 1)
+      SELECT b.user_id, b.canonical_id, b.n_records,
+        m1.mode_event_type, m2.mode_value_cents
+      FROM base b
+      LEFT JOIN m1 USING (user_id)
+      LEFT JOIN m2 USING (user_id)"""))
+
+  /** Winsorized value stats per event type
+    * (GroupQuantile.winsorizedStats): values clamped into the
+    * [p10, p90] type-1 quantile band before the mean — the robust
+    * metric outliers can't own. Thresholds from one distribution
+    * aggregate (corpus never sorts); clamped DECIMAL sum reduces
+    * order-independently; mean is one final double division.
+    */
+  private val qWinsorized = QueryDef(
+    "q_winsorized_value",
+    (s, d) => graft.ops.GroupQuantile.winsorizedStats(
+      Tables.events(s, d), Seq("event_type"),
+      col("value").cast(DecimalType(12, 2)), pLo = 0.1, pHi = 0.9),
+    Some("""
+      WITH v AS (
+        SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+        FROM events),
+      dist AS (
+        SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY 1, 2),
+      cdf AS (
+        SELECT event_type, v,
+          SUM(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+          SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM dist),
+      thr AS (
+        SELECT event_type,
+          MIN(CASE WHEN cum >= 0.1 * tot THEN v END) AS tlo,
+          MIN(CASE WHEN cum >= 0.9 * tot THEN v END) AS thi
+        FROM cdf GROUP BY 1)
+      SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(t.tlo AS DOUBLE) AS t_lo,
+        CAST(t.thi AS DOUBLE) AS t_hi,
+        CAST(SUM(CASE WHEN v.v < t.tlo THEN t.tlo
+                      WHEN v.v > t.thi THEN t.thi
+                      ELSE v.v END) AS DOUBLE) / COUNT(*)
+          AS winsorized_mean
+      FROM v JOIN thr t USING (event_type)
+      GROUP BY 1, t.tlo, t.thi"""))
+
   /** A/B experiment readout (ops/Experiment.twoSampleZ): users split
     * into arms by user_id parity, Welch z per event_type on `value`.
     * Moments are exact DECIMAL (order-independent); the z itself is one
@@ -782,5 +888,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qAbTest, qTransitions, qRfm, qChi2, qHllOverlap)
+    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap)
 }

@@ -97,6 +97,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(mx(1L) == 30 && mx(3L) == 60)
   }
 
+  test("golden record: mode per attr, deterministic ties, all-null attr stays null") {
+    import graft.ops.GoldenRecord
+    val rows = Seq(
+      (1L, 10L, Some("a"), Some(5)),
+      (1L, 11L, Some("b"), Some(5)),
+      (1L, 12L, Some("b"), None),
+      (2L, 20L, Some("x"), None),
+      (2L, 21L, Some("y"), None)) // x/y tie -> smallest wins
+      .toDF("k", "id", "s", "v")
+    val out = GoldenRecord.consolidate(rows.toDF, Seq("k"), "id",
+        Seq("s", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.get(3), r.get(4))).toMap
+    assert(out(1L) == ((10L, 3L, "b", 5)))
+    assert(out(2L) == ((20L, 2L, "x", null)),
+      "tie to smallest value; all-null attribute yields NULL")
+  }
+
+  test("eventPaths: sliding windows per key, min-count floor") {
+    import graft.ops.Transitions
+    val rows = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "a"), (1L, 5L, 5L, "b"), (1L, 6L, 6L, "c"),
+      (2L, 1L, 7L, "a"), (2L, 2L, 8L, "b"), (2L, 3L, 9L, "c"),
+      (2L, 4L, 10L, "z")) // a>b>c x3, b>c>a, c>a>b, b>c>z
+      .toDF("k", "ts", "tie", "t")
+    val out = Transitions.eventPaths(rows.toDF, "k", "ts", "tie", "t",
+        len = 3, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 3L), out.toString)
+  }
+
   test("rollingQuantileFromDaily equals rollingQuantile on a prebuilt distribution") {
     val rows = Seq(("k", 0L, 5), ("k", 0L, 5), ("k", 1L, 7))
       .toDF("key", "d", "v")
