@@ -33,7 +33,12 @@ object Association {
   def pairLift(df: DataFrame, groupCol: String, itemCol: String,
       minItemCount: Long = 2L, minPairCount: Long = 2L,
       maxGroupSize: Long = 10000L): DataFrame = {
+    // checkpointed: the distinct basket frame feeds the guard job, the
+    // item counts, BOTH pair-join sides, and the basket total — five
+    // consumers; without the cut each would replay the distinct
+    // (the coOccurrenceEdges rule)
     val g = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+      .localCheckpoint(true)
     val worst = g.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx")).head()
     if (!worst.isNullAt(0)) {

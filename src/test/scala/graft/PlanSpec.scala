@@ -134,6 +134,51 @@ class PlanSpec extends AnyFunSuite {
       s"shard probe fell out of partition pruning into a row filter:\n$p")
   }
 
+  test("basket lift: pair join is basket-keyed hash/merge, never cartesian") {
+    val p = planString("q_basket_lift")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is the deliberate ONE-ROW basket-total
+    // broadcast (crossJoin(broadcast(n)) — the house scalar-attach);
+    // the pair join itself must be an equi-join on the basket key
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
+    assert("Join [^\\n]*\\[g#\\d+L?\\]".r.findFirstIn(p).isDefined ||
+      p.contains("Join [g#") || "HashJoin \\[g#".r.findFirstIn(p).isDefined,
+      s"pair join not keyed on the basket id:\n$p")
+  }
+
+  test("golden record: argmax by min-struct aggregates — no window anywhere") {
+    val p = planString("q_golden_record")
+    assert(!p.contains("Window"), s"mode must not sort per group:\n$p")
+  }
+
+  test("winsorized stats: threshold table broadcasts back, corpus never globally sorts") {
+    val p = planString("q_winsorized_value")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the per-group threshold broadcast:\n$p")
+    // windows may sort the DISTRIBUTION (distinct values per group);
+    // a corpus-sized global sort would show as Sort [..] over the scan
+    // feeding no Window — assert the clamp aggregate is partial->final
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("rolling median: day-spine joins broadcast; daily distribution aggregates partial->final") {
+    val p = planString("q_rolling_median")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected the broadcast day-spine range join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("scd2 point-in-time join: key-equi SMJ with interval residual, no nested loop") {
+    val p = planString("q_scd2_pit")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval predicate fell out of the equi-join:\n$p")
+  }
+
   test("served IVF: probe prunes cell partitions at the scan, no full-corpus filter") {
     val p = planString("q_ann_ivf_served")
     val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
