@@ -520,7 +520,10 @@ object PipelineQueries {
         ev.select(col("user_id"), col("event_id"), col("ts_us")),
         h, Seq("user_id"), "ts_us", Seq("event_type"))
     },
-    Some("""
+    scd2PitOracle)
+
+  /** Shared by the batch and stream-static PIT exhibits. */
+  private lazy val scd2PitOracle: Option[String] = Some("""
       WITH cl AS (
         SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
         FROM events),
@@ -542,7 +545,7 @@ object PipelineQueries {
       FROM cl f LEFT JOIN hist h
         ON f.user_id = h.user_id
         AND f.ts_us >= h.valid_from
-        AND (h.valid_to IS NULL OR f.ts_us < h.valid_to)"""))
+        AND (h.valid_to IS NULL OR f.ts_us < h.valid_to)""")
 
   /** RFM segmentation (ops/Segmentation.rfmSegments): every user
     * scored 1..5 on recency / frequency / monetary by equi-depth rank
@@ -769,6 +772,18 @@ object PipelineQueries {
       LEFT JOIN m1 USING (user_id)
       LEFT JOIN m2 USING (user_id)"""))
 
+  /** Streaming twin of q_scd2_pit (StreamingPitJoin): stream-STATIC
+    * point-in-time enrichment — facts stream against the batch-built
+    * SCD2 history with the interval predicate; Spark plans the static
+    * side stateless (re-read/broadcast per micro-batch, no state
+    * store, no watermark) — the feature-store serving contract.
+    * Shares the batch oracle verbatim.
+    */
+  private val qStreamPit = QueryDef(
+    "q_stream_scd2_pit",
+    (s, d) => graft.streaming.StreamingPitJoin.runBatchEquivalent(s, d),
+    scd2PitOracle)
+
   /** Winsorized value stats per event type
     * (GroupQuantile.winsorizedStats): values clamped into the
     * [p10, p90] type-1 quantile band before the mean — the robust
@@ -888,5 +903,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap)
+    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap)
 }
