@@ -20,6 +20,44 @@ class RankingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("globalRankLean equals the single-window row_number on a total order") {
+    val df = (1 to 997).map(i => ((i * 7919) % 1000, i.toLong))
+      .toDF("v", "id").repartition(7)
+    val got = Ranking.globalRankLean(df, Seq(col("v"), col("id")), "r")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(identity).zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("globalRankLean: null sort-key fields rank nulls-first, like the window") {
+    // nulls in the SECOND key — bucket assignment (struct compare vs the
+    // literal bounds) and the within-bucket window must agree on where
+    // nulls order, or ranks break at a bucket boundary
+    val rows = (1 to 400).map { i =>
+      val v = (i * 31) % 20
+      val s: java.lang.Long = if (i % 5 == 0) null else ((i * 17) % 100).toLong
+      (v, s, i.toLong)
+    }
+    val df = rows.toDF("v", "s", "id").repartition(5)
+    val got = Ranking.globalRankLean(df,
+      Seq(col("v"), col("s"), col("id")), "r", buckets = 8)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val want = rows.sortBy { case (v, s, id) =>
+      (v, if (s == null) Long.MinValue else s.toLong, id)
+    }.zipWithIndex.map { case ((_, _, id), i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("globalRankLean: all-tied leading key still a correct permutation") {
+    val df = (1 to 300).map(i => (1, i.toLong)).toDF("v", "id")
+    val r = Ranking.globalRankLean(df, Seq(col("v"), col("id")), "r",
+      buckets = 6)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert((1 to 300).forall(i => r(i.toLong) == i.toLong))
+  }
+
   test("equi-depth scores: sizes within 1, ordered by rank") {
     val n = 23
     val df = (1 to n).map(_.toLong).toDF("id")
