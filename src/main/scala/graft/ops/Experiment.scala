@@ -97,4 +97,48 @@ object Experiment {
         ((col("observed") - e) * (col("observed") - e) / e)
           .as("contribution"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns over an arbitrary shared domain (annotator vs annotator,
+    * heuristic vs declared metadata, model vs gold). With n rows,
+    * A = #(a = b) agreements, and marginal counts r_l (a = l),
+    * c_l (b = l):
+    *
+    *   kappa = (A·n − Σ_l r_l·c_l) / (n² − Σ_l r_l·c_l)
+    *
+    * — the usual (p_o − p_e)/(1 − p_e) multiplied through by n², so
+    * every term is an exact integer (DECIMAL(38,0) against overflow)
+    * and kappa is ONE int/int division: cross-engine deterministic.
+    * NULL when the denominator is zero (both raters constant — chance
+    * agreement is 1 and kappa is undefined). NULL labels count as a
+    * label value on their own side but never agree (SQL equality).
+    *
+    * Shape: one (a,b) aggregate collapses the corpus to the
+    * contingency cells; marginals and the kappa fold re-aggregate THAT
+    * |domain|²-bounded table — after the first shuffle nothing touches
+    * the corpus again.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val totals = cells.agg(
+      sum(col("__o")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__o"))).as("__agree"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val pe = ra.join(cb, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__r").cast("decimal(19,0)") *
+        col("__c").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .as("__pe"))
+    val n38 = col("__n").cast("decimal(38,0)")
+    totals.crossJoin(broadcast(pe))
+      .select(
+        col("__n").as("n"),
+        coalesce(col("__agree"), lit(0L)).as("n_agree"),
+        when(n38 * n38 - col("__pe") =!= lit(0),
+          (coalesce(col("__agree"), lit(0L)).cast("decimal(38,0)") * n38 -
+            col("__pe")).cast("double") /
+            (n38 * n38 - col("__pe")).cast("double"))
+          .as("kappa"))
+  }
 }

@@ -61,4 +61,58 @@ object Profiling {
         col("n_distinct_v2").cast("double") /
           nullif(col("n_distinct_v1"), lit(0L)))
   }
+
+  /** Key-distribution skew audit — the diagnostic you run BEFORE
+    * choosing a partitioning/salting strategy for a join or groupBy on
+    * `keyCol`: how many keys, how concentrated (exact Gini over key
+    * frequencies, share of the heaviest key, share of the top decile
+    * of keys). One row out.
+    *
+    * Exactness: with per-key counts c_i ranked ascending 1..n (ties
+    * broken by key — the i·c_i sum is invariant to order within a tie
+    * run), Gini = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc). Every term is an
+    * exact integer (DECIMAL(38,0) against overflow at the 100 TB
+    * tier); each output share is ONE int/int division — cross-engine
+    * deterministic. The rank is [[Ranking.globalRankLean]] — the
+    * counts frame is |keys|-sized and this is a single rank-only pass,
+    * exactly the lean variant's case (no materialization, literal
+    * range bounds).
+    *
+    * Scale shape: one count shuffle on the key (map-side combined),
+    * then everything downstream is |keys|-sized; the final aggregate
+    * is one pass over the ranked counts frame.
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("__key"))
+      .agg(count(lit(1)).as("__c"))
+    val ranked = Ranking.globalRankLean(counts,
+      Seq(col("__c"), col("__key")), "__rk")
+    val totals = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__c")).as("__t"),
+      max(col("__c")).as("__maxc"),
+      sum(col("__rk").cast("decimal(19,0)") *
+        col("__c").cast("decimal(19,0)")).as("__s1"))
+    val dec = org.apache.spark.sql.functions.floor(
+      (col("__n") + lit(9)) / lit(10.0)).cast("long")
+    ranked.crossJoin(broadcast(totals))
+      .agg(
+        max(col("__n")).as("__nk"),
+        max(col("__t")).as("__tt"),
+        max(col("__maxc")).as("__mx"),
+        max(col("__s1")).as("__ss1"),
+        sum(when(col("__rk") > col("__n") - dec, col("__c"))).as("__td"))
+      .select(
+        col("__nk").as("n_keys"),
+        col("__tt").as("n_rows"),
+        (col("__mx").cast("double") / col("__tt").cast("double"))
+          .as("max_share"),
+        (col("__td").cast("double") / col("__tt").cast("double"))
+          .as("top_decile_share"),
+        ((lit(2).cast("decimal(38,0)") * col("__ss1") -
+          (col("__nk") + 1).cast("decimal(38,0)") *
+            col("__tt").cast("decimal(38,0)")).cast("double") /
+          (col("__nk").cast("decimal(38,0)") *
+            col("__tt").cast("decimal(38,0)")).cast("double")).as("gini"))
+  }
 }

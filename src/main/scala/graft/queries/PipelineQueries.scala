@@ -582,6 +582,43 @@ object PipelineQueries {
           || '-' || CAST(m_score AS VARCHAR) AS segment
       FROM s"""))
 
+  /** Key-distribution skew audit (ops/Profiling.keySkewAudit): the
+    * pre-flight diagnostic for any join/groupBy on user_id — key
+    * count, exact Gini over key frequencies, heaviest-key share, and
+    * top-decile share. Frequencies rank through the NEW lean global
+    * rank (Ranking.globalRankLean — literal range bounds, no
+    * materialization); every share is one int/int division over exact
+    * DECIMAL terms. The oracle replays the ranked-frequency algebra
+    * with a plain ROW_NUMBER.
+    */
+  private val qKeySkew = QueryDef(
+    "q_key_skew",
+    (s, d) => graft.ops.Profiling.keySkewAudit(Tables.events(s, d), "user_id"),
+    Some("""
+      WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1),
+      r AS (
+        SELECT user_id, n_ev,
+          ROW_NUMBER() OVER (ORDER BY n_ev, user_id) AS rn
+        FROM c),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+          CAST(SUM(n_ev) AS BIGINT) AS t,
+          CAST(MAX(n_ev) AS BIGINT) AS maxc,
+          SUM(rn * n_ev) AS s1
+        FROM r),
+      topd AS (
+        SELECT CAST(SUM(r.n_ev) AS BIGINT) AS td
+        FROM r, tot
+        WHERE r.rn > tot.nk - CAST(FLOOR((tot.nk + 9) / 10.0) AS BIGINT))
+      SELECT nk AS n_keys, t AS n_rows,
+        CAST(maxc AS DOUBLE) / CAST(t AS DOUBLE) AS max_share,
+        CAST(td AS DOUBLE) / CAST(t AS DOUBLE) AS top_decile_share,
+        CAST(2 * s1 - (nk + 1) * t AS DOUBLE) /
+          CAST(nk * t AS DOUBLE) AS gini
+      FROM tot, topd"""))
+
   /** One set's HLL register pipeline in SQL (mirrors
     * Sketches.hllRegisters/hllEstimate over a user-id set CTE `src`).
     */
@@ -903,5 +940,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap)
+    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew)
 }

@@ -135,6 +135,103 @@ object SimilarityQueries {
         FROM sc)
       WHERE rn <= 5"""))
 
+  /** Hard-negative mining (Similarity.hardNegatives): per anchor, the
+    * top-5 most-cosine-similar vectors whose LABEL differs — the
+    * knnJoin shape plus a label-exclusion predicate ahead of the score
+    * math. Exact quantized cosines, so the oracle replays the mine.
+    */
+  private val qHardNegatives = QueryDef(
+    "q_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.where(col("vec_id") % 100 === 0), k = 5)
+    },
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+      dots AS (
+        SELECT g.vec_id AS anchor_id, f.vec_id, SUM(f.qv * g.qv) AS qdot
+        FROM flat f
+        JOIN flat g ON g.i = f.i AND g.vec_id % 100 = 0
+          AND f.vec_id <> g.vec_id
+        JOIN embeddings ef ON ef.vec_id = f.vec_id
+        JOIN embeddings eg ON eg.vec_id = g.vec_id
+        WHERE ef.label <> eg.label
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT anchor_id, d.vec_id,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nq.nrm AS BIGINT)))
+            AS score
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.anchor_id)
+      SELECT anchor_id, CAST(rn AS INT) AS rank, vec_id, score FROM (
+        SELECT anchor_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY score DESC, vec_id) AS rn
+        FROM sc)
+      WHERE rn <= 5"""))
+
+  /** Mutual-top-1 margin mining (Similarity.mutualMarginPairs): even
+    * vec_ids as the left space, odd as the right; pairs that pick each
+    * other first, scored by the Lowe ratio of best over second-best
+    * cosine on BOTH sides (least of the two). Every cosine is one
+    * integer-dot division and the margin one further division — the
+    * oracle replays the pipeline bit-exactly.
+    */
+  private val qMarginMining = QueryDef(
+    "q_margin_mining",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mutualMarginPairs(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+    },
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+      dots AS (
+        SELECT l.vec_id AS lid, r.vec_id AS rid, SUM(l.qv * r.qv) AS qdot
+        FROM flat l JOIN flat r ON r.i = l.i
+        WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 1
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT lid, rid,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(nl.nrm AS BIGINT)) * sqrt(CAST(nr.nrm AS BIGINT)))
+            AS score
+        FROM dots
+        JOIN norms nl ON nl.vec_id = lid
+        JOIN norms nr ON nr.vec_id = rid),
+      lt AS (
+        SELECT lid, rid, score,
+          ROW_NUMBER() OVER (PARTITION BY lid
+            ORDER BY score DESC, rid) AS rn
+        FROM sc),
+      lt2 AS (
+        SELECT lid, MAX(CASE WHEN rn = 1 THEN rid END) AS nn1,
+          MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+          MAX(CASE WHEN rn = 2 THEN score END) AS s2
+        FROM lt WHERE rn <= 2 GROUP BY lid
+        HAVING MAX(CASE WHEN rn = 2 THEN score END) > 0),
+      rt AS (
+        SELECT lid, rid, score,
+          ROW_NUMBER() OVER (PARTITION BY rid
+            ORDER BY score DESC, lid) AS rn
+        FROM sc),
+      rt2 AS (
+        SELECT rid, MAX(CASE WHEN rn = 1 THEN lid END) AS nn1,
+          MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+          MAX(CASE WHEN rn = 2 THEN score END) AS s2
+        FROM rt WHERE rn <= 2 GROUP BY rid
+        HAVING MAX(CASE WHEN rn = 2 THEN score END) > 0)
+      SELECT l.lid AS src_id, r.rid AS tgt_id,
+        LEAST(l.s1 / l.s2, r.s1 / r.s2) AS margin
+      FROM lt2 l JOIN rt2 r ON l.nn1 = r.rid AND r.nn1 = l.lid"""))
+
   // ------------------------------------------------ brute-force top-k
   private val qTopKQuant = QueryDef(
     "q_ann_topk_quantized",
@@ -882,5 +979,5 @@ object SimilarityQueries {
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined,
-    qCentroids, qCentroidVectors, qLabelOutliers)
+    qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining)
 }

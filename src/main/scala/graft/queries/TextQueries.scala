@@ -84,6 +84,43 @@ object TextQueries {
       SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM pred GROUP BY lang, lang_pred"""))
 
+  /** Cohen's kappa between the declared language tag and the n-gram
+    * heuristic's guess (ops/Experiment.cohensKappa) — the
+    * chance-corrected agreement number a labeling-quality review
+    * starts from. The domains only overlap on 'en' (the heuristic
+    * answers en/en-ish/other), which kappa handles natively: expected
+    * agreement comes from the marginal products over SHARED labels.
+    * All terms exact integers; kappa is one int/int division.
+    */
+  private val qLangKappa = QueryDef(
+    "q_langid_kappa",
+    (s, d) => graft.ops.Experiment.cohensKappa(
+      Tables.documents(s, d)
+        .select(col("lang").as("a"), TF.langIdGuess(col("text")).as("b")),
+      "a", "b"),
+    Some(s"""
+      WITH pred AS (
+        SELECT lang AS a,
+          CASE WHEN $sqlNTokens = 0 THEN 'other'
+               WHEN $sqlNStop / $sqlNTokens >= 0.10 THEN 'en'
+               WHEN $sqlNStop / $sqlNTokens >= 0.03 THEN 'en-ish'
+               ELSE 'other' END AS b
+        FROM documents),
+      cells AS (SELECT a, b, COUNT(*) AS o FROM pred GROUP BY 1, 2),
+      tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+          CAST(COALESCE(SUM(CASE WHEN a = b THEN o END), 0) AS BIGINT)
+            AS n_agree
+        FROM cells),
+      ra AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
+      cb AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
+      pe AS (SELECT COALESCE(SUM(r * c), 0) AS pe FROM ra JOIN cb ON ra.a = cb.b)
+      SELECT n, n_agree,
+        CASE WHEN n * n - pe <> 0
+          THEN CAST(n_agree * n - pe AS DOUBLE) /
+               CAST(n * n - pe AS DOUBLE) END AS kappa
+      FROM tot, pe"""))
+
   // ------------------------------------------------------ quality filter
   /** The quality-score `scored` CTE (→ column `q`), ONE definition so
     * the SQL mirror of TextFunctions.withQualityScore can never drift
@@ -1594,6 +1631,93 @@ object TextQueries {
     (s, d) => graft.streaming.StreamingBpe.runBatchEquivalent(s, d),
     qBpeEncode.oracle)
 
+  /** One encode round in the compression oracle: the same
+    * non-overlapping replace as bpeRoundSql's f-chain, but CARRYING the
+    * doc's source column (training stays corpus-wide — the g-chain
+    * reuses the f-chain's b$k winners verbatim).
+    */
+  private def bpeApplySrcSql(k: Int): String = s"""
+      g$k AS (
+        SELECT source, replace(s,
+          chr(1) || (SELECT l FROM b$k) || chr(1) || chr(1) ||
+            (SELECT r FROM b$k) || chr(1),
+          chr(1) || (SELECT l FROM b$k) || (SELECT r FROM b$k) || chr(1)) AS s
+        FROM g${k - 1})"""
+
+  /** Tokenizer-efficiency-by-source: encode every token with the
+    * 3-merge trained table and report chars-per-symbol per source —
+    * the compression diagnostic a data-mix owner reads before
+    * weighting sources (a source the tokenizer compresses badly costs
+    * proportionally more of the token budget). Exact integer sums,
+    * one final division; the oracle replays train AND encode through
+    * a source-carrying copy of the q_bpe_encode_vocab fold.
+    */
+  private val qBpeCompression = QueryDef(
+    "q_bpe_compression",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TF.bpeTrainMerges(docs, "text", rounds = 3)
+        .orderBy("round")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.VectorFunctions.register(s)
+      val toks = docs
+        .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) >= 1)
+        .select(col("source"),
+          size(call_function("bpe_encode", col("tok"),
+            typedlit(merges.map(_._1)), typedlit(merges.map(_._2))))
+            .cast("long").as("__nsym"))
+        .groupBy(col("source"))
+        .agg(sum(col("__nsym")).as("n_tokens"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .join(toks, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT unnest($sqlTokens) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      f0 AS (
+        SELECT chr(1) || array_to_string(list_transform(
+            range(1, length(tok) + 1), i -> substr(tok, i, 1)),
+          chr(1) || chr(1)) || chr(1) AS s
+        FROM tok WHERE length(tok) >= 1),
+      ${bpeRoundSql(1)},
+      ${bpeRoundSql(2)},
+      ${bpeRoundSql(3)},
+      stok AS (
+        SELECT source, unnest($sqlTokens) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      g0 AS (
+        SELECT source, chr(1) || array_to_string(list_transform(
+            range(1, length(tok) + 1), i -> substr(tok, i, 1)),
+          chr(1) || chr(1)) || chr(1) AS s
+        FROM stok WHERE length(tok) >= 1),
+      ${bpeApplySrcSql(1)},
+      ${bpeApplySrcSql(2)},
+      ${bpeApplySrcSql(3)},
+      td AS (
+        SELECT source, CAST(SUM(len(string_split(
+            substr(s, 2, length(s) - 2), chr(1) || chr(1)))) AS BIGINT)
+          AS n_tokens
+        FROM g3 GROUP BY 1),
+      ch AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1)
+      SELECT ch.source, ch.n_docs, ch.n_chars,
+        COALESCE(td.n_tokens, 0) AS n_tokens,
+        CASE WHEN COALESCE(td.n_tokens, 0) > 0
+          THEN CAST(ch.n_chars AS DOUBLE) / CAST(td.n_tokens AS DOUBLE)
+        END AS chars_per_token
+      FROM ch LEFT JOIN td ON td.source = ch.source"""))
+
   /** Count-Min heavy-hitter tokens (ops/Sketches): the corpus token
     * stream feeds a 4×256 md5-bucketed counter sketch; every distinct
     * token's estimate is the min over its 4 counters (≥ true count by
@@ -1938,8 +2062,8 @@ object TextQueries {
       LIMIT 20"""
 
   def all: Seq[QueryDef] = Seq(
-    qStats, qLang, qQuality, qQualityPercentile, qCommonNgrams,
-    qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
+    qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams,
+    qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,

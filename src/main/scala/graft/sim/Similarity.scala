@@ -601,4 +601,78 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("vec_id"), col("col.score").as("score"))
   }
+
+  /** Hard-negative mining for contrastive training: for every anchor,
+    * the top-k most-similar corpus vectors whose LABEL DIFFERS — the
+    * negatives the model currently confuses with positives, the ones
+    * worth training on. Same shape as [[knnJoin]] (anchors broadcast,
+    * per-anchor top-k via the map-side-combining aggregator — the
+    * shuffle carries ≤ |anchors|·k pairs per map partition, never the
+    * corpus), one extra predicate: `label != anchor label` evaluated
+    * before any score math. For anchor sets past broadcast reach,
+    * route candidate generation through the served IVF index and
+    * re-rank the shortlist — the q_ann_ivfpq_refined pattern.
+    * Scores are the exact quantized cosine (integer dots), so the
+    * DuckDB oracle replays the whole mine.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__av"), col(labelCol).as("__al")))
+    corpus.crossJoin(a)
+      .where(col(idCol) =!= col("anchor_id") &&
+        col(labelCol) =!= col("__al"))
+      .select(col("anchor_id"),
+        graft.functions.VectorFunctions.q_vec_cosine(
+          col(vecCol), col("__av")).as("__s"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.PairTopKAggregator
+        .top_k_pair(k)(col("__s"), col("__id")).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("score"))
+  }
+
+  /** Mutual-top-1 pair mining with a Lowe-style ratio margin — the
+    * bitext-mining shape (two embedding spaces, candidate pairs =
+    * vectors that pick EACH OTHER first, confidence = how far the
+    * best match stands above the second-best). For each left vector:
+    * its top-2 right neighbors by exact quantized cosine; a pair
+    * (x, y) is emitted iff y is x's top-1 AND x is y's top-1, with
+    *   margin = least(cos(x,y)/cos(x, x's 2nd), cos(x,y)/cos(y, y's 2nd))
+    * — every cosine is one integer-dot division (deterministic IEEE),
+    * every margin one further division, so the oracle replays it
+    * bit-exactly. Pairs whose second-best cosine is ≤ 0 are dropped
+    * (ratio undefined); singletons (no 2nd neighbor) are dropped.
+    *
+    * Scale shape: two [[knnJoin]]s at k=2 (each one broadcast of the
+    * smaller side + one |bigger-side| scan with map-side top-k
+    * combine) + one |pairs|-sized equi-join. Past broadcast reach the
+    * kNN legs route through the served IVF index like any other
+    * retrieval — the mutual join and margin math are unchanged.
+    */
+  def mutualMarginPairs(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    def top2(corpus: DataFrame, queries: DataFrame): DataFrame =
+      knnJoin(corpus, idCol, vecCol, queries, idCol, vecCol, k = 2)
+        .groupBy(col("query_id"))
+        .agg(
+          max(when(col("rank") === 1, col("vec_id"))).as("nn1"),
+          max(when(col("rank") === 1, col("score"))).as("s1"),
+          max(when(col("rank") === 2, col("score"))).as("s2"))
+        .where(col("s2") > 0.0)
+    val lt = top2(right, left)
+      .select(col("query_id").as("src_id"), col("nn1").as("l_nn1"),
+        col("s1").as("l_s1"), col("s2").as("l_s2"))
+    val rt = top2(left, right)
+      .select(col("query_id").as("tgt_id"), col("nn1").as("r_nn1"),
+        col("s1").as("r_s1"), col("s2").as("r_s2"))
+    lt.join(rt, col("l_nn1") === col("tgt_id") &&
+        col("r_nn1") === col("src_id"))
+      .select(col("src_id"), col("tgt_id"),
+        least(col("l_s1") / col("l_s2"), col("r_s1") / col("r_s2"))
+          .as("margin"))
+  }
 }

@@ -73,6 +73,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(d.getAs[Double]("distinct_ratio") == 0.5)
   }
 
+  test("keySkewAudit: hand-checked gini, max and decile shares") {
+    // 10 keys, counts 1..10: T=55, S1=sum(i*i)=385
+    // gini = (2*385 - 11*55) / (10*55) = 165/550 = 0.3
+    // top decile = ceil(10/10)=1 key -> the count-10 key -> 10/55
+    val df = (1 to 10).flatMap(k => Seq.fill(k)(k.toLong)).toDF("user")
+    val r = graft.ops.Profiling.keySkewAudit(df, "user").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 55L)
+    assert(r.getDouble(2) == 10.0 / 55)
+    assert(r.getDouble(3) == 10.0 / 55)
+    assert(r.getDouble(4) == 0.3)
+
+    // uniform: gini exactly 0; 4 keys -> decile still 1 key -> 1/4
+    val u = (1 to 4).flatMap(k => Seq.fill(5)(k.toLong)).toDF("user")
+    val ru = graft.ops.Profiling.keySkewAudit(u, "user").head()
+    assert(ru.getDouble(4) == 0.0)
+    assert(ru.getDouble(3) == 0.25)
+  }
+
   test("rollingQuantile: trailing-window exact median, spine days, type-1 rank") {
     // one key; days 0,1,3 with values — window 2 days
     val rows = Seq(

@@ -67,4 +67,24 @@ class ExperimentSpec extends AnyFunSuite {
     val stat = out.values.map(_._3).sum
     assert(math.abs(stat - (12.25 + 196.0 / 24 * 2 + 196.0 / 36)) < 1e-12)
   }
+
+  test("cohens kappa: textbook 2x2, disjoint domains, constant raters") {
+    // classic example: n=50, agree=20+15=35, marginals a:(25,25) b:(30,20)
+    // pe_num = 25*30 + 25*20 = 1250, kappa = (35*50-1250)/(2500-1250) = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val out = Experiment.cohensKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(out.getLong(0) == 50L && out.getLong(1) == 35L)
+    assert(out.getDouble(2) == 0.4)
+
+    // disjoint label domains: zero agreement, zero chance agreement
+    val disj = Seq(("x", "u"), ("y", "v")).toDF("a", "b")
+    val d = Experiment.cohensKappa(disj, "a", "b").head()
+    assert(d.getLong(0) == 2L && d.getLong(1) == 0L && d.getDouble(2) == 0.0)
+
+    // both raters constant and agreeing: denominator 0 -> NULL
+    val const = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    val c = Experiment.cohensKappa(const, "a", "b").head()
+    assert(c.getLong(1) == 2L && c.isNullAt(2))
+  }
 }

@@ -456,6 +456,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hard negatives: label filter below the agg, no vector in any exchange") {
+    val p = planString("q_hard_negatives")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, s"expected the per-anchor agg to shuffle:\n$p")
+    assert(exchanges.forall(e => !e.contains("embedding#") && !e.contains("__av")),
+      s"vector payload crossed a hash exchange: $exchanges")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("margin mining: mutual join is id-equi hash, vectors never shuffle") {
+    val p = planString("q_margin_mining")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(e => !e.contains("embedding#") && !e.contains("__qv")),
+      s"vector payload crossed a hash exchange: $exchanges")
+    // the (nn1 = id && nn1 = id) mutual condition must plan as an
+    // equi hash join of the two |queries|-sized top-2 frames
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("key skew: lean rank — every window is bucket-partitioned, nothing pins") {
+    val p = planString("q_key_skew")
+    // globalRankLean: literal bounds -> the row_number window must be
+    // partitioned by the bucket id; NO partition-less window anywhere
+    // (the pinned variant's offsets prefix-sum is absent by design)
+    val globalWindows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+      .filterNot(_.contains("windowspecdefinition(__pid#"))
+    assert(globalWindows.isEmpty,
+      s"expected only __pid-partitioned windows:\n${globalWindows.mkString("\n")}")
+    assert(!p.contains("InMemoryTableScan"),
+      s"lean rank must not materialize:\n$p")
+  }
+
   test("refined IVF+PQ: shortlist re-rank point-reads by pushed id filter") {
     val p = planString("q_ann_ivfpq_refined")
     // the exact re-rank must reach the base parquet as an In() pushdown

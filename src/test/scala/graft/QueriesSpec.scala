@@ -26,6 +26,9 @@ class QueriesSpec extends AnyFunSuite {
       s"README count stale: registry has $declared/$withOracle")
     assert(read("COVERAGE.md").contains(s"($withOracle/$withOracle at sf0.01"),
       s"COVERAGE.md oracle count stale: $withOracle")
+    assert(read(".claude/skills/verify/SKILL.md")
+        .contains(s"$withOracle/$withOracle as of"),
+      s"verify SKILL.md count stale: $withOracle")
   }
 
   test("declared outputs are atomic-typed (driver harness hashability)") {

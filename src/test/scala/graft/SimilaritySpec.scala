@@ -163,4 +163,37 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(out.toSeq == Seq((0L, 1, 1L), (0L, 2, 3L), (0L, 3, 2L)))
   }
+
+  test("hard negatives: same-label candidates excluded, cosine-desc ranks") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0),  // anchor, label 0
+      (1L, Seq(3f, 1f), 0),  // nearest of all — but same label: excluded
+      (2L, Seq(2f, 1f), 1),  // cos ~0.894 -> rank 1
+      (3L, Seq(1f, 2f), 1),  // cos ~0.447 -> rank 2
+      (4L, Seq(0f, 1f), 2))  // cos 0      -> cut by k=2
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.where(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1, 2L), (0L, 2, 3L)))
+  }
+
+  test("mutual margin pairs: mutual-top1 only, ratio margin, s2<=0 dropped") {
+    import spark.implicits._
+    // left 0:(2,1) 2:(1,2) 4:(-1,-1); right 1:(3,1) 3:(1,3)
+    // cos(0,1)=cos(2,3)=7/sqrt50, cos(0,3)=cos(2,1)=5/sqrt50 — two
+    // mutual pairs, each margin (7e8/d)/(5e8/d) with the same norms;
+    // left 4 sees only negative cosines -> its s2 <= 0 -> dropped
+    val left = Seq((0L, Seq(2f, 1f)), (2L, Seq(1f, 2f)),
+      (4L, Seq(-1f, -1f))).toDF("vec_id", "embedding")
+    val right = Seq((1L, Seq(3f, 1f)), (3L, Seq(1f, 3f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mutualMarginPairs(left, right, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val d = math.sqrt(5e8) * math.sqrt(1e9)
+    val m = (7e8 / d) / (5e8 / d)
+    assert(out.toSeq == Seq((0L, 1L, m), (2L, 3L, m)))
+  }
 }
