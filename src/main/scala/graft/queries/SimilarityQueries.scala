@@ -232,6 +232,86 @@ object SimilarityQueries {
         LEAST(l.s1 / l.s2, r.s1 / r.s2) AS margin
       FROM lt2 l JOIN rt2 r ON l.nn1 = r.rid AND r.nn1 = l.lid"""))
 
+  /** The IVF-legged margin miner (Similarity.mutualMarginPairsIvf):
+    * same mutual-top-1 ratio-margin semantics, kNN legs served by one
+    * IVF index per side — the past-broadcast-reach rung. Declared at a
+    * complete-top-2-recall operating point (autoNProbe widens thin
+    * indexes to every cell), so it shares the brute variant's oracle
+    * verbatim and any recall miss lands as a hash mismatch.
+    */
+  private val qMarginMiningIvf = QueryDef(
+    "q_margin_mining_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mutualMarginPairsIvf(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+    },
+    qMarginMining.oracle)
+
+  /** One power-iteration step k in the PCA oracle: integer matvec over
+    * the scaled scatter matrix, exact norm², one double division +
+    * HALF_UP requantization (zero-matrix guarded).
+    */
+  private def pcaIterSql(k: Int): String = s"""
+      mv$k AS MATERIALIZED (
+        SELECT M.i AS i, SUM(M.m * v.q) AS mv
+        FROM Ms M JOIN it${k - 1} v ON M.j = v.i GROUP BY 1),
+      n$k AS MATERIALIZED (SELECT SUM(mv * mv) AS n2 FROM mv$k),
+      it$k AS MATERIALIZED (
+        SELECT i,
+          CASE WHEN (SELECT n2 FROM n$k) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(ROUND(10000 * (CAST(mv AS DOUBLE) /
+              sqrt(CAST((SELECT n2 FROM n$k) AS DOUBLE)))) AS BIGINT)
+          END AS q
+        FROM mv$k)"""
+
+  /** Top principal component of the embedding corpus (sim/Pca
+    * .topComponentQ): ONE order-independent integer moments aggregate
+    * over the data (long-buffer typed Aggregator, one buffer per
+    * partition), then a fixed 8-step driver power iteration on the
+    * exact scatter matrix — mean-centering and dominant-direction
+    * removal ("all but the top") compose map-side from this vector.
+    * The oracle replays the whole trajectory: moments, the
+    * deterministic decimal down-scale, every integer matvec, every
+    * requantization.
+    */
+  private val qPcaTop1 = QueryDef(
+    "q_embedding_pca_top1",
+    (s, d) => graft.sim.Pca.topComponentQ(
+      Tables.embeddings(s, d), "embedding", iters = 8),
+    Some {
+      val iters = (1 to 8).map(pcaIterSql).mkString(",")
+      s"""
+      WITH flat AS MATERIALIZED ($sqlQuantFlat),
+      cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      mom AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS p
+        FROM flat a JOIN flat b USING (vec_id)
+        GROUP BY 1, 2),
+      sums AS (SELECT i, SUM(qv) AS s FROM flat GROUP BY 1),
+      M AS MATERIALIZED (
+        SELECT mom.i, mom.j, cnt.n * mom.p - sa.s * sb.s AS m
+        FROM mom, cnt
+        JOIN sums sa ON sa.i = mom.i
+        JOIN sums sb ON sb.i = mom.j),
+      scale AS (
+        SELECT CAST(POWER(10, GREATEST(0,
+          LENGTH(CAST((SELECT MAX(ABS(m)) FROM M) AS VARCHAR)) - 9))
+          AS HUGEINT) AS sc),
+      Ms AS MATERIALIZED (
+        SELECT i, j,
+          CASE WHEN m >= 0 THEN m // (SELECT sc FROM scale)
+               ELSE -((-m) // (SELECT sc FROM scale)) END AS m
+        FROM M),
+      it0 AS MATERIALIZED (
+        SELECT i, CAST(10000 AS BIGINT) AS q
+        FROM (SELECT DISTINCT i FROM flat)),
+      $iters
+      SELECT CAST(i - 1 AS INT) AS dim, q AS q_component FROM it8"""
+    })
+
   // ------------------------------------------------ brute-force top-k
   private val qTopKQuant = QueryDef(
     "q_ann_topk_quantized",
@@ -979,5 +1059,6 @@ object SimilarityQueries {
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined,
-    qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining)
+    qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining,
+    qMarginMiningIvf, qPcaTop1)
 }

@@ -602,6 +602,100 @@ object Similarity {
         col("col.id").as("vec_id"), col("col.score").as("score"))
   }
 
+  /** Batch kNN against an IVF index — the past-broadcast-reach rung of
+    * [[knnJoin]]: instead of every query scanning the whole corpus,
+    * each query ranks the nCells centroids MAP-SIDE (the same
+    * `vec_mat_score` matrix kernel the index build uses, literal
+    * centroids, exact doubles — ties to the lower cell id, mirroring
+    * the driver-side rankProbeCells order), explodes to its nProbe
+    * probe cells, and meets ONLY those cells of the index through a
+    * cell equi-join. Per-query top-k then runs through the same
+    * map-side pair-top-k aggregator as knnJoin, so no exchange ever
+    * carries corpus vectors — only (query_id, top-k buffer) pairs and
+    * the nProbe-exploded query rows.
+    *
+    * Work: |queries|·nProbe·(corpus/nCells) score evaluations vs
+    * knnJoin's |queries|·corpus — the standard IVF bet. Recall is the
+    * operating-point contract (autoNProbe widens thin indexes to all
+    * cells); at a complete-recall operating point the output is
+    * bit-identical to [[knnJoin]] (same scores, same tie order).
+    * Queries are broadcast by default; for query sets past broadcast
+    * reach drop to a shuffled cell join (both sides partition by cell)
+    * by passing broadcastQueries = false.
+    */
+  def ivfKnnJoin(index: IvfIndex, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = 4, broadcastQueries: Boolean = true,
+      scoreFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.q_vec_cosine): DataFrame = {
+    graft.functions.VectorFunctions.register(queries.sparkSession)
+    val nCells = index.centroids.length
+    val probe = math.min(nProbe, nCells)
+    val flat = typedLit(index.centroids.flatten.toSeq)
+    val bias = typedLit(index.centroids.map(c =>
+      -c.map(x => x.toDouble * x).sum / 2.0).toSeq)
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .withColumn("__scores", graft.functions.VectorFunctions
+        .vec_mat_score(col("__qv"), flat, bias))
+      .withColumn("__probe", slice(array_sort(
+        zip_with(col("__scores"), sequence(lit(0), lit(nCells - 1)),
+          (s, i) => struct(s.as("s"), i.as("i"))),
+        (l, r) => when(l("s") > r("s"), lit(-1))
+          .when(l("s") < r("s"), lit(1))
+          .otherwise(l("i") - r("i"))), 1, probe))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__probe")("i")).as("__cell"))
+    val q = if (broadcastQueries) broadcast(probes) else probes
+    index.cells.join(q, col("cell") === col("__cell"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"),
+        scoreFn(col(vecCol), col("__qv")).as("__s"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.PairTopKAggregator
+        .top_k_pair(k)(col("__s"), col("__id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("score"))
+  }
+
+  /** [[mutualMarginPairs]] with the kNN legs routed through IVF
+    * indexes — the shape that survives two embedding spaces past
+    * broadcast reach (one index per side, built once, served many).
+    * At a complete-top-2-recall operating point (autoNProbe widens
+    * thin indexes) the output is bit-identical to the brute variant —
+    * the declared query shares its oracle, so any recall miss
+    * surfaces as a hash mismatch.
+    */
+  def mutualMarginPairsIvf(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val li = buildIvfIndex(left, vecCol, nCells)
+    val ri = buildIvfIndex(right, vecCol, nCells)
+    val lp = autoNProbe(li.cells.count(), nCells, nProbe)
+    val rp = autoNProbe(ri.cells.count(), nCells, nProbe)
+    def top2(index: IvfIndex, queries: DataFrame, p: Int): DataFrame =
+      ivfKnnJoin(index, idCol, vecCol, queries, idCol, vecCol, k = 2, p)
+        .groupBy(col("query_id"))
+        .agg(
+          max(when(col("rank") === 1, col("vec_id"))).as("nn1"),
+          max(when(col("rank") === 1, col("score"))).as("s1"),
+          max(when(col("rank") === 2, col("score"))).as("s2"))
+        .where(col("s2") > 0.0)
+    val lt = top2(ri, left, rp)
+      .select(col("query_id").as("src_id"), col("nn1").as("l_nn1"),
+        col("s1").as("l_s1"), col("s2").as("l_s2"))
+    val rt = top2(li, right, lp)
+      .select(col("query_id").as("tgt_id"), col("nn1").as("r_nn1"),
+        col("s1").as("r_s1"), col("s2").as("r_s2"))
+    lt.join(rt, col("l_nn1") === col("tgt_id") &&
+        col("r_nn1") === col("src_id"))
+      .select(col("src_id"), col("tgt_id"),
+        least(col("l_s1") / col("l_s2"), col("r_s1") / col("r_s2"))
+          .as("margin"))
+  }
+
   /** Hard-negative mining for contrastive training: for every anchor,
     * the top-k most-similar corpus vectors whose LABEL DIFFERS — the
     * negatives the model currently confuses with positives, the ones

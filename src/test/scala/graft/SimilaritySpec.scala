@@ -179,6 +179,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 1, 2L), (0L, 2, 3L)))
   }
 
+  test("ivfKnnJoin: pruned probing (nProbe < nCells) matches brute knnJoin exactly") {
+    import spark.implicits._
+    // 4 well-separated direction clusters — with nProbe=2 of 4 cells a
+    // query's true neighbors all live in its own cluster's cell, so the
+    // pruned search must be BIT-identical to the brute join
+    val dirs = Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f),
+      Seq(0f, 0f, 1f), Seq(-1f, -1f, 0f))
+    val rows = (0 until 200).map { i =>
+      val d = dirs(i % 4)
+      // deterministic small jitter, keeps clusters tight and separated
+      val j = 0.01f * ((i * 37) % 10)
+      (i.toLong, Seq(d(0) * 10 + j, d(1) * 10 + j, d(2) * 10 + j))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 8)
+    val index = Similarity.buildIvfIndex(emb, "embedding", nCells = 4)
+    val brute = Similarity.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2))
+    val ivf = Similarity.ivfKnnJoin(index, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2))
+    assert(ivf.toSeq == brute.toSeq)
+    index.cells.unpersist()
+  }
+
+  test("pca top component: rank-1 data recovers the direction, unit norm") {
+    import spark.implicits._
+    // points on the line t·(1,2): scatter matrix is rank-1 with
+    // eigenvector (1,2)/sqrt(5) -> quantized ~(4472, 8944)
+    val df = (-10 to 10).filter(_ != 0)
+      .map(t => Seq(t * 0.05f, t * 0.10f)).toDF("embedding")
+    val out = graft.sim.Pca.topComponentQ(df, "embedding", iters = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.size == 2)
+    val (a, b) = (out(0), out(1))
+    // same sign, ratio 2 to quantization error, unit quantized norm
+    assert(a.sign == b.sign && a != 0)
+    assert(math.abs(b.toDouble / a - 2.0) < 1e-3)
+    assert(math.abs(math.sqrt((a * a + b * b).toDouble) - 10000.0) < 2)
+  }
+
   test("mutual margin pairs: mutual-top1 only, ratio margin, s2<=0 dropped") {
     import spark.implicits._
     // left 0:(2,1) 2:(1,2) 4:(-1,-1); right 1:(3,1) 3:(1,3)
