@@ -277,14 +277,13 @@ object SimilarityQueries {
     * deterministic decimal down-scale, every integer matvec, every
     * requantization.
     */
-  private val qPcaTop1 = QueryDef(
-    "q_embedding_pca_top1",
-    (s, d) => graft.sim.Pca.topComponentQ(
-      Tables.embeddings(s, d), "embedding", iters = 8),
-    Some {
-      val iters = (1 to 8).map(pcaIterSql).mkString(",")
-      s"""
-      WITH flat AS MATERIALIZED ($sqlQuantFlat),
+  /** The full PCA trajectory as a CTE prefix (moments → scaled scatter
+    * matrix → 8 power iterates, `it8` = the quantized top component),
+    * shared by the eigenvector exhibit and the ABTT readout.
+    */
+  private val pcaOracleCtes: String = {
+    val iters = (1 to 8).map(pcaIterSql).mkString(",")
+    s"""flat AS MATERIALIZED ($sqlQuantFlat),
       cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
       mom AS MATERIALIZED (
         SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS p
@@ -308,9 +307,43 @@ object SimilarityQueries {
       it0 AS MATERIALIZED (
         SELECT i, CAST(10000 AS BIGINT) AS q
         FROM (SELECT DISTINCT i FROM flat)),
-      $iters
-      SELECT CAST(i - 1 AS INT) AS dim, q AS q_component FROM it8"""
-    })
+      $iters"""
+  }
+
+  private val qPcaTop1 = QueryDef(
+    "q_embedding_pca_top1",
+    (s, d) => graft.sim.Pca.topComponentQ(
+      Tables.embeddings(s, d), "embedding", iters = 8),
+    Some(s"""
+      WITH $pcaOracleCtes
+      SELECT CAST(i - 1 AS INT) AS dim, q AS q_component FROM it8"""))
+
+  /** ABTT readout (sim/Pca.abttRemovedShare): per label, the exact
+    * share of quantized second moment the top component carries —
+    * Σ(e·u)² / (‖u‖²·Σ‖e‖²), one double division over DECIMAL-exact
+    * terms. The oracle extends the shared PCA trajectory with the
+    * per-vector projection sums.
+    */
+  private val qAbtt = QueryDef(
+    "q_abtt_removed_share",
+    (s, d) => graft.sim.Pca.abttRemovedShare(
+      Tables.embeddings(s, d), "embedding", "label", iters = 8),
+    Some(s"""
+      WITH $pcaOracleCtes,
+      u AS MATERIALIZED (SELECT i, q FROM it8),
+      den AS (SELECT SUM(q * q) AS d FROM u),
+      per AS MATERIALIZED (
+        SELECT f.vec_id, SUM(f.qv * u.q) AS num, SUM(f.qv * f.qv) AS n2
+        FROM flat f JOIN u ON u.i = f.i GROUP BY 1),
+      lab AS (
+        SELECT e.label, p.num, p.n2
+        FROM per p JOIN embeddings e ON e.vec_id = p.vec_id)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CASE WHEN SUM(n2) > 0 AND (SELECT d FROM den) > 0
+          THEN CAST(SUM(num * num) AS DOUBLE) /
+               CAST((SELECT d FROM den) * SUM(n2) AS DOUBLE)
+        END AS removed_share
+      FROM lab GROUP BY label"""))
 
   // ------------------------------------------------ brute-force top-k
   private val qTopKQuant = QueryDef(
@@ -1056,9 +1089,129 @@ object SimilarityQueries {
         FROM cosd)
       WHERE rn <= 5"""))
 
+  /** Exact ROC AUC of the label-0 centroid discriminator
+    * (ops/Eval.aucExact): every vector scored by quantized cosine to
+    * the label-0 member centroid (the q_label_outliers kernel), ranked
+    * by the lean global rank, midrank Mann-Whitney fold — how well
+    * centroid similarity separates the class, with NO approximation.
+    * 2·R⁺ stays integral (tie groups occupy consecutive ranks), AUC is
+    * one int/int division; the oracle replays score, ranks, and fold.
+    */
+  private val qCentroidAuc = QueryDef(
+    "q_centroid_auc",
+    (s, d) => {
+      val flat = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          round(col("col").cast("double") * 10000).cast("long").as("qv"))
+      val cent = flat.where(col("label") === 0)
+        .groupBy(col("pos")).agg(sum(col("qv")).as("sq"))
+      val nrmC = cent.agg(sum(col("sq") * col("sq")).as("nrm_c"))
+      val scored = flat.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("qv") * col("sq")).as("qdot"),
+          sum(col("qv") * col("qv")).as("nrm_v"))
+        .crossJoin(broadcast(nrmC))
+        .select(col("vec_id"),
+          (col("label") === 0).cast("long").as("y"),
+          (col("qdot") / (sqrt(col("nrm_v")) * sqrt(col("nrm_c"))))
+            .as("score"))
+      graft.ops.Eval.aucExact(scored, "score", "y", "vec_id")
+    },
+    Some("""
+      WITH qe AS (
+        SELECT vec_id, label,
+          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+          generate_subscripts(embedding, 1) AS pos
+        FROM embeddings),
+      cent AS (SELECT pos, SUM(qv) AS sq FROM qe WHERE label = 0 GROUP BY 1),
+      nc AS (SELECT SUM(sq * sq) AS nrm_c FROM cent),
+      sc AS (
+        SELECT q.vec_id, CASE WHEN q.label = 0 THEN 1 ELSE 0 END AS y,
+          SUM(q.qv * c.sq) AS qdot, SUM(q.qv * q.qv) AS nrm_v
+        FROM qe q JOIN cent c ON c.pos = q.pos
+        GROUP BY 1, 2),
+      cosd AS (
+        SELECT vec_id, y,
+          CAST(qdot AS DOUBLE) /
+            (sqrt(CAST(nrm_v AS DOUBLE)) * sqrt(CAST(nrm_c AS DOUBLE))) AS s
+        FROM sc, nc),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY s, vec_id) AS rn FROM cosd),
+      g AS (
+        SELECT s, MIN(rn) AS lo, MAX(rn) AS hi,
+          SUM(y) AS pos, COUNT(*) AS n
+        FROM r GROUP BY s),
+      t AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS np,
+          CAST(SUM(n - pos) AS BIGINT) AS nn,
+          SUM(pos * (lo + hi)) AS rs2
+        FROM g)
+      SELECT np AS n_pos, nn AS n_neg,
+        CASE WHEN np > 0 AND nn > 0
+          THEN CAST(rs2 - np * (np + 1) AS DOUBLE) /
+               CAST(2 * np * nn AS DOUBLE) END AS auc
+      FROM t"""))
+
+  /** Retrieval eval: label precision@5 of the kNN join — the fraction
+    * of top-5 neighbors sharing their query's label, the standard
+    * embedding-quality readout. Exact counts, ONE division.
+    */
+  private val qKnnPrecision = QueryDef(
+    "q_knn_label_precision",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lab = emb.select(col("vec_id"), col("label"))
+      Similarity.knnJoin(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", k = 5)
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), Seq("query_id"))
+        .join(lab, Seq("vec_id"))
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          sum((col("label") === col("__ql")).cast("long")).as("n_hits"))
+        .withColumn("precision",
+          col("n_hits").cast("double") / col("n_pairs").cast("double"))
+    },
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+      dots AS (
+        SELECT g.vec_id AS query_id, f.vec_id, SUM(f.qv * g.qv) AS qdot
+        FROM flat f
+        JOIN flat g ON g.i = f.i AND g.vec_id % 10 = 0
+          AND f.vec_id <> g.vec_id
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT query_id, d.vec_id,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nq.nrm AS BIGINT)))
+            AS score
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.query_id),
+      top AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS rn
+          FROM sc)
+        WHERE rn <= 5),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      hits AS (
+        SELECT t.query_id,
+          CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END AS hit
+        FROM top t
+        JOIN lab ln ON ln.vec_id = t.vec_id
+        JOIN lab lq ON lq.vec_id = t.query_id)
+      SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(hit) AS BIGINT) AS n_hits,
+        CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
+      FROM hits"""))
+
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined,
     qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining,
-    qMarginMiningIvf, qPcaTop1)
+    qMarginMiningIvf, qPcaTop1, qAbtt, qCentroidAuc, qKnnPrecision)
 }

@@ -2061,8 +2061,55 @@ object TextQueries {
       ORDER BY bm25 DESC, dl.doc_id
       LIMIT 20"""
 
+  /** Calibration readout for the NB quality classifier: score_ppm
+    * banded into 100k-ppm bins, per-bin count + positive rate — the
+    * reliability-diagram table (a well-calibrated scorer's pos_rate
+    * tracks the bin midpoint). Bin id is a positive integer floor
+    * division; pos_rate ONE int/int division — exact on both engines.
+    */
+  private val qQualityCalibration = QueryDef(
+    "q_quality_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = QualityClassifier.trainTokenWeights(
+        docs.where(col("doc_id") % 3 === 0), "text", col("lang") === "en")
+      QualityClassifier.scoreDocs(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select((col("score_ppm") / 100000).cast("long").as("bin"),
+          (col("lang") === "en").cast("long").as("__y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__y")).as("n_pos"))
+        .withColumn("pos_rate",
+          col("n_pos").cast("double") / col("n_docs").cast("double"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      tr AS (
+        SELECT lang = 'en' AS pos, unnest(t) AS term
+        FROM tok WHERE doc_id % 3 = 0),
+      w AS (
+        SELECT term,
+          CAST(1000000 * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) //
+            (COUNT(*) + 2) AS BIGINT) AS w_ppm
+        FROM tr GROUP BY term),
+      sc AS (SELECT doc_id, unnest(t) AS term FROM tok),
+      agg AS (
+        SELECT sc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          SUM(COALESCE(w.w_ppm, 500000)) AS w_sum
+        FROM sc LEFT JOIN w USING (term) GROUP BY 1),
+      scored AS (
+        SELECT CAST((w_sum // n_tokens) // 100000 AS BIGINT) AS bin,
+          CASE WHEN tok.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM agg JOIN tok ON tok.doc_id = agg.doc_id)
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(y) AS BIGINT) AS n_pos,
+        CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+      FROM scored GROUP BY bin"""))
+
   def all: Seq[QueryDef] = Seq(
-    qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams,
+    qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration,
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,

@@ -154,4 +154,43 @@ object Pca {
     vq.zipWithIndex.map { case (v, dim) => (dim, v.toLong) }
       .toSeq.toDF("dim", "q_component")
   }
+
+  /** ABTT readout: per label, the share of total (uncentered) quantized
+    * second moment captured by the top component —
+    * Σ (e·u)² / (‖u‖² · Σ ‖e‖²), every term an exact integer
+    * (DECIMAL(38,0)), the share ONE double division. In [0, 1] by
+    * Cauchy-Schwarz; the "all but the top" projection removes exactly
+    * this fraction per label, so a label whose share is high rides the
+    * corpus-dominant direction and flattens most under ABTT.
+    *
+    * Scale shape: [[topComponentQ]]'s one moments pass, then ONE
+    * map-side projection pass (u rides the plan as a literal) into a
+    * |labels|-row aggregate.
+    */
+  def abttRemovedShare(df: DataFrame, vecCol: String, labelCol: String,
+      iters: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val u = topComponentQ(df, vecCol, iters).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    val den = u.map(x => x * x).sum
+    val uLit = typedlit(u.toSeq)
+    def q(x: Column): Column = round(x.cast("double") * 10000).cast("long")
+    val num = aggregate(
+      zip_with(col(vecCol), uLit, (x, uu) => q(x) * uu),
+      lit(0L), (acc, y) => acc + y)
+    val nrm2 = aggregate(
+      transform(col(vecCol), x => q(x) * q(x)),
+      lit(0L), (acc, y) => acc + y)
+    df.select(col(labelCol).as("label"), num.as("__num"), nrm2.as("__n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__num").cast("decimal(19,0)") *
+          col("__num").cast("decimal(19,0)")).as("__sn2"),
+        sum(col("__n2").cast("decimal(38,0)")).as("__se2"))
+      .select(col("label"), col("n_vecs"),
+        when(col("__se2") > 0 && lit(den) > 0,
+          col("__sn2").cast("double") /
+            (lit(den).cast("decimal(38,0)") * col("__se2")).cast("double"))
+          .as("removed_share"))
+  }
 }

@@ -87,4 +87,25 @@ class ExperimentSpec extends AnyFunSuite {
     val c = Experiment.cohensKappa(const, "a", "b").head()
     assert(c.getLong(1) == 2L && c.isNullAt(2))
   }
+
+  test("exact AUC: separable, midrank ties, constant scores, one-class NULL") {
+    import graft.ops.Eval
+    def auc(rows: Seq[(Double, Long)]) = Eval.aucExact(
+      rows.zipWithIndex.map { case ((s, y), i) => (s, y, i.toLong) }
+        .toDF("score", "y", "id"), "score", "y", "id").head()
+
+    // perfectly separable
+    val a = auc(Seq((0.1, 0L), (0.2, 0L), (0.3, 1L), (0.4, 1L)))
+    assert(a.getLong(0) == 2L && a.getLong(1) == 2L && a.getDouble(2) == 1.0)
+    // hand-worked midrank case: scores 1,2,2,3 / y 0,1,0,1
+    // ranks 1,(2.5,2.5),4 -> R+ = 6.5, U = 3.5, AUC = 0.875
+    val b = auc(Seq((1.0, 0L), (2.0, 1L), (2.0, 0L), (3.0, 1L)))
+    assert(b.getDouble(2) == 0.875)
+    // all scores equal: AUC exactly 1/2
+    val cc = auc(Seq((5.0, 0L), (5.0, 1L), (5.0, 0L), (5.0, 1L)))
+    assert(cc.getDouble(2) == 0.5)
+    // one class only -> NULL
+    val d = auc(Seq((0.1, 1L), (0.2, 1L)))
+    assert(d.isNullAt(2))
+  }
 }

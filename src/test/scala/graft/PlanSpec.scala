@@ -492,6 +492,15 @@ class PlanSpec extends AnyFunSuite {
       s"lean rank must not materialize:\n$p")
   }
 
+  test("centroid AUC: lean-ranked — every window bucket-partitioned, no cartesian") {
+    val p = planString("q_centroid_auc")
+    assert(!p.contains("CartesianProduct"), p)
+    val globalWindows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+      .filterNot(_.contains("windowspecdefinition(__pid#"))
+    assert(globalWindows.isEmpty,
+      s"expected only __pid-partitioned windows:\n${globalWindows.mkString("\n")}")
+  }
+
   test("refined IVF+PQ: shortlist re-rank point-reads by pushed id filter") {
     val p = planString("q_ann_ivfpq_refined")
     // the exact re-rank must reach the base parquet as an In() pushdown
