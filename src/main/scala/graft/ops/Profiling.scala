@@ -82,9 +82,16 @@ object Profiling {
     * then everything downstream is |keys|-sized; the final aggregate
     * is one pass over the ranked counts frame.
     */
-  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame = {
-    val counts = df.groupBy(col(keyCol).as("__key"))
-      .agg(count(lit(1)).as("__c"))
+  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame =
+    keySkewAuditFromCounts(
+      df.groupBy(col(keyCol).as("__key")).agg(count(lit(1)).as("__c")))
+
+  /** The audit fold over an ALREADY-counTED (\_\_key, __c) frame — the
+    * entry point for continuously-maintained counts (the streaming
+    * twin keeps per-key counts as aggregation state and folds the
+    * snapshot through this same code path).
+    */
+  def keySkewAuditFromCounts(counts: DataFrame): DataFrame = {
     val ranked = Ranking.globalRankLean(counts,
       Seq(col("__c"), col("__key")), "__rk")
     val totals = ranked.agg(

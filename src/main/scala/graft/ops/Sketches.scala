@@ -155,6 +155,29 @@ object Sketches {
       .limit(k)
   }
 
+  /** Equi-join CARDINALITY estimate by sketch algebra: for key
+    * multisets A, B the true join size is Σ_k a_k·b_k, and the CMS
+    * inner product min_j Σ_w cmsA[j][w]·cmsB[j][w] upper-bounds it
+    * (collisions only add) — the classic pre-join planning probe: two
+    * d×256 counter tables answer "how big would this join be" without
+    * touching either corpus again, which is what a router consults
+    * before picking broadcast vs shuffle vs salting at 100 TB.
+    * Integer-exact throughout (DECIMAL(38,0) products), so the oracle
+    * replays the sketches AND the estimate bit-for-bit.
+    *
+    * Inputs are [[cmsSketch]] tables built with the SAME d. Output:
+    * one row, `est_join` (BIGINT).
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("j"), col("bucket"), col("n").as("__na"))
+      .join(b.select(col("j"), col("bucket"), col("n").as("__nb")),
+        Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("__na").cast("decimal(19,0)") *
+        col("__nb").cast("decimal(19,0)")).as("__ip"))
+      .agg(min(col("__ip")).cast("decimal(38,0)").as("__est"))
+      .select(col("__est").cast("long").as("est_join"))
+
   /** Set-overlap estimate by sketch algebra: |A∩B| ≈ est(A) + est(B)
     * − est(A∪B), where the union sketch is a MAX-merge of the two
     * register tables — no raw data is re-scanned. This is THE reason

@@ -619,6 +619,71 @@ object PipelineQueries {
           CAST(nk * t AS DOUBLE) AS gini
       FROM tot, topd"""))
 
+  /** Streaming twin of the skew audit (streaming/StreamingKeySkew):
+    * counts as ONE continuous aggregation (O(live keys) state), audit
+    * fold on the snapshot through the batch code path — shares
+    * q_key_skew's oracle verbatim.
+    */
+  private val qStreamKeySkew = QueryDef(
+    "q_stream_key_skew",
+    (s, d) => graft.streaming.StreamingKeySkew.runBatchEquivalent(s, d),
+    qKeySkew.oracle)
+
+  /** Sketch-based join-size estimation (Sketches.cmsJoinSizeEstimate):
+    * the even-event and odd-event user_id multisets each reduce to a
+    * 4×256 CMS; the min-over-rows inner product estimates their
+    * equi-join cardinality WITHOUT re-touching the corpus, compared
+    * against the exact Σ ca·cb in one output row. The declared
+    * overestimate_ratio is the estimate's collision inflation — the
+    * number a join planner actually reads. All integers; one division.
+    */
+  private val qJoinSizeEst = QueryDef(
+    "q_join_size_estimate",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.where(col("event_id") % 2 === 0).select(col("user_id"))
+      val b = ev.where(col("event_id") % 2 === 1).select(col("user_id"))
+      val est = graft.ops.Sketches.cmsJoinSizeEstimate(
+        graft.ops.Sketches.cmsSketch(a, "user_id", d = 4),
+        graft.ops.Sketches.cmsSketch(b, "user_id", d = 4))
+      val truth = a.groupBy(col("user_id")).agg(count(lit(1)).as("__ca"))
+        .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("__cb")),
+          Seq("user_id"))
+        .agg(coalesce(sum(col("__ca").cast("decimal(19,0)") *
+          col("__cb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+          .cast("long").as("true_join"))
+      est.crossJoin(broadcast(truth))
+        .withColumn("overestimate_ratio",
+          when(col("true_join") > 0,
+            col("est_join").cast("double") / col("true_join").cast("double")))
+    },
+    Some("""
+      WITH a AS (SELECT user_id AS key FROM events WHERE event_id % 2 = 0),
+      b AS (SELECT user_id AS key FROM events WHERE event_id % 2 = 1),
+      js AS (SELECT unnest(range(0, 4)) AS j),
+      ska AS (
+        SELECT j, substr(md5(j || ':' || key), 1, 2) AS bucket,
+          COUNT(*) AS n
+        FROM a CROSS JOIN js GROUP BY 1, 2),
+      skb AS (
+        SELECT j, substr(md5(j || ':' || key), 1, 2) AS bucket,
+          COUNT(*) AS n
+        FROM b CROSS JOIN js GROUP BY 1, 2),
+      ip AS (
+        SELECT ska.j, SUM(ska.n * skb.n) AS ip
+        FROM ska JOIN skb USING (j, bucket) GROUP BY 1),
+      est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join FROM ip),
+      ca AS (SELECT key, COUNT(*) AS c FROM a GROUP BY 1),
+      cb AS (SELECT key, COUNT(*) AS c FROM b GROUP BY 1),
+      tj AS (
+        SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS true_join
+        FROM ca JOIN cb USING (key))
+      SELECT est_join, true_join,
+        CASE WHEN true_join > 0
+          THEN CAST(est_join AS DOUBLE) / CAST(true_join AS DOUBLE)
+        END AS overestimate_ratio
+      FROM est, tj"""))
+
   /** One set's HLL register pipeline in SQL (mirrors
     * Sketches.hllRegisters/hllEstimate over a user-id set CTE `src`).
     */
@@ -940,5 +1005,5 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew)
+    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -324,6 +324,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(once == global)
   }
 
+  test("cms join-size estimate: upper-bounds truth, exact when collision-free") {
+    import graft.ops.Sketches
+    // A: keys 1,1,2,3  B: keys 1,2,2,9 — true join = 2*1 + 1*2 = 4
+    val a = Seq("1", "1", "2", "3").toDF("k")
+    val b = Seq("1", "2", "2", "9").toDF("k")
+    val est = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsSketch(a, "k", d = 4),
+      Sketches.cmsSketch(b, "k", d = 4))
+      .head().getLong(0)
+    // 4 keys over 256 md5 buckets: at least one of the 4 hash rows is
+    // collision-free for these FIXED keys, so min == truth exactly
+    assert(est == 4L, s"est $est")
+    // heavy skew: self-join of a hot key — estimate >= sum c^2
+    val hot = spark.range(100).select(lit("hot").as("k"))
+      .union(spark.range(10).select(concat(lit("t"), col("id")).as("k")))
+    val selfEst = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsSketch(hot, "k", d = 4),
+      Sketches.cmsSketch(hot, "k", d = 4)).head().getLong(0)
+    assert(selfEst >= 100L * 100 + 10, s"self-join est $selfEst")
+  }
+
   test("hll overlap: identical sets overlap fully, inclusion-exclusion tracks truth") {
     import graft.ops.Sketches
     def keys(lo: Int, hi: Int) = spark.range(lo, hi)
