@@ -479,7 +479,7 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("key skew: lean rank — every window is bucket-partitioned, nothing pins") {
+  test("key skew: lean rank — every window is bucket-partitioned, counts pinned") {
     val p = planString("q_key_skew")
     // globalRankLean: literal bounds -> the row_number window must be
     // partitioned by the bucket id; NO partition-less window anywhere
@@ -488,8 +488,23 @@ class PlanSpec extends AnyFunSuite {
       .filterNot(_.contains("windowspecdefinition(__pid#"))
     assert(globalWindows.isEmpty,
       s"expected only __pid-partitioned windows:\n${globalWindows.mkString("\n")}")
-    assert(!p.contains("InMemoryTableScan"),
-      s"lean rank must not materialize:\n$p")
+    // the |keys|-sized counts frame IS pinned — five passes consume it
+    // and must not recompute the corpus aggregation (SkewProbe: 15.1 s
+    // unpinned vs 4.5 s pinned at 50M events)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"counts frame not pinned:\n$p")
+  }
+
+  test("IVF margin mining: corpus vectors never cross a hash exchange") {
+    val p = planString("q_margin_mining_ivf")
+    // query vectors deliberately ride the broadcast probe frame; the
+    // CORPUS sides must only ever meet them through the cell equi-join
+    // and aggregate map-side — no corpus embedding in any shuffle
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(!_.contains("embedding#")),
+      s"corpus vectors crossed a hash exchange: $exchanges")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("centroid AUC: lean-ranked — every window bucket-partitioned, no cartesian") {

@@ -207,6 +207,26 @@ class SimilaritySpec extends AnyFunSuite {
     index.cells.unpersist()
   }
 
+  test("pca moments are additive: moments(A union B) == moments(A) + moments(B)") {
+    import spark.implicits._
+    // the merge law that makes the top component incrementally
+    // maintainable at scale: per-batch moment buffers ADD — no
+    // re-scan of history when a new batch lands
+    val a = Seq(Seq(1f, 2f), Seq(3f, -1f)).toDF("embedding")
+    val b = Seq(Seq(-2f, 0.5f), Seq(0f, 4f), Seq(1f, 1f)).toDF("embedding")
+    def mom(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(graft.sim.Pca.cov_moments(col("embedding")).as("m"))
+        .select(col("m.n"), col("m.s"), col("m.p")).head()
+      (r.getLong(0), r.getSeq[Long](1).toSeq, r.getSeq[Long](2).toSeq)
+    }
+    val (na, sa, pa) = mom(a)
+    val (nb, sb, pb) = mom(b)
+    val (nu, su, pu) = mom(a.unionByName(b))
+    assert(nu == na + nb)
+    assert(su == sa.zip(sb).map { case (x, y) => x + y })
+    assert(pu == pa.zip(pb).map { case (x, y) => x + y })
+  }
+
   test("pca top component: rank-1 data recovers the direction, unit norm") {
     import spark.implicits._
     // points on the line t·(1,2): scatter matrix is rank-1 with
