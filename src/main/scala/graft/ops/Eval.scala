@@ -33,8 +33,14 @@ object Eval {
     */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
       tieCol: String): DataFrame = {
+    // pinned: five passes consume this frame (the lean rank's
+    // count/sample/bucket jobs + the group and final folds) — without
+    // the pin each would recompute the caller's scoring pipeline (the
+    // skew audit measured that mistake at 2x; see SCALE_NOTES). The
+    // pinned form is three narrow columns, the cheapest thing here.
     val base = df.select(col(scoreCol).as("__s"),
       col(labelCol).cast("long").as("__y"), col(tieCol).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = Ranking.globalRankLean(base,
       Seq(col("__s"), col("__t")), "__r")
     val groups = ranked.groupBy(col("__s")).agg(
