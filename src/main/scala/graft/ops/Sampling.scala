@@ -318,4 +318,122 @@ object Sampling {
         Seq(col("band"), col("__d"), col(idCol)), "curriculum_pos")
       .drop("__d")
   }
+
+  /** Purged + embargoed time-fold assignment (the de Prado
+    * combinatorial-CV leakage control, simplified to contiguous
+    * blocks): the time axis [min ts, max ts] splits into k equal
+    * blocks; for fold f a sample is
+    *  - `test`   if its ts lies inside block f;
+    *  - `train`  if its LABEL WINDOW [ts, ts + horizon] ends before
+    *    the block AND its ts clears the post-block embargo
+    *    (ts + horizon < block_start  OR  ts > block_end + embargo);
+    *  - `purged` otherwise — the samples whose labels leak across the
+    *    boundary, which a naive time split silently trains on.
+    *
+    * Everything is integer second arithmetic on two driver scalars
+    * (min/max ts) — any engine replays fold bounds and roles exactly.
+    *
+    * Scale: the fold table is k rows (broadcast cross join — a k×
+    * map-side multiplication, no shuffle); downstream aggregates see
+    * partial combine. Emits (fold, id, role) — one row per (sample,
+    * fold), the shape CV training consumes.
+    */
+  def purgedTimeFolds(df: DataFrame, idCol: String, tsCol: String,
+      horizonSec: Long, k: Int, embargoSec: Long): DataFrame = {
+    require(k >= 2 && horizonSec >= 0 && embargoSec >= 0)
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"),
+      col(tsCol).cast("long").as("__ts"))
+    val (lo, hi) = base.agg(min(col("__ts")), max(col("__ts")))
+      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    val width = (hi - lo) / k + 1 // k blocks cover [lo, hi]
+    val folds = spark.range(k.toLong).toDF("fold")
+      .select(col("fold").cast("int").as("fold"),
+        (lit(lo) + col("fold") * width).as("__bs"),
+        (lit(lo) + (col("fold") + 1) * width - 1).as("__be"))
+    base.crossJoin(broadcast(folds))
+      .select(col("fold"), col("id"),
+        when(col("__ts") >= col("__bs") && col("__ts") <= col("__be"),
+          "test")
+          .when(col("__ts") + horizonSec < col("__bs") ||
+            col("__ts") > col("__be") + embargoSec, "train")
+          .otherwise("purged").as("role"))
+  }
+
+  /** Systematic resampling ∝ integer weight, WITHOUT an RNG: lay the
+    * rows out on a cumulative-weight line [0, W), take the n evenly
+    * spaced points u_j = floor((2j+1)·W / 2n), and draw the row whose
+    * interval contains each point. The deterministic resampler from
+    * particle filtering — unbiased (E[times_drawn] = n·w/W), minimum
+    * variance among ∝-weight schemes, and exactly replayable (every
+    * step is integer). This is the SELECTION half of DSIR: feed it
+    * [[graft.text.Dsir.weights]] and heavy-target-affinity docs are
+    * drawn multiple times, off-distribution docs drop out.
+    *
+    * Scale shape (the negativeSamplesWeighted line, systematic
+    * points instead of hashed draws):
+    *  - interval lo/hi via per-bucket running sums + ≤B bucket
+    *    offsets — no global window; line order is (id % B, id).
+    *  - u_j = (2j+1)(W div 2n) + ((2j+1)(W mod 2n)) div 2n — the
+    *    split keeps every intermediate < 2·max(W, 4n²), no 128-bit
+    *    multiply needed in either engine, exactly floor((2j+1)W/2n).
+    *  - point → interval is the fixed-width-bin equi-join, never an
+    *    inequality scan.
+    *
+    * Output: (idCol, weight, times_drawn > 0). Rows with weight ≤ 0
+    * are excluded from the line (zero mass).
+    */
+  def systematicResample(df: DataFrame, idCol: String,
+      weightCol: String, n: Int, indexBuckets: Int = 256): DataFrame = {
+    require(n >= 1 && indexBuckets >= 1)
+    val spark = df.sparkSession
+    val pool = df.select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__w") > 0L)
+      .withColumn("__b",
+        pmod(col("id"), lit(indexBuckets.toLong)).cast("int"))
+    val bTotals = pool.groupBy(col("__b"))
+      .agg(sum(col("__w")).as("__bw"), count(lit(1)).as("__n"))
+    val offsets = bTotals.withColumn("__off",
+      coalesce(sum(col("__bw")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+    val (totalW, poolN) = bTotals
+      .agg(sum(col("__bw")), sum(col("__n"))).head() match {
+        case r if r.isNullAt(0) => (0L, 0L)
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    require(totalW > 0L, "systematicResample: empty pool")
+    val binW = math.max(1L, totalW / math.max(4L * poolN, 1L))
+    val intervals = pool
+      .withColumn("__run",
+        coalesce(sum(col("__w")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__b")).orderBy(col("id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets.select(col("__b"), col("__off"))),
+        Seq("__b"))
+      .select(col("id"), col("__w"),
+        (col("__off") + col("__run")).as("__lo"),
+        (col("__off") + col("__run") + col("__w")).as("__hi"))
+    val binned = intervals.select(col("id"), col("__w"), col("__lo"),
+      col("__hi"),
+      explode(sequence(expr(s"__lo div $binW"),
+        expr(s"(__hi - 1) div $binW"))).as("__bin"))
+    val q = totalW / (2L * n)
+    val rem = totalW % (2L * n)
+    val draws = spark.range(n.toLong).toDF("__j")
+      .select(col("__j"),
+        ((lit(2L) * col("__j") + 1L) * q +
+          expr(s"((2 * __j + 1) * ${rem}L) div ${2L * n}L")).as("__u"))
+      .withColumn("__bin", expr(s"__u div $binW"))
+    draws.join(binned, Seq("__bin"))
+      .where(col("__u") >= col("__lo") && col("__u") < col("__hi"))
+      .groupBy(col("id"))
+      .agg(max(col("__w")).as("weight"),
+        count(lit(1)).as("times_drawn"))
+      .select(col("id").as(idCol), col("weight"), col("times_drawn"))
+  }
 }

@@ -984,6 +984,162 @@ object PipelineQueries {
     (s, d) => graft.streaming.Sessionize.runBatchEquivalent(s, d, 1800L),
     sessionizeOracle)
 
+  /** Purged + embargoed time-fold CV assignment
+    * (Sampling.purgedTimeFolds — the de Prado leakage control): 5
+    * equal time blocks over events, 1-day label horizon, 6-hour
+    * embargo; per (fold, role) counts. The `purged` rows are exactly
+    * the samples a naive time split would silently leak. k-row
+    * broadcast fold table, map-side k× multiplication, one aggregate.
+    */
+  private val qPurgedSplit = QueryDef(
+    "q_purged_time_split",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), expr("unix_micros(ts) div 1000000").as("ts_s"))
+      graft.ops.Sampling
+        .purgedTimeFolds(e, "event_id", "ts_s",
+          horizonSec = 86400L, k = 5, embargoSec = 21600L)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+      b AS (SELECT MIN(ts_s) AS lo, MAX(ts_s) AS hi FROM e),
+      f AS (
+        SELECT CAST(j AS INT) AS fold,
+          lo + j * ((hi - lo) // 5 + 1) AS bs,
+          lo + (j + 1) * ((hi - lo) // 5 + 1) - 1 AS be
+        FROM (SELECT unnest(range(5)) AS j) CROSS JOIN b)
+      SELECT fold,
+        CASE WHEN ts_s BETWEEN bs AND be THEN 'test'
+             WHEN ts_s + 86400 < bs OR ts_s > be + 21600 THEN 'train'
+             ELSE 'purged' END AS role,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM e CROSS JOIN f GROUP BY 1, 2"""))
+
+  /** Split-conformal calibration + empirical coverage
+    * (ops/Conformal): 90% thresholds per event_type from the
+    * user_id%5=0 calibration slice, coverage checked on the rest.
+    * k = ceil((n+1)·9/10) is pure integer, scores go through
+    * DECIMAL(12,2), qhat declared through one cast to DOUBLE — the
+    * whole guarantee replays exactly. Calibration never sorts (the
+    * GroupQuantile distribution walk); thresholds broadcast.
+    */
+  private val qConformal = QueryDef(
+    "q_conformal_coverage",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        col("user_id"), col("value").cast(DecimalType(12, 2)).as("score"))
+      val thr = graft.ops.Conformal.threshold(
+        e.where(pmod(col("user_id"), lit(5)) === 0),
+        Seq("event_type"), "score", covNum = 9, covDen = 10)
+      graft.ops.Conformal.coverage(
+          e.where(pmod(col("user_id"), lit(5)) =!= 0),
+          thr, Seq("event_type"), "score")
+        .select(col("event_type"), col("n_cal"),
+          col("qhat").cast("double").as("qhat"),
+          col("n_test"), col("n_covered"), col("coverage"))
+    },
+    conformalOracle)
+
+  /** Streaming twin of q_conformal_coverage
+    * (streaming/StreamingConformal): thresholds frozen from the batch
+    * calibration slice, arriving test events tallied in ONE streaming
+    * aggregation with |groups| state — the live drift alarm for a
+    * conformal gate. Shares the batch oracle verbatim.
+    */
+  private val qStreamConformal = QueryDef(
+    "q_stream_conformal",
+    (s, d) => graft.streaming.StreamingConformal.runBatchEquivalent(s, d),
+    conformalOracle)
+
+  private lazy val conformalOracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT event_type, user_id,
+          CAST(value AS DECIMAL(12,2)) AS v
+        FROM events),
+      dist AS (
+        SELECT event_type, v, COUNT(*) AS n
+        FROM e WHERE user_id % 5 = 0 GROUP BY 1, 2),
+      cdf AS (
+        SELECT event_type, v,
+          SUM(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+          SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM dist),
+      thr AS (
+        SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_cal,
+          MIN(CASE WHEN cum >= (9 * (tot + 1) + 9) // 10 THEN v END)
+            AS qhat
+        FROM cdf GROUP BY 1)
+      SELECT t.event_type, t.n_cal, CAST(t.qhat AS DOUBLE) AS qhat,
+        CAST(COUNT(*) AS BIGINT) AS n_test,
+        CAST(SUM(CASE WHEN e.v <= t.qhat THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_covered,
+        CAST(SUM(CASE WHEN e.v <= t.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS coverage
+      FROM e JOIN thr t USING (event_type)
+      WHERE e.user_id % 5 <> 0
+      GROUP BY 1, 2, 3""")
+
+  /** Session co-presence (ops/IntervalJoin.selfOverlap): which user
+    * pairs hold overlapping sessions, how often, and for how long —
+    * the coordinated-activity signal behind bot-ring and
+    * multi-account detection. Sessions come from the same gap
+    * sessionization as q_sessionize; the overlap join is the GRID
+    * composition (explode onto 1-hour cells, equi-join on the cell,
+    * attribute each pair to the cell of greatest(starts) — no
+    * distinct), never the all-pairs BroadcastNestedLoop a raw
+    * overlap predicate plans to. The oracle states the same pairs as
+    * a direct inequality self-join — DuckDB's IEJoin absorbs it at
+    * oracle scale.
+    */
+  private val qCopresence = QueryDef(
+    "q_session_copresence",
+    (s, d) => {
+      val sess = graft.streaming.Sessionize.sessions(
+        Tables.events(s, d), 1800L)
+      graft.ops.IntervalJoin
+        .selfOverlap(sess, Seq("user_id", "session_id"),
+          "start_s", "end_s", cellWidth = 3600L)
+        .where(col("a_user_id") =!= col("b_user_id"))
+        .groupBy(col("a_user_id").as("user_a"),
+          col("b_user_id").as("user_b"))
+        .agg(count(lit(1)).as("n_copresent"),
+          sum(col("overlap")).as("overlap_s_total"))
+        .orderBy(desc("overlap_s_total"), col("user_a"), col("user_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_s,
+          CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+               THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      numbered AS (
+        SELECT user_id, ts_s,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged),
+      sess AS (
+        SELECT user_id, session_id,
+          MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+        FROM numbered GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+          least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) AS ov
+        FROM sess a JOIN sess b
+          ON a.start_s <= b.end_s AND b.start_s <= a.end_s
+          AND (a.user_id, a.session_id) < (b.user_id, b.session_id)
+        WHERE a.user_id <> b.user_id)
+      SELECT ua AS user_a, ub AS user_b,
+        CAST(COUNT(*) AS BIGINT) AS n_copresent,
+        CAST(SUM(ov) AS BIGINT) AS overlap_s_total
+      FROM pairs GROUP BY 1, 2
+      ORDER BY overlap_s_total DESC, user_a, user_b LIMIT 20"""))
+
   private lazy val sessionizeOracle: Option[String] = Some("""
       WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
@@ -1004,6 +1160,6 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qFunnel, qRetention,
+    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

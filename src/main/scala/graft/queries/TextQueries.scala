@@ -2108,7 +2108,141 @@ object TextQueries {
         CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
       FROM scored GROUP BY bin"""))
 
+  /** The shared DSIR CTE block: hashed-unigram buckets (B = 1024),
+    * Laplace-smoothed target/raw ratio model in HUGEINT (target =
+    * the trusted `lang = 'en'` slice — the NgramLm convention), and
+    * per-doc floor-mean weights. Mirrors graft.text.Dsir exactly —
+    * every step integer, see the operator's scaladoc for why there is
+    * deliberately no libm log here.
+    */
+  private val sqlDsirWeights = s"""
+      tok AS (
+        SELECT doc_id, lang, unnest($sqlTokens) AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      bkt AS (
+        SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(t), 1, 13)) AS UBIGINT) % 1024 AS bucket
+        FROM tok),
+      rc AS (SELECT bucket, COUNT(*) AS rn FROM bkt GROUP BY 1),
+      tc AS (SELECT bucket, COUNT(*) AS tn FROM bkt
+        WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT
+        (SELECT COUNT(*) FROM bkt WHERE lang = 'en') + 1024 AS tpl,
+        (SELECT COUNT(*) FROM bkt) + 1024 AS rpl),
+      model AS (
+        SELECT rc.bucket,
+          (CAST(COALESCE(tc.tn, 0) + 1 AS HUGEINT) * rpl * 1000000)
+            // (CAST(rc.rn + 1 AS HUGEINT) * tpl) AS ratio_ppm
+        FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+      wtab AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(CAST(SUM(m.ratio_ppm) AS HUGEINT) // COUNT(*) AS BIGINT)
+            AS weight_ppm
+        FROM bkt JOIN model m USING (bucket) GROUP BY doc_id)"""
+
+  /** DSIR importance weights (text/Dsir): every document scored for
+    * affinity to the trusted target distribution via hashed-unigram
+    * probability ratios — the "make web data look like the trusted
+    * slice" selection signal. Two B-row hash aggregates + a bounded
+    * model frame + one broadcast-join scoring pass.
+    */
+  private val qDsirWeights = QueryDef(
+    "q_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.Dsir.importanceModel(
+        docs.where(col("lang") === "en"), docs, "text", 1024)
+      graft.text.Dsir.weights(docs, "doc_id", "text", model, 1024)
+    },
+    dsirWeightsOracle)
+
+  private lazy val dsirWeightsOracle: Option[String] = Some(s"""
+      WITH $sqlDsirWeights
+      SELECT doc_id, n_tokens, weight_ppm FROM wtab""")
+
+  /** Streaming twin of q_dsir_weights (streaming/StreamingDsir):
+    * model frozen from the corpus, arriving micro-batches scored via
+    * foreachBatch — stateless across batches because each doc arrives
+    * whole. Shares the batch oracle verbatim.
+    */
+  private val qStreamDsir = QueryDef(
+    "q_stream_dsir_weights",
+    (s, d) => graft.streaming.StreamingDsir.runBatchEquivalent(s, d),
+    dsirWeightsOracle)
+
+  /** DSIR selection end-to-end: systematic resampling ∝ weight
+    * (Sampling.systematicResample — the particle-filter resampler,
+    * RNG-free). Heavy target-affinity docs are drawn multiple times,
+    * off-distribution docs drop out; E[times_drawn] = n·w/W exactly.
+    */
+  private val qDsirResample = QueryDef(
+    "q_dsir_resample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.Dsir.importanceModel(
+        docs.where(col("lang") === "en"), docs, "text", 1024)
+      val w = graft.text.Dsir.weights(docs, "doc_id", "text", model, 1024)
+      graft.ops.Sampling.systematicResample(w, "doc_id", "weight_ppm",
+        n = 200)
+    },
+    Some(s"""
+      WITH $sqlDsirWeights,
+      pool AS (
+        SELECT doc_id AS id, weight_ppm AS w FROM wtab
+        WHERE weight_ppm > 0),
+      iv AS (
+        SELECT id, w,
+          COALESCE(SUM(w) OVER (ORDER BY id % 256, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        FROM pool),
+      tot2 AS (SELECT SUM(w) AS tw FROM pool),
+      draws AS (
+        SELECT j, (2 * j + 1) * (tw // 400)
+          + ((2 * j + 1) * (tw % 400)) // 400 AS u
+        FROM (SELECT unnest(range(200)) AS j) CROSS JOIN tot2)
+      SELECT iv.id AS doc_id, CAST(MAX(iv.w) AS BIGINT) AS weight,
+        CAST(COUNT(*) AS BIGINT) AS times_drawn
+      FROM draws d JOIN iv ON d.u >= iv.lo AND d.u < iv.lo + iv.w
+      GROUP BY 1"""))
+
+  /** Collocation mining (text/Collocations): top adjacent word pairs
+    * by PMI lift over the bigram distribution — the phrase-detection
+    * pass before vocabulary induction. Staged integer floor division
+    * in ppm (see the operator scaladoc for the overflow bound); one
+    * pinned bigram shuffle, marginals re-aggregate it, top-k via
+    * TakeOrderedAndProject.
+    */
+  private val qCollocations = QueryDef(
+    "q_collocations",
+    (s, d) => graft.text.Collocations.topCollocations(
+      Tables.documents(s, d), "text", minCount = 5L, topK = 20),
+    Some(s"""
+      WITH tok AS (
+        SELECT $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM tok WHERE len(t) >= 2),
+      big AS (
+        SELECT split_part(pair, ' ', 1) AS w1,
+          split_part(pair, ' ', 2) AS w2,
+          CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM bg GROUP BY 1, 2),
+      nx AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x
+        FROM big GROUP BY 1),
+      ny AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y
+        FROM big GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS b FROM big)
+      SELECT w1, w2, n_xy, n_x, n_y,
+        CAST((((n_xy * 1000000) // n_x) * b) // n_y AS BIGINT)
+          AS lift_ppm
+      FROM big JOIN nx USING (w1) JOIN ny USING (w2) CROSS JOIN tot
+      WHERE n_xy >= 5
+      ORDER BY lift_ppm DESC, w1, w2 LIMIT 20"""))
+
   def all: Seq[QueryDef] = Seq(
+    qDsirWeights, qDsirResample, qStreamDsir, qCollocations,
     qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration,
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,

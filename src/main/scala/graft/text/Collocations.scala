@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Collocation mining: which adjacent word pairs co-occur far more
+  * than their marginals predict — "New York", "machine learning" —
+  * the phrase-detection pass (word2vec's phrase step, Gensim Phrases)
+  * a corpus pipeline runs before vocabulary induction so multi-word
+  * units become single tokens.
+  *
+  * Scoring is the PMI lift p(xy)/(p(x·)p(·y)) over the BIGRAM
+  * distribution, made engine-replayable the repo's usual way (no
+  * libm log, no distributed wide division): staged integer floor
+  * division in ppm,
+  *
+  *   lift_ppm = ((n_xy · 10^6) div n_x · B) div n_y
+  *
+  * where n_x / n_y are the first-/second-position marginals and B the
+  * total bigram count. The staging keeps every intermediate ≤
+  * max(10^6·n_xy, 10^6·B) — long-safe to ~9×10^12 bigrams (≈ 10 T
+  * tokens); past that, lift the two multiplications to DECIMAL(38,0).
+  * A minimum-support floor kills the hapax pairs whose lift is pure
+  * noise (and arbitrarily large).
+  *
+  * Scale shape: ONE corpus-sized shuffle (the bigram count, pinned —
+  * it feeds the two marginal aggregates and the final join), two
+  * vocabulary-sized equi-joins for the marginals, and a
+  * TakeOrderedAndProject top-k. The corpus never sorts.
+  */
+object Collocations {
+
+  /** Top-k collocations: (w1, w2, n_xy, n_x, n_y, lift_ppm), ordered
+    * by lift then (w1, w2). */
+  def topCollocations(df: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 2 && topK >= 1)
+    val toks = TextFunctions.tokens(col(textCol))
+    val big = df.where(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint(true) // feeds marginals + total + final join
+    val nx = big.groupBy(col("w1")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = big.groupBy(col("w2")).agg(sum(col("n_xy")).as("n_y"))
+    val b = big.agg(sum(col("n_xy"))).head().getLong(0)
+    big.where(col("n_xy") >= minCount)
+      .join(nx, Seq("w1")).join(ny, Seq("w2"))
+      .withColumn("lift_ppm",
+        expr(s"(((n_xy * 1000000) div n_x) * ${b}L) div n_y"))
+      .orderBy(desc("lift_ppm"), col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"),
+        col("n_y"), col("lift_ppm"))
+  }
+}

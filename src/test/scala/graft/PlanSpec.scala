@@ -524,4 +524,36 @@ class PlanSpec extends AnyFunSuite {
       s"shortlist ids not pushed to the base scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("session co-presence: grid equi-join, never an all-pairs overlap join") {
+    val p = planString("q_session_copresence")
+    // a raw a.s<=b.e AND b.s<=a.e predicate would plan as
+    // BroadcastNestedLoopJoin — the grid must make it an equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join fell back to all-pairs:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__cell_a"), "grid cell key missing from plan")
+  }
+
+  test("dsir: model joins broadcast, scoring pays one doc-keyed aggregate") {
+    val p = planString("q_dsir_weights")
+    // the B-row model must broadcast — a shuffled join on the bucket
+    // key would shuffle the full token stream
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join is not broadcast:\n$p")
+    assert(!"Exchange hashpartitioning\\(bucket".r.findFirstIn(p).isDefined,
+      s"token stream shuffles on bucket:\n$p")
+  }
+
+  test("dsir resample: interval lookup is a bin equi-join, bounded windows only") {
+    val p = planString("q_dsir_resample")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval lookup is an inequality-only join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // only partition-less window: the ≤indexBuckets-row offsets sum
+    val globalWindows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+      .filterNot(_.contains("windowspecdefinition(__b#"))
+    assert(globalWindows.size <= 1,
+      s"unexpected global windows:\n${globalWindows.mkString("\n")}")
+  }
 }
