@@ -119,4 +119,45 @@ object SnapshotDiff {
       .join(gone, keyCols, "left_anti")
       .unionByName(incoming)
   }
+
+  /** Incremental maintenance of an inner-JOIN view V = A ⋈ B
+    * (A.fkCol = B.bKey, aKey is A's primary key): roll the
+    * materialized view forward from the two key-level changesets
+    * alone — never recompute the full join. The keyed-view algebra:
+    *
+    *   V2 = V1 rows touched by NEITHER delta
+    *      ∪ (A2 ⋉ ΔA-keys) ⋈ B2        — fact-side repairs
+    *      ∪ (A2 ▷ ΔA-keys ⋉ ΔB-keys) ⋈ B2  — dim-side fanout repairs
+    *
+    * The three legs are key-disjoint by construction (in/out of ΔA,
+    * then in ΔB), so the union needs no dedup; removed fact keys are
+    * simply absent from A2, and a removed dim row drops its fanout via
+    * the inner join — the same orphan semantics as the direct join.
+    * Law (oracle-proven by q_incremental_join_view): maintain(A1⋈B1,
+    * Δ) ≡ A2⋈B2, row-for-row.
+    *
+    * 100 TB shape: both anti/semi probes carry ONLY key columns —
+    * small deltas broadcast, so V1 and A2 stream map-side; the only
+    * wide work is re-joining the repaired slivers (|Δ| plus dim-change
+    * fanout), vs. a full |A|⋈|B| recompute. The dim-delta leg pays one
+    * pruned pass over A2 — with A bucketed/partitioned on fkCol that
+    * pass prunes at the scan.
+    */
+  def maintainJoinView(view: DataFrame, a2: DataFrame, b2: DataFrame,
+      aChangedKeys: DataFrame, bChangedKeys: DataFrame,
+      aKey: String, fkCol: String, bKey: String): DataFrame = {
+    val aKeys = aChangedKeys.select(col(aKey)).distinct()
+    val bKeys = bChangedKeys.select(col(bKey)).distinct()
+    val untouched = view
+      .join(aKeys, Seq(aKey), "left_anti")
+      .join(bKeys, view(fkCol) === bKeys(bKey), "left_anti")
+    // view schema = A columns ∪ (B columns minus bKey) — the joined
+    // fk column already carries the key
+    val fromA = a2.join(aKeys, Seq(aKey), "left_semi")
+      .join(b2, col(fkCol) === col(bKey)).drop(bKey)
+    val fromB = a2.join(aKeys, Seq(aKey), "left_anti")
+      .join(bKeys, a2(fkCol) === bKeys(bKey), "left_semi")
+      .join(b2, col(fkCol) === col(bKey)).drop(bKey)
+    untouched.unionByName(fromA).unionByName(fromB)
+  }
 }

@@ -924,7 +924,63 @@ object AdvancedQueries {
         FROM lineitem)
       WHERE rn <= 3"""))
 
+  /** Incremental JOIN-view maintenance
+    * (SnapshotDiff.maintainJoinView): the orders⋈customer view rolled
+    * forward from the two key-level changesets alone — fact keys
+    * deleted/restated/added, dim keys deleted/segment-moved — never
+    * recomputing the full join. The oracle IS the law: it computes the
+    * direct A2⋈B2 join, so the hash check proves
+    * maintain(A1⋈B1, Δ) ≡ A2⋈B2 row-for-row.
+    */
+  private val qIncrementalJoinView = QueryDef(
+    "q_incremental_join_view",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val a1 = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      val a2 = orders.where(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 7 === 0, lit("RESTATED"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+        .unionByName(orders.where(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), lit("NEW").as("o_orderstatus")))
+      val b1 = cust.select(col("c_custkey"), col("c_mktsegment"))
+      val b2 = cust.where(col("c_custkey") % 17 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 9 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val v1 = a1.join(b1, col("o_custkey") === col("c_custkey"))
+        .drop("c_custkey")
+      val dA = graft.ops.SnapshotDiff
+        .diff(a1, a2, Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus"))
+        .select(col("o_orderkey"))
+      val dB = graft.ops.SnapshotDiff
+        .diff(b1, b2, Seq("c_custkey"), Seq("c_mktsegment"))
+        .select(col("c_custkey"))
+      graft.ops.SnapshotDiff.maintainJoinView(v1, a2, b2, dA, dB,
+        "o_orderkey", "o_custkey", "c_custkey")
+    },
+    Some("""
+      WITH a2 AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'RESTATED'
+               ELSE o_orderstatus END AS o_orderstatus
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'NEW'
+        FROM orders WHERE o_orderkey % 13 = 0),
+      b2 AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 9 = 0 THEN 'MOVED'
+               ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 17 <> 0)
+      SELECT a2.o_orderkey, a2.o_custkey, a2.o_orderstatus,
+        b2.c_mktsegment
+      FROM a2 JOIN b2 ON a2.o_custkey = b2.c_custkey"""))
+
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qIncrementalJoinView, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

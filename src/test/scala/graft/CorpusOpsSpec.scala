@@ -577,6 +577,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(SnapshotDiff.diff(oldS, oldS, Seq("k"), Seq("s", "v")).count() == 0)
   }
 
+  test("join-view maintenance law covers fk moves, dim deletes, orphan revivals") {
+    import graft.ops.SnapshotDiff
+    // facts: (pk, fk, payload). Edge cases packed in:
+    //  pk 1 unchanged on unchanged dim; pk 2 MOVES fk 10 → 20;
+    //  pk 3 removed; pk 6 added; pk 4 points at a dim that gets
+    //  DELETED; pk 5 was an orphan (fk 40 absent in B1) whose dim
+    //  gets ADDED in B2 — the revival only a dim-delta leg catches.
+    val a1 = Seq((1L, 10L, "p1"), (2L, 10L, "p2"), (3L, 20L, "p3"),
+      (4L, 30L, "p4"), (5L, 40L, "p5")).toDF("pk", "fk", "pay")
+    val a2 = Seq((1L, 10L, "p1"), (2L, 20L, "p2"), (4L, 30L, "p4"),
+      (5L, 40L, "p5"), (6L, 20L, "p6")).toDF("pk", "fk", "pay")
+    val b1 = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("bk", "attr")
+    val b2 = Seq((10L, "x"), (20L, "Y2"), (40L, "w")).toDF("bk", "attr")
+    val v1 = a1.join(b1, col("fk") === col("bk")).drop("bk")
+    val dA = SnapshotDiff.diff(a1, a2, Seq("pk"), Seq("fk", "pay"))
+      .select(col("pk"))
+    val dB = SnapshotDiff.diff(b1, b2, Seq("bk"), Seq("attr"))
+      .select(col("bk"))
+    val v2 = SnapshotDiff.maintainJoinView(v1, a2, b2, dA, dB,
+      "pk", "fk", "bk")
+    val direct = a2.join(b2, col("fk") === col("bk")).drop("bk")
+    assert(v2.count() == direct.count())
+    assert(v2.exceptAll(direct).count() == 0
+      && direct.exceptAll(v2).count() == 0)
+    // spot the revival: orphan pk 5 is IN the maintained view now
+    assert(v2.where(col("pk") === 5L).count() == 1)
+    // and the dim delete dropped pk 4
+    assert(v2.where(col("pk") === 4L).count() == 0)
+  }
+
   test("group quantile filter: matches per-group rank reference, ties survive") {
     import graft.ops.GroupQuantile
     // group a: values 1..8 (p25 threshold = 2: cum 2/8 = .25 >= .25)

@@ -545,6 +545,17 @@ class PlanSpec extends AnyFunSuite {
       s"token stream shuffles on bucket:\n$p")
   }
 
+  test("join-view maintenance: delta probes broadcast, no cartesian") {
+    val p = planString("q_incremental_join_view")
+    // the key-only delta frames must broadcast into the anti/semi
+    // probes — shuffling the view or A2 on the probe would defeat the
+    // incremental shape
+    assert("BroadcastHashJoin [^\\n]*Left(Anti|Semi)".r
+      .findFirstIn(p).isDefined,
+      s"delta probes are not broadcast anti/semi joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dsir resample: interval lookup is a bin equi-join, bounded windows only") {
     val p = planString("q_dsir_resample")
     assert(!p.contains("BroadcastNestedLoopJoin"),
