@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling and snapshot-over-snapshot drift — the
@@ -131,5 +131,51 @@ object Profiling {
             col("__tt").cast("decimal(38,0)")).cast("double") /
           (col("__nk").cast("decimal(38,0)") *
             col("__tt").cast("decimal(38,0)")).cast("double")).as("gini"))
+  }
+
+  /** Shuffle-strategy advisor for grouped aggregation: for each
+    * candidate grouping key, measure the exact per-key mass profile
+    * and emit the partitioning decision a router would make BEFORE
+    * launching the job — the auto-tuning step that turns the skew
+    * audit into action (`ops/Salting.saltedAgg` is the remedy it
+    * prescribes).
+    *
+    * Rule (pure integer, engine-replayable): with target parallelism
+    * P, a single key carrying more than 1/P of the rows caps scaling
+    * at its one reducer, so
+    *
+    *   mass_share_ppm = max_freq · 10^6 div n_rows
+    *   advice = 'salted_two_stage' if mass_share_ppm ≥ 10^6 div P
+    *            else 'plain_hash'
+    *   salt_factor = clamp(mass_share_ppm div (10^6 div P), 2, P)
+    *
+    * i.e. split the hottest key into enough salt buckets that its
+    * residual per-bucket mass sinks back under the 1/P line.
+    *
+    * Scale: one count-aggregate per candidate (partial combine; the
+    * shuffle carries distinct keys only) folded to a single stats row
+    * — the advisor costs a fraction of the job it plans.
+    */
+  def aggKeyAdvice(df: DataFrame,
+      candidates: Seq[(String, Column)], parallelism: Int): DataFrame = {
+    require(candidates.nonEmpty && parallelism >= 2)
+    val thr = 1000000L / parallelism
+    candidates.map { case (name, key) =>
+      df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(col("__c")).as("max_freq"))
+        .select(lit(name).as("group_key"), col("n_rows"),
+          col("n_distinct"), col("max_freq"),
+          expr("(max_freq * 1000000) div n_rows").as("mass_share_ppm"))
+        .withColumn("advice",
+          when(col("mass_share_ppm") >= thr, lit("salted_two_stage"))
+            .otherwise(lit("plain_hash")))
+        .withColumn("salt_factor",
+          when(col("mass_share_ppm") >= thr,
+            least(lit(parallelism.toLong),
+              greatest(lit(2L), expr(s"mass_share_ppm div $thr"))))
+            .otherwise(lit(1L)))
+    }.reduce(_ unionByName _)
   }
 }

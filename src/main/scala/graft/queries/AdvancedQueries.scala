@@ -924,6 +924,45 @@ object AdvancedQueries {
         FROM lineitem)
       WHERE rn <= 3"""))
 
+  /** Shuffle-strategy advisor (Profiling.aggKeyAdvice): exact per-key
+    * mass profiles for four candidate grouping keys of lineitem and
+    * the partitioning decision each implies at parallelism 32 — the
+    * auto-tuning readout that routes hot keys to
+    * `Salting.saltedAgg` before the job runs. l_orderkey/l_suppkey
+    * profile as plain hash; l_returnflag/l_linestatus (2-3 values
+    * carrying ~half the rows each) trip the 1/P line and get salt
+    * factors sized to sink the hottest key back under it.
+    */
+  private val qAggAdvice = QueryDef(
+    "q_agg_strategy_advice",
+    (s, d) => graft.ops.Profiling.aggKeyAdvice(
+      Tables.lineitem(s, d),
+      Seq("l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus")),
+      parallelism = 32),
+    Some {
+      def leg(k: String) = s"""
+        SELECT '$k' AS group_key, n_rows, n_distinct, max_freq,
+          (max_freq * 1000000) // n_rows AS mass_share_ppm
+        FROM (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            CAST(MAX(c) AS BIGINT) AS max_freq
+          FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY $k))"""
+      s"""
+      WITH stats AS (${Seq("l_orderkey", "l_suppkey", "l_returnflag",
+          "l_linestatus").map(leg).mkString(" UNION ALL ")})
+      SELECT group_key, n_rows, n_distinct, max_freq, mass_share_ppm,
+        CASE WHEN mass_share_ppm >= 31250 THEN 'salted_two_stage'
+             ELSE 'plain_hash' END AS advice,
+        CAST(CASE WHEN mass_share_ppm >= 31250
+          THEN LEAST(32, GREATEST(2, mass_share_ppm // 31250))
+          ELSE 1 END AS BIGINT) AS salt_factor
+      FROM stats"""
+    })
+
   /** Incremental JOIN-view maintenance
     * (SnapshotDiff.maintainJoinView): the orders⋈customer view rolled
     * forward from the two key-level changesets alone — fact keys
@@ -981,6 +1020,6 @@ object AdvancedQueries {
       FROM a2 JOIN b2 ON a2.o_custkey = b2.c_custkey"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qIncrementalJoinView, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qIncrementalJoinView, qAggAdvice, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

@@ -1209,9 +1209,83 @@ object SimilarityQueries {
         CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
       FROM hits"""))
 
+  /** Retrieval eval: label MRR@5 of the kNN join — mean reciprocal
+    * rank of the FIRST same-label neighbor, the metric that rewards
+    * putting a relevant result early (precision@5 counts them
+    * position-blind). Engine-exact trick: ranks are 1..5 and
+    * lcm(1..5) = 60, so reciprocal ranks live in integer sixtieths —
+    * sum_rr60 = Σ 60 div first_rank is a BIGINT and the MRR is ONE
+    * double division at the end. No-hit queries contribute 0 and stay
+    * in the denominator.
+    */
+  private val qKnnMrr = QueryDef(
+    "q_knn_label_mrr",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val knn = Similarity.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", k = 5)
+      val nq = knn.agg(countDistinct(col("query_id")).as("n_queries"))
+      val firsts = knn
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), Seq("query_id"))
+        .join(lab, Seq("vec_id"))
+        .where(col("label") === col("__ql"))
+        .groupBy(col("query_id"))
+        .agg(min(col("rank")).as("__fr"))
+      firsts
+        .agg(count(lit(1)).as("n_hit_queries"),
+          sum(expr("60 div __fr")).as("sum_rr60"))
+        .crossJoin(nq)
+        .select(col("n_queries"), col("n_hit_queries"), col("sum_rr60"),
+          (col("sum_rr60").cast("double") /
+            (lit(60.0) * col("n_queries").cast("double"))).as("mrr"))
+    },
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+      dots AS (
+        SELECT g.vec_id AS query_id, f.vec_id, SUM(f.qv * g.qv) AS qdot
+        FROM flat f
+        JOIN flat g ON g.i = f.i AND g.vec_id % 10 = 0
+          AND f.vec_id <> g.vec_id
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT query_id, d.vec_id,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nq.nrm AS BIGINT)))
+            AS score
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.query_id),
+      top AS (
+        SELECT query_id, vec_id, rn FROM (
+          SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS rn
+          FROM sc)
+        WHERE rn <= 5),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      nq2 AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT)
+        AS n_queries FROM top),
+      firsts AS (
+        SELECT t.query_id, MIN(t.rn) AS fr
+        FROM top t
+        JOIN lab ln ON ln.vec_id = t.vec_id
+        JOIN lab lq ON lq.vec_id = t.query_id
+        WHERE ln.label = lq.label
+        GROUP BY 1)
+      SELECT n_queries,
+        CAST(COUNT(fr) AS BIGINT) AS n_hit_queries,
+        CAST(SUM(60 // fr) AS BIGINT) AS sum_rr60,
+        CAST(SUM(60 // fr) AS DOUBLE) /
+          (60.0 * CAST(n_queries AS DOUBLE)) AS mrr
+      FROM nq2 LEFT JOIN firsts ON TRUE
+      GROUP BY n_queries"""))
+
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined,
     qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining,
-    qMarginMiningIvf, qPcaTop1, qAbtt, qCentroidAuc, qKnnPrecision)
+    qMarginMiningIvf, qPcaTop1, qAbtt, qCentroidAuc, qKnnPrecision, qKnnMrr)
 }

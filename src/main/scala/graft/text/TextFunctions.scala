@@ -464,8 +464,17 @@ object TextFunctions {
         .limit(math.max(want * 4, 64))
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      require(cands.nonEmpty,
-        s"BPE round ${merges.size + 1}: corpus has no adjacent symbol pairs left")
+      if (cands.isEmpty) {
+        // vocabulary saturated — every remaining word is one symbol.
+        // The trainer contract (HF/sentencepiece alike) is to return
+        // the merges actually learnable, not to error: how many the
+        // corpus supports is data-dependent and only discovered here.
+        System.err.println(s"[bpe-train] saturated at ${merges.size} " +
+          s"merges (requested $rounds)")
+        import spark.implicits._
+        return merges.toSeq
+          .toDF("round", "merge_left", "merge_right", "n")
+      }
       // accept up to `want` pairs scanning the ranked candidates,
       // SKIPPING only a candidate that reuses a symbol CREATED by an
       // earlier accepted member (l/r == its concatenation): that is

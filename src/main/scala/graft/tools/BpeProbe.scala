@@ -39,7 +39,18 @@ object BpeProbe {
     val spark = Session.get("bpe-probe")
 
     val vocab = typedLit((0 until 5000).map(i => s"w$i"))
-    val docs = (if (corpusKind == "flat")
+    val docs = (if (corpusKind == "wide")
+      // 50k distinct 8-char words over a 16-letter alphabet — enough
+      // distinct substrings that a 30k-merge PRODUCTION train does not
+      // saturate (the 5000-word zipf vocab saturates at ~5.1k merges)
+      spark.range(n)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(99)),
+            i => translate(
+              substring(md5(pmod(xxhash64(col("id"), i), lit(50000L))
+                .cast("string")), 1, 8),
+              "0123456789abcdef", "abcdefghijklmnop"))).as("text"))
+    else if (corpusKind == "flat")
       spark.range(676)
         .select(col("id").as("doc_id"),
           concat(
@@ -68,7 +79,9 @@ object BpeProbe {
       .orderBy("round")
       .collect().map(r => (r.getString(1), r.getString(2)))
     val trainSec = (System.nanoTime() - t1) / 1e9
-    val marginal = (trainSec - round1Sec) / math.max(rounds - 1, 1)
+    // divide by merges LEARNED — a saturated train returns fewer than
+    // requested and the requested count would understate the marginal
+    val marginal = (trainSec - round1Sec) / math.max(merges.length - 1, 1)
 
     // encode with the FULL learned merge table: the native BpeEncode
     // Catalyst expression (foldable merge-table literals → O(1) plan

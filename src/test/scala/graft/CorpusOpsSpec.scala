@@ -703,6 +703,14 @@ class CorpusOpsSpec extends AnyFunSuite {
         r.getLong(3))).toSeq
     assert(merges == Seq((1, "a", "a", 3L), (2, "a", "b", 1L),
       (3, "aa", "b", 1L)), merges.toString)
+    // saturation: asking for more merges than the corpus supports
+    // returns the learnable table (the HF/sentencepiece contract),
+    // never throws — exactly 3 merges exist above.
+    val sat = TextFunctions.bpeTrainMerges(docs, "text", rounds = 1000)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(sat == merges, sat.toString)
   }
 
   test("BPE training matches a reference implementation on random corpora") {
