@@ -93,4 +93,40 @@ object Funnel {
         (col("__wk") - col("cohort_week")).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Time-to-convert distribution per funnel transition: how LONG the
+    * converting users took, not just how many converted — the latency
+    * face of the drop-off summary (p50 separates "conversion takes a
+    * week" from "conversion takes a minute" at identical rates).
+    *
+    * The median is the exact ceil((n+1)/2)-th order statistic via
+    * [[Conformal.threshold]]'s distribution walk — no corpus sort, and
+    * the walk's window runs over DISTINCT dt values, which windowSec
+    * bounds (dt ∈ [1, windowSec]), so the distribution frame stays
+    * small at any corpus size. The per-user funnel frame is pinned:
+    * the stats aggregate and the median walk both consume it.
+    */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    val f = funnel(events, userCol, tsCol, typeCol, steps, windowSec)
+    val trans = steps.sliding(2).zipWithIndex.map { case (pair, i) =>
+      struct(lit(s"${pair.head}->${pair.last}").as("transition"),
+        (col(s"t${i + 2}") - col(s"t${i + 1}")).as("dt"))
+    }.toSeq
+    val dts = f.select(explode(array(trans: _*)).as("x"))
+      .select(col("x.transition").as("transition"), col("x.dt").as("dt"))
+      .where(col("dt").isNotNull)
+      .localCheckpoint(true)
+    val med = Conformal.threshold(dts, Seq("transition"), "dt", 1, 2)
+      .select(col("transition"), col("qhat").as("p50_s"))
+    dts.groupBy(col("transition"))
+      .agg(count(lit(1)).as("n_converted"), min(col("dt")).as("min_s"),
+        max(col("dt")).as("max_s"), sum(col("dt")).as("__sum"))
+      .join(med, Seq("transition"))
+      .select(col("transition"), col("n_converted"), col("min_s"),
+        col("max_s"),
+        (col("__sum").cast("double") / col("n_converted").cast("double"))
+          .as("avg_s"),
+        col("p50_s"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** k-anonymity primitives — the release-gate check a training-data
@@ -29,6 +29,23 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .select(qidCols.map(col) :+ col("n") :+
         (col("n") >= k).cast("int").as("is_safe"): _*)
+  }
+
+  /** Per QID combination: cohort size, distinct sensitive values, and
+    * whether the cohort is l-diverse — the audit k-anonymity alone
+    * misses (a size-50 cohort whose sensitive attribute is constant
+    * still reveals it for every member; distinct l-diversity requires
+    * ≥ l distinct sensitive values per cohort). One hash aggregate
+    * with a distinct-agg — partial combine on (QIDs, sensitive) pairs.
+    */
+  def lDiversityAudit(df: DataFrame, qidCols: Seq[String],
+      sensitive: Column, l: Long): DataFrame = {
+    require(qidCols.nonEmpty && l >= 2L, "need QID columns and l >= 2")
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .select(qidCols.map(col) :+ col("n") :+ col("n_sensitive") :+
+        (col("n_sensitive") >= l).cast("int").as("is_diverse"): _*)
   }
 
   /** Suppress (null out) the quasi-identifiers of every row whose QID

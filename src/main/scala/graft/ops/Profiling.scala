@@ -158,24 +158,37 @@ object Profiling {
     */
   def aggKeyAdvice(df: DataFrame,
       candidates: Seq[(String, Column)], parallelism: Int): DataFrame = {
-    require(candidates.nonEmpty && parallelism >= 2)
-    val thr = 1000000L / parallelism
+    require(candidates.nonEmpty)
     candidates.map { case (name, key) =>
-      df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
-        .agg(sum(col("__c")).as("n_rows"),
-          count(lit(1)).as("n_distinct"),
-          max(col("__c")).as("max_freq"))
-        .select(lit(name).as("group_key"), col("n_rows"),
-          col("n_distinct"), col("max_freq"),
-          expr("(max_freq * 1000000) div n_rows").as("mass_share_ppm"))
-        .withColumn("advice",
-          when(col("mass_share_ppm") >= thr, lit("salted_two_stage"))
-            .otherwise(lit("plain_hash")))
-        .withColumn("salt_factor",
-          when(col("mass_share_ppm") >= thr,
-            least(lit(parallelism.toLong),
-              greatest(lit(2L), expr(s"mass_share_ppm div $thr"))))
-            .otherwise(lit(1L)))
+      aggKeyAdviceFromCounts(
+        df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c")),
+        name, parallelism)
     }.reduce(_ unionByName _)
+  }
+
+  /** The advice fold over an ALREADY-counted (__k, __c) frame — the
+    * entry point for continuously-maintained counts (the streaming
+    * twin keeps per-key counts as aggregation state, the same pattern
+    * as keySkewAuditFromCounts).
+    */
+  def aggKeyAdviceFromCounts(counts: DataFrame, name: String,
+      parallelism: Int): DataFrame = {
+    require(parallelism >= 2)
+    val thr = 1000000L / parallelism
+    counts
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("max_freq"))
+      .select(lit(name).as("group_key"), col("n_rows"),
+        col("n_distinct"), col("max_freq"),
+        expr("(max_freq * 1000000) div n_rows").as("mass_share_ppm"))
+      .withColumn("advice",
+        when(col("mass_share_ppm") >= thr, lit("salted_two_stage"))
+          .otherwise(lit("plain_hash")))
+      .withColumn("salt_factor",
+        when(col("mass_share_ppm") >= thr,
+          least(lit(parallelism.toLong),
+            greatest(lit(2L), expr(s"mass_share_ppm div $thr"))))
+          .otherwise(lit(1L)))
   }
 }

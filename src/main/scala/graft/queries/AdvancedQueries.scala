@@ -963,6 +963,38 @@ object AdvancedQueries {
       FROM stats"""
     })
 
+  /** Streaming twin of the shuffle-strategy advisor
+    * (streaming/StreamingAdvice — the StreamingKeySkew pattern):
+    * per-key counts for the user_id and event_type candidates
+    * maintained as streaming aggregations with O(|keys|) state, the
+    * advice fold running on each counts snapshot through the batch
+    * code path. The live control input of a partition router. The
+    * oracle computes the same two advice rows directly over events.
+    */
+  private val qStreamAdvice = QueryDef(
+    "q_stream_agg_advice",
+    (s, d) => graft.streaming.StreamingAdvice.runBatchEquivalent(s, d),
+    Some {
+      def leg(k: String) = s"""
+        SELECT '$k' AS group_key, n_rows, n_distinct, max_freq,
+          (max_freq * 1000000) // n_rows AS mass_share_ppm
+        FROM (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            CAST(MAX(c) AS BIGINT) AS max_freq
+          FROM (SELECT COUNT(*) AS c FROM events GROUP BY $k))"""
+      s"""
+      WITH stats AS (${Seq("user_id", "event_type")
+          .map(leg).mkString(" UNION ALL ")})
+      SELECT group_key, n_rows, n_distinct, max_freq, mass_share_ppm,
+        CASE WHEN mass_share_ppm >= 31250 THEN 'salted_two_stage'
+             ELSE 'plain_hash' END AS advice,
+        CAST(CASE WHEN mass_share_ppm >= 31250
+          THEN LEAST(32, GREATEST(2, mass_share_ppm // 31250))
+          ELSE 1 END AS BIGINT) AS salt_factor
+      FROM stats"""
+    })
+
   /** Incremental JOIN-view maintenance
     * (SnapshotDiff.maintainJoinView): the orders⋈customer view rolled
     * forward from the two key-level changesets alone — fact keys
@@ -1020,6 +1052,6 @@ object AdvancedQueries {
       FROM a2 JOIN b2 ON a2.o_custkey = b2.c_custkey"""))
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
-    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qIncrementalJoinView, qAggAdvice, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
+    qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qIncrementalJoinView, qAggAdvice, qStreamAdvice, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

@@ -984,6 +984,64 @@ object PipelineQueries {
     (s, d) => graft.streaming.Sessionize.runBatchEquivalent(s, d, 1800L),
     sessionizeOracle)
 
+  /** Funnel time-to-convert (Funnel.funnelLatency): per-transition
+    * latency distribution — n, min/max, mean, and the EXACT median via
+    * the order-statistic distribution walk (dt values are bounded by
+    * the funnel window, so the walk's frame is small at any corpus
+    * size; the corpus never sorts). The latency face of
+    * q_funnel_conversion's drop-off counts.
+    */
+  private val qFunnelLatency = QueryDef(
+    "q_funnel_latency",
+    (s, d) => graft.ops.Funnel.funnelLatency(Tables.events(s, d),
+      "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"), windowSec = 604800L),
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS ts, event_type
+        FROM events),
+      s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT s1.user_id, s1.t1,
+          MIN(CASE WHEN e.ts > s1.t1 AND e.ts <= s1.t1 + 604800
+              THEN e.ts END) AS t2
+        FROM s1 LEFT JOIN e
+          ON e.user_id = s1.user_id AND e.event_type = 'click'
+        GROUP BY 1, 2),
+      s3 AS (
+        SELECT s2.user_id, s2.t1, s2.t2,
+          MIN(CASE WHEN s2.t2 IS NOT NULL AND e.ts > s2.t2
+                AND e.ts <= s2.t1 + 604800 THEN e.ts END) AS t3
+        FROM s2 LEFT JOIN e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        GROUP BY 1, 2, 3),
+      d AS (
+        SELECT 'view->click' AS transition, t2 - t1 AS dt
+        FROM s3 WHERE t2 IS NOT NULL
+        UNION ALL
+        SELECT 'click->purchase', t3 - t2 FROM s3 WHERE t3 IS NOT NULL),
+      dist AS (SELECT transition, dt, COUNT(*) AS n FROM d GROUP BY 1, 2),
+      cdf AS (
+        SELECT transition, dt,
+          SUM(n) OVER (PARTITION BY transition ORDER BY dt) AS cum,
+          SUM(n) OVER (PARTITION BY transition) AS tot
+        FROM dist),
+      med AS (
+        SELECT transition,
+          MIN(CASE WHEN cum >= (1 * (tot + 1) + 1) // 2 THEN dt END)
+            AS p50
+        FROM cdf GROUP BY 1)
+      SELECT d.transition,
+        CAST(COUNT(*) AS BIGINT) AS n_converted,
+        CAST(MIN(dt) AS BIGINT) AS min_s,
+        CAST(MAX(dt) AS BIGINT) AS max_s,
+        CAST(SUM(dt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_s,
+        CAST(MAX(med.p50) AS BIGINT) AS p50_s
+      FROM d JOIN med ON med.transition = d.transition
+      GROUP BY 1"""))
+
   /** Purged + embargoed time-fold CV assignment
     * (Sampling.purgedTimeFolds — the de Prado leakage control): 5
     * equal time blocks over events, 1-day label horizon, 6-hour
@@ -1160,6 +1218,6 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qRetention,
+    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

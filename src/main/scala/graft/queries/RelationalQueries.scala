@@ -461,6 +461,27 @@ object RelationalQueries {
         CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS INT) AS is_safe
       FROM customer GROUP BY 1, 2"""))
 
+  /** l-diversity audit (ops/Privacy.lDiversityAudit): the disclosure
+    * check k-anonymity alone misses — per (nation, segment) cohort,
+    * how many DISTINCT account-balance bands its members span; a
+    * large cohort with one band still reveals every member's band.
+    * Sensitive attribute = floor(acctbal/2000) (coarse financial
+    * band); one hash aggregate with a distinct-agg.
+    */
+  private val qLDiversity = QueryDef(
+    "q_l_diversity",
+    (s, d) => graft.ops.Privacy.lDiversityAudit(
+      Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 2000).cast("long"), l = 3L),
+    Some("""
+      SELECT c_nationkey, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+          AS BIGINT) AS n_sensitive,
+        CAST(CASE WHEN COUNT(DISTINCT CAST(floor(c_acctbal / 2000)
+          AS BIGINT)) >= 3 THEN 1 ELSE 0 END AS INT) AS is_diverse
+      FROM customer GROUP BY 1, 2"""))
+
   /** k-anonymity suppression (ops/Privacy.suppressBelowK): customers
     * re-released with the (nation, segment) QIDs nulled wherever the
     * cohort is smaller than 5 — row counts and non-QID columns intact.
@@ -530,5 +551,5 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
     qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit,
-    qKAnon, qKAnonSuppress, qProfileDrift)
+    qKAnon, qKAnonSuppress, qLDiversity, qProfileDrift)
 }
