@@ -984,6 +984,64 @@ object PipelineQueries {
     (s, d) => graft.streaming.Sessionize.runBatchEquivalent(s, d, 1800L),
     sessionizeOracle)
 
+  /** Daily volume↔count Pearson correlation per event_type — "do big
+    * days come from more events or bigger events": moments are exact
+    * DECIMAL (order-independent sums of x, y, xy, x², y² over the
+    * daily rollup), the correlation itself is ONE mirrored tree of
+    * IEEE double ops (the q_ab_test_z pattern), NULL when either
+    * variance is degenerate. Two hash aggregates, no window, no sort.
+    */
+  private val qValueVolumeCorr = QueryDef(
+    "q_value_volume_corr",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+        .agg(sum(col("value").cast(DecimalType(12, 2))).as("x"),
+          count(lit(1)).cast(DecimalType(12, 0)).as("y"))
+      val m = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val n = col("n_days").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      val den = sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+        sqrt(greatest(n * syy - sy * sy, lit(0.0)))
+      m.select(col("event_type"), col("n_days"),
+        when(col("n_days") >= 2L && !isnan(den) && den > 0.0,
+          (n * sxy - sx * sy) / den).as("corr"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          SUM(CAST(value AS DECIMAL(12,2))) AS x,
+          CAST(COUNT(*) AS DECIMAL(12,0)) AS y
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+          SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM daily GROUP BY 1),
+      f AS (
+        SELECT event_type, n_days,
+          CAST(n_days AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+          CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+          CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+        FROM m),
+      g AS (
+        SELECT event_type, n_days,
+          sqrt(greatest(n * sxx - sx * sx, 0.0)) *
+            sqrt(greatest(n * syy - sy * sy, 0.0)) AS den,
+          n * sxy - sx * sy AS num
+        FROM f)
+      SELECT event_type, n_days,
+        CASE WHEN n_days >= 2 AND NOT isnan(den) AND den > 0.0
+             THEN num / den END AS corr
+      FROM g"""))
+
   /** Funnel time-to-convert (Funnel.funnelLatency): per-transition
     * latency distribution — n, min/max, mean, and the EXACT median via
     * the order-statistic distribution walk (dt values are bounded by
@@ -1218,6 +1276,6 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qRetention,
+    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }
