@@ -102,11 +102,16 @@ object NgramLm {
     // fanOut: the bigram explode + model lookups are the per-row-
     // expensive stage; a single-split file would run it on one core
     // (AmplificationAudit caught 5.7 s/1-task at sf0.1)
+    // tokens MUST be projected before the bigram transform: an inline
+    // tokens(...) inside the lambda re-runs the regex split for every
+    // element_at — 2 splits per bigram (measured 14x on collocations,
+    // the same explode shape)
     graft.ops.Partitioning.fanOut(
         docs.where(length(trim(col(textCol))) > 0))
       .select(col(idCol).as("id"),
-        explode(wordBigrams(TextFunctions.tokens(col(textCol))))
-          .as("pair"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(wordBigrams(col("__toks"))).as("pair"))
       .join(bigSide, Seq("pair"), "left")
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .join(broadcast(model.backoff.withColumnRenamed("w", "w1")),
