@@ -413,11 +413,17 @@ object TextFunctions {
     val chars = transform(sequence(lit(1), length(col("tok"))),
       i => col("tok").substr(i, lit(1)))
     def pairArr(s: Column): Column = {
-      val sy = split(s.substr(lit(2), length(s) - 2), FF)
-      val idx = when(size(sy) >= 2, sequence(lit(1), size(sy) - 1))
-        .otherwise(array().cast("array<int>"))
-      transform(idx, i => struct(element_at(sy, i).as("l"),
-        element_at(sy, i + 1).as("r")))
+      // the split is LET-BOUND via a one-element array + transform so
+      // it evaluates once: an inline `sy` expression would re-split
+      // the fenced string for every element_at — 2 splits per pair,
+      // the HOF lambda trap (see Collocations; measured 14x there)
+      element_at(transform(
+        array(split(s.substr(lit(2), length(s) - 2), FF)),
+        sy => transform(
+          when(size(sy) >= 2, sequence(lit(1), size(sy) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => struct(element_at(sy, i).as("l"),
+            element_at(sy, i + 1).as("r")))), 1)
     }
     // contract: a token CONTAINING the fence char would corrupt the
     // symbol framing — fail loudly (real corpora should strip control
