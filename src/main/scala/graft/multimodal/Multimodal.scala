@@ -42,6 +42,47 @@ object Multimodal {
     def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float]
     def resize(payload: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Byte]
     def frameOffsets(meta: MediaMeta, everyMs: Long): Seq[Long]
+
+    /** 64-bit perceptual hash for near-duplicate detection. The
+      * default dHashes the RAW payload byte stream (the decoded signal
+      * this container can produce); a real codec implementation should
+      * decode first and dHash the pixel/sample grid — same downstream
+      * banding either way.
+      */
+    def perceptualHash(payload: Array[Byte], meta: MediaMeta): Long =
+      byteDhash64(payload)
+  }
+
+  /** 1-D dHash over a byte stream — a REAL perceptual hash, not a
+    * content digest: downsample the stream into 65 bucket means
+    * (bucket of byte j = j·65 div n — the integer "resize to 65
+    * pixels"; empty buckets, possible when n < 65, mean 0), then
+    * bit i = [mean(i+1) > mean(i)]. Near-identical payloads move a
+    * few bucket means slightly → a few bit flips → small Hamming
+    * distance; md5-style digests scatter to ~32 bits for any change.
+    * Every step is integer arithmetic on unsigned byte values, so any
+    * engine replays the hash exactly.
+    */
+  def byteDhash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var j = 0
+    while (j < n) {
+      val b = (j.toLong * 65L / n).toInt
+      sums(b) += (payload(j) & 0xff)
+      counts(b) += 1
+      j += 1
+    }
+    val m = Array.tabulate(65)(i => if (counts(i) == 0) 0L else sums(i) / counts(i))
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (m(i + 1) > m(i)) h |= (1L << i)
+      i += 1
+    }
+    h
   }
 
   /** STUB: no codecs in this environment. Features are a deterministic
@@ -144,6 +185,41 @@ object Multimodal {
       }
     }
   }
+
+  final case class PHashRow(media_id: Long, phash: Long)
+
+  /** Payloads → 64-bit perceptual hashes, batched partition-local
+    * (the same decoder-seam shape as extractFeatures). Payload bytes
+    * never leave the map stage — only (id, long) flows downstream.
+    */
+  def perceptualHashTable(media: Dataset[MediaRow], batchSize: Int = 32,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    implicit val enc = Encoders.product[PHashRow]
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map(r =>
+          PHashRow(r.media_id, decoder.perceptualHash(r.payload, r.meta)))
+      }
+    }.toDF()
+  }
+
+  /** Media near-duplicate pairs: perceptual hash behind the codec
+    * seam, then graft.text.Dedup's Hamming-band machinery — `chunks`
+    * exact-match bands propose candidates (pigeonhole: chunks >
+    * maxHamming ⇒ recall exactly 1), bit_count(xor) verifies. Output
+    * (id_a, id_b, hamming), id_a < id_b.
+    *
+    * 100 TB shape: the only payload-touching stage is the map-side
+    * hash; every exchange after it carries (id, 64-bit hash, 16-bit
+    * chunk) longs. Candidate volume per band bucket ≈ N/2^(64/chunks)
+    * — grow chunk width with corpus size exactly like the text
+    * simhash sizing rule.
+    */
+  def nearDupPairs(df: DataFrame, maxHamming: Int = 3, chunks: Int = 4,
+      decoder: MediaDecoder = StubDecoder): DataFrame =
+    graft.text.Dedup.hammingNearDups(
+      perceptualHashTable(mediaTable(df), decoder = decoder),
+      "media_id", "phash", maxHamming, chunks)
 
   /** DataFrame → typed media rows (the schema-first boundary: callers
     * hand over flat columns, the typed path stays internal).

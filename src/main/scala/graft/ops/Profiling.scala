@@ -181,7 +181,11 @@ object Profiling {
         max(col("__c")).as("max_freq"))
       .select(lit(name).as("group_key"), col("n_rows"),
         col("n_distinct"), col("max_freq"),
-        expr("(max_freq * 1000000) div n_rows").as("mass_share_ppm"))
+        // decimal(38) multiply: max_freq * 1e6 overflows LONG once a
+        // single key exceeds ~9.2e12 rows — reachable at 100 TB (the
+        // Gini fold's bound, applied here); div returns BIGINT
+        expr("(cast(max_freq as decimal(38,0)) * 1000000) div n_rows")
+          .as("mass_share_ppm"))
       .withColumn("advice",
         when(col("mass_share_ppm") >= thr, lit("salted_two_stage"))
           .otherwise(lit("plain_hash")))

@@ -135,7 +135,16 @@ object Ranking {
       case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
       case (x: Double, y: Double) => java.lang.Double.compare(x, y)
       case (x: Float, y: Float) => java.lang.Float.compare(x, y)
-      case (x: String, y: String) => x.compareTo(y)
+      case (x: String, y: String) =>
+        // Spark's struct '<' compares strings as unsigned UTF-8 bytes
+        // (UTF8String.binaryCompare); String.compareTo is UTF-16
+        // code-unit order, which diverges for supplementary-plane
+        // code points vs U+E000–U+FFFF — boundaries sorted here MUST
+        // be ascending under the ENGINE's comparator or bucket
+        // assignment loses monotonicity.
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
       case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>

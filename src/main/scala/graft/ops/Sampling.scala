@@ -344,8 +344,10 @@ object Sampling {
     val spark = df.sparkSession
     val base = df.select(col(idCol).as("id"),
       col(tsCol).cast("long").as("__ts"))
-    val (lo, hi) = base.agg(min(col("__ts")), max(col("__ts")))
-      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    val bounds = base.agg(min(col("__ts")), max(col("__ts"))).head()
+    require(!bounds.isNullAt(0),
+      "purgedTimeFolds: input frame has no rows (null min/max ts)")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = (hi - lo) / k + 1 // k blocks cover [lo, hi]
     val folds = spark.range(k.toLong).toDF("fold")
       .select(col("fold").cast("int").as("fold"),

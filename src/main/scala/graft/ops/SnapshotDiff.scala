@@ -160,4 +160,51 @@ object SnapshotDiff {
       .join(b2, col(fkCol) === col(bKey)).drop(bKey)
     untouched.unionByName(fromA).unionByName(fromB)
   }
+
+  /** [[maintainJoinView]] in its DEPLOYMENT shape: A2/B2 stored
+    * BUCKETED on the join key (Bucketing.writeBucketed — A2 on fkCol,
+    * B2 on bKey, same bucket count) and the changed-key sets passed as
+    * bounded literal lists. Two storage-level wins over the generic
+    * frame version, both PlanSpec-asserted:
+    *
+    *  - the repair joins are co-located SMJs over the bucketed scans —
+    *    ZERO exchange on either side of either leg (vs one broadcast
+    *    per probe in the generic version);
+    *  - the literal key filters compile to scan-level pushdown, and on
+    *    the BUCKET column they prune whole buckets: the dim-fanout leg
+    *    reads only |ΔB|'s buckets of A2 and B2
+    *    (`SelectedBucketsCount: x out of n`), so delta-apply cost
+    *    scales with |Δ|, not |A| (JoinViewProbe's bucketed rung).
+    *
+    * Null fkCol rows never join (inner-join orphan semantics) but must
+    * stay in the untouched leg exactly as the anti-join version keeps
+    * them — literal NOT IN alone would null-drop them, hence the
+    * explicit isNull escape.
+    *
+    * Key lists must be the bounded deltas the maintenance contract
+    * already assumes (they broadcast in the generic version); a
+    * thousand-key IN is a bitmap/sorted-array pushdown, not a plan
+    * blowup.
+    */
+  def maintainJoinViewBucketed(view: DataFrame, a2: DataFrame,
+      b2: DataFrame, aKeys: Seq[Long], bKeys: Seq[Long],
+      aKey: String, fkCol: String, bKey: String): DataFrame = {
+    val aLits = aKeys.map(lit(_))
+    val bLits = bKeys.map(lit(_))
+    def inA(c: Column) =
+      if (aLits.isEmpty) lit(false) else c.isin(aLits: _*)
+    def inB(c: Column) =
+      if (bLits.isEmpty) lit(false) else c.isin(bLits: _*)
+    def notIn(c: Column, in: Column => Column) =
+      c.isNull || !in(c)
+    val untouched = view
+      .where(notIn(col(aKey), inA) && notIn(col(fkCol), inB))
+    val fromA = a2.where(inA(col(aKey)))
+      .join(b2, col(fkCol) === col(bKey)).drop(bKey)
+    // fk ∈ ΔB ∧ fk = bk ⇒ bk ∈ ΔB: filtering B2 to the delta keys is
+    // an identity on the join result and prunes B2's buckets too
+    val fromB = a2.where(notIn(col(aKey), inA) && inB(col(fkCol)))
+      .join(b2.where(inB(col(bKey))), col(fkCol) === col(bKey)).drop(bKey)
+    untouched.unionByName(fromA).unionByName(fromB)
+  }
 }

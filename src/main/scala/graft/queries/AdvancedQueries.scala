@@ -264,23 +264,31 @@ object AdvancedQueries {
 
   /** Spatial neighbor join (graft.ops.GeoJoin.neighborPairs): all
     * customer pairs within 10,000 micro-units of each other on a
-    * synthetic integer coordinate plane (LCG-spread from the key, so
-    * both engines derive identical points). Grid-cell 3×3 probe +
-    * exact BIGINT squared-distance filter — never the n² cross
-    * product; pairs are integer-exact, so the oracle replays the set.
+    * synthetic integer coordinate plane (md5-spread from the key —
+    * the Sampling.hexThreshold pattern — so both engines derive
+    * identical, genuinely 2-D-uniform points; the round-10 LCG
+    * lattice put no two sf0.01 customers within radius, making the
+    * green row vacuous). Grid-cell 3×3 probe + exact BIGINT
+    * squared-distance filter — never the n² cross product; pairs are
+    * integer-exact, so the oracle replays the set.
     */
   private val qGeoJoin = QueryDef(
     "q_geo_neighbor_join",
     (s, d) => {
+      def coord(tag: String) = pmod(
+        conv(substring(md5(concat_ws(":", lit(tag), col("c_custkey"))),
+          1, 13), 16, 10).cast("long"), lit(1000000L))
       val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
-        pmod(col("c_custkey") * 48271L, lit(1000000L)).as("x"),
-        pmod(col("c_custkey") * 69621L, lit(1000000L)).as("y"))
+        coord("gx").as("x"), coord("gy").as("y"))
       graft.ops.GeoJoin.neighborPairs(pts, "id", "x", "y", radius = 10000L)
     },
     Some("""
       WITH pts AS (
-        SELECT c_custkey AS id, (c_custkey * 48271) % 1000000 AS x,
-          (c_custkey * 69621) % 1000000 AS y
+        SELECT c_custkey AS id,
+          CAST(CAST(('0x' || substr(md5('gx:' || c_custkey), 1, 13))
+            AS UBIGINT) % 1000000 AS BIGINT) AS x,
+          CAST(CAST(('0x' || substr(md5('gy:' || c_custkey), 1, 13))
+            AS UBIGINT) % 1000000 AS BIGINT) AS y
         FROM customer),
       cells AS (
         SELECT id, x, y, x // 10000 AS cx, y // 10000 AS cy FROM pts),

@@ -149,5 +149,81 @@ object MultimodalQueries {
         CAST(48 AS INT) AS height
       FROM documents"""))
 
-  def all: Seq[QueryDef] = Seq(qFeatures, qMediaAnn, qResize)
+  /** Media near-duplicate detection (Multimodal.nearDupPairs) — the
+    * dedup member the media modality was missing: a 1-D dHash
+    * perceptual hash behind the codec seam (65 bucket means over the
+    * payload byte stream → 64 comparison bits; a real codec would
+    * dHash decoded pixels at the same injection point), then the
+    * SHARED SimHash Hamming-band machinery (text/Dedup
+    * .hammingNearDups): 4 exact-match 16-bit chunks propose
+    * candidates — pigeonhole-complete at maxHamming 3 — and
+    * bit_count(xor) verifies. The fixture plants hand-built
+    * near-duplicate twins (first byte overwritten with 'x', same
+    * length → at most bucket 0's mean moves → Hamming ≤ 1) alongside
+    * the raw corpus, so the band join, verify filter, and pair dedup
+    * are all exercised on REAL collisions; every step is integer
+    * arithmetic on unsigned bytes, so the oracle replays hash, bands,
+    * candidates, and verdicts exactly. Payload bytes never leave the
+    * map stage (PlanSpec-asserted).
+    */
+  private val qMediaNearDup = QueryDef(
+    "q_media_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+      val twins = docs.where(pmod(col("doc_id"), lit(40)) === 0)
+        .select((col("doc_id") + 10000000L).as("media_id"),
+          concat(lit("x"), expr("substring(text, 2)"))
+            .cast("binary").as("payload"))
+      val media = base.unionByName(twins).select(
+        col("media_id"), col("payload"), lit("image").as("kind"),
+        lit(640).as("width"), lit(480).as("height"),
+        lit(0).as("sampleRate"), lit(0L).as("durationMs"))
+      Multimodal.nearDupPairs(media, maxHamming = 3, chunks = 4)
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, text AS payload FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS media_id,
+          'x' || substr(text, 2) AS payload
+        FROM documents WHERE doc_id % 40 = 0),
+      bytes AS (
+        SELECT media_id, CAST(j AS BIGINT) - 1 AS j,
+          ord(substr(payload, CAST(j AS INT), 1)) AS b,
+          strlen(payload) AS n
+        FROM media, unnest(range(1, strlen(payload) + 1)) t(j)),
+      bsum AS (
+        SELECT media_id, (j * 65) // n AS bucket, SUM(b) // COUNT(*) AS m
+        FROM bytes GROUP BY 1, 2),
+      spine AS (
+        SELECT m.media_id, s.bucket, COALESCE(b.m, 0) AS m
+        FROM (SELECT DISTINCT media_id FROM media) m
+        CROSS JOIN (SELECT unnest(range(0, 65)) AS bucket) s
+        LEFT JOIN bsum b ON b.media_id = m.media_id AND b.bucket = s.bucket),
+      bits AS (
+        SELECT media_id, bucket AS i,
+          CASE WHEN nxt > m THEN 1 ELSE 0 END AS bit
+        FROM (SELECT media_id, bucket, m,
+            LEAD(m) OVER (PARTITION BY media_id ORDER BY bucket) AS nxt
+          FROM spine) WHERE bucket < 64),
+      bands AS (
+        SELECT media_id, i // 16 AS band,
+          CAST(SUM(bit * (1::BIGINT << CAST(i % 16 AS INT))) AS BIGINT) AS bv
+        FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+        WHERE a.media_id < b.media_id
+        GROUP BY 1, 2)
+      SELECT c.id_a, c.id_b,
+        CAST(SUM(bit_count(xor(a.bv, b.bv))) AS INT) AS hamming
+      FROM cand c
+      JOIN bands a ON a.media_id = c.id_a
+      JOIN bands b ON b.media_id = c.id_b AND b.band = a.band
+      GROUP BY 1, 2
+      HAVING SUM(bit_count(xor(a.bv, b.bv))) <= 3"""))
+
+  def all: Seq[QueryDef] = Seq(qFeatures, qMediaAnn, qResize, qMediaNearDup)
 }

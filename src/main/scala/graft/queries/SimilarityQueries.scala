@@ -971,6 +971,70 @@ object SimilarityQueries {
     },
     Some(ivfpqRefinedSql(2L, k = 20, refine = 5)))
 
+  /** The ADAPTIVE refine rung — the one a deployment actually serves
+    * (ProductQuantizer.ivfPqSearchRefinedAdaptive, round-9 #4): the
+    * shortlist grows geometrically (5, 10, 20, …, 160) until the
+    * exact top-k over the full 2·k·refine candidate set equals the
+    * exact top-k over its k·refine prefix (stabilization), the probed
+    * cells are exhausted, or maxRefine is hit. Every stop decision is
+    * a pure function of (index, query, k), so the oracle replays the
+    * ENTIRE ladder: it ranks all probed candidates by (adc, id) once,
+    * exact-reranks them once, evaluates all three stop conditions at
+    * every rung, and emits the top-k of the first stopping rung —
+    * bit-identical to the loop the engine runs (mega-cluster recall
+    * 0.36 → 1.00 vs the fixed rung; SCALE_NOTES round 9).
+    */
+  private def ivfpqAdaptiveSql(qid: Long, k: Int): String =
+    ivfpqSqlWithTail(qid, s"""
+      , adcr AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS arn
+        FROM (${ivfpqAdcSelect(qid)})),
+      ex AS (
+        SELECT a.vec_id, a.arn,
+          CAST(SUM((f.qv - q.qv) * (f.qv - q.qv)) AS BIGINT) AS d2
+        FROM adcr a
+        JOIN flat f ON f.vec_id = a.vec_id
+        JOIN flat q ON q.vec_id = $qid AND q.p = f.p
+        GROUP BY 1, 2),
+      sigs AS (
+        SELECT r.r,
+          (SELECT COUNT(*) FROM adcr) AS nc,
+          (SELECT string_agg(vec_id || ':' || d2, ',' ORDER BY d2, vec_id)
+           FROM (SELECT vec_id, d2 FROM ex WHERE arn <= 2 * $k * r.r
+                 ORDER BY d2, vec_id LIMIT $k)) AS sig_full,
+          (SELECT string_agg(vec_id || ':' || d2, ',' ORDER BY d2, vec_id)
+           FROM (SELECT vec_id, d2 FROM ex WHERE arn <= $k * r.r
+                 ORDER BY d2, vec_id LIMIT $k)) AS sig_prefix
+        FROM (SELECT unnest([5, 10, 20, 40, 80, 160]) AS r) r),
+      stop AS (
+        SELECT MIN(r) AS r FROM sigs
+        WHERE nc < 2 * $k * r OR r = 160 OR sig_full = sig_prefix)
+      SELECT vec_id, d2 FROM ex
+      WHERE arn <= 2 * $k * (SELECT r FROM stop)
+      ORDER BY d2, vec_id
+      LIMIT $k""")
+
+  private val qIvfPqAdaptive = QueryDef(
+    "q_ann_ivfpq_adaptive",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val dir = buildDir(s, d, "graft_ivfpq_index", "embeddings")
+      if (builtIvfIndexes.add(dir))
+        ProductQuantizer.buildAndWriteIvfPqIndex(emb, "vec_id", "embedding",
+          dir, kCells = 8, iters = 2, m = 8, kCodes = 16)
+      val index = ProductQuantizer.readIvfPqIndex(s, dir)
+      val qid = 3L
+      val query = emb.where(col("vec_id") === qid)
+        .select(KMeans.quantize(col("embedding")))
+        .head().getSeq[Long](0).toArray
+      val nProbe = Similarity.autoNProbe(emb.count(), 8, base = 3)
+      ProductQuantizer.ivfPqSearchRefinedAdaptive(index, emb, "vec_id",
+        "embedding", query, nProbe = nProbe, k = 20,
+        initialRefine = 5, maxRefine = 160, excludeId = Some(qid))
+    },
+    Some(ivfpqAdaptiveSql(3L, k = 20)))
+
   /** The composed IVF+PQ index (coarse integer-kmeans cells + fine PQ
     * codes): the full FAISS-style shape with every stage deterministic,
     * so ONE oracle statement replays cell training, probe choice,
@@ -1285,7 +1349,7 @@ object SimilarityQueries {
 
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
-    qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined,
+    qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined, qIvfPqAdaptive,
     qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining,
     qMarginMiningIvf, qPcaTop1, qAbtt, qCentroidAuc, qKnnPrecision, qKnnMrr)
 }

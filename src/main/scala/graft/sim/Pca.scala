@@ -101,10 +101,13 @@ object Pca {
     val spark = df.sparkSession
     val out = df.agg(cov_moments(col(vecCol)).as("m"))
       .select(col("m.n"), col("m.s"), col("m.p")).head()
+    require(!out.isNullAt(0) && out.getLong(0) > 0,
+      "topComponentQ: input frame has no rows (n = 0)")
     val n = BigInt(out.getLong(0))
     val s = out.getSeq[Long](1).toArray
     val pTri = out.getSeq[Long](2).toArray
     val d = s.length
+    require(d > 0, "topComponentQ: zero-dimension vectors")
     // full scatter matrix M = n·P − s·sᵀ (exact)
     val m = Array.ofDim[BigInt](d, d)
     var t = 0

@@ -51,7 +51,10 @@ object Collocations {
       .localCheckpoint(true) // feeds marginals + total + final join
     val nx = big.groupBy(col("w1")).agg(sum(col("n_xy")).as("n_x"))
     val ny = big.groupBy(col("w2")).agg(sum(col("n_xy")).as("n_y"))
-    val b = big.agg(sum(col("n_xy"))).head().getLong(0)
+    val bRow = big.agg(sum(col("n_xy"))).head()
+    require(!bRow.isNullAt(0),
+      "topCollocations: no bigrams in input (empty corpus or all docs < 2 tokens)")
+    val b = bRow.getLong(0)
     big.where(col("n_xy") >= minCount)
       .join(nx, Seq("w1")).join(ny, Seq("w2"))
       .withColumn("lift_ppm",

@@ -441,6 +441,18 @@ object Dedup {
       .distinct()
   }
 
+  /** The banding machinery over an ARBITRARY 64-bit signature frame —
+    * shared with media perceptual hashes (Multimodal.nearDupPairs):
+    * same chunk bands, same pigeonhole guarantee (chunks > maxHamming
+    * → recall exactly 1), same bit_count verify. Output (id_a, id_b,
+    * hamming), id_a < id_b.
+    */
+  def hammingNearDups(sig: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, chunks: Int = 4): DataFrame =
+    simhashPairsWithin(
+      sig.select(col(idCol).as("id"), col(hashCol).as("sh")),
+      maxHamming, chunks)
+
   /** SimHash near-dup candidate pairs over token features (see
     * [[simhashSignatures]] for the feature caveat): 4 chunks of 16 bits
     * by default — complete for Hamming ≤ 3, probabilistic above.

@@ -463,6 +463,10 @@ object TextFunctions {
       cN > pN || (cN == pN &&
         (utf8Lt(cL, pL) || (cL == pL && utf8Lt(cR, pR))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // waypoint telemetry for the production-depth s/merge curve
+    // (BpeProbe reads these stderr lines; zero cost in the loop)
+    val trainT0 = System.nanoTime()
+    var nextWaypoint = 1000
     while (merges.size < rounds) {
       val want = math.min(batchSize, rounds - merges.size)
       val cands = pairCounts
@@ -613,6 +617,11 @@ object TextFunctions {
         .localCheckpoint(true)
       kept.zip(stepCounts).foreach { case ((l, r, _), nStep) =>
         merges += ((merges.size + 1, l, r, nStep)) }
+      if (merges.size >= nextWaypoint) {
+        System.err.println(f"[bpe-train] waypoint merges=${merges.size}%d " +
+          f"elapsed_sec=${(System.nanoTime() - trainT0) / 1e9}%.1f")
+        while (nextWaypoint <= merges.size) nextWaypoint += 1000
+      }
     }
     import spark.implicits._
     merges.toSeq.toDF("round", "merge_left", "merge_right", "n")

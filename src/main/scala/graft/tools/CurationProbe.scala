@@ -1,0 +1,134 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+import graft.Session
+import graft.text.{Dedup, TextFunctions => TF}
+
+/** End-to-end curation DAG scale probe (round-10 verdict #5): every
+  * stage of q_curation_end2end is individually priced at 50M rows,
+  * but the COMPOSED dedup → decontaminate → quality-gate → split →
+  * pack pipeline only ran at sf0.1 (5k docs). This runs the same
+  * composition at 10–50M synthetic ~100-token docs (DedupBench's
+  * planted-dup generator + a lang column) and records what a 100 TB
+  * deployment actually needs: per-phase wall time, shuffle volume,
+  * spill, and peak task execution memory, plus the single dominant
+  * exchange across the whole DAG.
+  *
+  * Phase fencing: each stage output is persisted and counted before
+  * the next starts, so (a) timings are attributable and (b) any
+  * cross-stage replay would show up as phase-N work re-billed to
+  * phase N+1 — the pinned-frame discipline the library's own
+  * operators use internally (Dedup.pinnedFrame).
+  *
+  * Usage: runMain graft.tools.CurationProbe [numDocsMillions]
+  */
+object CurationProbe {
+
+  final case class M(var shuffleWrite: Long = 0L, var spillMem: Long = 0L,
+      var spillDisk: Long = 0L, var peakExecMem: Long = 0L,
+      var maxStageShuffle: Long = 0L)
+
+  final class PhaseListener extends SparkListener {
+    @volatile var phase: String = "init"
+    val byPhase: mutable.LinkedHashMap[String, M] = mutable.LinkedHashMap()
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val m = byPhase.getOrElseUpdate(phase, M())
+        val tm = e.stageInfo.taskMetrics
+        if (tm != null) {
+          val sw = tm.shuffleWriteMetrics.bytesWritten
+          m.shuffleWrite += sw
+          m.spillMem += tm.memoryBytesSpilled
+          m.spillDisk += tm.diskBytesSpilled
+          m.peakExecMem = math.max(m.peakExecMem, tm.peakExecutionMemory)
+          m.maxStageShuffle = math.max(m.maxStageShuffle, sw)
+        }
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nM = args.headOption.map(_.toInt).getOrElse(10)
+    val n = nM * 1000000L
+    val spark = Session.get("curation-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = new PhaseListener
+    spark.sparkContext.addSparkListener(listener)
+
+    def timed[T](name: String)(f: => T): (T, Double) = {
+      listener.phase = name
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(MEMORY_AND_DISK); p.count(); p
+    }
+
+    // DedupBench's planted-dup generator (1% near-dup rate) + lang
+    val vocab = typedLit((0 until 5000).map(i => s"w$i"))
+    val (docs, genSec) = timed("generate") {
+      pin(spark.range(n)
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
+            .otherwise(col("id")).as("base"),
+          concat(lit("l"), pmod(col("id"), lit(5))).as("lang"))
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ",
+            concat_ws(" ", transform(sequence(lit(0), lit(99)),
+              i => element_at(vocab,
+                pmod(xxhash64(col("base"), i), lit(5000)).cast("int") + 1))),
+            when(pmod(col("doc_id"), lit(100)) === 1, lit("extraword"))
+              .otherwise(lit(""))).as("text")))
+    }
+
+    val (clean, dedupSec) = timed("dedup") {
+      val keepers = Dedup.dedupCorpus(docs, "doc_id", "text",
+        threshold = 0.5)
+      pin(docs.join(keepers, Seq("doc_id"), "left_semi"))
+    }
+
+    val (decon, deconSec) = timed("decontaminate") {
+      val probes = docs.where(col("doc_id") % 9973 === 0)
+        .select(col("doc_id"), col("text"))
+      val contaminated = Dedup.contaminationFlags(clean, probes,
+          "doc_id", "text", shingleN = 3, minOverlap = 1)
+        .where(col("contaminated")).select(col("doc_id"))
+      pin(clean.join(contaminated, Seq("doc_id"), "left_anti"))
+    }
+
+    val (gated, gateSec) = timed("quality_gate") {
+      pin(graft.ops.GroupQuantile.filterAtQuantile(
+        TF.withQualityScore(decon, "text", "q"),
+        Seq(col("lang")), col("q"), p = 0.25))
+    }
+
+    val ((nPacked, nBins), packSec) = timed("split_pack") {
+      val split = graft.ops.Sampling.assignSplit(gated, col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val packed = graft.ops.Packing.packSequences(
+        split.where(col("split") === "train"), "doc_id",
+        TF.tokenCount(col("text")), budget = 4096, shards = 1024)
+      val r = packed.agg(count(lit(1)),
+        countDistinct(col("shard"), col("bin"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val gb = 1024.0 * 1024 * 1024
+    val phases = Seq("generate" -> genSec, "dedup" -> dedupSec,
+      "decontaminate" -> deconSec, "quality_gate" -> gateSec,
+      "split_pack" -> packSec)
+    val rows = phases.map { case (name, sec) =>
+      val m = listener.byPhase.getOrElse(name, M())
+      f""""$name":{"sec":$sec%.1f,"shuffle_write_gb":${m.shuffleWrite / gb}%.2f,"spill_disk_gb":${m.spillDisk / gb}%.2f,"peak_exec_mem_gb":${m.peakExecMem / gb}%.2f,"max_stage_shuffle_gb":${m.maxStageShuffle / gb}%.2f}"""
+    }
+    val dominant = listener.byPhase.maxBy(_._2.maxStageShuffle)
+    println(s"""{"workload":"curation_end2end","docs":$n,"docs_kept":${gated.count()},"train_docs_packed":$nPacked,"bins":$nBins,"dominant_exchange_phase":"${dominant._1}","dominant_exchange_gb":${f"${dominant._2.maxStageShuffle / gb}%.2f"},${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -605,6 +605,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(v2.where(col("pk") === 5L).count() == 1)
     // and the dim delete dropped pk 4
     assert(v2.where(col("pk") === 4L).count() == 0)
+
+    // the BUCKETED/literal-key variant obeys the same law on the same
+    // fixture (storage layout changes the plan, never the algebra) —
+    // plus a null-fk fact that a bare NOT IN would silently drop
+    val a2n = a2.unionByName(
+      Seq((7L, Option.empty[Long], "p7")).toDF("pk", "fk", "pay"))
+    val aKeyList = dA.as[Long].collect().toSeq :+ 7L
+    val bKeyList = dB.as[Long].collect().toSeq
+    val v2b = SnapshotDiff.maintainJoinViewBucketed(v1, a2n, b2,
+      aKeyList, bKeyList, "pk", "fk", "bk")
+    val directN = a2n.join(b2, col("fk") === col("bk")).drop("bk")
+    assert(v2b.exceptAll(directN).count() == 0
+      && directN.exceptAll(v2b).count() == 0)
+    // empty deltas → the view IS the answer (and nothing null-drops)
+    val vSame = SnapshotDiff.maintainJoinViewBucketed(v1, a1, b1,
+      Seq.empty, Seq.empty, "pk", "fk", "bk")
+    assert(vSame.exceptAll(v1).count() == 0
+      && v1.exceptAll(vSame).count() == 0)
   }
 
   test("group quantile filter: matches per-group rank reference, ties survive") {

@@ -375,6 +375,23 @@ class PlanSpec extends AnyFunSuite {
       s"text keyed a shuffle: $exchanges")
   }
 
+  test("media near-dup: payload bytes never enter an exchange") {
+    val p = planString("q_media_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the perceptual hash is map-side (mapPartitions behind the codec
+    // seam); every exchange after it must carry only (id, hash, chunk)
+    // longs — a payload column in any shuffle would move the corpus
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(k => !k.contains("payload#")),
+      s"payload keyed a shuffle: $exchanges")
+    // the codec seam (mapPartitions → SerializeFromObject) is the type
+    // boundary: its output encoder is (media_id, phash), so no operator
+    // downstream can reference payload at all
+    assert(p.contains("SerializeFromObject"), p)
+  }
+
   test("triangle counts: wedge join is hash-based on ids, no cartesian") {
     val p = planString("q_copurchase_triangles")
     assert(!p.contains("CartesianProduct"), p)
@@ -408,6 +425,48 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed+sorted layout must not re-sort:\n$p")
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
       s"scan must be bucket-aware:\n$p")
+  }
+
+  test("bucketed join-view maintenance: delta legs prune buckets, zero exchange") {
+    // the deployment shape SCALE_NOTES previously punted: A2/B2 stored
+    // bucketed on the join key, delta keys literal. The repair joins
+    // must be co-located SMJs (no exchange either side) and the
+    // dim-fanout leg must read ONLY the delta keys' buckets.
+    import org.apache.spark.sql.functions.col
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val base = System.getProperty("java.io.tmpdir") + "/graft_jv_bucketed"
+    val a = graft.sources.Tables.orders(s, sf)
+      .select(col("o_orderkey").as("pk"), col("o_custkey").as("fk"),
+        col("o_totalprice").as("pay"))
+    val b = graft.sources.Tables.customer(s, sf)
+      .select(col("c_custkey").as("bk"), col("c_mktsegment").as("attr"))
+    graft.ops.Bucketing.writeBucketed(a, "graft_jv_a", s"$base/a", "fk", 8)
+    graft.ops.Bucketing.writeBucketed(b, "graft_jv_b", s"$base/b", "bk", 8)
+    val a2 = graft.ops.Bucketing.readBucketed(s, "graft_jv_a")
+    val b2 = graft.ops.Bucketing.readBucketed(s, "graft_jv_b")
+    val view = a2.join(b2, col("fk") === col("bk")).drop("bk")
+      .localCheckpoint(true)
+    val maintained = graft.ops.SnapshotDiff.maintainJoinViewBucketed(
+      view, a2, b2, aKeys = Seq(1L, 7L), bKeys = Seq(5L, 11L),
+      "pk", "fk", "bk")
+    val p = maintained.queryExecution.executedPlan.toString
+    assert("SortMergeJoin".r.findAllIn(p).size == 2,
+      s"both repair legs must be SMJs over the bucketed scans:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed maintenance must be exchange-free end to end:\n$p")
+    // dim-fanout leg: both sides prune to the delta keys' buckets
+    val pruned = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(pruned.count(_ < 8) >= 2,
+      s"expected >=2 bucket-pruned scans, got $pruned:\n$p")
+    // and the literal keys reach the scans as pushed In filters
+    // (substring check: PushedFilters values nest brackets — In(pk,
+    // [1,7]) — so a [^]]* regex self-truncates)
+    assert(p.contains("In(pk"), p)
+    assert(p.contains("In(fk"), p)
   }
 
   test("stream-stream join plans StreamingSymmetricHashJoin with watermarks") {
@@ -525,6 +584,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("adaptive IVF+PQ refine: pruned-scan serve shape survives the retry loop") {
+    // the loop's per-round shortlist fetch is ivfPqSearch — the SAME
+    // pruned serve path as q_ann_ivfpq_served (PartitionFilters on the
+    // probed cluster= dirs); what the retry loop must NOT regress is
+    // the FINAL declared plan: a bounded point-read of shortlist rows
+    // via id pushdown, never a corpus scan + row filter only
+    val p = planString("q_ann_ivfpq_adaptive")
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(p).isDefined,
+      s"adaptive re-rank: shortlist ids not pushed to the base scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("session co-presence: grid equi-join, never an all-pairs overlap join") {
     val p = planString("q_session_copresence")
     // a raw a.s<=b.e AND b.s<=a.e predicate would plan as
@@ -566,5 +638,79 @@ class PlanSpec extends AnyFunSuite {
       .filterNot(_.contains("windowspecdefinition(__b#"))
     assert(globalWindows.size <= 1,
       s"unexpected global windows:\n${globalWindows.mkString("\n")}")
+  }
+
+  // ---- HOF-lambda loop-invariant guard -------------------------------
+  // Catalyst does NOT common-subexpression-eliminate inside lambda
+  // bodies: `transform(sequence(...), i => element_at(split(t,' '), i))`
+  // re-runs the regex split once PER ELEMENT. Two such regressions
+  // shipped in round 10 and benched 14x slow before the bench caught
+  // them (Collocations, NgramLm). This guard makes the lesson
+  // structural: an expensive regex expression inside a lambda body that
+  // references NO lambda variable is loop-invariant work that must be
+  // projected/let-bound outside the lambda. A regex ON the element
+  // itself (subtree references the lambda variable) is inherent
+  // per-element work and stays legal.
+
+  import org.apache.spark.sql.catalyst.expressions.{Expression,
+    LambdaFunction, NamedLambdaVariable, RegExpExtract, RegExpExtractAll,
+    RegExpReplace, StringSplit, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def invariantExpensiveInLambdas(root: Expression): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    root.foreach {
+      case lf: LambdaFunction =>
+        lf.function.foreach { e =>
+          val expensive = e match {
+            case _: StringSplit | _: RegExpReplace | _: RegExpExtract |
+                 _: RegExpExtractAll => true
+            case _ => false
+          }
+          if (expensive && !e.exists(_.isInstanceOf[NamedLambdaVariable]))
+            out += e.simpleString(120)
+        }
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  private def lambdaOffenders(plan: LogicalPlan): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    plan.foreach { node =>
+      node.expressions.foreach { ex =>
+        out ++= invariantExpensiveInLambdas(ex)
+        ex.foreach {
+          case sq: SubqueryExpression => out ++= lambdaOffenders(sq.plan)
+          case _ =>
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("no declared query re-runs a regex inside a HOF lambda") {
+    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      lambdaOffenders(fn(spark, sf).queryExecution.analyzed)
+        .map(o => s"$name: $o")
+    }
+    assert(bad.isEmpty,
+      s"loop-invariant regex inside lambda (project the array first):\n" +
+        bad.mkString("\n"))
+  }
+
+  test("HOF-lambda guard trips on a deliberately-regressed plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val regressed = Seq("a b c").toDF("t").select(
+      transform(sequence(lit(1), lit(3)),
+        i => element_at(split(col("t"), " "), i)).as("xs"))
+    assert(lambdaOffenders(regressed.queryExecution.analyzed).nonEmpty,
+      "guard failed to detect the known 14x split-inside-lambda shape")
+    // and the legal per-element shape stays green
+    val legal = Seq(Array("a", "b")).toDF("xs").select(
+      transform(col("xs"), x => regexp_replace(x, "a", "b")).as("ys"))
+    assert(lambdaOffenders(legal.queryExecution.analyzed).isEmpty,
+      "guard must not flag regex applied to the lambda variable itself")
   }
 }

@@ -52,14 +52,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
-  test("all queries run and have stable schemas") {
+  test("all queries run, have stable schemas, and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, name)
       assert(df.columns.distinct.length == df.columns.length,
         s"$name has duplicate column names")
-      // must be executable
-      df.count()
+      // >0-rows floor: a 0-row hash match against the oracle proves
+      // only that both engines return empty (q_geo_neighbor_join went
+      // vacuous for two rounds this way). Queries legitimately empty
+      // at sf0.001 (q_hour_pivot_min20's HAVING >= 20 at 6k events)
+      // must still be non-vacuous at the sf0.01 GATE scale.
+      if (fn(spark, sf).count() == 0)
+        assert(fn(spark, "/root/testdata/sf0.01").count() > 0,
+          s"$name returns 0 rows at BOTH sf0.001 and the sf0.01 gate " +
+            "— its green oracle row is vacuous")
     }
   }
 
