@@ -263,6 +263,41 @@ object Graph {
     * pattern). O(diameter) rounds; co-purchase-style graphs with a
     * giant dense component have tiny diameters, the favorable case.
     */
+  /** k-core membership by bounded synchronous peeling: each round
+    * drops every node whose degree among SURVIVORS is < k; nodes
+    * remaining after `iters` rounds are (an over-approximation of) the
+    * k-core, exact once a round removes nothing. Fixed-round contract
+    * like [[connectedComponents]] — deterministic, so an oracle can
+    * unroll the rounds; callers size `iters` to the expected peeling
+    * depth (degeneracy cascades are shallow on heavy-tailed graphs).
+    *
+    * Shape at scale: per round, two survivor semi-joins over the edge
+    * list (survivor frame is node-sized ids — broadcasts while it
+    * fits) + one degree count agg; lineage cut per round. Emits
+    * (idCol, in_core 0/1) for EVERY input node.
+    */
+  def kCore(edges: DataFrame, nodes: DataFrame, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "kCore needs k >= 1, iters >= 1")
+    val all = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    var survivors = all
+    var round = 0
+    while (round < iters) {
+      val deg = edges
+        .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
+      survivors = survivors
+        .join(deg.where(col("__deg") >= k), Seq("id"), "left_semi")
+        .localCheckpoint(true)
+      round += 1
+    }
+    all.join(survivors.select(col("id"), lit(1).as("__in")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__in"), lit(0)).cast("int").as("in_core"))
+  }
+
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       idCol: String, iters: Int,
       runToFixpoint: Boolean = false): DataFrame = {

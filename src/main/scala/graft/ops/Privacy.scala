@@ -48,6 +48,65 @@ object Privacy {
         (col("n_sensitive") >= l).cast("int").as("is_diverse"): _*)
   }
 
+  /** t-closeness audit — the distributional disclosure check
+    * l-diversity misses: a cohort can span ≥ l distinct sensitive
+    * values yet be wildly skewed toward one of them. Per QID cohort,
+    * the Earth-Mover's Distance between the cohort's sensitive-value
+    * distribution and the GLOBAL one, for an ORDERED sensitive
+    * attribute (numeric band): EMD = (1/(m−1)) Σ_i |CumP_i − CumQ_i|
+    * over the m global bands (Li et al., ICDE 2007's ordered-distance
+    * form). Everything is exact integer arithmetic — probabilities
+    * are cross-multiplied away (|cumC_i·N − cumG_i·n| summed, then ONE
+    * integral division to ppm), so any engine replays the audit
+    * bit-identically. DECIMAL(38) products: n·N ≤ 10²⁶ at 100 TB-scale
+    * row counts, ×10⁶ still inside 38 digits.
+    *
+    * Scale shape: one hash aggregate on (QIDs, band); the grid is
+    * |cohorts| × m rows with the m-row global band frame broadcast;
+    * the cumulative window partitions by cohort (≤ m rows per
+    * partition — bounded, never corpus-ordered).
+    */
+  def tClosenessAudit(df: DataFrame, qidCols: Seq[String],
+      sensitive: Column, tPpm: Long): DataFrame = {
+    require(qidCols.nonEmpty && tPpm >= 0L, "need QID columns, tPpm >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = df.select(qidCols.map(col) :+
+      sensitive.cast("long").as("__b"): _*)
+    val cohortBand = base.groupBy(qidCols.map(col) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // bounded global band frame: per-band count, cumulative count,
+    // total N, band count m — all via windows over ≤ m rows
+    val wOrd = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bands = base.groupBy(col("__b")).agg(count(lit(1)).as("__g"))
+      .select(col("__b"), sum(col("__g")).over(wOrd).as("__cumg"),
+        sum(col("__g")).over(wAll).as("__N"),
+        count(lit(1)).over(wAll).as("__m"))
+    val cohorts = cohortBand.groupBy(qidCols.map(col): _*)
+      .agg(sum(col("__c")).as("n"))
+    val wCoh = Window.partitionBy(qidCols.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = cohorts.crossJoin(broadcast(bands))
+      .join(cohortBand, qidCols :+ "__b", "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cumc", sum(col("__c")).over(wCoh))
+      .withColumn("__term", abs(
+        col("__cumc").cast(dec) * col("__N").cast(dec) -
+          col("__cumg").cast(dec) * col("n").cast(dec)))
+    grid.groupBy(qidCols.map(col): _*)
+      .agg(max(col("n")).as("n"),
+        sum(col("__term")).as("__num"),
+        max(col("__N")).as("__NN"), max(col("__m")).as("__mm"))
+      .select(qidCols.map(col) :+ col("n") :+
+        expr("(cast(__num as decimal(38,0)) * 1000000) div " +
+          "(cast(n as decimal(38,0)) * cast(__NN as decimal(38,0)) * " +
+          "greatest(cast(__mm as decimal(38,0)) - 1, 1))").as("emd_ppm"): _*)
+      .withColumn("is_close", (col("emd_ppm") <= tPpm).cast("int"))
+  }
+
   /** Suppress (null out) the quasi-identifiers of every row whose QID
     * cohort is smaller than `k` — the generalize-to-top suppression
     * that makes the release k-anonymous while keeping row counts (and

@@ -247,6 +247,43 @@ object GraphQueries {
       ${(1 to 3).map(sqlCcStep).mkString(",")}
       SELECT id AS part_id, label AS component FROM c3"""))
 
+  /** One unrolled peeling round for the k-core oracle: degrees among
+    * round-(i−1) survivors, keep nodes with degree >= k.
+    */
+  private def sqlKcStep(i: Int, k: Int): String = s"""
+      kd$i AS (
+        SELECT e.src AS id, COUNT(*) AS dg
+        FROM e
+        JOIN s${i - 1} a ON a.id = e.src
+        JOIN s${i - 1} b ON b.id = e.dst
+        GROUP BY 1),
+      s$i AS (SELECT id FROM kd$i WHERE dg >= $k)"""
+
+  /** k-core membership (Graph.kCore): bounded synchronous peeling —
+    * every round drops nodes whose degree among survivors is below k
+    * (here k = 60, 3 rounds over the co-purchase graph). The oracle
+    * unrolls the exact peeling trajectory (the connectedComponents
+    * pattern); output is (part, in_core 0/1) for every node, so the
+    * row is non-vacuous at every SF regardless of how deep the peel
+    * cuts.
+    */
+  private val qKCore = QueryDef(
+    "q_kcore_membership",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val nodes = li.select(col("l_partkey")).distinct()
+      Graph.kCore(edges, nodes, "l_partkey", k = 60, iters = 3)
+        .withColumnRenamed("l_partkey", "part_id")
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      s0 AS (SELECT id FROM nodes),
+      ${(1 to 3).map(sqlKcStep(_, 60)).mkString(",")}
+      SELECT n.id AS part_id,
+        CAST(CASE WHEN s3.id IS NULL THEN 0 ELSE 1 END AS INT) AS in_core
+      FROM nodes n LEFT JOIN s3 ON s3.id = n.id"""))
+
   def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift,
-    qComponents)
+    qComponents, qKCore)
 }

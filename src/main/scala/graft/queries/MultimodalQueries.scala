@@ -225,5 +225,63 @@ object MultimodalQueries {
       GROUP BY 1, 2
       HAVING SUM(bit_count(xor(a.bv, b.bv))) <= 3"""))
 
-  def all: Seq[QueryDef] = Seq(qFeatures, qMediaAnn, qResize, qMediaNearDup)
+  /** The media near-dup screen as a CONTINUOUS ingest query
+    * (StreamingMediaNearDup): arriving payloads are perceptual-hashed
+    * map-side per micro-batch (codec seam), then band-joined against
+    * the accumulated corpus's static phash table — pairs are
+    * batch × INDEX only, so any micro-batch partitioning yields the
+    * same rows as the one-shot run, which this oracle replays exactly.
+    * Twin ids sit at +10000001 (≡ source+1 mod 5) so every planted
+    * near-dup pair CROSSES the batch/corpus split.
+    */
+  private val qStreamMediaNearDup = QueryDef(
+    "q_stream_media_neardup",
+    (s, d) => graft.streaming.StreamingMediaNearDup
+      .runBatchEquivalent(s, d),
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, text AS payload FROM documents
+        UNION ALL
+        SELECT doc_id + 10000001 AS media_id,
+          'x' || substr(text, 2) AS payload
+        FROM documents WHERE doc_id % 40 = 0),
+      bytes AS (
+        SELECT media_id, CAST(j AS BIGINT) - 1 AS j,
+          ord(substr(payload, CAST(j AS INT), 1)) AS b,
+          strlen(payload) AS n
+        FROM media, unnest(range(1, strlen(payload) + 1)) t(j)),
+      bsum AS (
+        SELECT media_id, (j * 65) // n AS bucket, SUM(b) // COUNT(*) AS m
+        FROM bytes GROUP BY 1, 2),
+      spine AS (
+        SELECT m.media_id, s.bucket, COALESCE(b.m, 0) AS m
+        FROM (SELECT DISTINCT media_id FROM media) m
+        CROSS JOIN (SELECT unnest(range(0, 65)) AS bucket) s
+        LEFT JOIN bsum b ON b.media_id = m.media_id AND b.bucket = s.bucket),
+      bits AS (
+        SELECT media_id, bucket AS i,
+          CASE WHEN nxt > m THEN 1 ELSE 0 END AS bit
+        FROM (SELECT media_id, bucket, m,
+            LEAD(m) OVER (PARTITION BY media_id ORDER BY bucket) AS nxt
+          FROM spine) WHERE bucket < 64),
+      bands AS (
+        SELECT media_id, i // 16 AS band,
+          CAST(SUM(bit * (1::BIGINT << CAST(i % 16 AS INT))) AS BIGINT) AS bv
+        FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT a.media_id AS probe_id, b.media_id AS index_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+        WHERE a.media_id % 5 = 0 AND b.media_id % 5 <> 0
+          AND a.media_id <> b.media_id
+        GROUP BY 1, 2)
+      SELECT c.probe_id, c.index_id,
+        CAST(SUM(bit_count(xor(a.bv, b.bv))) AS INT) AS hamming
+      FROM cand c
+      JOIN bands a ON a.media_id = c.probe_id
+      JOIN bands b ON b.media_id = c.index_id AND b.band = a.band
+      GROUP BY 1, 2
+      HAVING SUM(bit_count(xor(a.bv, b.bv))) <= 3"""))
+
+  def all: Seq[QueryDef] =
+    Seq(qFeatures, qMediaAnn, qResize, qMediaNearDup, qStreamMediaNearDup)
 }

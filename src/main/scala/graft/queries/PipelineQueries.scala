@@ -1042,6 +1042,127 @@ object PipelineQueries {
              THEN num / den END AS corr
       FROM g"""))
 
+  /** Single changepoint per event type (ops/Changepoint.bestSplit):
+    * the day that best splits the daily-count series into two
+    * constant-mean segments — maximum between-segment sum-of-squares,
+    * the drift-LOCALIZATION step after profileDrift/anomalyFlags
+    * alarm. Exact integer prefix sums; the objective is one integral
+    * division (×10³) so the argmax and its day tiebreak replay on any
+    * engine; segment means emitted ×10³ integral.
+    */
+  private val qChangepoint = QueryDef(
+    "q_changepoint_split",
+    (s, d) => graft.ops.Changepoint.bestSplit(Tables.events(s, d),
+        col("event_type"), to_date(col("ts")), count(lit(1)))
+      .withColumnRenamed("key", "event_type"),
+    Some("""
+      WITH daily AS (
+        SELECT event_type AS k, CAST(ts AS DATE) AS d, COUNT(*) AS v
+        FROM events GROUP BY 1, 2),
+      sc AS (
+        SELECT k, d,
+          COUNT(*) OVER (PARTITION BY k ORDER BY d) AS t,
+          CAST(SUM(v) OVER (PARTITION BY k ORDER BY d) AS HUGEINT) AS l,
+          COUNT(*) OVER (PARTITION BY k) AS n,
+          CAST(SUM(v) OVER (PARTITION BY k) AS HUGEINT) AS s
+        FROM daily),
+      obj AS (
+        SELECT k, d, t, n, l, s,
+          ((l * n - t * s) * (l * n - t * s) * 1000) //
+            (CAST(t AS HUGEINT) * (n - t)) AS obj_scaled
+        FROM sc WHERE t < n),
+      best AS (
+        SELECT k, n, d, obj_scaled, l, t, s,
+          ROW_NUMBER() OVER (PARTITION BY k
+            ORDER BY obj_scaled DESC, d) AS rn
+        FROM obj)
+      SELECT k AS event_type, CAST(n AS BIGINT) AS n_days,
+        d AS split_day, CAST(obj_scaled AS BIGINT) AS obj_scaled,
+        CAST((l * 1000) // CAST(t AS HUGEINT) AS BIGINT)
+          AS mean_before_milli,
+        CAST(((s - l) * 1000) // CAST(n - t AS HUGEINT) AS BIGINT)
+          AS mean_after_milli
+      FROM best WHERE rn = 1"""))
+
+  /** Spearman rank correlation of the same (daily volume, daily count)
+    * pairs — the robust twin of q_value_volume_corr: Pearson over
+    * MIDRANKS, so monotone-but-nonlinear association registers and
+    * outlier days stop dominating. Midranks stay integer by doubling
+    * (rank2 = 2·RANK + ties − 1 — the Mann-Whitney trick from
+    * aucExact), the moments accumulate in exact DECIMAL, and the final
+    * r is the same ONE mirrored IEEE tree both engines evaluate
+    * identically. Scale: one day-grain aggregate, two bounded
+    * per-type rank windows, one moments aggregate.
+    */
+  private val qSpearmanCorr = QueryDef(
+    "q_spearman_corr",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+        .agg(sum(col("value").cast(DecimalType(12, 2))).as("xv"),
+          count(lit(1)).as("yv"))
+      def rank2(c: String) =
+        (lit(2L) * rank().over(
+          Window.partitionBy(col("event_type")).orderBy(col(c))) +
+          count(lit(1)).over(
+            Window.partitionBy(col("event_type"), col(c))) - 1L)
+          .cast(DecimalType(12, 0))
+      val ranked = daily.select(col("event_type"),
+        rank2("xv").as("rx"), rank2("yv").as("ry"))
+      val m = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+      val n = col("n_days").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      val den = sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+        sqrt(greatest(n * syy - sy * sy, lit(0.0)))
+      m.select(col("event_type"), col("n_days"),
+        when(col("n_days") >= 2L && !isnan(den) && den > 0.0,
+          (n * sxy - sx * sy) / den).as("spearman"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          SUM(CAST(value AS DECIMAL(12,2))) AS xv,
+          COUNT(*) AS yv
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type,
+          CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY xv)
+            + COUNT(*) OVER (PARTITION BY event_type, xv) - 1
+            AS DECIMAL(12,0)) AS rx,
+          CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY yv)
+            + COUNT(*) OVER (PARTITION BY event_type, yv) - 1
+            AS DECIMAL(12,0)) AS ry
+        FROM daily),
+      m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+          SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+          SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        FROM r GROUP BY 1),
+      f AS (
+        SELECT event_type, n_days,
+          CAST(n_days AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+          CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+          CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+        FROM m),
+      g AS (
+        SELECT event_type, n_days,
+          sqrt(greatest(n * sxx - sx * sx, 0.0)) *
+            sqrt(greatest(n * syy - sy * sy, 0.0)) AS den,
+          n * sxy - sx * sy AS num
+        FROM f)
+      SELECT event_type, n_days,
+        CASE WHEN n_days >= 2 AND NOT isnan(den) AND den > 0.0
+             THEN num / den END AS spearman
+      FROM g"""))
+
   /** Funnel time-to-convert (Funnel.funnelLatency): per-transition
     * latency distribution — n, min/max, mean, and the EXACT median via
     * the order-statistic distribution walk (dt values are bounded by
@@ -1276,6 +1397,6 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qRetention,
+    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -482,6 +482,58 @@ object RelationalQueries {
           AS BIGINT)) >= 3 THEN 1 ELSE 0 END AS INT) AS is_diverse
       FROM customer GROUP BY 1, 2"""))
 
+  /** t-closeness audit (ops/Privacy.tClosenessAudit): the
+    * distributional check l-diversity misses — per (nation, segment)
+    * cohort, the ordered EMD between the cohort's account-balance-band
+    * distribution and the global one, as exact cross-multiplied
+    * integer ppm (|cumC·N − cumG·n| summed over bands, ONE integral
+    * division), flagged against t = 0.25. The oracle replays cohort
+    * cums, global cums, and the HUGEINT arithmetic bit-for-bit.
+    */
+  private val qTCloseness = QueryDef(
+    "q_t_closeness",
+    (s, d) => graft.ops.Privacy.tClosenessAudit(
+      Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 2000).cast("long"), tPpm = 250000L),
+    Some("""
+      WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 2000) AS BIGINT) AS b
+        FROM customer),
+      cb AS (
+        SELECT c_nationkey, c_mktsegment, b, COUNT(*) AS c
+        FROM base GROUP BY 1, 2, 3),
+      gbc AS (
+        SELECT b, SUM(g) OVER (ORDER BY b) AS cumg,
+          SUM(g) OVER () AS n_total, COUNT(*) OVER () AS m
+        FROM (SELECT b, COUNT(*) AS g FROM base GROUP BY 1)),
+      coh AS (
+        SELECT c_nationkey, c_mktsegment, SUM(c) AS n
+        FROM cb GROUP BY 1, 2),
+      grid AS (
+        SELECT coh.c_nationkey, coh.c_mktsegment, coh.n, g.b, g.cumg,
+          g.n_total, g.m, COALESCE(cb.c, 0) AS c
+        FROM coh CROSS JOIN gbc g
+        LEFT JOIN cb ON cb.c_nationkey = coh.c_nationkey
+          AND cb.c_mktsegment = coh.c_mktsegment AND cb.b = g.b),
+      cums AS (
+        SELECT *, SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+          ORDER BY b) AS cumc
+        FROM grid),
+      agg AS (
+        SELECT c_nationkey, c_mktsegment, MAX(n) AS n,
+          SUM(ABS(CAST(cumc AS HUGEINT) * n_total -
+            CAST(cumg AS HUGEINT) * n)) AS num,
+          MAX(n_total) AS nn, MAX(m) AS mm
+        FROM cums GROUP BY 1, 2)
+      SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+        CAST((num * 1000000) // (CAST(n AS HUGEINT) * nn *
+          GREATEST(mm - 1, 1)) AS BIGINT) AS emd_ppm,
+        CAST(CASE WHEN (num * 1000000) // (CAST(n AS HUGEINT) * nn *
+          GREATEST(mm - 1, 1)) <= 250000 THEN 1 ELSE 0 END AS INT)
+          AS is_close
+      FROM agg"""))
+
   /** k-anonymity suppression (ops/Privacy.suppressBelowK): customers
     * re-released with the (nation, segment) QIDs nulled wherever the
     * cohort is smaller than 5 — row counts and non-QID columns intact.
@@ -551,5 +603,5 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
     qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit,
-    qKAnon, qKAnonSuppress, qLDiversity, qProfileDrift)
+    qKAnon, qKAnonSuppress, qLDiversity, qTCloseness, qProfileDrift)
 }

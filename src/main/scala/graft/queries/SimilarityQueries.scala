@@ -1347,9 +1347,102 @@ object SimilarityQueries {
       FROM nq2 LEFT JOIN firsts ON TRUE
       GROUP BY n_queries"""))
 
+  /** Retrieval eval #3 — nDCG@5 of the kNN join (binary label
+    * relevance), completing the precision / MRR / nDCG triad. The log2
+    * discounts ride as a PINNED INTEGER table (×10⁴:
+    * round(10⁴/log2(r+1)) = 10000, 6309, 5000, 4307, 3869) shared
+    * literally by both engines — cross-engine log2 bit-identity is
+    * never assumed. DCG and the ideal DCG (discount prefix sums capped
+    * at min(available same-label docs, 5)) are exact BIGINTs; the
+    * per-query nDCG is ONE double division. Queries with no same-label
+    * candidate anywhere emit NULL (undefined, not zero).
+    */
+  private val qKnnNdcg = QueryDef(
+    "q_knn_label_ndcg",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val disc = typedLit(Seq(10000L, 6309L, 5000L, 4307L, 3869L))
+      val idcgPrefix = typedLit(Seq(10000L, 16309L, 21309L, 25616L, 29485L))
+      val knn = Similarity.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", k = 5)
+      val dcg = knn
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), Seq("query_id"))
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("query_id"))
+        .agg(sum(element_at(disc, col("rank").cast("int")) *
+          (col("label") === col("__ql")).cast("long")).as("dcg_scaled"))
+      val lc = lab.groupBy(col("label")).agg(count(lit(1)).as("__c"))
+      val idcg = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("label"))
+        .join(broadcast(lc), Seq("label"))
+        .select(col("query_id"),
+          when(col("__c") - 1 <= 0, lit(0L))
+            .otherwise(element_at(idcgPrefix,
+              least(col("__c") - 1, lit(5L)).cast("int")))
+            .as("idcg_scaled"))
+      idcg.join(dcg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+          col("idcg_scaled"),
+          when(col("idcg_scaled") > 0,
+            coalesce(col("dcg_scaled"), lit(0L)).cast("double") /
+              col("idcg_scaled").cast("double")).as("ndcg"))
+    },
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+      dots AS (
+        SELECT g.vec_id AS query_id, f.vec_id, SUM(f.qv * g.qv) AS qdot
+        FROM flat f
+        JOIN flat g ON g.i = f.i AND g.vec_id % 10 = 0
+          AND f.vec_id <> g.vec_id
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT query_id, d.vec_id,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nq.nrm AS BIGINT)))
+            AS score
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.query_id),
+      top AS (
+        SELECT query_id, vec_id, rn FROM (
+          SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS rn
+          FROM sc)
+        WHERE rn <= 5),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      dcg AS (
+        SELECT t.query_id,
+          CAST(SUM(CASE WHEN ln.label = lq.label THEN
+            CASE t.rn WHEN 1 THEN 10000 WHEN 2 THEN 6309 WHEN 3 THEN 5000
+              WHEN 4 THEN 4307 ELSE 3869 END ELSE 0 END) AS BIGINT)
+            AS dcg_scaled
+        FROM top t
+        JOIN lab ln ON ln.vec_id = t.vec_id
+        JOIN lab lq ON lq.vec_id = t.query_id
+        GROUP BY 1),
+      lc AS (SELECT label, COUNT(*) AS c FROM embeddings GROUP BY 1),
+      idcg AS (
+        SELECT q.vec_id AS query_id,
+          CAST(CASE LEAST(lc.c - 1, 5) WHEN 0 THEN 0 WHEN 1 THEN 10000
+            WHEN 2 THEN 16309 WHEN 3 THEN 21309 WHEN 4 THEN 25616
+            ELSE 29485 END AS BIGINT) AS idcg_scaled
+        FROM embeddings q JOIN lc ON lc.label = q.label
+        WHERE q.vec_id % 10 = 0)
+      SELECT i.query_id, COALESCE(d.dcg_scaled, 0) AS dcg_scaled,
+        i.idcg_scaled,
+        CASE WHEN i.idcg_scaled > 0
+          THEN CAST(COALESCE(d.dcg_scaled, 0) AS DOUBLE) /
+            CAST(i.idcg_scaled AS DOUBLE) END AS ndcg
+      FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id"""))
+
   def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined, qIvfPqAdaptive,
     qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining,
-    qMarginMiningIvf, qPcaTop1, qAbtt, qCentroidAuc, qKnnPrecision, qKnnMrr)
+    qMarginMiningIvf, qPcaTop1, qAbtt, qCentroidAuc, qKnnPrecision, qKnnMrr, qKnnNdcg)
 }

@@ -2241,7 +2241,47 @@ object TextQueries {
       WHERE n_xy >= 5
       ORDER BY lift_ppm DESC, w1, w2 LIMIT 20"""))
 
+  /** Readability scoring (TextFunctions.withReadability): Flesch
+    * reading-ease ×1000 with integral divisions by spec — words,
+    * sentence runs ([.!?]+, clamped ≥ 1), vowel-group syllable proxy.
+    * The synthetic corpus has no punctuation, so the fixture derives a
+    * punctuated twin first (every " a " becomes ". " — plain
+    * left-to-right replace, identical in any engine), making the
+    * sentence term vary per doc instead of exercising only the clamp.
+    */
+  private val qReadability = QueryDef(
+    "q_readability",
+    (s, d) => {
+      val punct = Tables.documents(s, d).select(col("doc_id"),
+        call_function("replace", col("text"), lit(" a "), lit(". "))
+          .as("text"))
+      TF.withReadability(punct, "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_vowel_groups"), col("flesch_milli"))
+    },
+    Some("""
+      WITH punct AS (
+        SELECT doc_id, replace(text, ' a ', '. ') AS t FROM documents),
+      m AS (
+        SELECT doc_id,
+          GREATEST(CASE WHEN length(trim(t)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(t), '\s+')) END, 1)
+            AS n_words,
+          GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1)
+            AS n_sentences,
+          GREATEST(len(regexp_extract_all(t, '[aeiouyAEIOUY]+')), 1)
+            AS n_vowel_groups
+        FROM punct)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_sentences AS BIGINT) AS n_sentences,
+        CAST(n_vowel_groups AS BIGINT) AS n_vowel_groups,
+        CAST(206835 - (1015 * n_words) // n_sentences
+          - (84600 * n_vowel_groups) // n_words AS BIGINT)
+          AS flesch_milli
+      FROM m"""))
+
   def all: Seq[QueryDef] = Seq(
+    qReadability,
     qDsirWeights, qDsirResample, qStreamDsir, qCollocations,
     qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration,
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,

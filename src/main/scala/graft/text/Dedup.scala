@@ -409,8 +409,13 @@ object Dedup {
     * alignment; the second alignment catches it with ~6 bits of
     * margin again.
     */
-  private def simhashPairsWithin(hashed: DataFrame, maxHamming: Int,
-      chunks: Int, rotations: Seq[Int] = Seq(0)): DataFrame = {
+  /** (id, sh) → (id, sh, band, chunk): the statically-unrolled
+    * (rotations × chunks) banding explode shared by the within-set and
+    * cross-set Hamming joins. Band id (pos) encodes (rotation, chunk
+    * index).
+    */
+  private def chunkBanded(hashed: DataFrame, chunks: Int,
+      rotations: Seq[Int]): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
@@ -418,17 +423,45 @@ object Dedup {
       if (r == 0) c
       else call_function("shiftleft", c, lit(r))
         .bitwiseOR(call_function("shiftrightunsigned", c, lit(64 - r)))
-    // statically unrolled (rotations × chunks) chunk values; the band
-    // id (pos in the array) encodes (rotation, chunk index)
     val chunkCols: Seq[Column] = rotations.flatMap { r =>
       val rotated = rot(col("sh"), r)
       (0 until chunks).map(b =>
         call_function("shiftright", rotated, lit(b * bits))
           .bitwiseAND(mask))
     }
-    val banded = hashed.select(col("id"), col("sh"),
+    hashed.select(col("id"), col("sh"),
       posexplode(array(chunkCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+  }
+
+  /** Cross-set Hamming pairs: every (probe, index) pair within
+    * `maxHamming`, via the same chunk-band machinery as the within-set
+    * join (same pigeonhole guarantee). The ingest-time shape: the
+    * probe side is a (micro-)batch, the index side the accumulated
+    * corpus; verdicts depend only on the index, so any batch
+    * partitioning yields the same row set. Output (probe_id, index_id,
+    * hamming).
+    */
+  def hammingNearDupsAcross(probe: DataFrame, index: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int,
+      chunks: Int = 4): DataFrame = {
+    def sig(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(hashCol).as("sh"))
+    val a = chunkBanded(sig(probe), chunks, Seq(0))
+    val b = chunkBanded(sig(index), chunks, Seq(0))
+    a.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.id") =!= col("b.id"))
+      .where(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+      .select(col("a.id").as("probe_id"), col("b.id").as("index_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+  }
+
+  private def simhashPairsWithin(hashed: DataFrame, maxHamming: Int,
+      chunks: Int, rotations: Seq[Int] = Seq(0)): DataFrame = {
+    val banded = chunkBanded(hashed, chunks, rotations)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
         col("a.id") < col("b.id"))

@@ -100,6 +100,35 @@ object TextFunctions {
     * on long documents. Use this form in scans; the scalar form remains
     * for composition inside other expressions.
     */
+  /** Flesch-style readability signals, integerized so any engine
+    * replays them exactly: words (whitespace tokens), sentences
+    * (runs of [.!?], clamped ≥ 1), syllable PROXY (vowel-group runs —
+    * the standard cheap approximation; clamped ≥ 1), and
+    *
+    *   flesch_milli = 206835 − (1015·words) div sentences
+    *                         − (84600·syllables) div words
+    *
+    * — the Flesch reading-ease formula ×1000 with integral divisions
+    * BY SPEC (documented deviation from the float original; the
+    * ranking it induces is what quality gates consume). Map-side only.
+    */
+  def withReadability(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = greatest(tokenCount(col(textCol)).cast("long"), lit(1L))
+    val sentences = greatest(
+      call_function("regexp_count", col(textCol), lit("[.!?]+"))
+        .cast("long"), lit(1L))
+    val vowelGroups = greatest(
+      call_function("regexp_count", col(textCol), lit("[aeiouyAEIOUY]+"))
+        .cast("long"), lit(1L))
+    df.withColumn("n_words", words)
+      .withColumn("n_sentences", sentences)
+      .withColumn("n_vowel_groups", vowelGroups)
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("(1015 * n_words) div n_sentences") -
+          expr("(84600 * n_vowel_groups) div n_words"))
+  }
+
   def withQualityScore(df: org.apache.spark.sql.DataFrame, textCol: String,
       outCol: String,
       stopwords: Seq[String] = Seq("the", "a", "of", "and")): org.apache.spark.sql.DataFrame = {

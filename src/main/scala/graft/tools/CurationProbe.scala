@@ -57,6 +57,13 @@ object CurationProbe {
     val n = nM * 1000000L
     val spark = Session.get("curation-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    // 32 partitions × ~310k docs × ~100 shingles each blew the hash
+    // aggregate's memory budget (AGGREGATE_OUT_OF_MEMORY with 32
+    // concurrent fat tasks) — size partitions so a task's partial agg
+    // fits: ~40k docs/task. The exact knob a 1000-executor deployment
+    // turns (shuffle.partitions scales with data, not cluster default).
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    val parts = 256
     val listener = new PhaseListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -73,7 +80,7 @@ object CurationProbe {
     // DedupBench's planted-dup generator (1% near-dup rate) + lang
     val vocab = typedLit((0 until 5000).map(i => s"w$i"))
     val (docs, genSec) = timed("generate") {
-      pin(spark.range(n)
+      pin(spark.range(0L, n, 1L, parts)
         .select(col("id").as("doc_id"),
           when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
             .otherwise(col("id")).as("base"),
@@ -87,25 +94,33 @@ object CurationProbe {
               .otherwise(lit(""))).as("text")))
     }
 
+    // probes derived BEFORE docs unpersists (bounded: ~1k rows)
+    val probes = docs.where(col("doc_id") % 9973 === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+
     val (clean, dedupSec) = timed("dedup") {
       val keepers = Dedup.dedupCorpus(docs, "doc_id", "text",
         threshold = 0.5)
-      pin(docs.join(keepers, Seq("doc_id"), "left_semi"))
+      val c = pin(docs.join(keepers, Seq("doc_id"), "left_semi"))
+      docs.unpersist() // stage consumed — keep ≤ 2 corpus frames live
+      c
     }
 
     val (decon, deconSec) = timed("decontaminate") {
-      val probes = docs.where(col("doc_id") % 9973 === 0)
-        .select(col("doc_id"), col("text"))
       val contaminated = Dedup.contaminationFlags(clean, probes,
           "doc_id", "text", shingleN = 3, minOverlap = 1)
         .where(col("contaminated")).select(col("doc_id"))
-      pin(clean.join(contaminated, Seq("doc_id"), "left_anti"))
+      val dc = pin(clean.join(contaminated, Seq("doc_id"), "left_anti"))
+      clean.unpersist()
+      dc
     }
 
     val (gated, gateSec) = timed("quality_gate") {
-      pin(graft.ops.GroupQuantile.filterAtQuantile(
+      val g = pin(graft.ops.GroupQuantile.filterAtQuantile(
         TF.withQualityScore(decon, "text", "q"),
         Seq(col("lang")), col("q"), p = 0.25))
+      decon.unpersist()
+      g
     }
 
     val ((nPacked, nBins), packSec) = timed("split_pack") {

@@ -1133,4 +1133,76 @@ class CorpusOpsSpec extends AnyFunSuite {
     val poolSet = pool.collect().map(_.getLong(0)).toSet
     assert(rows.forall(r => poolSet.contains(r.getLong(2))))
   }
+
+  test("tClosenessAudit: hand-computed ordered EMD, skew flagged") {
+    import graft.ops.Privacy
+    // cohorts a=(0,0), b=(1,1), c=(0,1) → global bands 3/3 (N=6, m=2).
+    // a: cum diff at band 0 = |2·6 − 3·2| = 6 → emd_ppm =
+    // 6·10⁶/(2·6·1) = 500000 (EMD 0.5, skewed). b: |0·6 − 3·2| = 6 →
+    // 500000. c mirrors the global split exactly → 0.
+    val df = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L),
+      ("c", 0L), ("c", 1L)).toDF("g", "band")
+    val out = Privacy.tClosenessAudit(df, Seq("g"), col("band"),
+      tPpm = 250000L)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out("a") == ((2L, 500000L, 0)))
+    assert(out("b") == ((2L, 500000L, 0)))
+    assert(out("c") == ((2L, 0L, 1)))
+  }
+
+  test("changepoint bestSplit: level shift found, means exact, tie to earliest") {
+    import graft.ops.Changepoint
+    val days = (1 to 5).map(i => java.sql.Date.valueOf(f"2024-01-0$i%d"))
+    // one event row per (day, count) unit: day i carries v_i rows
+    val vals = Seq(1, 1, 1, 9, 9)
+    val rows = days.zip(vals).flatMap { case (d, v) =>
+      Seq.fill(v)(("k", d)) }
+    val out = Changepoint.bestSplit(rows.toDF("k", "d"),
+      col("k"), col("d"), count(lit(1))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Date]("split_day") == days(2)) // after day 3
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("mean_before_milli") == 1000L)
+    assert(r.getAs[Long]("mean_after_milli") == 9000L)
+    // hand value: num = 3·21−... L=3,n=5,S=21 → |15−63| = 48;
+    // 48²·1000/(3·2) = 384000
+    assert(r.getAs[Long]("obj_scaled") == 384000L)
+    // constant series: every split scores 0 → tie breaks to day 1
+    val flat = days.map(d => ("k", d)).toDF("k", "d")
+    val f = Changepoint.bestSplit(flat, col("k"), col("d"),
+      count(lit(1))).collect().head
+    assert(f.getAs[Long]("obj_scaled") == 0L)
+    assert(f.getAs[java.sql.Date]("split_day") == days(0))
+  }
+
+  test("withReadability: integer Flesch pieces, clamps at zero counts") {
+    import graft.text.TextFunctions
+    val df = Seq((1L, "ab. cd ef"), (2L, "")).toDF("doc_id", "text")
+    val out = TextFunctions.withReadability(df, "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_vowel_groups"), r.getAs[Long]("flesch_milli"))))
+      .toMap
+    // words = 3 ("ab." "cd" "ef"), sentences = 1 ("."), vowel groups =
+    // "a","e" → 2; 206835 − 1015·3/1 − 84600·2 div 3 = 147390
+    assert(out(1L) == ((3L, 1L, 2L, 147390L)))
+    // empty text: all clamps to 1 → 206835 − 1015 − 84600 = 121220
+    assert(out(2L) == ((1L, 1L, 1L, 121220L)))
+  }
+
+  test("hammingNearDupsAcross: cross-set only, threshold exact") {
+    import graft.text.Dedup
+    val probe = Seq((1L, 0L), (2L, -1L)).toDF("id", "h")
+    val index = Seq((10L, 1L), (11L, 7L), (12L, 0L)).toDF("id", "h")
+    val out = Dedup.hammingNearDupsAcross(probe, index, "id", "h",
+        maxHamming = 3, chunks = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      .toMap
+    // probe 1 (0x0): vs 10 (1 bit), 11 (3 bits), 12 (0 bits) — all ≤ 3
+    // probe 2 (all ones): 63, 61, 64 bits away — none pass, and no
+    // band can even match except... chunk 0xFFFF never equals any
+    assert(out == Map((1L, 10L) -> 1, (1L, 11L) -> 3, (1L, 12L) -> 0))
+  }
 }

@@ -9,6 +9,23 @@ class GraphSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.builder("graph-test", "4").getOrCreate()
   import spark.implicits._
 
+  test("kCore: pendant peels, triangle survives, cascades peel in rounds") {
+    import org.apache.spark.sql.functions.col
+    // triangle 1-2-3, pendant 4 on 1, chain 5 on 4: at k=2 the chain
+    // peels over TWO rounds (5 first, then 4 once 5 is gone)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    def core(iters: Int) = Graph.kCore(edges, nodes, "id", k = 2, iters)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // one round: only 5 (degree 1) peels; 4 still counted degree 2
+    assert(core(1) == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0))
+    // two rounds: 4's degree drops to 1 once 5 is gone
+    assert(core(2) == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0))
+    // fixpoint: triangle is the 2-core
+    assert(core(3) == core(2))
+  }
+
   test("co-occurrence edges: within-group pairs, symmetric, simple") {
     // groups: {1,2,3}, {2,3}, {4} — edge set {1-2,1-3,2-3} both ways
     val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L),
