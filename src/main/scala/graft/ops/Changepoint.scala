@@ -38,10 +38,17 @@ object Changepoint {
     * obj_scaled, mean_before_milli, mean_after_milli).
     */
   def bestSplit(df: DataFrame, keyCol: Column, dayCol: Column,
-      value: Column): DataFrame = {
+      value: Column): DataFrame =
+    bestSplitFromDaily(
+      df.groupBy(keyCol.as("__k"), dayCol.as("__d")).agg(value.as("__v")))
+
+  /** The objective fold over an ALREADY-aggregated (__k, __d, __v)
+    * daily frame — the entry point for continuously-maintained counts
+    * (the streaming twin keeps the day-grain counts as aggregation
+    * state, the keySkewAuditFromCounts pattern).
+    */
+  def bestSplitFromDaily(daily: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val daily = df.groupBy(keyCol.as("__k"), dayCol.as("__d"))
-      .agg(value.as("__v"))
     val wPre = Window.partitionBy(col("__k")).orderBy(col("__d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("__k"))

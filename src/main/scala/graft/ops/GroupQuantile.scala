@@ -36,6 +36,15 @@ object GroupQuantile {
   /** Keep rows whose `value` is at or above their group's `p`-quantile
     * (lower/type-1). `df` must not already contain the temp columns
     * `__gq_cum`/`__gq_tot`/`__gq_thr`.
+    *
+    * TWO-CONSUMER caveat: `df` feeds both the threshold aggregate and
+    * the filter join-back, so an EXPENSIVE `value` expression (regex
+    * quality scores, model scoring) evaluates twice unless the caller
+    * materializes the scored frame first — CurationProbe measured the
+    * un-pinned form re-running the quality regexes for 2.5× the cost
+    * of the entire dedup stage at 5M docs. Score once, pin
+    * (persist/localCheckpoint), then filter on the materialized
+    * column.
     */
   def filterAtQuantile(df: DataFrame, groupCols: Seq[Column],
       value: Column, p: Double): DataFrame = {

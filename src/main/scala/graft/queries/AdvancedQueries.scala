@@ -748,6 +748,50 @@ object AdvancedQueries {
           AS BIGINT) AS bin
       FROM nz"""))
 
+  /** Packing-efficiency readout over the SAME packing (the number a
+    * training-infra owner actually watches): per shard — docs, bins,
+    * token volume, and fill_ppm = tokens·10⁶ div (bins·budget). Fill
+    * can exceed 10⁶ because boundary-straddling docs belong to the
+    * bin their first token falls in (packSequences' documented rule);
+    * a fill materially below 10⁶ means the shard's tail bin is
+    * draining the average and the shard count is too high for the
+    * corpus.
+    */
+  private val qPackingEfficiency = QueryDef(
+    "q_packing_efficiency",
+    (s, d) =>
+      graft.ops.Packing.packSequences(
+        Tables.documents(s, d),
+        "doc_id", graft.text.TextFunctions.tokenCount(col("text")),
+        budget = 512, shards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bin")).as("n_bins"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        .withColumn("fill_ppm",
+          expr("(sum_tokens * 1000000) div (n_bins * 512)")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+            AS n_tokens
+        FROM documents),
+      nz AS (SELECT * FROM t WHERE n_tokens > 0),
+      p AS (
+        SELECT doc_id, shard, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+            AS BIGINT) AS bin
+        FROM nz)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST((SUM(n_tokens) * 1000000) // (COUNT(DISTINCT bin) * 512)
+          AS BIGINT) AS fill_ppm
+      FROM p GROUP BY shard"""))
+
   /** Two-stage salted aggregation (graft.ops.Salting) — the manual
     * extreme-skew mitigation. The oracle is the PLAIN group-by: for
     * algebraic aggregates the salted two-stage result is exactly the
@@ -1061,5 +1105,5 @@ object AdvancedQueries {
 
   def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
     qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qIncrementalJoinView, qAggAdvice, qStreamAdvice, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
-    qPacking, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
+    qPacking, qPackingEfficiency, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

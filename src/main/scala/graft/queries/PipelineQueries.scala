@@ -1084,6 +1084,19 @@ object PipelineQueries {
           AS mean_after_milli
       FROM best WHERE rn = 1"""))
 
+  /** The changepoint monitor as a CONTINUOUS query
+    * (StreamingChangepoint): day-grain counts as ONE streaming
+    * aggregation (state bounded by keys × calendar days), the
+    * two-segment objective fold on the snapshot through the SAME
+    * batch code path (bestSplitFromDaily) — batch/stream share the
+    * fold, and the shared oracle proves snapshot ≡ batch whatever the
+    * arrival order.
+    */
+  private val qStreamChangepoint = QueryDef(
+    "q_stream_changepoint",
+    (s, d) => graft.streaming.StreamingChangepoint.runBatchEquivalent(s, d),
+    qChangepoint.oracle)
+
   /** Spearman rank correlation of the same (daily volume, daily count)
     * pairs — the robust twin of q_value_volume_corr: Pearson over
     * MIDRANKS, so monotone-but-nonlinear association registers and
@@ -1397,6 +1410,6 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id""")
 
   def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
-    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qRetention,
+    qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

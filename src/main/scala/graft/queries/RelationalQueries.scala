@@ -557,6 +557,49 @@ object RelationalQueries {
         ON c.c_nationkey IS NOT DISTINCT FROM co.c_nationkey
         AND c.c_mktsegment IS NOT DISTINCT FROM co.c_mktsegment"""))
 
+  /** Benford first-digit audit — the fraud/synthetic-data tripwire of
+    * the DQ family: the leading-digit distribution of order totals vs
+    * Benford's law, with the expected shares as a PINNED ×10⁶ integer
+    * table (round(log10(1+1/d)·10⁶)) shared literally by both engines
+    * (the nDCG discount trick — cross-engine log10 bit-identity never
+    * assumed). FLOOR before the digit extraction on both sides:
+    * DuckDB's decimal→int cast ROUNDS while Spark's truncates, the
+    * kind of engine gap this suite exists to pin. One 9-row aggregate.
+    */
+  private val qBenford = QueryDef(
+    "q_benford_digit",
+    (s, d) => {
+      val benford = typedLit(Seq(301030L, 176091L, 124939L, 96910L,
+        79181L, 66947L, 57992L, 51153L, 45757L))
+      val g = Tables.orders(s, d)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      g.crossJoin(g.agg(sum(col("n")).as("__t")))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div __t").as("share_ppm"),
+          element_at(benford, col("digit")).as("benford_ppm"))
+        .withColumn("delta_ppm", col("share_ppm") - col("benford_ppm"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+            AS VARCHAR), 1, 1) AS INT) AS digit,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1),
+      t AS (SELECT SUM(n) AS tt FROM g)
+      SELECT digit, n,
+        CAST((n * 1000000) // tt AS BIGINT) AS share_ppm,
+        CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+          WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+          WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+          ELSE 45757 END AS BIGINT) AS benford_ppm,
+        CAST((n * 1000000) // tt - CASE digit WHEN 1 THEN 301030
+          WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
+          WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+          WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS delta_ppm
+      FROM g, t"""))
+
   /** Snapshot profile drift (ops/Profiling.profileDrift): column-level
     * row/null/distinct counts of the pre-1995 orders snapshot vs the
     * full table, with null-rate delta and distinct-count ratio — the
@@ -603,5 +646,5 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
     qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit,
-    qKAnon, qKAnonSuppress, qLDiversity, qTCloseness, qProfileDrift)
+    qKAnon, qKAnonSuppress, qLDiversity, qTCloseness, qBenford, qProfileDrift)
 }

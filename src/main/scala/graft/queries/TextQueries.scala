@@ -1141,6 +1141,88 @@ object TextQueries {
       FROM corpus LEFT JOIN probe ON corpus.g = probe.g
       GROUP BY corpus.doc_id"""
 
+  /** Per-document n-gram NOVELTY (the memorization-risk readout of the
+    * same operator): fraction of a corpus doc's distinct 3-gram
+    * shingles NOT present in the benchmark/reference slice, as exact
+    * integer ppm — the continuous complement of the boolean
+    * contamination flag (filters want "novelty ≥ X", not just
+    * "any overlap"). Docs shorter than 3 tokens carry no shingles and
+    * are absent by spec in both engines.
+    */
+  private val qNgramNovelty = QueryDef(
+    "q_ngram_novelty",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFlags(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN = 3, minOverlap = 1)
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          expr("((n_shingles - n_overlap) * 1000000) div n_shingles")
+            .as("novelty_ppm"))
+    },
+    Some("""
+      WITH""" + sqlShingleCtes("documents") + """,
+      corpus AS (
+        SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+      probe AS (
+        SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+      m AS (
+        SELECT corpus.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap
+        FROM corpus LEFT JOIN probe ON corpus.g = probe.g
+        GROUP BY corpus.doc_id)
+      SELECT doc_id, n_shingles, n_overlap,
+        CAST(((n_shingles - n_overlap) * 1000000) // n_shingles
+          AS BIGINT) AS novelty_ppm
+      FROM m"""))
+
+  /** Cross-source duplication matrix: near-dup pairs (the
+    * q_minhash_lsh_neardup pair set, complete at these SFs) attributed
+    * to their documents' SOURCES — the provenance readout that tells a
+    * corpus owner which feeds duplicate each other (mirror detection,
+    * licensing double-counting). Unordered source pair via
+    * LEAST/GREATEST; one broadcast-able id→source join on each side of
+    * the bounded pair frame.
+    */
+  private val qCrossSourceDup = QueryDef(
+    "q_cross_source_dup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 32, bands = 16,
+        estThresholdOpt = Some(0.35)).select(col("id_a"), col("id_b"))
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("__sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("__sb")), Seq("id_b"))
+        .groupBy(least(col("__sa"), col("__sb")).as("source_lo"),
+          greatest(col("__sa"), col("__sb")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some("""
+      WITH""" + sqlShingleCtes("documents") + """,
+      rawpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT id_a, id_b FROM rawpairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5)
+      SELECT LEAST(x.source, y.source) AS source_lo,
+        GREATEST(x.source, y.source) AS source_hi,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM jp
+      JOIN documents x ON x.doc_id = jp.id_a
+      JOIN documents y ON y.doc_id = jp.id_b
+      GROUP BY 1, 2"""))
+
   private val qContamination = QueryDef(
     "q_contamination_flags",
     (s, d) => {
@@ -2289,6 +2371,6 @@ object TextQueries {
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
-    qContamination, qContaminationBloom, qFuzzyJoin,
+    qContamination, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin,
     qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
 }

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+import org.apache.spark.storage.StorageLevel.DISK_ONLY
 
 import graft.Session
 import graft.text.{Dedup, TextFunctions => TF}
@@ -60,10 +60,10 @@ object CurationProbe {
     // 32 partitions × ~310k docs × ~100 shingles each blew the hash
     // aggregate's memory budget (AGGREGATE_OUT_OF_MEMORY with 32
     // concurrent fat tasks) — size partitions so a task's partial agg
-    // fits: ~40k docs/task. The exact knob a 1000-executor deployment
+    // fits: ~20k docs/task. The exact knob a 1000-executor deployment
     // turns (shuffle.partitions scales with data, not cluster default).
-    spark.conf.set("spark.sql.shuffle.partitions", "256")
-    val parts = 256
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    val parts = 512
     val listener = new PhaseListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -74,7 +74,11 @@ object CurationProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
     def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(MEMORY_AND_DISK); p.count(); p
+      // DISK_ONLY: deserialized in-memory text blocks squeezed the
+      // unified pool and the shingle partial aggregates threw
+      // AGGREGATE_OUT_OF_MEMORY at 10M docs even at 24g — the
+      // globalRank A/B already measured disk pins cheaper for fat rows
+      val p = df.persist(DISK_ONLY); p.count(); p
     }
 
     // DedupBench's planted-dup generator (1% near-dup rate) + lang
@@ -116,10 +120,18 @@ object CurationProbe {
     }
 
     val (gated, gateSec) = timed("quality_gate") {
-      val g = pin(graft.ops.GroupQuantile.filterAtQuantile(
-        TF.withQualityScore(decon, "text", "q"),
-        Seq(col("lang")), col("q"), p = 0.25))
+      // PIN THE SCORED FRAME: filterAtQuantile consumes its input
+      // twice (threshold aggregate + filter join-back), so an
+      // expensive score expression evaluates twice unless
+      // materialized — the first 5M run spent 950 s here (2.5× the
+      // whole dedup) re-running the quality regexes; scoring once and
+      // pinning is the cross-stage-replay fix the pinned-frame
+      // pattern exists for.
+      val scored = pin(TF.withQualityScore(decon, "text", "q"))
       decon.unpersist()
+      val g = pin(graft.ops.GroupQuantile.filterAtQuantile(
+        scored, Seq(col("lang")), col("q"), p = 0.25).drop("q"))
+      scored.unpersist()
       g
     }
 
