@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Association statistics over (basket, item) data — support,
@@ -65,5 +66,50 @@ object Association {
         ((col("n_ab").cast("double") * col("__n")) /
           (col("n_a").cast("double") * col("n_b"))).as("lift"),
         (col("n_ab").cast("double") / col("n_a")).as("confidence"))
+  }
+
+  /** Item-item nearest neighbors from co-occurrence — the classic
+    * item-based collaborative-filtering primitive ("customers who
+    * bought X also bought Y"), scored by set cosine
+    * `cos = n_ab / sqrt(n_a · n_b)`.
+    *
+    * The score ships as SQUARED cosine in ppm — `n_ab²·10^6 div
+    * (n_a·n_b)` — which is monotone in cosine (all terms positive), so
+    * the top-k ranking is identical, while staying in exact integer
+    * arithmetic (no sqrt, engine-exact). The multiply goes through
+    * DECIMAL(38): n_ab² alone overflows LONG once a pair co-occurs in
+    * ~3e9 baskets, reachable at 100 TB.
+    *
+    * Scale shape: the same single basket-keyed pair join as
+    * [[pairLift]] (a-priori item pruning BEFORE the join, basket-size
+    * cap guard), then each item's candidate list is ranked by ONE
+    * window partitioned per item — bounded by that item's co-occurring
+    * items, never corpus-wide.
+    *
+    * Output: `(item, neighbor, n_ab, n_item, n_neighbor, cos2_ppm,
+    * rank)` with `rank <= k`, ties broken (cos2 desc, n_ab desc,
+    * neighbor asc).
+    */
+  def itemNeighbors(df: DataFrame, groupCol: String, itemCol: String,
+      k: Int, minItemCount: Long = 2L, minPairCount: Long = 2L,
+      maxGroupSize: Long = 10000L): DataFrame = {
+    require(k >= 1)
+    val pairs = pairLift(df, groupCol, itemCol, minItemCount,
+      minPairCount, maxGroupSize)
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        col("n_a"), col("n_b"))
+    val mirrored = pairs.unionByName(
+      pairs.select(col("item_b").as("item_a"), col("item_a").as("item_b"),
+        col("n_ab"), col("n_b").as("n_a"), col("n_a").as("n_b")))
+    val scored = mirrored.withColumn("cos2_ppm",
+      expr("(cast(n_ab as decimal(38,0)) * n_ab * 1000000) " +
+        "div (n_a * n_b)"))
+    val w = Window.partitionBy(col("item_a"))
+      .orderBy(col("cos2_ppm").desc, col("n_ab").desc, col("item_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("n_ab"), col("n_a").as("n_item"), col("n_b").as("n_neighbor"),
+        col("cos2_ppm"), col("rank").cast("int").as("rank"))
   }
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-touch marketing attribution over an event log: credit each
+  * conversion event to the touch events (clicks, views, …) the same
+  * user produced inside a lookback window, under two standard models
+  * at once — last-touch (the most recent touch gets the conversion)
+  * and linear (each touch gets an equal 1/n share).
+  *
+  * Scale shape: ONE user-keyed equi-join between the conversion slice
+  * and the touch slice (both filtered map-side, so only the two narrow
+  * event slices reach the exchange), then ONE window per (user,
+  * conversion) — bounded by that user's touches inside the lookback,
+  * never corpus-wide — and ONE final partial-agg shuffle on touch
+  * type. No global sort, no driver collection. Per-user skew is the
+  * only hazard (a bot user with millions of touches fans out against
+  * each of its conversions); the lookback bound caps it in time and
+  * the salting/AQE-skew machinery applies if a deployment needs more.
+  *
+  * Determinism: counts plus one integer division (`1000000 div n` —
+  * each touch's linear share in ppm, floor semantics identical on
+  * every engine). The per-conversion ppm shares sum to at most 10^6
+  * (short by the floor remainder, deterministically).
+  */
+object Attribution {
+
+  /** Per-touch-type attribution table: `touch_type, last_touch_convs,
+    * linear_credit_ppm, touches`.
+    *
+    * A touch is attributable to a conversion when it is STRICTLY
+    * earlier — `(ts, id)` lexicographic, so same-timestamp rows break
+    * ties by id — and at most `lookbackDays` old. Conversions with no
+    * in-window touch earn no row (organic conversions carry no credit
+    * to distribute).
+    */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, conversionType: String,
+      touchTypes: Seq[String], lookbackDays: Int): DataFrame = {
+    val conv = events
+      .where(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__cts"),
+        col(idCol).as("__cid"))
+    val touch = events
+      .where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__tts"),
+        col(idCol).as("__tid"), col(typeCol).as("__ttype"))
+    val inWindow = (col("__tts") < col("__cts") ||
+      (col("__tts") === col("__cts") && col("__tid") < col("__cid"))) &&
+      col("__tts") >= col("__cts") - expr(s"INTERVAL $lookbackDays DAYS")
+    val w = Window.partitionBy(col("__u"), col("__cid"))
+    val joined = conv.join(touch, Seq("__u")).where(inWindow)
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__tts").desc, col("__tid").desc)))
+      .withColumn("__n", count(lit(1)).over(w))
+    joined.groupBy(col("__ttype").as("touch_type"))
+      .agg(
+        sum(when(col("__rn") === 1, 1L).otherwise(0L))
+          .as("last_touch_convs"),
+        sum(expr("1000000 div __n")).as("linear_credit_ppm"),
+        count(lit(1)).as("touches"))
+  }
+}

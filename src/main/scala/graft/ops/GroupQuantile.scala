@@ -161,4 +161,51 @@ object GroupQuantile {
         col("__thi").cast("double").as("t_hi"),
         (col("__s").cast("double") / col("n")).as("winsorized_mean")): _*)
   }
+
+  /** Robust outlier audit per group: median + MAD (median absolute
+    * deviation) via the SAME distribution-aggregate threshold walk —
+    * the corpus never sorts — then an outlier count at `|x − med| >
+    * k·MAD`. The robust twin of the z-score audit: one wild value
+    * can't move the fence, so this is the readout to trust when the
+    * data is the thing under suspicion.
+    *
+    * Both medians are lower/type-1 (smallest v with cum ≥ tot/2 — the
+    * filterAtQuantile tie rule; integer inputs stay integers, no
+    * two-middle averaging ambiguity). `value` must be exact integers
+    * (quantize money to cents first). Two distribution aggregates +
+    * two broadcast join-backs; the input is consumed three times, so
+    * pin upstream if `value` is expensive (the filterAtQuantile
+    * caveat).
+    *
+    * Output: `(groups…, n, median, mad, n_outliers)`.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String],
+      value: Column, k: Long = 3L): DataFrame = {
+    require(k >= 1)
+    val wCdf = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v"))
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    def median(keyed: DataFrame, out: String): DataFrame = keyed
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(wCdf))
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("__cum") * 2 >= col("__tot"), col("__v"))).as(out))
+    val keyed = df.select(groupCols.map(col) :+ value.as("__v"): _*)
+    val med = median(keyed, "median")
+    val dev = keyed.join(broadcast(med), groupCols)
+      .select(groupCols.map(col) :+
+        abs(col("__v") - col("median")).as("__v"): _*)
+    val mad = median(dev, "mad")
+    dev.withColumnRenamed("__v", "__dev")
+      .join(broadcast(mad), groupCols)
+      .groupBy(groupCols.map(col) :+ col("mad"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__dev") > col("mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .join(broadcast(med), groupCols)
+      .select(groupCols.map(col) ++
+        Seq(col("n"), col("median"), col("mad"), col("n_outliers")): _*)
+  }
 }

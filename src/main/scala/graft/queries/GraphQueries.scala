@@ -284,6 +284,44 @@ object GraphQueries {
         CAST(CASE WHEN s3.id IS NULL THEN 0 ELSE 1 END AS INT) AS in_core
       FROM nodes n LEFT JOIN s3 ON s3.id = n.id"""))
 
+  /** Item-item nearest neighbors (ops/Association.itemNeighbors):
+    * "bought X, also bought Y" scored by SQUARED set cosine in ppm —
+    * monotone in cosine, exact integer (no sqrt), DECIMAL(38)-safe
+    * multiply. Same a-priori-pruned basket-keyed pair join as
+    * q_basket_lift; ranking is one per-item window over that item's
+    * candidates only.
+    */
+  private val qItemNeighbors = QueryDef(
+    "q_item_neighbors",
+    (s, d) => graft.ops.Association.itemNeighbors(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+      k = 5, minItemCount = 2L, minPairCount = 2L),
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      c AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1),
+      f AS (SELECT * FROM c WHERE c >= 2),
+      fg AS (SELECT g.g, g.i, f.c FROM g JOIN f USING (i)),
+      p AS (
+        SELECT a.i AS item_a, b.i AS item_b, a.c AS n_a, b.c AS n_b,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM fg a JOIN fg b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2),
+      m AS (
+        SELECT item_a, item_b, n_ab, n_a, n_b FROM p
+        UNION ALL
+        SELECT item_b, item_a, n_ab, n_b, n_a FROM p),
+      sc AS (
+        SELECT item_a AS item, item_b AS neighbor, n_ab,
+          n_a AS n_item, n_b AS n_neighbor,
+          (n_ab * n_ab * 1000000) // (n_a * n_b) AS cos2_ppm
+        FROM m),
+      rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+          ORDER BY cos2_ppm DESC, n_ab DESC, neighbor) AS INT) AS rank
+        FROM sc)
+      SELECT item, neighbor, n_ab, n_item, n_neighbor, cos2_ppm, rank
+      FROM rk WHERE rank <= 5"""))
+
   def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift,
-    qComponents, qKCore)
+    qComponents, qKCore, qItemNeighbors)
 }

@@ -1409,7 +1409,238 @@ object PipelineQueries {
         CAST(MAX(ts_s) AS BIGINT) AS end_s
       FROM sess GROUP BY user_id, session_id""")
 
-  def all: Seq[QueryDef] = Seq(qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
+  /** Multi-touch attribution (ops/Attribution.touchAttribution):
+    * every purchase is credited to the user's click/view touches in a
+    * 3-day lookback, under last-touch and linear models at once. One
+    * user-keyed join between the two filtered event slices, one
+    * bounded per-conversion window, one final type-keyed aggregate;
+    * linear shares are integer ppm (`1000000 div n`), engine-exact.
+    */
+  private val qAttribution = QueryDef(
+    "q_attribution_touch",
+    (s, d) => graft.ops.Attribution.touchAttribution(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      conversionType = "purchase", touchTypes = Seq("click", "view"),
+      lookbackDays = 3),
+    Some("""
+      WITH conv AS (
+        SELECT user_id, ts AS cts, event_id AS cid
+        FROM events WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT user_id, ts AS tts, event_id AS tid, event_type AS ttype
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT t.ttype,
+          ROW_NUMBER() OVER (PARTITION BY c.user_id, c.cid
+            ORDER BY t.tts DESC, t.tid DESC) AS rn,
+          COUNT(*) OVER (PARTITION BY c.user_id, c.cid) AS n
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+          AND (t.tts < c.cts OR (t.tts = c.cts AND t.tid < c.cid))
+          AND t.tts >= c.cts - INTERVAL 3 DAY)
+      SELECT ttype AS touch_type,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS last_touch_convs,
+        CAST(SUM(1000000 // n) AS BIGINT) AS linear_credit_ppm,
+        CAST(COUNT(*) AS BIGINT) AS touches
+      FROM j GROUP BY 1"""))
+
+  /** Seasonal-naive MASE per event type (ops/Forecast
+    * .seasonalNaiveMase): is day-of-week seasonality predictive?
+    * Day-grain counts on a DENSE day grid (gaps as zeros — the lag-7
+    * pair must not silently skip them), lag-1 vs lag-7 absolute
+    * errors, one DECIMAL(38)-safe integral division for the ppm score.
+    */
+  private val qSeasonalMase = QueryDef(
+    "q_seasonal_mase",
+    (s, d) => graft.ops.Forecast.seasonalNaiveMase(
+      Tables.events(s, d), "event_type", "ts", season = 7),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+          AS DATE) AS day FROM b),
+      keys AS (SELECT DISTINCT event_type FROM daily),
+      grid AS (
+        SELECT k.event_type, s.day, COALESCE(d.c, 0) AS c
+        FROM keys k CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = k.event_type
+          AND d.day = s.day),
+      lagd AS (
+        SELECT event_type, c,
+          LAG(c, 1) OVER w AS c1, LAG(c, 7) OVER w AS c7
+        FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+          CAST(SUM(CASE WHEN c7 IS NOT NULL THEN ABS(c - c7) END)
+            AS BIGINT) AS seasonal_abs_err,
+          COUNT(c7) AS n_seasonal,
+          CAST(SUM(CASE WHEN c1 IS NOT NULL THEN ABS(c - c1) END)
+            AS BIGINT) AS naive_abs_err,
+          COUNT(c1) AS n_naive
+        FROM lagd GROUP BY 1)
+      SELECT event_type, n_days, seasonal_abs_err, naive_abs_err,
+        CASE WHEN naive_abs_err > 0 AND n_seasonal > 0 THEN
+          CAST((seasonal_abs_err * n_naive * 1000000)
+            // (n_seasonal * naive_abs_err) AS BIGINT)
+        END AS mase_ppm
+      FROM agg"""))
+
+  /** Streaming twin of q_seasonal_mase (streaming/StreamingForecast):
+    * day-grain counts as ONE continuous aggregation (calendar-bounded
+    * state), MASE fold on the snapshot through the identical batch
+    * code path — same oracle, so the hash proves arrival-order
+    * equivalence.
+    */
+  private val qStreamSeasonalMase = QueryDef(
+    "q_stream_seasonal_mase",
+    (s, d) => graft.streaming.StreamingForecast.runBatchEquivalent(s, d),
+    qSeasonalMase.oracle)
+
+  /** Order-sensitive sequence mining within sessions
+    * (ops/SequentialPatterns.sessionSequencePairs): in how many
+    * sessions does type a occur STRICTLY BEFORE some type b — the
+    * gap-tolerant complement of adjacent-step transitions. Each
+    * session collapses to one (first, last) ordinal row per type
+    * before pairing, so the pair join fans out |types|² per session,
+    * never per event; support is DECIMAL(38)-safe integer ppm.
+    */
+  private val qSessionSequences = QueryDef(
+    "q_session_sequences",
+    (s, d) => graft.ops.SequentialPatterns.sessionSequencePairs(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      gapSeconds = 1800L, minSessions = 1L),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+          event_type
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_s, event_type,
+          CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+               THEN 1 ELSE 0 END AS new_s,
+          ROW_NUMBER() OVER w AS pos
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      sess AS (
+        SELECT user_id, event_type, pos,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      pt AS (
+        SELECT user_id, sid, event_type,
+          MIN(pos) AS fp, MAX(pos) AS lp
+        FROM sess GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, sid FROM pt)),
+      p AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+          CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM pt a JOIN pt b ON a.user_id = b.user_id AND a.sid = b.sid
+          AND a.event_type <> b.event_type AND a.fp < b.lp
+        GROUP BY 1, 2)
+      SELECT antecedent, consequent, n_sessions,
+        CAST((n_sessions * 1000000) // tot.n AS BIGINT) AS support_ppm
+      FROM p, tot"""))
+
+  /** Robust outlier audit (ops/GroupQuantile.madOutliers): per-type
+    * median + MAD over cents-quantized values via the
+    * distribution-agg threshold walk (corpus never sorts), outliers
+    * at |x − med| > 3·MAD. Both medians are lower/type-1 with the
+    * integer `cum·2 ≥ tot` test — no two-middle averaging, no floats
+    * anywhere.
+    */
+  private val qMadOutliers = QueryDef(
+    "q_mad_outliers",
+    (s, d) => graft.ops.GroupQuantile.madOutliers(
+      Tables.events(s, d), Seq("event_type"),
+      (col("value").cast(DecimalType(12, 2)) * 100).cast("long"), k = 3L),
+    Some("""
+      WITH v AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      d1 AS (SELECT event_type, v, COUNT(*) AS n FROM v GROUP BY 1, 2),
+      c1 AS (
+        SELECT event_type, v,
+          SUM(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+          SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM d1),
+      med AS (
+        SELECT event_type,
+          CAST(MIN(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT)
+            AS median
+        FROM c1 GROUP BY 1),
+      dev AS (
+        SELECT v.event_type, ABS(v.v - m.median) AS dv
+        FROM v JOIN med m USING (event_type)),
+      d2 AS (SELECT event_type, dv, COUNT(*) AS n FROM dev GROUP BY 1, 2),
+      c2 AS (
+        SELECT event_type, dv,
+          SUM(n) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+          SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM d2),
+      mad AS (
+        SELECT event_type,
+          CAST(MIN(CASE WHEN cum * 2 >= tot THEN dv END) AS BIGINT) AS mad
+        FROM c2 GROUP BY 1)
+      SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        m.median, md.mad,
+        CAST(SUM(CASE WHEN dev.dv > md.mad * 3 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dev
+      JOIN med m USING (event_type)
+      JOIN mad md USING (event_type)
+      GROUP BY 1, m.median, md.mad"""))
+
+  /** Theil–Sen daily trend (ops/Forecast.theilSenDailyTrend): median
+    * of all pairwise day-count slopes per type — the robust level
+    * trend (bot-day bursts can't drag it). Slopes quantized ×10⁶ via
+    * one integral division per pair (both engines truncate toward
+    * zero on negatives — verified); lower-median over the integer
+    * multiset. Pairs and windows are calendar-bounded per key.
+    */
+  private val qTheilSen = QueryDef(
+    "q_theilsen_trend",
+    (s, d) => graft.ops.Forecast.theilSenDailyTrend(
+      Tables.events(s, d), "event_type", "ts"),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+          AS DATE) AS day FROM b),
+      keys AS (SELECT DISTINCT event_type FROM daily),
+      grid AS (
+        SELECT k.event_type, s.day, COALESCE(d.c, 0) AS c
+        FROM keys k CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = k.event_type
+          AND d.day = s.day),
+      p AS (
+        SELECT a.event_type, a.day AS d1, b2.day AS d2,
+          ((b2.c - a.c) * 1000000)
+            // date_diff('day', a.day, b2.day) AS slope_q
+        FROM grid a JOIN grid b2 ON a.event_type = b2.event_type
+          AND a.day < b2.day),
+      r AS (
+        SELECT event_type, slope_q,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY slope_q, d1, d2) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM p),
+      nd AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM grid GROUP BY 1)
+      SELECT r.event_type, nd.n_days, CAST(r.np AS BIGINT) AS n_pairs,
+        CAST(r.slope_q AS BIGINT) AS slope_x1e6
+      FROM r JOIN nd USING (event_type)
+      WHERE rn * 2 = np OR rn * 2 = np + 1"""))
+
+  def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
+    qStreamSeasonalMase, qSessionSequences, qMadOutliers, qTheilSen,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

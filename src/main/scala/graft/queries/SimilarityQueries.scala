@@ -1440,7 +1440,29 @@ object SimilarityQueries {
             CAST(i.idcg_scaled AS DOUBLE) END AS ndcg
       FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id"""))
 
-  def all: Seq[QueryDef] = Seq(qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
+  /** Exact MIPS top-k with Cauchy–Schwarz norm pruning
+    * (Similarity.mipsTopKNormPruned): the recommendation-serving
+    * metric (largest DOT, not nearest point). Descending-norm
+    * candidate ladder, pushed-In point reads, driver-side BigInt stop
+    * test; the ladder exhausts into a full scan when pruning can't
+    * engage, so the output is ALWAYS exact and the oracle is plain
+    * brute force — the stop rule is purely a cost lever.
+    */
+  private val qMips = QueryDef(
+    "q_mips_topk",
+    (s, d) => graft.sim.Similarity.mipsTopKNormPruned(
+      Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 20),
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      qf AS (SELECT i, qv AS qqv FROM flat WHERE vec_id = 0),
+      dots AS (
+        SELECT f.vec_id, CAST(SUM(f.qv * q.qqv) AS BIGINT) AS dot_q
+        FROM flat f JOIN qf q USING (i)
+        GROUP BY f.vec_id)
+      SELECT vec_id, dot_q FROM dots WHERE vec_id <> 0
+      ORDER BY dot_q DESC, vec_id LIMIT 20"""))
+
+  def all: Seq[QueryDef] = Seq(qMips, qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined, qIvfPqAdaptive,
     qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining,

@@ -2362,7 +2362,130 @@ object TextQueries {
           AS flesch_milli
       FROM m"""))
 
+  /** Heaps'-law vocabulary growth (text/VocabGrowth.heapsCurve):
+    * cumulative distinct tokens vs cumulative token count over ten
+    * id-range corpus prefixes — the vocab-saturation readout that
+    * sizes a tokenizer against a growing crawl. Pure map-side bucket
+    * formula (no corpus-wide sort/window), first-appearance bucket =
+    * min(bucket) per token (one token-keyed shuffle), cumulative
+    * window over the 10-row bucket frame only; TTR is one
+    * DECIMAL(38)-safe integral division.
+    */
+  private val qHeapsLaw = QueryDef(
+    "q_heaps_law",
+    (s, d) => graft.text.VocabGrowth.heapsCurve(
+      Tables.documents(s, d), "doc_id", "text", buckets = 10),
+    Some(s"""
+      WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+      d AS (
+        SELECT doc_id, text,
+          CAST(((doc_id - lo) * 10) // (hi - lo + 1) + 1 AS INT) AS bucket
+        FROM documents, b),
+      per AS (
+        SELECT bucket, COUNT(*) AS docs,
+          SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len($sqlTokens) END) AS toks
+        FROM d GROUP BY 1),
+      ft AS (
+        SELECT token, MIN(bucket) AS fb FROM (
+          SELECT bucket, unnest($sqlTokens) AS token
+          FROM d WHERE length(trim(text)) > 0)
+        GROUP BY 1),
+      fv AS (SELECT fb AS bucket, COUNT(*) AS new_vocab FROM ft GROUP BY 1),
+      spine AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT) AS bucket),
+      cum AS (
+        SELECT s.bucket,
+          SUM(COALESCE(per.docs, 0)) OVER w AS docs_cum,
+          SUM(COALESCE(per.toks, 0)) OVER w AS tokens_cum,
+          SUM(COALESCE(fv.new_vocab, 0)) OVER w AS vocab_cum
+        FROM spine s
+        LEFT JOIN per USING (bucket) LEFT JOIN fv USING (bucket)
+        WINDOW w AS (ORDER BY s.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT bucket, CAST(docs_cum AS BIGINT) AS docs_cum,
+        CAST(tokens_cum AS BIGINT) AS tokens_cum,
+        CAST(vocab_cum AS BIGINT) AS vocab_cum,
+        CASE WHEN tokens_cum > 0 THEN
+          CAST((vocab_cum * 1000000) // tokens_cum AS BIGINT)
+        END AS ttr_ppm
+      FROM cum"""))
+
+  /** Exact pairwise vocabulary Jaccard between sources
+    * (text/VocabGrowth.groupVocabJaccard) — the exact twin of
+    * q_hll_source_vocab's sketch: high vocab overlap between two
+    * sources is the cheapest mirror/double-licensing signal. One
+    * token-keyed shuffle; the overlap join fans out ≤ |sources|² per
+    * shared token; Jaccard is DECIMAL(38)-safe integer ppm.
+    */
+  private val qVocabOverlap = QueryDef(
+    "q_source_vocab_overlap",
+    (s, d) => graft.text.VocabGrowth.groupVocabJaccard(
+      Tables.documents(s, d), "source", "text"),
+    Some(s"""
+      WITH st AS (
+        SELECT DISTINCT g, tok FROM (
+          SELECT source AS g, unnest($sqlTokens) AS tok
+          FROM documents WHERE length(trim(text)) > 0)),
+      sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+      c AS (
+        SELECT a.g AS source_a, b.g AS source_b,
+          CAST(COUNT(*) AS BIGINT) AS common
+        FROM st a JOIN st b ON a.tok = b.tok AND a.g < b.g
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, common, sa.n AS n_a, sb.n AS n_b,
+        CAST((common * 1000000) // (sa.n + sb.n - common) AS BIGINT)
+          AS jaccard_ppm
+      FROM c
+      JOIN sizes sa ON sa.g = source_a
+      JOIN sizes sb ON sb.g = source_b"""))
+
+  /** Decision-stump split finder (ops/SplitFinder.bestGiniSplits):
+    * the best n_chars thresholds separating languages by weighted
+    * Gini — the tree-learner inner loop as a standalone curation
+    * probe. One (feature, label) hash aggregate collapses the corpus;
+    * the objective is quantized x10^6 via integral divisions
+    * (Changepoint pattern) so argmin + tiebreak replay anywhere;
+    * threshold count is guarded (continuous features bucket upstream).
+    */
+  private val qSplitStump = QueryDef(
+    "q_best_split_stump",
+    (s, d) => graft.ops.SplitFinder.bestGiniSplits(
+      Tables.documents(s, d), "n_chars", "lang", k = 3),
+    Some("""
+      WITH cnt AS (
+        SELECT n_chars AS v, lang AS c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      vals AS (SELECT DISTINCT v FROM cnt),
+      cls AS (SELECT c, CAST(SUM(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+      grid AS (
+        SELECT vals.v, cls.c, cls.tot, COALESCE(cnt.n, 0) AS n
+        FROM vals CROSS JOIN cls
+        LEFT JOIN cnt ON cnt.v = vals.v AND cnt.c = cls.c),
+      cum AS (
+        SELECT v, c, tot,
+          SUM(n) OVER (PARTITION BY c ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM grid),
+      pv AS (
+        SELECT v, CAST(SUM(cum) AS BIGINT) AS nl,
+          CAST(SUM(tot - cum) AS BIGINT) AS nr,
+          SUM(cum * cum) AS a,
+          SUM((tot - cum) * (tot - cum)) AS b
+        FROM cum GROUP BY 1),
+      scored AS (
+        SELECT v, nl, nr,
+          (nl + nr) * 1000000 - (a * 1000000) // nl
+            - (b * 1000000) // nr AS g
+        FROM pv WHERE nl > 0 AND nr > 0),
+      rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY g, v) AS INT) AS rank
+        FROM scored)
+      SELECT v AS threshold, nl AS n_left, nr AS n_right,
+        CAST(g AS BIGINT) AS gini_x1e6, rank
+      FROM rk WHERE rank <= 3"""))
+
   def all: Seq[QueryDef] = Seq(
+    qHeapsLaw, qVocabOverlap, qSplitStump,
     qReadability,
     qDsirWeights, qDsirResample, qStreamDsir, qCollocations,
     qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration,

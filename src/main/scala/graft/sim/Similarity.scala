@@ -769,4 +769,69 @@ object Similarity {
         least(col("l_s1") / col("l_s2"), col("r_s1") / col("r_s2"))
           .as("margin"))
   }
+
+  /** EXACT maximum-inner-product top-k with Cauchy–Schwarz norm
+    * pruning — the MIPS serve path (recommendation scoring: user
+    * vector × item matrix, where the answer is the largest DOT, not
+    * the nearest point, and high-norm items dominate). The norm-range
+    * scan from the published MIPS-pruning family (LEMP/FEXIPRO):
+    *
+    *  1. a (id, ‖x‖²) NORM INDEX — one map-side pass, at deployment a
+    *     precomputed stored column;
+    *  2. candidates in descending-norm order, a ladder of k·factor
+    *     prefixes (factor doubles — the adaptive-refine shape);
+    *  3. exact quantized dots over the prefix only (pushed-In point
+    *     read — vectors never shuffle);
+    *  4. STOP when the k-th best dot strictly beats the Cauchy–Schwarz
+    *     ceiling of every unseen vector: kth > 0 and kth² > ‖q‖²·max
+    *     unseen ‖x‖² (driver-side BigInt — kth² overflows LONG at
+    *     quantized 64-dim scale). Strict, so an unseen tie can never
+    *     displace the returned set under the (dot desc, id) order.
+    *
+    * The ladder exhausts into a full scan when pruning can't engage,
+    * so the output is ALWAYS the exact MIPS top-k — the stop rule is
+    * purely a cost lever, and the oracle is plain brute force. Every
+    * stop decision is a pure function of (corpus, query, k):
+    * deterministic and replayable.
+    *
+    * Output: (vec_id, dot_q) — exact integer quantized dots.
+    */
+  def mipsTopKNormPruned(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, initialFactor: Int = 4,
+      maxFactor: Int = 1 << 20): DataFrame = {
+    require(k >= 1 && initialFactor >= 1 && maxFactor >= initialFactor)
+    val qFrame = broadcast(
+      df.where(col(idCol) === queryId).select(col(vecCol).as("__qv")))
+    val qn2 = BigInt(df.where(col(idCol) === queryId)
+      .select(quantizedNormSq(col(vecCol))).head().getLong(0))
+    val norms = df.where(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("__id"),
+        quantizedNormSq(col(vecCol)).as("__n2"))
+    def dotsOf(ids: Seq[Long]): DataFrame = df
+      .where(col(idCol).isin(ids: _*)) // pushed-In point read
+      .crossJoin(qFrame)
+      .select(col(idCol).as("vec_id"),
+        quantizedDot(col(vecCol), col("__qv")).as("dot_q"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+    var factor = initialFactor
+    while (true) {
+      val c = k * factor
+      // c+1 rows: the (c+1)-th norm IS the unseen ceiling (bounded
+      // driver rows — the adaptive-refine collect contract)
+      val normRows = norms
+        .orderBy(col("__n2").desc, col("__id")).limit(c + 1).collect()
+      val short = normRows.take(c).map(_.getLong(0)).toSeq
+      val exhausted = normRows.length <= c
+      val out = dotsOf(short).limit(k)
+      if (exhausted || factor >= maxFactor) return out
+      val maxUnseen = BigInt(normRows.last.getLong(1))
+      val top = out.collect()
+      if (top.length == k) {
+        val kth = BigInt(top.last.getLong(1))
+        if (kth > 0 && kth * kth > qn2 * maxUnseen) return out
+      }
+      factor = math.min(factor * 2, maxFactor)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

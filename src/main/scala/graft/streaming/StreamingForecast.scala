@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuous seasonality scoring — the streaming face of
+  * `ops/Forecast.seasonalNaiveMase`: day-grain counts per key are
+  * maintained as ONE streaming aggregation (state = |keys| × |days|,
+  * bounded by the calendar — the StreamingChangepoint contract) and
+  * the MASE fold runs on the counts SNAPSHOT through the identical
+  * batch code path (`maseFromDaily`). A volume monitor's serving
+  * shape: "is this stream still week-seasonal" refreshes continuously
+  * without re-scanning history, and must equal the batch answer
+  * whatever the arrival order — the shared oracle hash-checks it.
+  */
+object StreamingForecast {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  def runBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_mase_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val daily = StreamingHourPivot.eventsStream(s, sfDir)
+        .groupBy(col("event_type").as("k"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val q = daily.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.Forecast.maseFromDaily(snapshot, "event_type", season = 7)
+    }
+  }
+}

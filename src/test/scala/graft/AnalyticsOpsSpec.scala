@@ -1,0 +1,200 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Association, Attribution, Forecast, SequentialPatterns, SplitFinder}
+import graft.text.VocabGrowth
+
+/** Hand-computed fixtures for the round-11 analytics wave:
+  * attribution, seasonal MASE, Heaps' curve, vocab Jaccard, item
+  * neighbors, session sequences, Gini split finding.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("analytics-test", "4").getOrCreate()
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("attribution: last-touch to latest, linear ppm floor, lookback honored") {
+    val ev = Seq(
+      // user 1: click then view then purchase — both in window
+      (1L, 1L, ts("2024-01-10 10:00:00"), "click"),
+      (2L, 1L, ts("2024-01-10 11:00:00"), "view"),
+      (3L, 1L, ts("2024-01-10 12:00:00"), "purchase"),
+      // user 2: touch OUTSIDE the 3-day lookback -> organic conversion
+      (4L, 2L, ts("2024-01-01 00:00:00"), "click"),
+      (5L, 2L, ts("2024-01-10 00:00:00"), "purchase"),
+      // user 3: same-timestamp touch with smaller id counts; larger id doesn't
+      (6L, 3L, ts("2024-01-10 09:00:00"), "view"),
+      (8L, 3L, ts("2024-01-10 09:00:00"), "view"),
+      (7L, 3L, ts("2024-01-10 09:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Attribution.touchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("click", "view"), lookbackDays = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // user 1: n=2 -> 500000 each; last = view. user 3: only event 6
+    // qualifies (tid 6 < cid 7; tid 8 does not) -> n=1, last=view.
+    assert(out("view") == (2L, 1500000L, 2L))
+    assert(out("click") == (0L, 500000L, 1L))
+  }
+
+  test("seasonal MASE: gap days zero-filled, constant series -> null") {
+    // key A over days 1..5 (day 3 absent -> 0): counts 2,1,0,1,2
+    // season=2: |c_d - c_{d-2}| for d=3..5 -> |0-2|+|1-1|+|2-0| = 4, n_s=3
+    // naive:    |c_d - c_{d-1}| for d=2..5 -> 1+1+1+1 = 4, n_1=4
+    // mase_ppm = 4*4*1e6 div (3*4) = 1333333
+    val rows = Seq(
+      ("A", ts("2024-01-01 01:00:00")), ("A", ts("2024-01-01 02:00:00")),
+      ("A", ts("2024-01-02 01:00:00")),
+      ("A", ts("2024-01-04 01:00:00")),
+      ("A", ts("2024-01-05 01:00:00")), ("A", ts("2024-01-05 02:00:00")),
+      // key B: constant 1/day -> naive err 0 -> mase null
+      ("B", ts("2024-01-01 01:00:00")), ("B", ts("2024-01-02 01:00:00")),
+      ("B", ts("2024-01-03 01:00:00")), ("B", ts("2024-01-04 01:00:00")),
+      ("B", ts("2024-01-05 01:00:00")))
+      .toDF("k", "ts")
+    val out = Forecast.seasonalNaiveMase(rows, "k", "ts", season = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(a.fieldIndex("n_days")) == 5L)
+    assert(a.getLong(a.fieldIndex("seasonal_abs_err")) == 4L)
+    assert(a.getLong(a.fieldIndex("naive_abs_err")) == 4L)
+    assert(a.getLong(a.fieldIndex("mase_ppm")) == 1333333L)
+    assert(out("B").isNullAt(out("B").fieldIndex("mase_ppm")))
+  }
+
+  test("heaps curve: cumulative vocab/tokens per id-range bucket") {
+    val docs = Seq(
+      (0L, "a b a"), (1L, ""),          // bucket 1: 3 tokens, vocab {a,b}
+      (2L, "b c"), (3L, "c d d"))       // bucket 2: +5 tokens, new {c,d}
+      .toDF("doc_id", "text")
+    val out = VocabGrowth.heapsCurve(docs, "doc_id", "text", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((2L, 3L, 2L), (4L, 8L, 4L)))
+    // ttr: 2e6 div 3 = 666666; 4e6 div 8 = 500000
+    assert(out.map(_.getLong(4)).toSeq == Seq(666666L, 500000L))
+  }
+
+  test("group vocab jaccard: exact overlap ppm, unordered pair once") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "c d"),     // s1 vocab {a,b,c,d}
+      ("s2", "c d e"), ("s2", ""),        // s2 vocab {c,d,e}
+      ("s3", "x"))                        // s3 vocab {x} — no overlap rows
+      .toDF("source", "text")
+    val out = VocabGrowth.groupVocabJaccard(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // common {c,d}=2, union 4+3-2=5 -> 400000 ppm
+    assert(out(("s1", "s2")) == (2L, 4L, 3L, 400000L))
+    assert(out.size == 1) // disjoint pairs emit nothing
+  }
+
+  test("item neighbors: cos2 ppm exact, mirrored, ranked, k-capped") {
+    // baskets: {1,2} x3, {1,3} x1 via four orders; item counts 1->4, 2->3, 3->2
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L), (14L, 2L), (15L, 3L))
+      .toDF("order_id", "item_id")
+    val out = Association.itemNeighbors(rows, "order_id", "item_id",
+        k = 1, minItemCount = 1L, minPairCount = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getInt(6))).toMap
+    // pair (1,2): n_ab=3, n_1=4, n_2=4 -> wait: item 2 appears in orders
+    // 10,11,12,14 -> 4. cos2 = 9e6 div 16 = 562500
+    // pair (1,3): n_ab=1, n_1=4, n_3=2 -> 1e6 div 8 = 125000
+    assert(out(1L) == (2L, 3L, 562500L, 1))   // item 1's best neighbor: 2
+    assert(out(2L) == (1L, 3L, 562500L, 1))   // mirrored
+    assert(out(3L) == (1L, 1L, 125000L, 1))
+    assert(out.size == 3) // k=1 caps each item's list
+  }
+
+  test("session sequences: strictly-before within session, gap splits") {
+    // user 1, session 1: view(1) click(2) view(3) -> view<click, click<view
+    // user 1, session 2 (gap > 1800s): buy(4) alone
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "click"),
+      (3L, 1L, ts("2024-01-01 10:10:00"), "view"),
+      (4L, 1L, ts("2024-01-01 12:00:00"), "buy"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = SequentialPatterns.sessionSequencePairs(ev, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // 2 sessions total -> support 500000 each; buy pairs with nothing
+    assert(out(("view", "click")) == (1L, 500000L))
+    assert(out(("click", "view")) == (1L, 500000L))
+    assert(out.size == 2)
+  }
+
+  test("mad outliers: type-1 medians, fence exact, one wild value can't move it") {
+    // group g: values 1,2,3,4,100 (cents) -> median 3 (type-1 lower:
+    // cum*2>=5 first at v=3); devs 2,1,0,1,97 -> sorted 0,1,1,2,97 ->
+    // MAD 1; fence 3 -> outlier only 97
+    val rows = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L))
+      .toDF("t", "v")
+    val out = graft.ops.GroupQuantile.madOutliers(rows, Seq("t"), col("v"))
+      .head()
+    assert(out.getLong(1) == 5L)   // n
+    assert(out.getLong(2) == 3L)   // median
+    assert(out.getLong(3) == 1L)   // mad
+    assert(out.getLong(4) == 1L)   // outliers: just the wild 100
+  }
+
+  test("theil-sen: exact quantized median slope, negative trend exact") {
+    // key D (down): counts 5,3,1 over 3 days. pairs: (d1,d2)->-2e6,
+    // (d1,d3)->-2e6, (d2,d3)->-2e6 -> median -2000000 (trunc-safe)
+    val rows = (0 until 5).map(i => ("D", ts("2024-01-01 0%d:00:00".format(i + 1)))) ++
+      (0 until 3).map(i => ("D", ts("2024-01-02 0%d:00:00".format(i + 1)))) ++
+      Seq(("D", ts("2024-01-03 01:00:00")))
+    val out = graft.ops.Forecast.theilSenDailyTrend(
+      rows.toDF("k", "ts"), "k", "ts").head()
+    assert(out.getLong(1) == 3L)          // n_days
+    assert(out.getLong(2) == 3L)          // n_pairs
+    assert(out.getLong(3) == -2000000L)   // slope
+  }
+
+  test("mips: exact top-k even when the top-norm vector is not the top-dot") {
+    // query q=(1,0); a=(0,10) has the LARGEST norm but dot 0;
+    // b=(3,0) dot 3; c=(2,2) dot 2; d=(-5,0) dot -5 (negative)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(0.0f, 10.0f)),
+      (2L, Array(3.0f, 0.0f)),
+      (3L, Array(2.0f, 2.0f)),
+      (4L, Array(-5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.mipsTopKNormPruned(
+        vecs, "vec_id", "embedding", queryId = 0L, k = 2,
+        initialFactor = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // quantized: 1e4 grid -> dots x1e8: b=3e8, c=2e8
+    assert(out.toSeq == Seq((2L, 300000000L), (3L, 200000000L)))
+  }
+
+  test("gini split: perfect separation scores 0, threshold tiebreaks low") {
+    val rows = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"),
+      (10L, "fr"), (11L, "fr"))
+      .toDF("f", "lab")
+    val out = SplitFinder.bestGiniSplits(rows, "f", "lab", k = 2)
+      .collect()
+    // threshold 3 separates perfectly: gini 0. Next-best by tiebreak.
+    assert(out(0).getLong(0) == 3L)
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L)
+    assert(out(0).getLong(3) == 0L)
+    assert(out(1).getLong(3) > 0L)
+    // threshold cap guard trips loudly
+    val e = intercept[IllegalArgumentException] {
+      SplitFinder.bestGiniSplits(rows, "f", "lab", k = 1, maxThresholds = 2L)
+    }
+    assert(e.getMessage.contains("bucket the feature upstream"))
+  }
+}

@@ -713,4 +713,47 @@ class PlanSpec extends AnyFunSuite {
     assert(lambdaOffenders(legal.queryExecution.analyzed).isEmpty,
       "guard must not flag regex applied to the lambda variable itself")
   }
+
+  test("mips: shortlist dots are a pushed-In point read, vectors never shuffle") {
+    val p = planString("q_mips_topk")
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(p).isDefined,
+      s"shortlist read is not a pushed In point read:\n$p")
+    assert(!"Exchange hashpartitioning\\(embedding".r.findFirstIn(p).isDefined,
+      s"corpus vectors cross a hash exchange:\n$p")
+  }
+
+  test("attribution: type filters pushed to both event scans, no cartesian") {
+    val p = planString("q_attribution_touch")
+    // the conversion/touch slices must narrow at the scan — at 100 TB
+    // the join sides are the two filtered slices, not the event log
+    assert(p.contains("PushedFilters"), p)
+    assert("event_type[^\\n]*purchase".r.findFirstIn(p).isDefined,
+      s"conversion filter did not reach a scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("split finder: corpus collapses to ONE pre-window aggregate") {
+    val p = planString("q_best_split_stump")
+    // windows must run on the distinct-value grid, never the corpus:
+    // the only aggregate upstream of the Window must be the
+    // (feature,label) partial+final pair on the parquet scan side
+    assert(p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final corpus collapse before the grid")
+    assert(!p.contains("CartesianProduct"),
+      s"class grid must build from the collapsed frame:\n$p")
+  }
+
+  test("heaps curve: no corpus-wide sort — bucket is a map-side formula") {
+    val p = executedPlan("q_heaps_law")
+    // a row_number-over-the-collection implementation would show a
+    // Window whose child sorts on doc_id over the full documents scan;
+    // the bucket formula needs only the 10-row cumulative window
+    val sorts = "Sort \\[".r.findAllIn(p.toString).size
+    val windows = "Window ".r.findAllIn(p.toString).size
+    assert(windows <= 2, s"unexpected windows ($windows):\n$p")
+    assert(!p.toString.contains("rangepartitioning(doc_id"),
+      s"corpus-wide sort on doc_id:\n$p")
+    assert(sorts <= 4, s"too many sorts for a bucket-formula plan:\n$p")
+  }
 }
