@@ -61,4 +61,41 @@ object AsOfJoin {
     carried.where(col("__side") === 1)
       .select(leftCols.map(col) ++ payloadCols.map(col): _*)
   }
+
+  /** FORWARD as-of: for each left row, the NEXT right row with
+    * `rightTs >= leftTs` in the same key — time-to-next-event
+    * semantics (click → next purchase, alert → next deploy). The
+    * mirror of [[asOf]]: same union, the window runs current-row →
+    * unbounded-following with `first(ignoreNulls)`, and LEFT rows sort
+    * before right at equal ts so the match is inclusive. Same one
+    * key-shuffle + one sort cost.
+    *
+    * Tie caveat (same as asOf): multiple right rows at one (key, ts)
+    * make the pick engine-arbitrary unless the payload is itself the
+    * tie-identical column (e.g. the ts) — declared queries use it so.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightPayload: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadCols = rightPayload.values.toSeq
+
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(1).as("__side")) ++
+        rightPayload.map { case (src, dst) => col(src).as(dst) }: _*)
+    val taggedLeft = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(0).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    val unioned = taggedRight.unionByName(taggedLeft, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 0)
+      .select(leftCols.map(col) ++ payloadCols.map(col): _*)
+  }
 }

@@ -23,6 +23,38 @@ import org.apache.spark.sql.functions._
   */
 object Expectations {
 
+  /** Referential-integrity audit: for each declared FK edge, the
+    * child-row count, orphan count (child rows whose FK value has no
+    * parent — NULL FKs are NOT orphans, they're the NotNull check's
+    * job), and orphan ppm. The star-schema health check a pipeline
+    * runs before trusting any join: an orphan rate that moves is an
+    * upstream-extract bug surfacing.
+    *
+    * Scale shape: one LEFT ANTI join per edge against the DISTINCT
+    * parent key — dimension keys broadcast; a fact-sized parent (the
+    * orders edge under lineitem) falls back to a key-only shuffled
+    * anti join, never wider than the key column. Counts are BIGINTs;
+    * ppm is one integral division (children ≤ ~9.2e12 for the LONG
+    * bound, the ppm-family rule).
+    */
+  def fkOrphans(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(edges.nonEmpty)
+    edges.map { case (edge, child, fk, parent, pk) =>
+      val keys = parent.select(col(pk).as("__pk")).distinct()
+      val nonNull = child.where(col(fk).isNotNull)
+      val orphans = nonNull
+        .join(broadcast(keys), col(fk) === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val totals = nonNull.agg(count(lit(1)).as("n_children"))
+      totals.crossJoin(orphans)
+        .select(lit(edge).as("edge"), col("n_children"), col("n_orphans"),
+          when(col("n_children") > 0,
+            expr("n_orphans * 1000000 div n_children")).as("orphan_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   sealed trait Check { def name: String }
 
   /** `column` must be non-NULL. */

@@ -438,4 +438,51 @@ object Sampling {
         count(lit(1)).as("times_drawn"))
       .select(col("id").as(idCol), col("weight"), col("times_drawn"))
   }
+
+  /** Largest-remainder (Hamilton) allocation of a sample budget across
+    * strata, proportional to stratum size: every stratum gets
+    * `floor(budget·N_h / N)`, and the leftover seats go to the largest
+    * fractional remainders — which stay EXACT INTEGERS here, because
+    * remainder comparison is just `(budget·N_h) mod N` (same
+    * denominator N for every stratum). Ties break to the smaller
+    * stratum key. This is the apportionment algorithm, used as the
+    * "how many rows do I take from each source" step of any stratified
+    * sampling/eval-set plan; the result always sums exactly to
+    * `budget` (when budget ≤ N the per-stratum alloc also never
+    * exceeds N_h... not guaranteed by Hamilton in general — it IS
+    * proportional-floor + at most one extra, so alloc ≤ N_h whenever
+    * budget ≤ N, since floor(b·N_h/N)+1 ≤ N_h ⇔ b·N_h/N < N_h).
+    *
+    * Scale shape: ONE stratum-count aggregate collapses the corpus;
+    * everything after runs on the |strata|-row frame (bounded windows).
+    * BIGINT bound: budget·N_h must stay under 2⁶³ — the DECIMAL(38)
+    * route guards it.
+    *
+    * Output: `(stratum…, n_rows, base, extra, alloc)`.
+    */
+  def largestRemainderAllocation(df: DataFrame, strataCols: Seq[String],
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc +: strataCols.map(col): _*)
+    val counts = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("base",
+        expr(s"(cast($budget as decimal(38,0)) * n_rows) div __tot"))
+      .withColumn("__rem",
+        expr(s"(cast($budget as decimal(38,0)) * n_rows) % __tot"))
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__leftover",
+        lit(budget) - sum(col("base")).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("extra",
+        when(col("__rank") <= col("__leftover"), 1L).otherwise(0L))
+      .select(strataCols.map(col) ++ Seq(col("n_rows"), col("base"),
+        col("extra"), (col("base") + col("extra")).as("alloc")): _*)
+  }
 }

@@ -47,6 +47,53 @@ object AdvancedQueries {
       FROM p ASOF JOIN c
         ON p.user_id = c.user_id AND p.purchase_ts_s >= c.click_ts_s"""))
 
+  /** FORWARD as-of join (AsOfJoin.asOfForward): each click attached to
+    * the user's NEXT purchase at or after it — time-to-convert. Same
+    * union + window shape as the backward join, mirrored; payload is
+    * the purchase ts itself, so equal-ts ties are hash-safe. The
+    * oracle replays the union trick portably (MIN over the following
+    * frame ignores the click rows' NULL payloads).
+    */
+  private val qAsOfForward = QueryDef(
+    "q_asof_forward_purchase",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("click_ts_s"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("long").as("p_ts"))
+      AsOfJoin.asOfForward(clicks, purchases, Seq("user_id"),
+          leftTs = "click_ts_s", rightTs = "p_ts",
+          rightPayload = Map("p_ts" -> "purchase_ts_s"))
+        .where(col("purchase_ts_s").isNotNull)
+        .select(col("event_id"), col("user_id"), col("click_ts_s"),
+          col("purchase_ts_s"),
+          (col("purchase_ts_s") - col("click_ts_s")).as("wait_s"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts_s, 0 AS side, event_id,
+          CAST(NULL AS BIGINT) AS p_ts FROM c
+        UNION ALL
+        SELECT user_id, p_ts AS ts_s, 1 AS side,
+          CAST(NULL AS BIGINT) AS event_id, p_ts FROM p),
+      w AS (
+        SELECT user_id, side, event_id, ts_s,
+          MIN(p_ts) OVER (PARTITION BY user_id ORDER BY ts_s, side
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            AS purchase_ts_s
+        FROM u)
+      SELECT event_id, user_id, ts_s AS click_ts_s, purchase_ts_s,
+        purchase_ts_s - ts_s AS wait_s
+      FROM w WHERE side = 0 AND purchase_ts_s IS NOT NULL"""))
+
   /** Scalar/correlated subquery (Catalyst decorrelates to a join):
     * customers whose balance beats their nation's average.
     */
@@ -1103,7 +1150,7 @@ object AdvancedQueries {
         b2.c_mktsegment
       FROM a2 JOIN b2 ON a2.o_custkey = b2.c_custkey"""))
 
-  def all: Seq[QueryDef] = Seq(qAsOf, qAboveAvg, qPercentile, qApproxPct,
+  def all: Seq[QueryDef] = Seq(qAsOf, qAsOfForward, qAboveAvg, qPercentile, qApproxPct,
     qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qIncrementalJoinView, qAggAdvice, qStreamAdvice, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qPackingEfficiency, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

@@ -1639,8 +1639,41 @@ object PipelineQueries {
       FROM r JOIN nd USING (event_type)
       WHERE rn * 2 = np OR rn * 2 = np + 1"""))
 
+  /** Largest-remainder (Hamilton) budget allocation
+    * (Sampling.largestRemainderAllocation): how many rows a
+    * 1000-row eval set takes from each event type, proportional with
+    * exact-integer remainder ranking (remainders share the
+    * denominator N, so `(budget·N_h) mod N` ranks them without any
+    * fraction). Sums exactly to the budget; one corpus aggregate,
+    * then |strata|-row windows.
+    */
+  private val qAllocation = QueryDef(
+    "q_sample_allocation",
+    (s, d) => graft.ops.Sampling.largestRemainderAllocation(
+      Tables.events(s, d), Seq("event_type"), budget = 1000L),
+    Some("""
+      WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1),
+      t AS (SELECT SUM(n_rows) AS tot FROM c),
+      b AS (
+        SELECT event_type, n_rows,
+          CAST((1000 * n_rows) // tot AS BIGINT) AS base,
+          (1000 * n_rows) % tot AS rem
+        FROM c, t),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk,
+          1000 - SUM(base) OVER () AS leftover
+        FROM b)
+      SELECT event_type, n_rows, base,
+        CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS alloc
+      FROM r"""))
+
   def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
-    qStreamSeasonalMase, qSessionSequences, qMadOutliers, qTheilSen,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
+    qStreamSeasonalMase, qSessionSequences, qMadOutliers, qTheilSen,
+    qAllocation,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -446,6 +446,46 @@ object RelationalQueries {
       UNION ALL SELECT 'fk(o_custkey->customer.c_custkey)', v4, total,
         CAST(CASE WHEN v4 = 0 THEN 1 ELSE 0 END AS INT) FROM agg"""))
 
+  /** Referential-integrity audit across the star schema
+    * (Expectations.fkOrphans): orphan counts + ppm for all four FK
+    * edges — the pre-join health check. One anti join per edge
+    * against the distinct parent key (dimension keys broadcast); NULL
+    * FKs are the NotNull check's job, not orphans.
+    */
+  private val qFkOrphans = QueryDef(
+    "q_fk_orphans",
+    (s, d) => graft.ops.Expectations.fkOrphans(Seq(
+      ("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      ("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      ("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      ("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))),
+    Some {
+      def leg(edge: String, child: String, fk: String, parent: String,
+          pk: String) = s"""
+        SELECT '$edge' AS edge, CAST(COUNT(*) AS BIGINT) AS n_children,
+          CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_orphans,
+          CASE WHEN COUNT(*) > 0 THEN
+            CAST((SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+              * 1000000) // COUNT(*) AS BIGINT) END AS orphan_ppm
+        FROM $child c
+        LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$fk = p.$pk
+        WHERE c.$fk IS NOT NULL"""
+      Seq(
+        leg("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        leg("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        leg("lineitem->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        leg("lineitem->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey")).mkString(" UNION ALL ")
+    })
+
   /** k-anonymity audit (ops/Privacy.kAnonymityAudit): cohort sizes of
     * the (nation, market segment) quasi-identifier combination over
     * customers, flagged against k=5 — one partial→final hash aggregate
@@ -646,5 +686,6 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
     qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit,
+    qFkOrphans,
     qKAnon, qKAnonSuppress, qLDiversity, qTCloseness, qBenford, qProfileDrift)
 }

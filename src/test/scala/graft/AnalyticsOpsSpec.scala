@@ -179,6 +179,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 300000000L), (3L, 200000000L)))
   }
 
+  test("asof forward: next right at >= left ts, inclusive tie, null past end") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 400L))
+      .toDF("id", "k", "lts")
+    val right = Seq((10L, 100L), (10L, 300L)).toDF("k", "rts")
+    val out = graft.ops.AsOfJoin.asOfForward(left, right, Seq("k"),
+        "lts", "rts", Map("rts" -> "next_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L).contains(100L)) // same-ts match is inclusive
+    assert(out(2L).contains(300L)) // next, not previous
+    assert(out(3L).isEmpty)        // nothing after 400
+  }
+
+  test("fk orphans: planted orphan counted, null fk excluded, ppm exact") {
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)),
+      (4L, None)).toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val out = graft.ops.Expectations.fkOrphans(
+      Seq(("c->p", child, "fk", parent, "pk"))).head()
+    assert(out.getString(0) == "c->p")
+    assert(out.getLong(1) == 3L) // null fk excluded
+    assert(out.getLong(2) == 1L) // the 99
+    assert(out.getLong(3) == 333333L)
+  }
+
+  test("hamilton allocation: sums to budget, largest remainders win") {
+    // strata sizes 5, 3, 2 over budget 7: quotas 3.5, 2.1, 1.4 ->
+    // bases 3,2,1 (sum 6), remainders (7*5)%10=5, (7*3)%10=1, (7*2)%10=4
+    // -> the one leftover seat goes to stratum a (rem 5)
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("s")
+    val out = graft.ops.Sampling.largestRemainderAllocation(
+        rows, Seq("s"), budget = 7L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(out("a") == (3L, 4L))
+    assert(out("b") == (2L, 2L))
+    assert(out("c") == (1L, 1L))
+    assert(out.values.map(_._2).sum == 7L)
+  }
+
   test("gini split: perfect separation scores 0, threshold tiebreaks low") {
     val rows = Seq(
       (1L, "en"), (2L, "en"), (3L, "en"),
