@@ -798,21 +798,68 @@ object Similarity {
     */
   def mipsTopKNormPruned(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, initialFactor: Int = 4,
-      maxFactor: Int = 1 << 20): DataFrame = {
+      maxFactor: Int = 1 << 20): DataFrame =
+    mipsTopKNormPrunedWithStats(df, idCol, vecCol, queryId, k,
+      initialFactor, maxFactor)._1
+
+  /** [[mipsTopKNormPruned]] plus the ladder's exit state for probes:
+    * (result, final factor, candidates scanned, stop reason).
+    *
+    * CONCENTRATION GUARD (MipsProbe finding): on iid-component
+    * corpora norms concentrate (relative spread ~1/√d), the
+    * Cauchy–Schwarz ceiling barely decays down the ladder, and the
+    * ladder death-marches to exhaustion — measured 14.96 s vs 0.27 s
+    * brute at 100k×32d. When max ‖x‖² < `minSpread` × median ‖x‖²
+    * (approx-median; the choice only picks the PATH — both paths
+    * return the identical exact top-k), skip the ladder and scan once.
+    * Heavy-tailed catalogs (popularity-scaled norms — the recommender
+    * case) sail past the guard and prune: measured 0.64% of the
+    * corpus scanned at the same size.
+    */
+  /** The (id, ‖x‖²) norm index [[mipsTopKNormPrunedWithStats]] scans —
+    * build once, store/persist, and pass back in for serve-path reads
+    * (otherwise every ladder rung recomputes norms corpus-wide: the
+    * build pass costs one full scan, same as brute, so in-query
+    * pruning only wins when the index already exists — MipsProbe
+    * measures both regimes).
+    */
+  def mipsNormIndex(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"),
+      quantizedNormSq(col(vecCol)).as("__n2"))
+
+  def mipsTopKNormPrunedWithStats(df: DataFrame, idCol: String,
+      vecCol: String, queryId: Long, k: Int, initialFactor: Int = 4,
+      maxFactor: Int = 1 << 20, minSpread: Double = 4.0,
+      index: Option[DataFrame] = None): (DataFrame, Int, Long, String) = {
     require(k >= 1 && initialFactor >= 1 && maxFactor >= initialFactor)
     val qFrame = broadcast(
       df.where(col(idCol) === queryId).select(col(vecCol).as("__qv")))
     val qn2 = BigInt(df.where(col(idCol) === queryId)
       .select(quantizedNormSq(col(vecCol))).head().getLong(0))
-    val norms = df.where(col(idCol) =!= queryId)
-      .select(col(idCol).cast("long").as("__id"),
-        quantizedNormSq(col(vecCol)).as("__n2"))
+    val norms = index.getOrElse(mipsNormIndex(df, idCol, vecCol))
+      .where(col("__id") =!= queryId)
     def dotsOf(ids: Seq[Long]): DataFrame = df
       .where(col(idCol).isin(ids: _*)) // pushed-In point read
       .crossJoin(qFrame)
       .select(col(idCol).as("vec_id"),
         quantizedDot(col(vecCol), col("__qv")).as("dot_q"))
       .orderBy(col("dot_q").desc, col("vec_id"))
+    val spread = norms.agg(max(col("__n2")).cast("double").as("mx"),
+        expr("approx_percentile(__n2, 0.5)").cast("double").as("md"))
+      .head()
+    val concentrated = !spread.isNullAt(0) && spread.getDouble(1) > 0 &&
+      spread.getDouble(0) < minSpread * spread.getDouble(1)
+    if (concentrated) {
+      val n = norms.count()
+      val out = df.where(col(idCol) =!= queryId)
+        .crossJoin(qFrame)
+        .select(col(idCol).as("vec_id"),
+          quantizedDot(col(vecCol), col("__qv")).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id"))
+        .limit(k)
+      return (out, 0, n, "concentrated_norms")
+    }
     var factor = initialFactor
     while (true) {
       val c = k * factor
@@ -823,12 +870,16 @@ object Similarity {
       val short = normRows.take(c).map(_.getLong(0)).toSeq
       val exhausted = normRows.length <= c
       val out = dotsOf(short).limit(k)
-      if (exhausted || factor >= maxFactor) return out
+      if (exhausted)
+        return (out, factor, short.length.toLong, "exhausted")
+      if (factor >= maxFactor)
+        return (out, factor, short.length.toLong, "max_factor")
       val maxUnseen = BigInt(normRows.last.getLong(1))
       val top = out.collect()
       if (top.length == k) {
         val kth = BigInt(top.last.getLong(1))
-        if (kth > 0 && kth * kth > qn2 * maxUnseen) return out
+        if (kth > 0 && kth * kth > qn2 * maxUnseen)
+          return (out, factor, short.length.toLong, "pruned")
       }
       factor = math.min(factor * 2, maxFactor)
     }
