@@ -35,23 +35,40 @@ object Attribution {
     * ties by id — and at most `lookbackDays` old. Conversions with no
     * in-window touch earn no row (organic conversions carry no credit
     * to distribute).
+    *
+    * The join key is (user, TIME BUCKET), not user alone — the
+    * IntervalJoin grid pattern. A user-only key funnels a bot user's
+    * |convs| × |touches| pair evaluations through ONE partition
+    * BEFORE the time filter can discard anything: AttributionProbe
+    * measured 1408 s at 50M events with one 2%-of-traffic bot on the
+    * user-keyed shape (and the 7-day leg had to be killed). Bucket
+    * width = the lookback, so each conversion subscribes to exactly
+    * 2 buckets (its own and the previous — together covering
+    * [cts − lookback, cts]) and each touch lives in exactly one, so
+    * every pair meets exactly once and a bot's cost spreads across
+    * its time buckets instead of one key.
     */
   def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String, conversionType: String,
       touchTypes: Seq[String], lookbackDays: Int): DataFrame = {
+    val wUs = lookbackDays * 86400L * 1000000L
     val conv = events
       .where(col(typeCol) === conversionType)
       .select(col(userCol).as("__u"), col(tsCol).as("__cts"),
-        col(idCol).as("__cid"))
+        col(idCol).as("__cid"),
+        unix_micros(col(tsCol)).as("__cus"))
+      .withColumn("__b", explode(array(
+        expr(s"__cus div ${wUs}L - 1"), expr(s"__cus div ${wUs}L"))))
     val touch = events
       .where(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("__u"), col(tsCol).as("__tts"),
-        col(idCol).as("__tid"), col(typeCol).as("__ttype"))
+        col(idCol).as("__tid"), col(typeCol).as("__ttype"),
+        expr(s"unix_micros($tsCol) div ${wUs}L").as("__b"))
     val inWindow = (col("__tts") < col("__cts") ||
       (col("__tts") === col("__cts") && col("__tid") < col("__cid"))) &&
       col("__tts") >= col("__cts") - expr(s"INTERVAL $lookbackDays DAYS")
     val w = Window.partitionBy(col("__u"), col("__cid"))
-    val joined = conv.join(touch, Seq("__u")).where(inWindow)
+    val joined = conv.join(touch, Seq("__u", "__b")).where(inWindow)
       .withColumn("__rn", row_number().over(
         w.orderBy(col("__tts").desc, col("__tid").desc)))
       .withColumn("__n", count(lit(1)).over(w))

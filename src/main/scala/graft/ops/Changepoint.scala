@@ -75,4 +75,76 @@ object Changepoint {
         expr("((__S - __L) * 1000) div cast(__n - __t as decimal(38,0))")
           .as("mean_after_milli"))
   }
+
+  /** CUSUM drift monitor over dense daily counts — the SEQUENTIAL
+    * complement of bestSplit: instead of locating one historical
+    * level shift, it answers "on which day would a control chart have
+    * ALARMED", the page a traffic monitor actually serves. Classic
+    * one-sided CUSUM in both directions:
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (c_t − μ̂ − slack))
+    *
+    * with μ̂ = the mean of each key's first `refDays` days. The
+    * recursive max(0,·) fold is made RELATIONAL by the drawup
+    * identity S⁺_t = P_t − min_{j≤t} P_j (P = prefix sum of the
+    * slack-adjusted deviations) — two windows per direction, no
+    * iterative state. All terms are scaled integers (deviations
+    * ×(ref_n·10⁶) so slack_ppm and h_ppm — both in units of μ̂ —
+    * stay integral; prefix sums in DECIMAL(38)), so alarm days replay
+    * exactly on any engine.
+    *
+    * Output per key: `(key, n_days, ref_n, ref_sum, up_alarm_day,
+    * down_alarm_day)` — alarm days null when the chart never trips.
+    */
+  def cusumFromDaily(daily: DataFrame, keyOut: String, refDays: Int,
+      slackPpm: Long, hPpm: Long): DataFrame = {
+    require(refDays >= 1 && slackPpm >= 0 && hPpm > 0)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val grid = Forecast.denseGrid(daily)
+    val wPre = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withRef = grid
+      .withColumn("__t", count(lit(1)).over(
+        Window.partitionBy(col("k")).orderBy(col("day"))))
+      .withColumn("__ref_sum",
+        sum(when(col("__t") <= refDays, col("c"))).over(wAll))
+      .withColumn("__ref_n",
+        sum(when(col("__t") <= refDays, 1L).otherwise(0L)).over(wAll))
+    // deviation scaled by ref_n·1e6: 1e6·(c·ref_n − ref_sum) − slack·ref_sum
+    val scored = withRef
+      .where(col("__t") > refDays) // the chart runs AFTER the reference
+      .withColumn("__dev",
+        (lit(1000000L).cast(dec) *
+          (col("c").cast(dec) * col("__ref_n") - col("__ref_sum")) -
+          lit(slackPpm).cast(dec) * col("__ref_sum")))
+      // P_0 = 0 enters the running min (the chart starts at S = 0)
+      .withColumn("__p", sum(col("__dev")).over(wPre))
+      .withColumn("__sup", col("__p") -
+        least(lit(0).cast(dec), min(col("__p")).over(wPre)))
+      .withColumn("__pd", sum(col("__dev") * -1).over(wPre))
+      .withColumn("__sdn", col("__pd") -
+        least(lit(0).cast(dec), min(col("__pd")).over(wPre)))
+      .withColumn("__h", lit(hPpm).cast(dec) * col("__ref_sum"))
+    scored.groupBy(col("k").as(keyOut))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("__ref_n")).as("ref_n"),
+        min(col("__ref_sum")).as("ref_sum"),
+        // alarm days ship as ISO strings: a nullable DATE hashes
+        // differently across harness dataframe libraries (None vs NaT)
+        date_format(min(when(col("__sup") > col("__h"), col("day"))),
+          "yyyy-MM-dd").as("up_alarm_day"),
+        date_format(min(when(col("__sdn") > col("__h"), col("day"))),
+          "yyyy-MM-dd").as("down_alarm_day"))
+  }
+
+  /** [[cusumFromDaily]] over an event log. */
+  def cusumDrift(events: DataFrame, keyCol: String, tsCol: String,
+      refDays: Int = 7, slackPpm: Long = 100000L,
+      hPpm: Long = 2000000L): DataFrame =
+    cusumFromDaily(
+      events.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("c")),
+      keyCol, refDays, slackPpm, hPpm)
 }

@@ -49,7 +49,7 @@ object Forecast {
     * as zeros, so lag-k pairs never silently skip them. The spine is
     * a map-side sequence off a two-value aggregate (Resample shape).
     */
-  private def denseGrid(daily: DataFrame): DataFrame = {
+  private[ops] def denseGrid(daily: DataFrame): DataFrame = {
     val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     val spine = bounds.select(
       explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY")))

@@ -1671,9 +1671,83 @@ object PipelineQueries {
           AS alloc
       FROM r"""))
 
+  /** CUSUM control chart (ops/Changepoint.cusumFromDaily): on which
+    * day would a one-sided chart (both directions) have alarmed on
+    * each type's daily volume, against the first week's mean, with
+    * 0.1·μ̂ slack and a 2·μ̂ threshold. The recursive max(0,·) fold is
+    * relational via the drawup identity S⁺_t = P_t − min(0, min
+    * prefix P) — two windows per direction over calendar-bounded
+    * series, all scaled-integer arithmetic.
+    */
+  private val qCusum = QueryDef(
+    "q_cusum_drift",
+    (s, d) => graft.ops.Changepoint.cusumDrift(
+      Tables.events(s, d), "event_type", "ts",
+      refDays = 7, slackPpm = 100000L, hPpm = 2000000L),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+          AS DATE) AS day FROM b),
+      keys AS (SELECT DISTINCT event_type FROM daily),
+      grid AS (
+        SELECT k.event_type, s.day, COALESCE(d.c, 0) AS c
+        FROM keys k CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = k.event_type
+          AND d.day = s.day),
+      t AS (
+        SELECT event_type, day, c,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+        FROM grid),
+      ref AS (
+        SELECT event_type,
+          SUM(CASE WHEN t <= 7 THEN c END) AS ref_sum,
+          SUM(CASE WHEN t <= 7 THEN 1 ELSE 0 END) AS ref_n
+        FROM t GROUP BY 1),
+      dev AS (
+        SELECT t.event_type, t.day,
+          1000000 * (t.c * r.ref_n - r.ref_sum) - 100000 * r.ref_sum
+            AS dev,
+          r.ref_sum, r.ref_n
+        FROM t JOIN ref r USING (event_type) WHERE t.t > 7),
+      ps AS (
+        SELECT *, SUM(dev) OVER w AS p, SUM(-dev) OVER w AS pd
+        FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s AS (
+        SELECT *,
+          p - (CASE WHEN MIN(p) OVER w < 0 THEN MIN(p) OVER w
+               ELSE 0 END) AS sup,
+          pd - (CASE WHEN MIN(pd) OVER w < 0 THEN MIN(pd) OVER w
+                ELSE 0 END) AS sdn,
+          2000000 * ref_sum AS h
+        FROM ps WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(MIN(ref_n) AS BIGINT) AS ref_n,
+        CAST(MIN(ref_sum) AS BIGINT) AS ref_sum,
+        strftime(MIN(CASE WHEN sup > h THEN day END), '%Y-%m-%d')
+          AS up_alarm_day,
+        strftime(MIN(CASE WHEN sdn > h THEN day END), '%Y-%m-%d')
+          AS down_alarm_day
+      FROM s GROUP BY 1"""))
+
+  /** Streaming twin (StreamingChangepoint.runCusumBatchEquivalent):
+    * same day-count aggregation state, CUSUM fold on the snapshot
+    * through the batch code path; shared oracle.
+    */
+  private val qStreamCusum = QueryDef(
+    "q_stream_cusum",
+    (s, d) => graft.streaming.StreamingChangepoint
+      .runCusumBatchEquivalent(s, d),
+    qCusum.oracle)
+
   def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qTheilSen,
-    qAllocation,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
+    qAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -1450,8 +1450,13 @@ object SimilarityQueries {
     */
   private val qMips = QueryDef(
     "q_mips_topk",
+    // minSpread = 0: the exhibit pins the LADDER + pushed-In point-read
+    // plan shape (PlanSpec). This Gaussian corpus would otherwise take
+    // the concentration-guard brute path (MipsProbe) — correct serving
+    // config, but then no declared query would exercise the rungs.
     (s, d) => graft.sim.Similarity.mipsTopKNormPruned(
-      Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 20),
+      Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 20,
+      minSpread = 0.0),
     Some(s"""
       WITH flat AS ($sqlQuantFlat),
       qf AS (SELECT i, qv AS qqv FROM flat WHERE vec_id = 0),

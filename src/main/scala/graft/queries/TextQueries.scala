@@ -2020,6 +2020,76 @@ object TextQueries {
         CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
       FROM wgt GROUP BY doc_id""")
 
+  /** Trigram LM with STUPID BACKOFF (NgramLm.trainStupidBackoff /
+    * scoreStupidBackoff — Brants et al. 2007, the scheme designed for
+    * MapReduce-scale LMs): S(w₃|w₁w₂) falls through seen-trigram →
+    * α·bigram → α²·unigram → α²/V with α = 2/5 kept rational, so
+    * every level is ONE integer floor division in ppm and the doc
+    * score replays exactly. Training = three counting aggregates;
+    * scoring = one trigram explode + three left lookups (broadcast
+    * under the bigram scorer's reach rule).
+    */
+  private val qLmTrigram = QueryDef(
+    "q_lm_trigram_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.NgramLm.trainStupidBackoff(
+        docs.where(col("lang") === "en"), "text")
+      graft.text.NgramLm.scoreStupidBackoff(docs, "doc_id", "text", model)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      tr AS (SELECT t FROM tok WHERE lang = 'en'),
+      uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v,
+          CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+      big AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i + 1])) AS pair
+          FROM tr WHERE len(t) >= 2)
+        GROUP BY pair),
+      tri AS (
+        SELECT tri, CAST(COUNT(*) AS BIGINT) AS c123
+        FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tri
+          FROM tr WHERE len(t) >= 3)
+        GROUP BY tri),
+      l1 AS (
+        SELECT tri.tri, CAST(1000000 * c123 // c12 AS BIGINT) AS l1_ppm
+        FROM tri JOIN big ON big.pair =
+          split_part(tri.tri, ' ', 1) || ' ' || split_part(tri.tri, ' ', 2)),
+      l2 AS (
+        SELECT big.pair,
+          CAST(2 * 1000000 * c12 // (5 * c1) AS BIGINT) AS l2_ppm
+        FROM big JOIN uni ON uni.w = split_part(big.pair, ' ', 1)),
+      l3 AS (
+        SELECT w, CAST(4 * 1000000 * c1 // (25 * n) AS BIGINT) AS l3_ppm
+        FROM uni CROSS JOIN tot),
+      sc AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tri
+        FROM tok WHERE len(t) >= 3),
+      wgt AS (
+        SELECT sc.doc_id,
+          COALESCE(l1.l1_ppm, l2.l2_ppm, l3.l3_ppm,
+            CAST(4 * 1000000 // (25 * v) AS BIGINT)) AS w_ppm
+        FROM sc
+        LEFT JOIN l1 USING (tri)
+        LEFT JOIN l2 ON l2.pair =
+          split_part(sc.tri, ' ', 2) || ' ' || split_part(sc.tri, ' ', 3)
+        LEFT JOIN l3 ON l3.w = split_part(sc.tri, ' ', 3)
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS sb_score_ppm
+      FROM wgt GROUP BY doc_id"""))
+
   private val qBm25 = QueryDef(
     "q_bm25_search",
     (s, d) =>
@@ -2492,7 +2562,7 @@ object TextQueries {
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
-    qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qStreamLm, qLmBuckets, qHllSourceVocab,
+    qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qLmTrigram, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin,
     qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)

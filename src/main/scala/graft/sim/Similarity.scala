@@ -798,9 +798,9 @@ object Similarity {
     */
   def mipsTopKNormPruned(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, initialFactor: Int = 4,
-      maxFactor: Int = 1 << 20): DataFrame =
+      maxFactor: Int = 1 << 20, minSpread: Double = 4.0): DataFrame =
     mipsTopKNormPrunedWithStats(df, idCol, vecCol, queryId, k,
-      initialFactor, maxFactor)._1
+      initialFactor, maxFactor, minSpread)._1
 
   /** [[mipsTopKNormPruned]] plus the ladder's exit state for probes:
     * (result, final factor, candidates scanned, stop reason).

@@ -46,4 +46,31 @@ object StreamingChangepoint {
         .withColumnRenamed("key", "event_type")
     }
   }
+
+  /** The CUSUM control chart on the same continuously-maintained
+    * day-grain counts — "which day would the chart have alarmed",
+    * refreshing per micro-batch; the fold runs on the snapshot
+    * through the identical batch code path (cusumFromDaily).
+    */
+  def runCusumBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = s"stream_cusum_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val daily = StreamingHourPivot.eventsStream(s, sfDir)
+        .groupBy(col("event_type").as("k"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val q = daily.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.Changepoint.cusumFromDaily(snapshot, "event_type",
+        refDays = 7, slackPpm = 100000L, hPpm = 2000000L)
+    }
+  }
 }

@@ -124,4 +124,106 @@ object NgramLm {
       .select(col("id").as(idCol), col("n_bigrams"),
         expr("w_sum div n_bigrams").as("lm_score_ppm"))
   }
+
+  // ----------------------- trigram LM with stupid backoff (Brants '07)
+
+  /** Adjacent word triples as "w1 w2 w3"; < 3 tokens → empty array. */
+  def wordTrigrams(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2),
+        i => concat(element_at(toks, i), lit(" "),
+          element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+
+  /** Stupid-backoff trigram model (Brants et al. 2007 — the scheme
+    * DESIGNED for MapReduce-scale LMs: no discounting mass to
+    * normalize, so each level is one independent count ratio and the
+    * whole model trains in three counting aggregates):
+    *
+    *   S(w₃|w₁w₂) = c₁₂₃/c₁₂          if the trigram was seen
+    *              = α·c₂₃/c₂           else if "w₂ w₃" was seen
+    *              = α²·c₃/N            else if w₃ was seen
+    *              = α²·1/V             else (OOV)
+    *
+    * with α = 0.4 = 2/5 kept RATIONAL so every level is one integer
+    * floor division in ppm: L1 = 10⁶·c₁₂₃ div c₁₂, L2 = 2·10⁶·c₂₃
+    * div (5·c₂), L3 = 4·10⁶·c₃ div (25·N), L4 = 4·10⁶ div (25·V) —
+    * engine-exact. LONG headroom: 4·10⁶·c₃ overflows past c₃ ≈
+    * 2.3·10¹² occurrences of one token — the hottest stopword of a
+    * ~50 TB trusted slice; cast the numerators to DECIMAL(38) past
+    * that (documented, not needed at any test SF).
+    *
+    * Frames are n-gram-vocabulary-sized and pinned (the train()
+    * multi-consumer contract).
+    */
+  final case class SbModel(trigram: DataFrame, bigramCond: DataFrame,
+      unigramCond: DataFrame, vocab: DataFrame)
+
+  def trainStupidBackoff(trusted: DataFrame, textCol: String): SbModel = {
+    val tok = trusted.where(length(trim(col(textCol))) > 0)
+      .select(TextFunctions.tokens(col(textCol)).as("t"))
+    val uni = tok.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
+    val totals = uni.agg(count(lit(1)).as("v"), sum(col("c1")).as("n"))
+      .localCheckpoint(true)
+    val big = tok.where(size(col("t")) >= 2)
+      .select(explode(wordBigrams(col("t"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val tri = tok.where(size(col("t")) >= 3)
+      .select(explode(wordTrigrams(col("t"))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("c123"))
+    // L1: trigram cond against its HISTORY bigram "w1 w2"
+    val trigram = tri
+      .withColumn("pair", substring_index(col("tri"), " ", 2))
+      .join(big, Seq("pair"))
+      .select(col("tri"), expr(s"$Scale * c123 div c12").as("l1_ppm"))
+      .localCheckpoint(true)
+    // L2: α-scaled bigram cond of the SUFFIX "w2 w3" against c(w2)
+    val bigramCond = big
+      .withColumn("w", substring_index(col("pair"), " ", 1))
+      .join(uni, Seq("w"))
+      .select(col("pair"),
+        expr(s"2 * $Scale * c12 div (5 * c1)").as("l2_ppm"))
+      .localCheckpoint(true)
+    // L3: α²-scaled unigram relative frequency
+    val unigramCond = uni.crossJoin(broadcast(totals))
+      .select(col("w"), expr(s"4 * $Scale * c1 div (25 * n)").as("l3_ppm"))
+      .localCheckpoint(true)
+    SbModel(trigram, bigramCond, unigramCond, totals)
+  }
+
+  /** Mean stupid-backoff trigram score per doc in ppm; docs with < 3
+    * tokens are absent (no trigram evidence — the bigram scorer's
+    * contract extended). Output: (idCol, n_trigrams, sb_score_ppm).
+    */
+  def scoreStupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+      model: SbModel): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (df.count() <= BroadcastMaxBigrams) broadcast(df) else df
+    graft.ops.Partitioning.fanOut(
+        docs.where(length(trim(col(textCol))) > 0))
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(wordTrigrams(col("__toks"))).as("tri"))
+      // one split, reused — never re-split per lookup (the HOF rule's
+      // projection cousin)
+      .withColumn("__parts", split(col("tri"), " "))
+      .withColumn("__suffix", concat(element_at(col("__parts"), 2),
+        lit(" "), element_at(col("__parts"), 3)))
+      .withColumn("__w3", element_at(col("__parts"), 3))
+      .drop("__parts")
+      .join(side(model.trigram), Seq("tri"), "left")
+      .join(side(model.bigramCond.withColumnRenamed("pair", "__suffix")),
+        Seq("__suffix"), "left")
+      .join(side(model.unigramCond.withColumnRenamed("w", "__w3")),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("w_ppm", coalesce(col("l1_ppm"), col("l2_ppm"),
+        col("l3_ppm"), expr(s"4 * $Scale div (25 * v)")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("w_ppm")).as("__s"))
+      .select(col("id").as(idCol), col("n_trigrams"),
+        expr("__s div n_trigrams").as("sb_score_ppm"))
+  }
 }

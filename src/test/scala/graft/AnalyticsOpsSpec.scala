@@ -220,6 +220,55 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 7L)
   }
 
+  test("stupid backoff: all four levels hand-checked at alpha = 2/5") {
+    // trusted: "a b c a b d" -> unigrams a:2 b:2 c:1 d:1 (V=4, N=6)
+    // bigrams: "a b":2, "b c":1, "c a":1, "b d":1
+    // trigrams: "a b c":1, "b c a":1, "c a b":1, "a b d":1
+    val trusted = Seq((0L, "a b c a b d", "en")).toDF("doc_id", "text", "lang")
+    val model = graft.text.NgramLm.trainStupidBackoff(trusted, "text")
+    // score "a b c" (L1: 1e6*1 div 2), "a b z" (L4 OOV: 4e6 div 100),
+    // "x b d" (L2 via "b d": 2e6*1 div (5*2)), "x y d" (L3: 4e6*1 div 150)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b z"), (3L, "x b d"), (4L, "x y d"))
+      .toDF("doc_id", "text")
+    val out = graft.text.NgramLm.scoreStupidBackoff(
+        docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 500000L)  // seen trigram: c123/c12 = 1/2
+    assert(out(2L) == 40000L)   // OOV w3: 4e6 div (25*4)
+    assert(out(3L) == 200000L)  // backoff bigram: 2e6*1 div (5*2)
+    assert(out(4L) == 26666L)   // backoff unigram: 4e6*1 div (25*6)
+  }
+
+  test("cusum: planted level shift alarms on the right day and direction") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // key U: 2/day for 3 ref days, then 10/day — must UP-alarm once the
+    // drawup clears 2x the ref mean; key D mirrors downward (2 -> 0);
+    // key F flat — never alarms
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    val rows =
+      (1 to 3).map(d => Row("U", day(d), 2L)) ++
+      (4 to 8).map(d => Row("U", day(d), 10L)) ++
+      (1 to 3).map(d => Row("D", day(d), 2L)) ++
+      (4 to 8).map(d => Row("D", day(d), 0L)) ++
+      (1 to 8).map(d => Row("F", day(d), 2L))
+    val daily = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("k", StringType),
+        StructField("day", DateType), StructField("c", LongType))))
+    val out = graft.ops.Changepoint.cusumFromDaily(daily, "k",
+        refDays = 3, slackPpm = 0L, hPpm = 2000000L)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(4)), Option(r.getString(5)))).toMap
+    // U: dev/day = (10-2)*3*1e6 = 24e6 scaled; h = 2e6*6 = 12e6 ->
+    // first chart day (Jan 4) already clears it
+    assert(out("U") == (Some("2024-01-04"), None))
+    // D: -2/day -> scaled 6e6/day down; clears 12e6 on day 3 (Jan 6)
+    assert(out("D") == (None, Some("2024-01-06")))
+    assert(out("F") == (None, None))
+  }
+
   test("gini split: perfect separation scores 0, threshold tiebreaks low") {
     val rows = Seq(
       (1L, "en"), (2L, "en"), (3L, "en"),
