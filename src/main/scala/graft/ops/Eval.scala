@@ -60,4 +60,66 @@ object Eval {
             (lit(2).cast("decimal(38,0)") * np * nn).cast("double"))
           .as("auc"))
   }
+
+  /** Murphy decomposition of the Brier score — the calibration
+    * readout that splits a probabilistic classifier's error into WHAT
+    * KIND of bad it is:
+    *
+    *   brier ≈ reliability − resolution + uncertainty
+    *
+    * reliability = Σ n_k(p̄_k − ȳ_k)²/N  (miscalibration — fixable by
+    * recalibrating), resolution = Σ n_k(ȳ_k − ȳ)²/N (discrimination —
+    * only a better model buys more), uncertainty = ȳ(1−ȳ) (the data's
+    * floor). Bins k are fixed-width over the ppm score
+    * (`score div binWidth`).
+    *
+    * Determinism: scores are integer ppm; brier is EXACT
+    * (Σ(p−10⁶y)² div N through DECIMAL(38)); the three decomposition
+    * terms use ppm-QUANTIZED bin means (each mean one integral
+    * division, then integer squares — the Changepoint ×10³ rule), so
+    * every output replays on any engine. The identity holds up to
+    * that ppm quantization; it is reported, never asserted.
+    *
+    * One (bin)-keyed aggregate over the scored frame + a 1-row
+    * reduce; all terms ×10¹² BIGINTs (bound: N ≤ ~9.2e6 per the
+    * ppm²-family rule — past that, lift the term sums to DECIMAL).
+    *
+    * Input: (scoreCol ppm LONG 0..10⁶, labelCol BOOLEAN). Output one
+    * row: (n, base_rate_ppm, brier_x1e12, reliability_x1e12,
+    * resolution_x1e12, uncertainty_x1e12).
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+      labelCol: String, binWidth: Long = 100000L): DataFrame = {
+    require(binWidth >= 1)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val scored = df
+      .select(expr(s"$scoreCol div $binWidth").as("__bin"),
+        col(scoreCol).as("__p"),
+        col(labelCol).cast("long").as("__y"))
+    val tot = scored
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__spos"))
+      .withColumn("base_rate_ppm", expr("__spos * 1000000 div n"))
+    val bins = scored
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nk"),
+        sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__sy"),
+        sum((col("__p") - col("__y") * 1000000L).cast(dec) *
+          (col("__p") - col("__y") * 1000000L)).as("__se"))
+      .withColumn("__pbar", expr("__sp div __nk"))
+      .withColumn("__ybar", expr("__sy * 1000000 div __nk"))
+    bins.crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("base_rate_ppm"))
+      .agg(sum(col("__se")).as("__se"),
+        sum(col("__nk") * (col("__pbar") - col("__ybar")) *
+          (col("__pbar") - col("__ybar"))).as("__rel"),
+        sum(col("__nk") * (col("__ybar") - col("base_rate_ppm")) *
+          (col("__ybar") - col("base_rate_ppm"))).as("__res"))
+      .select(col("n"), col("base_rate_ppm"),
+        expr("cast(__se div n as bigint)").as("brier_x1e12"),
+        expr("__rel div n").as("reliability_x1e12"),
+        expr("__res div n").as("resolution_x1e12"),
+        expr("base_rate_ppm * (1000000 - base_rate_ppm)")
+          .as("uncertainty_x1e12"))
+  }
 }

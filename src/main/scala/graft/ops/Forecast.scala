@@ -102,10 +102,18 @@ object Forecast {
     * Output: `(key, n_days, n_pairs, slope_x1e6)`.
     */
   def theilSenDailyTrend(events: DataFrame, keyCol: String,
-      tsCol: String): DataFrame = {
-    val grid = denseGrid(
+      tsCol: String): DataFrame =
+    theilSenFromDaily(
       events.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
-        .agg(count(lit(1)).as("c")))
+        .agg(count(lit(1)).as("c")),
+      keyCol)
+
+  /** The slope fold over an ALREADY-aggregated (k, day, c) daily frame
+    * — the streaming-snapshot entry point (the maseFromDaily pattern).
+    */
+  def theilSenFromDaily(daily: DataFrame, keyOut: String): DataFrame = {
+    val keyCol = keyOut
+    val grid = denseGrid(daily)
     val pairs = grid.select(col("k"), col("day").as("d1"), col("c").as("c1"))
       .join(grid.select(col("k"), col("day").as("d2"), col("c").as("c2")),
         Seq("k"))

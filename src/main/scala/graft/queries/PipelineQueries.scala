@@ -1745,9 +1745,19 @@ object PipelineQueries {
       .runCusumBatchEquivalent(s, d),
     qCusum.oracle)
 
+  /** Streaming twin of q_theilsen_trend: the robust trend monitor on
+    * the continuously-maintained day counts, batch fold on the
+    * snapshot (shared oracle).
+    */
+  private val qStreamTheilSen = QueryDef(
+    "q_stream_theilsen",
+    (s, d) => graft.streaming.StreamingForecast
+      .runTheilSenBatchEquivalent(s, d),
+    qTheilSen.oracle)
+
   def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qTheilSen,
-    qAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -2260,6 +2260,71 @@ object TextQueries {
         CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
       FROM scored GROUP BY bin"""))
 
+  /** Murphy decomposition of the quality classifier's Brier score
+    * (ops/Eval.brierDecomposition): reliability (miscalibration —
+    * recalibrate to fix) vs resolution (discrimination — needs a
+    * better model) vs uncertainty (the data's floor), over the same
+    * scored frame as q_quality_calibration. Brier is exact; the
+    * decomposition terms use ppm-quantized bin means (integral
+    * divisions), replaying identically on both engines.
+    */
+  private val qBrier = QueryDef(
+    "q_brier_decomposition",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = QualityClassifier.trainTokenWeights(
+        docs.where(col("doc_id") % 3 === 0), "text", col("lang") === "en")
+      val scored = QualityClassifier.scoreDocs(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("score_ppm"), (col("lang") === "en").as("y"))
+      graft.ops.Eval.brierDecomposition(scored, "score_ppm", "y")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      tr AS (
+        SELECT lang = 'en' AS pos, unnest(t) AS term
+        FROM tok WHERE doc_id % 3 = 0),
+      w AS (
+        SELECT term,
+          CAST(1000000 * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) //
+            (COUNT(*) + 2) AS BIGINT) AS w_ppm
+        FROM tr GROUP BY term),
+      sc AS (SELECT doc_id, unnest(t) AS term FROM tok),
+      agg AS (
+        SELECT sc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          SUM(COALESCE(w.w_ppm, 500000)) AS w_sum
+        FROM sc LEFT JOIN w USING (term) GROUP BY 1),
+      doc AS (
+        SELECT CAST(w_sum // n_tokens AS BIGINT) AS p,
+          CASE WHEN tok.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM agg JOIN tok ON tok.doc_id = agg.doc_id),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS base_rate_ppm
+        FROM doc),
+      bins AS (
+        SELECT p // 100000 AS bin, COUNT(*) AS nk, SUM(p) AS sp,
+          SUM(y) AS sy,
+          SUM(CAST(p - y * 1000000 AS HUGEINT)
+            * (p - y * 1000000)) AS se
+        FROM doc GROUP BY 1),
+      bm AS (
+        SELECT bin, nk, se, CAST(sp // nk AS BIGINT) AS pbar,
+          CAST(sy * 1000000 // nk AS BIGINT) AS ybar
+        FROM bins)
+      SELECT t.n, t.base_rate_ppm,
+        CAST(SUM(se) // t.n AS BIGINT) AS brier_x1e12,
+        CAST(SUM(nk * (pbar - ybar) * (pbar - ybar)) // t.n AS BIGINT)
+          AS reliability_x1e12,
+        CAST(SUM(nk * (ybar - t.base_rate_ppm)
+          * (ybar - t.base_rate_ppm)) // t.n AS BIGINT)
+          AS resolution_x1e12,
+        CAST(t.base_rate_ppm * (1000000 - t.base_rate_ppm) AS BIGINT)
+          AS uncertainty_x1e12
+      FROM bm CROSS JOIN tot t GROUP BY t.n, t.base_rate_ppm"""))
+
   /** The shared DSIR CTE block: hashed-unigram buckets (B = 1024),
     * Laplace-smoothed target/raw ratio model in HUGEINT (target =
     * the trusted `lang = 'en'` slice — the NgramLm convention), and
@@ -2558,7 +2623,7 @@ object TextQueries {
     qHeapsLaw, qVocabOverlap, qSplitStump,
     qReadability,
     qDsirWeights, qDsirResample, qStreamDsir, qCollocations,
-    qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration,
+    qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration, qBrier,
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,

@@ -38,4 +38,29 @@ object StreamingForecast {
       graft.ops.Forecast.maseFromDaily(snapshot, "event_type", season = 7)
     }
   }
+
+  /** Theil–Sen trend on the same continuously-maintained day counts —
+    * the robust "is volume trending" monitor, refreshed per
+    * micro-batch; identical batch fold on the snapshot.
+    */
+  def runTheilSenBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = s"stream_theilsen_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val daily = StreamingHourPivot.eventsStream(s, sfDir)
+        .groupBy(col("event_type").as("k"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val q = daily.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.Forecast.theilSenFromDaily(snapshot, "event_type")
+    }
+  }
 }

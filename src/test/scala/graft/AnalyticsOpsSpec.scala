@@ -269,6 +269,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("F") == (None, None))
   }
 
+  test("brier decomposition: perfect predictor vs constant predictor") {
+    // perfect: p = 1e6*y -> brier 0; one bin per class, ybar = pbar
+    // -> reliability 0; resolution = uncertainty (quantized equal here)
+    val perfect = Seq((1000000L, true), (1000000L, true), (0L, false),
+      (0L, false)).toDF("score_ppm", "y")
+    val p = graft.ops.Eval.brierDecomposition(perfect, "score_ppm", "y")
+      .head()
+    assert(p.getLong(2) == 0L)                    // brier
+    assert(p.getLong(3) == 0L)                    // reliability
+    assert(p.getLong(4) == p.getLong(5))          // resolution = unc
+    // constant 500000 on a 50% base: brier = 0.25e12 exactly;
+    // resolution 0; reliability 0 (pbar=ybar=500000 in the one bin)
+    val const = Seq((500000L, true), (500000L, false))
+      .toDF("score_ppm", "y")
+    val c = graft.ops.Eval.brierDecomposition(const, "score_ppm", "y")
+      .head()
+    assert(c.getLong(2) == 250000000000L)
+    assert(c.getLong(3) == 0L && c.getLong(4) == 0L)
+    assert(c.getLong(5) == 250000000000L)
+  }
+
   test("gini split: perfect separation scores 0, threshold tiebreaks low") {
     val rows = Seq(
       (1L, "en"), (2L, "en"), (3L, "en"),
