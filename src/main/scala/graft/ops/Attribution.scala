@@ -10,15 +10,20 @@ import org.apache.spark.sql.functions._
   * at once — last-touch (the most recent touch gets the conversion)
   * and linear (each touch gets an equal 1/n share).
   *
-  * Scale shape: ONE user-keyed equi-join between the conversion slice
-  * and the touch slice (both filtered map-side, so only the two narrow
-  * event slices reach the exchange), then ONE window per (user,
-  * conversion) — bounded by that user's touches inside the lookback,
-  * never corpus-wide — and ONE final partial-agg shuffle on touch
-  * type. No global sort, no driver collection. Per-user skew is the
-  * only hazard (a bot user with millions of touches fans out against
-  * each of its conversions); the lookback bound caps it in time and
-  * the salting/AQE-skew machinery applies if a deployment needs more.
+  * Scale shape: ONE (user, time-bucket)-keyed equi-join between the
+  * conversion slice and the touch slice (both filtered map-side, so
+  * only the two narrow event slices reach the exchange), then ONE
+  * window per (user, conversion) — bounded by that user's touches
+  * inside the lookback, never corpus-wide — and ONE final partial-agg
+  * shuffle on touch type. No global sort, no driver collection.
+  *
+  * SKEW LAW (AttributionProbe, 50M events, one 2%-of-traffic bot): an
+  * inequality predicate does NOT bound a join's cost unless it is in
+  * the EQUI-KEY. A user-only key hash-joins the bot's |convs| ×
+  * |touches| pairs through one partition BEFORE the lookback filter
+  * can discard anything — measured 1408 s at lookback 1 day and
+  * unfinishable at 7. With the time bucket in the key the same run is
+  * 40 s / 362 s, byte-identical output.
   *
   * Determinism: counts plus one integer division (`1000000 div n` —
   * each touch's linear share in ppm, floor semantics identical on
