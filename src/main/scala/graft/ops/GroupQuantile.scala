@@ -180,30 +180,46 @@ object GroupQuantile {
     * Output: `(groups…, n, median, mad, n_outliers)`.
     */
   def madOutliers(df: DataFrame, groupCols: Seq[String],
-      value: Column, k: Long = 3L): DataFrame = {
+      value: Column, k: Long = 3L): DataFrame =
+    madFromDistribution(
+      df.select(groupCols.map(col) :+ value.as("__v"): _*)
+        .groupBy(groupCols.map(col) :+ col("__v"): _*)
+        .agg(count(lit(1)).as("__n")),
+      groupCols, k)
+
+  /** [[madOutliers]] over an ALREADY-aggregated (groups…, __v, __n)
+    * value DISTRIBUTION — median, MAD, and the fence count are all
+    * pure functions of the distribution, so the corpus is touched
+    * exactly ONCE (the single distribution aggregate above) and the
+    * three statistics fold over group-bounded frames. This is also
+    * the streaming entry point: maintain the distribution as
+    * aggregation state (bounded by the value grid — quantize money to
+    * cents first) and fold the snapshot.
+    */
+  def madFromDistribution(dist: DataFrame, groupCols: Seq[String],
+      k: Long = 3L): DataFrame = {
     require(k >= 1)
     val wCdf = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__v"))
     val wTot = Window.partitionBy(groupCols.map(col): _*)
-    def median(keyed: DataFrame, out: String): DataFrame = keyed
-      .groupBy(groupCols.map(col) :+ col("__v"): _*)
-      .agg(count(lit(1)).as("__n"))
+    def median(d: DataFrame, out: String): DataFrame = d
       .withColumn("__cum", sum(col("__n")).over(wCdf))
       .withColumn("__tot", sum(col("__n")).over(wTot))
       .groupBy(groupCols.map(col): _*)
       .agg(min(when(col("__cum") * 2 >= col("__tot"), col("__v"))).as(out))
-    val keyed = df.select(groupCols.map(col) :+ value.as("__v"): _*)
-    val med = median(keyed, "median")
-    val dev = keyed.join(broadcast(med), groupCols)
+    val med = median(dist, "median")
+    val devDist = dist.join(broadcast(med), groupCols)
       .select(groupCols.map(col) :+
-        abs(col("__v") - col("median")).as("__v"): _*)
-    val mad = median(dev, "mad")
-    dev.withColumnRenamed("__v", "__dev")
+        abs(col("__v") - col("median")).as("__v") :+ col("__n"): _*)
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__n")).as("__n"))
+    val mad = median(devDist, "mad")
+    devDist.withColumnRenamed("__v", "__dev")
       .join(broadcast(mad), groupCols)
       .groupBy(groupCols.map(col) :+ col("mad"): _*)
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("__dev") > col("mad") * k, 1L).otherwise(0L))
-          .as("n_outliers"))
+      .agg(sum(col("__n")).as("n"),
+        sum(when(col("__dev") > col("mad") * k, col("__n"))
+          .otherwise(0L)).as("n_outliers"))
       .join(broadcast(med), groupCols)
       .select(groupCols.map(col) ++
         Seq(col("n"), col("median"), col("mad"), col("n_outliers")): _*)

@@ -1755,8 +1755,21 @@ object PipelineQueries {
       .runTheilSenBatchEquivalent(s, d),
     qTheilSen.oracle)
 
+  /** Streaming twin of q_mad_outliers: the VALUE DISTRIBUTION
+    * (type, cents, count) is the aggregation state — bounded by the
+    * cents grid, not the stream — and median/MAD/fence fold from the
+    * snapshot through GroupQuantile.madFromDistribution (shared
+    * oracle).
+    */
+  private val qStreamMad = QueryDef(
+    "q_stream_mad",
+    (s, d) => graft.streaming.StreamingForecast
+      .runMadBatchEquivalent(s, d),
+    qMadOutliers.oracle)
+
   def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
-    qStreamSeasonalMase, qSessionSequences, qMadOutliers, qTheilSen,
+    qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
+    qTheilSen,
     qStreamTheilSen, qAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)

@@ -1347,6 +1347,96 @@ object SimilarityQueries {
       FROM nq2 LEFT JOIN firsts ON TRUE
       GROUP BY n_queries"""))
 
+  /** Retrieval eval #4 — MAP@5, completing the quartet (precision,
+    * MRR, nDCG, MAP): per query, average precision over the hit
+    * positions of its kNN top-5. precision@pos rides as EXACT
+    * integer sixtieths (60·hits@pos div pos — 60 = lcm(1..5), so the
+    * division is exact); the AP denominator caps at the available
+    * same-label candidates (the nDCG ideal rule); the per-query AP is
+    * ONE double division, NULL when no same-label candidate exists.
+    */
+  private val qKnnMap = QueryDef(
+    "q_knn_label_map",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val cnt = emb.groupBy(col("label")).agg(count(lit(1)).as("__lc"))
+      val knn = Similarity.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", k = 5)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      knn
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), Seq("query_id"))
+        .join(lab, Seq("vec_id"))
+        .withColumn("__hit", (col("label") === col("__ql")).cast("long"))
+        .withColumn("__cum", sum(col("__hit")).over(w))
+        .groupBy(col("query_id"), col("__ql"))
+        .agg(sum(col("__hit")).as("n_hits"),
+          sum(when(col("__hit") === 1, expr("60 * __cum div rank"))
+            .otherwise(0L)).as("sum_prec60"))
+        .join(broadcast(cnt.withColumnRenamed("label", "__ql")),
+          Seq("__ql"))
+        .withColumn("denom_k",
+          when(col("__lc") - 1 < 5, col("__lc") - 1).otherwise(lit(5L)))
+        .select(col("query_id"), col("n_hits"), col("sum_prec60"),
+          col("denom_k"),
+          when(col("denom_k") > 0, col("sum_prec60").cast("double") /
+            (lit(60.0) * col("denom_k").cast("double"))).as("ap"))
+    },
+    Some(s"""
+      WITH flat AS ($sqlQuantFlat),
+      norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+      dots AS (
+        SELECT g.vec_id AS query_id, f.vec_id, SUM(f.qv * g.qv) AS qdot
+        FROM flat f
+        JOIN flat g ON g.i = f.i AND g.vec_id % 10 = 0
+          AND f.vec_id <> g.vec_id
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT query_id, d.vec_id,
+          CAST(qdot AS BIGINT) /
+            (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nq.nrm AS BIGINT)))
+            AS score
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.query_id),
+      top AS (
+        SELECT query_id, vec_id, rn FROM (
+          SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS rn
+          FROM sc)
+        WHERE rn <= 5),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lab GROUP BY 1),
+      h AS (
+        SELECT t.query_id, lq.label AS ql, t.rn,
+          CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END AS hit
+        FROM top t
+        JOIN lab ln ON ln.vec_id = t.vec_id
+        JOIN lab lq ON lq.vec_id = t.query_id),
+      cumz AS (
+        SELECT query_id, ql, rn, hit,
+          SUM(hit) OVER (PARTITION BY query_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM h),
+      apt AS (
+        SELECT query_id, ql, CAST(SUM(hit) AS BIGINT) AS n_hits,
+          CAST(SUM(CASE WHEN hit = 1 THEN (60 * cum) // rn
+            ELSE 0 END) AS BIGINT) AS sum_prec60
+        FROM cumz GROUP BY 1, 2)
+      SELECT apt.query_id, apt.n_hits, apt.sum_prec60,
+        CAST(CASE WHEN lc.c - 1 < 5 THEN lc.c - 1 ELSE 5 END AS BIGINT)
+          AS denom_k,
+        CASE WHEN lc.c - 1 > 0 THEN
+          CAST(apt.sum_prec60 AS DOUBLE) /
+            (60.0 * (CASE WHEN lc.c - 1 < 5 THEN lc.c - 1 ELSE 5 END))
+        END AS ap
+      FROM apt JOIN lc ON lc.label = apt.ql"""))
+
   /** Retrieval eval #3 — nDCG@5 of the kNN join (binary label
     * relevance), completing the precision / MRR / nDCG triad. The log2
     * discounts ride as a PINNED INTEGER table (×10⁴:
@@ -1471,5 +1561,5 @@ object SimilarityQueries {
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined, qIvfPqAdaptive,
     qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining,
-    qMarginMiningIvf, qPcaTop1, qAbtt, qCentroidAuc, qKnnPrecision, qKnnMrr, qKnnNdcg)
+    qMarginMiningIvf, qPcaTop1, qAbtt, qCentroidAuc, qKnnPrecision, qKnnMrr, qKnnNdcg, qKnnMap)
 }

@@ -63,4 +63,34 @@ object StreamingForecast {
       graft.ops.Forecast.theilSenFromDaily(snapshot, "event_type")
     }
   }
+
+  /** Robust MAD outlier audit on a continuously-maintained VALUE
+    * DISTRIBUTION: state = (type, value_cents, count) — bounded by
+    * the cents grid, not the stream — folded through
+    * GroupQuantile.madFromDistribution per snapshot.
+    */
+  def runMadBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = s"stream_mad_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val dist = StreamingHourPivot.eventsStream(s, sfDir)
+        .groupBy(col("event_type"),
+          (col("value").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2))
+            * 100).cast("long").as("__v"))
+        .agg(count(lit(1)).as("__n"))
+      val q = dist.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.GroupQuantile.madFromDistribution(
+        snapshot, Seq("event_type"), k = 3L)
+    }
+  }
 }
