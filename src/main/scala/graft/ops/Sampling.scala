@@ -461,12 +461,20 @@ object Sampling {
     * Output: `(stratum…, n_rows, base, extra, alloc)`.
     */
   def largestRemainderAllocation(df: DataFrame, strataCols: Seq[String],
+      budget: Long): DataFrame =
+    allocationFromCounts(
+      df.groupBy(strataCols.map(col): _*).agg(count(lit(1)).as("n_rows")),
+      strataCols, budget)
+
+  /** [[largestRemainderAllocation]] over ALREADY-aggregated
+    * (strata…, n_rows) counts — the streaming entry point (stratum
+    * counts as |strata|-bounded aggregation state, fold the snapshot).
+    */
+  def allocationFromCounts(counts: DataFrame, strataCols: Seq[String],
       budget: Long): DataFrame = {
     require(budget >= 0)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__rem").desc +: strataCols.map(col): _*)
-    val counts = df.groupBy(strataCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"))
     val total = counts.agg(sum(col("n_rows")).as("__tot"))
     counts.crossJoin(broadcast(total))
       .withColumn("base",

@@ -1767,10 +1767,20 @@ object PipelineQueries {
       .runMadBatchEquivalent(s, d),
     qMadOutliers.oracle)
 
+  /** Streaming twin of q_sample_allocation: stratum counts as
+    * |strata|-row aggregation state, Hamilton fold per snapshot
+    * (shared oracle).
+    */
+  private val qStreamAllocation = QueryDef(
+    "q_stream_allocation",
+    (s, d) => graft.streaming.StreamingForecast
+      .runAllocationBatchEquivalent(s, d),
+    qAllocation.oracle)
+
   def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qTheilSen,
-    qStreamTheilSen, qAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -93,4 +93,30 @@ object StreamingForecast {
         snapshot, Seq("event_type"), k = 3L)
     }
   }
+
+  /** Hamilton budget allocation on continuously-maintained stratum
+    * counts — "how many rows does tonight's eval set take from each
+    * type, as of NOW"; state = |strata| rows, fold per snapshot.
+    */
+  def runAllocationBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = s"stream_alloc_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val counts = StreamingHourPivot.eventsStream(s, sfDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+      val q = counts.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.Sampling.allocationFromCounts(
+        snapshot, Seq("event_type"), budget = 1000L)
+    }
+  }
 }
