@@ -277,25 +277,50 @@ object Graph {
     * (idCol, in_core 0/1) for EVERY input node.
     */
   def kCore(edges: DataFrame, nodes: DataFrame, idCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, runToFixpoint: Boolean = false): DataFrame =
+    kCoreWithRounds(edges, nodes, idCol, k, iters, runToFixpoint)._1
+
+  /** [[kCore]] plus its exit state: (membership, rounds executed,
+    * converged). `converged = true` means the LAST executed round
+    * removed no node — the membership is the EXACT k-core, not the
+    * bounded over-approximation. The convergence test is the same
+    * bounded existence probe connectedComponents uses (limit-1 anti
+    * join, never a full count); with `runToFixpoint = false` rounds
+    * always run to `iters` and converged stays false (the fixed-round
+    * contract an unrolled oracle replays). The gate-scale GraphSpec
+    * probe uses this to assert q_kcore_membership's declared iters=3
+    * actually reaches fixpoint on gate data — the hash against the
+    * 3-round-unrolled oracle proves implementation-matches-spec; this
+    * proves spec-matches-true-k-core.
+    */
+  def kCoreWithRounds(edges: DataFrame, nodes: DataFrame, idCol: String,
+      k: Int, iters: Int, runToFixpoint: Boolean = false)
+      : (DataFrame, Int, Boolean) = {
     require(k >= 1 && iters >= 1, "kCore needs k >= 1, iters >= 1")
     val all = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
     var survivors = all
     var round = 0
-    while (round < iters) {
+    var converged = false
+    while (round < iters && !converged) {
       val deg = edges
         .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(survivors.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
-      survivors = survivors
+      val next = survivors
         .join(deg.where(col("__deg") >= k), Seq("id"), "left_semi")
         .localCheckpoint(true)
+      if (runToFixpoint)
+        converged = survivors.join(next, Seq("id"), "left_anti")
+          .limit(1).count() == 0L
+      survivors = next
       round += 1
     }
-    all.join(survivors.select(col("id"), lit(1).as("__in")), Seq("id"), "left")
+    val out = all
+      .join(survivors.select(col("id"), lit(1).as("__in")), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("__in"), lit(0)).cast("int").as("in_core"))
+    (out, round, converged)
   }
 
   def connectedComponents(edges: DataFrame, nodes: DataFrame,

@@ -101,9 +101,12 @@ object Association {
     val mirrored = pairs.unionByName(
       pairs.select(col("item_b").as("item_a"), col("item_a").as("item_b"),
         col("n_ab"), col("n_b").as("n_a"), col("n_a").as("n_b")))
+    // both sides of the division ride DECIMAL(38): n_ab² AND n_a·n_b
+    // overflow a LONG at the same ~3e9-count scale, and a wrapped
+    // denominator silently corrupts the ranking
     val scored = mirrored.withColumn("cos2_ppm",
       expr("(cast(n_ab as decimal(38,0)) * n_ab * 1000000) " +
-        "div (n_a * n_b)"))
+        "div (cast(n_a as decimal(38,0)) * n_b)"))
     val w = Window.partitionBy(col("item_a"))
       .orderBy(col("cos2_ppm").desc, col("n_ab").desc, col("item_b"))
     scored.withColumn("rank", row_number().over(w))

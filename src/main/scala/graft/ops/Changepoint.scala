@@ -112,18 +112,25 @@ object Changepoint {
         sum(when(col("__t") <= refDays, col("c"))).over(wAll))
       .withColumn("__ref_n",
         sum(when(col("__t") <= refDays, 1L).otherwise(0L)).over(wAll))
-    // deviation scaled by ref_n·1e6: 1e6·(c·ref_n − ref_sum) − slack·ref_sum
+    // raw deviation scaled by ref_n·1e6: 1e6·(c·ref_n − ref_sum); the
+    // slack term SUBTRACTS in BOTH chart directions — up charts
+    // (c − μ̂ − slack), down charts (μ̂ − c − slack). Negating the
+    // already-slacked up deviation would ADD slack to the down chart
+    // and guarantee a spurious down alarm on an in-control series
+    // after ~hPpm/slackPpm chart days.
     val scored = withRef
       .where(col("__t") > refDays) // the chart runs AFTER the reference
-      .withColumn("__dev",
-        (lit(1000000L).cast(dec) *
-          (col("c").cast(dec) * col("__ref_n") - col("__ref_sum")) -
-          lit(slackPpm).cast(dec) * col("__ref_sum")))
+      .withColumn("__raw",
+        lit(1000000L).cast(dec) *
+          (col("c").cast(dec) * col("__ref_n") - col("__ref_sum")))
+      .withColumn("__slk", lit(slackPpm).cast(dec) * col("__ref_sum"))
+      .withColumn("__dev", col("__raw") - col("__slk"))
+      .withColumn("__devd", col("__raw") * -1 - col("__slk"))
       // P_0 = 0 enters the running min (the chart starts at S = 0)
       .withColumn("__p", sum(col("__dev")).over(wPre))
       .withColumn("__sup", col("__p") -
         least(lit(0).cast(dec), min(col("__p")).over(wPre)))
-      .withColumn("__pd", sum(col("__dev") * -1).over(wPre))
+      .withColumn("__pd", sum(col("__devd")).over(wPre))
       .withColumn("__sdn", col("__pd") -
         least(lit(0).cast(dec), min(col("__pd")).over(wPre)))
       .withColumn("__h", lit(hPpm).cast(dec) * col("__ref_sum"))

@@ -81,8 +81,9 @@ object Eval {
     * that ppm quantization; it is reported, never asserted.
     *
     * One (bin)-keyed aggregate over the scored frame + a 1-row
-    * reduce; all terms ×10¹² BIGINTs (bound: N ≤ ~9.2e6 per the
-    * ppm²-family rule — past that, lift the term sums to DECIMAL).
+    * reduce; all ×10¹² term SUMS ride DECIMAL(38) (the ppm²-family
+    * rule — a LONG carrier would wrap past N≈9.2e6 scored rows);
+    * outputs land back in BIGINT via the integral `div`.
     *
     * Input: (scoreCol ppm LONG 0..10⁶, labelCol BOOLEAN). Output one
     * row: (n, base_rate_ppm, brier_x1e12, reliability_x1e12,
@@ -111,9 +112,14 @@ object Eval {
     bins.crossJoin(broadcast(tot))
       .groupBy(col("n"), col("base_rate_ppm"))
       .agg(sum(col("__se")).as("__se"),
-        sum(col("__nk") * (col("__pbar") - col("__ybar")) *
+        // nk·(Δppm)² is ~1e12 per bin-weighted row — a LONG sum wraps
+        // silently past N≈9.2e6 scored rows, so lift to DECIMAL(38)
+        // like every other ppm²-family sum in the repo (same values,
+        // wider carrier; `div` still lands the output in BIGINT)
+        sum(col("__nk").cast(dec) * (col("__pbar") - col("__ybar")) *
           (col("__pbar") - col("__ybar"))).as("__rel"),
-        sum(col("__nk") * (col("__ybar") - col("base_rate_ppm")) *
+        sum(col("__nk").cast(dec) *
+          (col("__ybar") - col("base_rate_ppm")) *
           (col("__ybar") - col("base_rate_ppm"))).as("__res"))
       .select(col("n"), col("base_rate_ppm"),
         expr("cast(__se div n as bigint)").as("brier_x1e12"),

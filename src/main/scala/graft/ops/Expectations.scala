@@ -31,21 +31,26 @@ object Expectations {
     * upstream-extract bug surfacing.
     *
     * Scale shape: one LEFT ANTI join per edge against the DISTINCT
-    * parent key — dimension keys broadcast; a fact-sized parent (the
-    * orders edge under lineitem) falls back to a key-only shuffled
-    * anti join, never wider than the key column. Counts are BIGINTs;
-    * ppm is one integral division (children ≤ ~9.2e12 for the LONG
-    * bound, the ppm-family rule).
+    * parent key — never wider than the key column. The broadcast
+    * decision is left to AQE: the distinct already forces a shuffle,
+    * and AQE re-plans the anti join from the ACTUAL post-distinct
+    * size, so a dimension edge (customer, part, supplier) converts to
+    * broadcast at runtime while a fact-sized parent (the orders edge
+    * under lineitem, billions of distinct keys at 100 TB) stays a
+    * shuffled anti join. A hard broadcast() hint here would force the
+    * full distinct o_orderkey set onto the driver at any SF — the
+    * one-size-fits-all hint is exactly wrong for a mixed edge list.
+    * Counts are BIGINTs; ppm is one integral division (children ≤
+    * ~9.2e12 for the LONG bound, the ppm-family rule).
     */
   def fkOrphans(edges: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     require(edges.nonEmpty)
     edges.map { case (edge, child, fk, parent, pk) =>
       val keys = parent.select(col(pk).as("__pk")).distinct()
       val nonNull = child.where(col(fk).isNotNull)
       val orphans = nonNull
-        .join(broadcast(keys), col(fk) === col("__pk"), "left_anti")
+        .join(keys, col(fk) === col("__pk"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
       val totals = nonNull.agg(count(lit(1)).as("n_children"))
       totals.crossJoin(orphans)

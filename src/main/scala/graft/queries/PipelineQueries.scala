@@ -1711,10 +1711,12 @@ object PipelineQueries {
         SELECT t.event_type, t.day,
           1000000 * (t.c * r.ref_n - r.ref_sum) - 100000 * r.ref_sum
             AS dev,
+          -1000000 * (t.c * r.ref_n - r.ref_sum) - 100000 * r.ref_sum
+            AS devd,
           r.ref_sum, r.ref_n
         FROM t JOIN ref r USING (event_type) WHERE t.t > 7),
       ps AS (
-        SELECT *, SUM(dev) OVER w AS p, SUM(-dev) OVER w AS pd
+        SELECT *, SUM(dev) OVER w AS p, SUM(devd) OVER w AS pd
         FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       s AS (

@@ -780,8 +780,10 @@ object Similarity {
     *     precomputed stored column;
     *  2. candidates in descending-norm order, a ladder of k·factor
     *     prefixes (factor doubles — the adaptive-refine shape);
-    *  3. exact quantized dots over the prefix only (pushed-In point
-    *     read — vectors never shuffle);
+    *  3. exact quantized dots over the prefix only — a pushed-In
+    *     point read while the rung fits in plan literals (≤8192 ids),
+    *     an id-only left-semi join past that (vectors never shuffle
+    *     on either path, and nothing rung-sized reaches the driver);
     *  4. STOP when the k-th best dot strictly beats the Cauchy–Schwarz
     *     ceiling of every unseen vector: kth > 0 and kth² > ‖q‖²·max
     *     unseen ‖x‖² (driver-side BigInt — kth² overflows LONG at
@@ -845,6 +847,20 @@ object Similarity {
       .select(col(idCol).as("vec_id"),
         quantizedDot(col(vecCol), col("__qv")).as("dot_q"))
       .orderBy(col("dot_q").desc, col("vec_id"))
+    // semi-join variant for WIDE rungs: an In filter with k·factor
+    // literals (maxFactor defaults to 2^20 → up to ~21M) blows up the
+    // plan and the matching driver-side norm collect blows up driver
+    // memory long before "exhausted" terminates the loop. Past the
+    // cap the shortlist stays a DataFrame end to end — TopK on the
+    // norm index, left-semi onto the corpus (id-only, AQE broadcasts
+    // when it fits) — and NOTHING rung-sized ever reaches the driver.
+    def dotsOfDf(shortlist: DataFrame): DataFrame = df
+      .join(shortlist.select(col("__id").as("__sid")),
+        col(idCol) === col("__sid"), "left_semi")
+      .crossJoin(qFrame)
+      .select(col(idCol).as("vec_id"),
+        quantizedDot(col(vecCol), col("__qv")).as("dot_q"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
     val spread = norms.agg(max(col("__n2")).cast("double").as("mx"),
         expr("approx_percentile(__n2, 0.5)").cast("double").as("md"))
       .head()
@@ -860,26 +876,45 @@ object Similarity {
         .limit(k)
       return (out, 0, n, "concentrated_norms")
     }
+    // rungs at or under this many ids use the In-literal point read
+    // (row-group-skippable on sorted parquet); wider rungs switch to
+    // the semi-join path — the cap bounds BOTH plan-literal count and
+    // driver-collected rows independently of maxFactor
+    val inLiteralCap = 8192
     var factor = initialFactor
     while (true) {
       val c = k * factor
-      // c+1 rows: the (c+1)-th norm IS the unseen ceiling (bounded
-      // driver rows — the adaptive-refine collect contract)
-      val normRows = norms
-        .orderBy(col("__n2").desc, col("__id")).limit(c + 1).collect()
-      val short = normRows.take(c).map(_.getLong(0)).toSeq
-      val exhausted = normRows.length <= c
-      val out = dotsOf(short).limit(k)
+      val rung = norms.orderBy(col("__n2").desc, col("__id"))
+      val (out, shortN, exhausted, maxUnseen) =
+        if (c <= inLiteralCap) {
+          // c+1 rows: the (c+1)-th norm IS the unseen ceiling (bounded
+          // driver rows — the adaptive-refine collect contract)
+          val normRows = rung.limit(c + 1).collect()
+          val short = normRows.take(c).map(_.getLong(0)).toSeq
+          val ex = normRows.length <= c
+          (dotsOf(short).limit(k), short.length.toLong, ex,
+            if (ex) BigInt(0) else BigInt(normRows.last.getLong(1)))
+        } else {
+          // rung stats from one 1-row aggregate over the TopK frame:
+          // row count decides "exhausted"; min-norm-in-rung IS the
+          // (c+1)-th norm = the unseen ceiling when the rung is full
+          val st = rung.limit(c + 1)
+            .agg(count(lit(1)).as("n"), min(col("__n2")).as("mn"))
+            .head()
+          val nRows = st.getLong(0)
+          val ex = nRows <= c
+          (dotsOfDf(rung.limit(c)).limit(k), math.min(nRows, c.toLong),
+            ex, if (ex) BigInt(0) else BigInt(st.getLong(1)))
+        }
       if (exhausted)
-        return (out, factor, short.length.toLong, "exhausted")
+        return (out, factor, shortN, "exhausted")
       if (factor >= maxFactor)
-        return (out, factor, short.length.toLong, "max_factor")
-      val maxUnseen = BigInt(normRows.last.getLong(1))
+        return (out, factor, shortN, "max_factor")
       val top = out.collect()
       if (top.length == k) {
         val kth = BigInt(top.last.getLong(1))
         if (kth > 0 && kth * kth > qn2 * maxUnseen)
-          return (out, factor, short.length.toLong, "pruned")
+          return (out, factor, shortN, "pruned")
       }
       factor = math.min(factor * 2, maxFactor)
     }

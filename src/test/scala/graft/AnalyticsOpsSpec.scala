@@ -269,6 +269,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("F") == (None, None))
   }
 
+  test("cusum: flat series with positive slack never alarms either side") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Regression for the down-chart slack sign: a perfectly in-control
+    // series run long enough that an ADDED (wrong-sign) slack of
+    // 100000 ppm would cross h = 2e6 ppm after ~20 chart days. With
+    // slack correctly SUBTRACTED in both directions the drawups stay
+    // pinned at 0 and neither side may ever alarm.
+    def day(d: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(d - 1).toString)
+    val rows = (1 to 40).map(d => Row("F", day(d), 5L))
+    val daily = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("k", StringType),
+        StructField("day", DateType), StructField("c", LongType))))
+    val out = graft.ops.Changepoint.cusumFromDaily(daily, "k",
+        refDays = 7, slackPpm = 100000L, hPpm = 2000000L)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(out("F") == (None, None))
+  }
+
   test("brier decomposition: perfect predictor vs constant predictor") {
     // perfect: p = 1e6*y -> brier 0; one bin per class, ybar = pbar
     // -> reliability 0; resolution = uncertainty (quantized equal here)

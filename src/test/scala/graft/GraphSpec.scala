@@ -24,6 +24,31 @@ class GraphSpec extends AnyFunSuite {
     assert(core(2) == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0))
     // fixpoint: triangle is the 2-core
     assert(core(3) == core(2))
+    // the fixpoint variant stops itself and reports convergence: round 3
+    // removes nothing (round 1 peels 5, round 2 peels 4, round 3 idle)
+    val (_, rounds, converged) = Graph.kCoreWithRounds(
+      edges, nodes, "id", k = 2, iters = 10, runToFixpoint = true)
+    assert(converged && rounds == 3, s"rounds=$rounds converged=$converged")
+  }
+
+  test("kCore: q_kcore_membership's declared iters=3 is a fixpoint on gate data") {
+    // The declared query's oracle unrolls the SAME 3 peeling rounds, so
+    // the hash gate proves implementation-matches-spec but cannot catch
+    // an unconverged core. This is the spec-matches-true-k-core check:
+    // on the gate-scale graph (sf0.01 co-purchase, k=60) a 4th round
+    // must remove nothing. If testdata regeneration deepens the peeling
+    // cascade past 3, this fails and the declared iters must be raised.
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.01"
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val e = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .localCheckpoint(true)
+    val nodes = li.select(col("l_partkey")).distinct()
+    val (_, rounds, converged) = Graph.kCoreWithRounds(
+      e, nodes, "l_partkey", k = 60, iters = 4, runToFixpoint = true)
+    assert(converged && rounds <= 4,
+      s"iters=3 no longer converges on gate data: rounds=$rounds " +
+        s"converged=$converged — raise q_kcore_membership's round count")
   }
 
   test("co-occurrence edges: within-group pairs, symmetric, simple") {
