@@ -21,17 +21,16 @@ import graft.ops.HourPivot
   */
 object PipelineQueries {
 
-  private def hourPivotSql(having: String): String = {
-    val hourCols = (0 until 23 + 1).map(h =>
-      s"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS hour_$h")
-      .mkString(",\n        ")
-    s"""
+  private val hourColsSql = (0 until 23 + 1).map(h =>
+    s"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS hour_$h")
+    .mkString(",\n        ")
+
+  private def hourPivotSql(having: String): String = s"""
       SELECT CAST(ts AS DATE) AS event_date, event_type,
-        $hourCols
+        $hourColsSql
       FROM events
       GROUP BY CAST(ts AS DATE), event_type
       $having"""
-  }
 
   private val qPivot = QueryDef(
     "q_hour_pivot",
@@ -46,6 +45,47 @@ object PipelineQueries {
       Tables.events(s, d), col("ts"), Seq("event_type"), minTotal = Some(20L)),
     Some(hourPivotSql(
       "HAVING CAST(COUNT(*) AS BIGINT) >= 20")))
+
+  /** Watermarked LATE-DATA hour pivot (streaming/StreamingLateData):
+    * the one streaming exhibit that actually DROPS rows. Pre-final-day
+    * clicks replay one whole stream-epoch late, after every other
+    * event; Structured Streaming's window-granular rule — measured and
+    * pinned in StreamingSpec: the late filter uses the PREVIOUS
+    * batch's watermark (`eventTimeWatermarkForLateEvents`), here
+    * ms(max non-click ts) − 3 days — merges the last ~3 days' late
+    * clicks into their still-open windows and drops everything older.
+    * APPEND output mode (each day×type row exactly once, when its
+    * window is guaranteed complete — the mode for immutable downstream
+    * sinks); far-future sentinel batches flush the trailing windows
+    * and their own never-closed window self-excludes. The oracle
+    * reproduces the drop rule in SQL (late clicks count iff their day
+    * window's end > ms-floored max non-click ts − 3d), so the hash
+    * gate checks the watermark semantics themselves, not just row
+    * plumbing. Drop-vs-update behavior is pinned by fixture in
+    * StreamingSpec.
+    */
+  private val qStreamLatePivot = QueryDef(
+    "q_stream_late_pivot",
+    (s, d) => graft.streaming.StreamingLateData.runLateHourPivot(s, d),
+    Some(s"""
+      WITH nc AS (
+        SELECT ts, event_type FROM events WHERE event_type <> 'click'),
+      lastday AS (SELECT CAST(MAX(ts) AS DATE) AS d FROM events),
+      wm AS (
+        SELECT date_trunc('millisecond', MAX(ts)) - INTERVAL 3 DAY AS w
+        FROM nc),
+      kept AS (
+        SELECT ts, event_type FROM nc
+        UNION ALL
+        SELECT e.ts, e.event_type FROM events e, lastday
+        WHERE e.event_type = 'click' AND CAST(e.ts AS DATE) = lastday.d
+        UNION ALL
+        SELECT e.ts, e.event_type FROM events e, lastday, wm
+        WHERE e.event_type = 'click' AND CAST(e.ts AS DATE) <> lastday.d
+          AND CAST(e.ts AS DATE) + INTERVAL 1 DAY > wm.w)
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+        $hourColsSql
+      FROM kept GROUP BY 1, 2"""))
 
   /** Pivot⁻¹ (HourPivot.unpivot): melt the wide hour table back to
     * long (date, key, hour, n) rows — `stack` is a map-side generator,
@@ -1782,7 +1822,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

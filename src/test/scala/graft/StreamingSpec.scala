@@ -125,6 +125,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:00:00") == 2L) // late row NOT counted
   }
 
+  test("late replay pivot: closed-window late rows drop, open merges, update re-emits") {
+    import spark.implicits._
+    import graft.streaming.StreamingLateData
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Pins the MEASURED two-watermark semantics: batch N's late filter
+    // uses batch N-1's watermark, eviction uses batch N's — so drops
+    // start one batch AFTER the watermark passes a window's end.
+    // batch 0: day1 10:00 and day2 23:00 — the watermark (1 h delay)
+    // becomes day2 22:00 at its close, CLOSING day1's window
+    val b0 = Seq((ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-02 23:00:00"), "a")).toDF("ts", "event_type")
+    // batch 1: on-time filler (also proves the LAGGED filter: day1 is
+    // already closed but batch 1 still filters with the initial 0 mark)
+    val b1 = Seq((ts("2024-01-02 23:30:00"), "a")).toDF("ts", "event_type")
+    // batch 2: one late row per day, now filtered with day2 22:00 —
+    // day1's must DROP (end day2 00:00 <= mark), day2's must MERGE
+    val b2 = Seq((ts("2024-01-01 11:00:00"), "a"),
+      (ts("2024-01-02 09:00:00"), "a")).toDF("ts", "event_type")
+    val sent = Seq((ts("2024-03-01 12:00:00"), "__wm_sentinel"))
+      .toDF("ts", "event_type")
+    val batches = Seq(b0, b1, b2, sent, sent)
+    val append = StreamingLateData.lateReplayPivot(spark, batches)
+    val byDay = append.collect().map(r => r.getDate(0).toString ->
+      (r.getAs[Long]("hour_10"), r.getAs[Long]("hour_11"),
+        r.getAs[Long]("hour_9"), r.getAs[Long]("hour_23"))).toMap
+    // each day emitted exactly once (append), day1 without its late row
+    assert(append.count() == 2L)
+    assert(byDay("2024-01-01") == ((1L, 0L, 0L, 0L)), "late row must drop")
+    assert(byDay("2024-01-02") == ((0L, 0L, 1L, 2L)), "late row must merge")
+    assert(!byDay.contains("2024-03-01"), "sentinel window never closes")
+    // update mode: day2 re-emits amended; the dropped day1 late row
+    // appears in NO emission, ever
+    val update = StreamingLateData.lateReplayPivot(spark, batches,
+      outputMode = "update")
+    val day1 = update.where(col("event_date") === "2024-01-01").collect()
+    assert(day1.nonEmpty && day1.forall(_.getAs[Long]("hour_11") == 0L))
+    val day2 = update.where(col("event_date") === "2024-01-02").collect()
+    assert(day2.exists(_.getAs[Long]("hour_9") == 1L), "update must re-emit")
+    assert(day2.exists(_.getAs[Long]("hour_9") == 0L), "first emission visible")
+  }
+
   test("streaming dedup suppresses duplicates within the watermark window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
