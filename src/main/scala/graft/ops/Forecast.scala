@@ -86,6 +86,100 @@ object Forecast {
       .drop("n_seasonal", "n_naive")
   }
 
+  /** EWMA volume monitor per key: a one-step-ahead exponentially-
+    * weighted forecast band over the dense daily series — the classic
+    * EWMA control chart (Roberts 1959), made ENGINE-EXACT by using
+    * dyadic weights truncated at `lags`: the forecast for day d is
+    *
+    *   ewma(d) = Σ_{j=1..L} c_{d−j}·2^{L−j} / Σ_{j present} 2^{L−j}
+    *
+    * (weight halves per day of age; truncation at L=16 keeps every
+    * term an exact integer — weight 2^{L−j} — instead of the
+    * untruncated (1−α)^t power that no fixed-precision engine can
+    * carry exactly). A day alarms HIGH when its count exceeds the
+    * forecast by more than bandPpm (cross-multiplied in DECIMAL(38):
+    * 10⁶·c·den > num·(10⁶+band)), LOW symmetrically.
+    *
+    * Scale shape: one day-grain partial-agg shuffle, then ONE window
+    * pass per key (the L lag terms share a single sort) over the
+    * calendar-bounded grid; per-key output row. The ±1 ppm
+    * quantization of the reported level is definitional (one integral
+    * division), not numerical.
+    *
+    * Output: (key, n_days, n_high, n_low, first_high_day,
+    * first_low_day, ewma_next_x1e6) — ewma_next is the forecast for
+    * the day AFTER the series ends (the serving number a threshold
+    * would be set from).
+    */
+  def ewmaMonitor(events: DataFrame, keyCol: String, tsCol: String,
+      lags: Int = 16, bandPpm: Long = 500000L): DataFrame =
+    ewmaFromDaily(
+      events.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("c")),
+      keyCol, lags, bandPpm)
+
+  /** The EWMA fold over an ALREADY-aggregated (k, day, c) daily frame
+    * — the streaming-snapshot entry point (the maseFromDaily pattern).
+    */
+  def ewmaFromDaily(daily: DataFrame, keyOut: String, lags: Int = 16,
+      bandPpm: Long = 500000L): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags must be in [1,62], got $lags")
+    require(bandPpm > 0 && bandPpm < 1000000L,
+      s"bandPpm must be in (0,1e6), got $bandPpm")
+    val grid = denseGrid(daily)
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val num = (1 to lags)
+      .map(j => coalesce(lag(col("c"), j).over(w), lit(0L)) *
+        lit(1L << (lags - j)))
+      .reduce(_ + _)
+    val den = (1 to lags)
+      .map(j => when(lag(col("c"), j).over(w).isNotNull,
+        lit(1L << (lags - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // tomorrow's forecast includes the current day (lags 0..L-1) —
+    // only consumed at the final grid day, but window functions share
+    // the one per-key sort so the extra terms cost no extra pass
+    val numNext = (1 to lags)
+      .map(j => coalesce(lag(col("c"), j - 1).over(w), lit(0L)) *
+        lit(1L << (lags - j)))
+      .reduce(_ + _)
+    val denNext = (1 to lags)
+      .map(j => when(lag(col("c"), j - 1).over(w).isNotNull,
+        lit(1L << (lags - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val wAll = Window.partitionBy(col("k"))
+    val scored = grid
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .withColumn("__numn", numNext)
+      .withColumn("__denn", denNext)
+      .withColumn("__maxd", max(col("day")).over(wAll))
+      // cross-multiplied band test in DECIMAL(38): c·den·1e6 vs
+      // num·(1e6±band) — LONG would wrap past ~9.2e6 rows/day·2^L
+      .withColumn("__hi", col("__den") > 0 &&
+        expr("cast(c as decimal(38,0)) * __den * 1000000") >
+          expr(s"cast(__num as decimal(38,0)) * ${1000000L + bandPpm}"))
+      .withColumn("__lo", col("__den") > 0 &&
+        expr("cast(c as decimal(38,0)) * __den * 1000000") <
+          expr(s"cast(__num as decimal(38,0)) * ${1000000L - bandPpm}"))
+    scored.groupBy(col("k").as(keyOut))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("__hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("__lo"), 1L).otherwise(0L)).as("n_low"),
+        date_format(min(when(col("__hi"), col("day"))), "yyyy-MM-dd")
+          .as("first_high_day"),
+        date_format(min(when(col("__lo"), col("day"))), "yyyy-MM-dd")
+          .as("first_low_day"),
+        min(when(col("day") === col("__maxd"), col("__numn"))).as("__numl"),
+        min(when(col("day") === col("__maxd"), col("__denn"))).as("__denl"))
+      .withColumn("ewma_next_x1e6",
+        when(col("__denl") > 0,
+          expr("(cast(__numl as decimal(38,0)) * 1000000) div __denl")
+            .cast("long")))
+      .drop("__numl", "__denl")
+  }
+
   /** Theil–Sen trend per key over the dense daily series: the MEDIAN
     * of all pairwise day-count slopes — the robust level-trend
     * estimator (a breakdown point of ~29%: a burst of bot days can't

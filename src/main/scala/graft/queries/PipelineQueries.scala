@@ -1777,6 +1777,89 @@ object PipelineQueries {
           AS down_alarm_day
       FROM s GROUP BY 1"""))
 
+  /** EWMA forecast-band monitor (ops/Forecast.ewmaMonitor): per type,
+    * how many days fell outside the ±50% one-step-ahead exponentially-
+    * weighted band, and tomorrow's forecast — engine-exact via dyadic
+    * weights 2^(L−j) truncated at L=16 (every term an integer; the
+    * untruncated (1−α)^t power is unrepresentable in fixed precision).
+    * The oracle replays the 16 lag terms with literal power-of-two
+    * weights (generated below — still one static SQL string).
+    */
+  private val qEwma = {
+    val L = 16
+    val numSql = (1 to L)
+      .map(j => s"COALESCE(LAG(c, $j) OVER w, 0) * ${1L << (L - j)}")
+      .mkString(" + ")
+    val denSql = (1 to L)
+      .map(j =>
+        s"CASE WHEN LAG(c, $j) OVER w IS NULL THEN 0 ELSE ${1L << (L - j)} END")
+      .mkString(" + ")
+    // tomorrow's forecast includes the current day: lags 0..L-1
+    val numNextSql = (1 to L)
+      .map(j => s"COALESCE(LAG(c, ${j - 1}) OVER w, 0) * ${1L << (L - j)}")
+      .mkString(" + ")
+    val denNextSql = (1 to L)
+      .map(j =>
+        s"CASE WHEN LAG(c, ${j - 1}) OVER w IS NULL THEN 0 ELSE ${1L << (L - j)} END")
+      .mkString(" + ")
+    QueryDef(
+      "q_ewma_band",
+      (s, d) => graft.ops.Forecast.ewmaMonitor(
+        Tables.events(s, d), "event_type", "ts",
+        lags = 16, bandPpm = 500000L),
+      Some(s"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        spine AS (
+          SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+            AS DATE) AS day FROM b),
+        keys AS (SELECT DISTINCT event_type FROM daily),
+        grid AS (
+          SELECT k.event_type, s.day, COALESCE(d.c, 0) AS c
+          FROM keys k CROSS JOIN spine s
+          LEFT JOIN daily d ON d.event_type = k.event_type
+            AND d.day = s.day),
+        l AS (
+          SELECT event_type, day, c,
+            $numSql AS num,
+            $denSql AS den,
+            $numNextSql AS numn,
+            $denNextSql AS denn
+          FROM grid
+          WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        f AS (
+          SELECT *,
+            CASE WHEN den > 0 AND CAST(c AS DECIMAL(38,0)) * den * 1000000
+              > CAST(num AS DECIMAL(38,0)) * 1500000 THEN 1 ELSE 0 END AS hi,
+            CASE WHEN den > 0 AND CAST(c AS DECIMAL(38,0)) * den * 1000000
+              < CAST(num AS DECIMAL(38,0)) * 500000 THEN 1 ELSE 0 END AS lo,
+            MAX(day) OVER (PARTITION BY event_type) AS maxd
+          FROM l)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+          CAST(SUM(hi) AS BIGINT) AS n_high,
+          CAST(SUM(lo) AS BIGINT) AS n_low,
+          strftime(MIN(CASE WHEN hi = 1 THEN day END), '%Y-%m-%d')
+            AS first_high_day,
+          strftime(MIN(CASE WHEN lo = 1 THEN day END), '%Y-%m-%d')
+            AS first_low_day,
+          CAST(CASE WHEN MIN(CASE WHEN day = maxd THEN denn END) > 0 THEN
+            (CAST(MIN(CASE WHEN day = maxd THEN numn END) AS HUGEINT)
+              * 1000000) // MIN(CASE WHEN day = maxd THEN denn END)
+            END AS BIGINT) AS ewma_next_x1e6
+        FROM f GROUP BY 1"""))
+  }
+
+  /** Streaming twin: the EWMA band fold on the continuously-
+    * maintained day counts (shared oracle).
+    */
+  private val qStreamEwma = QueryDef(
+    "q_stream_ewma",
+    (s, d) => graft.streaming.StreamingForecast
+      .runEwmaBatchEquivalent(s, d),
+    qEwma.oracle)
+
   /** Streaming twin (StreamingChangepoint.runCusumBatchEquivalent):
     * same day-count aggregation state, CUSUM fold on the snapshot
     * through the batch code path; shared oracle.
@@ -1821,7 +1904,7 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
-    qTheilSen,
+    qEwma, qStreamEwma, qTheilSen,
     qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)

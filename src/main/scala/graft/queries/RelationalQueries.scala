@@ -683,9 +683,50 @@ object RelationalQueries {
           AS distinct_ratio
       FROM p1 JOIN p2 USING (col_name)"""))
 
+  /** Pareto frontier / 2-D skyline (ops/Skyline.paretoFrontier): the
+    * parts not dominated on (minimize retail price, maximize size) —
+    * exact, with NO pair join: per-cost collapse, bucket-local
+    * running-max prune, then one frontier-sized global window (the
+    * local-skyline/merge split; Börzsönyi et al. ICDE'01). The oracle
+    * is the INDEPENDENT all-pairs NOT EXISTS formulation, so the hash
+    * checks the pruning logic, not a shared window identity.
+    */
+  private val qPareto = QueryDef(
+    "q_pareto_frontier",
+    (s, d) => graft.ops.Skyline.paretoFrontier(
+      Tables.part(s, d), "p_partkey", "p_retailprice", "p_size"),
+    Some("""
+      SELECT p.p_partkey, p.p_retailprice, p.p_size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""))
+
+  /** Group-wise frontier (per brand): every window is keyed by the
+    * group, so the operator is embarrassingly parallel — no global
+    * stage at any scale.
+    */
+  private val qParetoBrand = QueryDef(
+    "q_pareto_frontier_brand",
+    (s, d) => graft.ops.Skyline.paretoFrontier(
+      Tables.part(s, d), "p_partkey", "p_retailprice", "p_size",
+      keyCols = Seq("p_brand")),
+    Some("""
+      SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_brand = p.p_brand
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""))
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
     qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit,
     qFkOrphans,
-    qKAnon, qKAnonSuppress, qLDiversity, qTCloseness, qBenford, qProfileDrift)
+    qKAnon, qKAnonSuppress, qLDiversity, qTCloseness, qBenford, qProfileDrift,
+    qPareto, qParetoBrand)
 }

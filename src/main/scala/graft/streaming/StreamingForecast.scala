@@ -64,6 +64,32 @@ object StreamingForecast {
     }
   }
 
+  /** EWMA forecast-band monitor on the same continuously-maintained
+    * day counts — "is today's volume inside the exponentially-
+    * weighted band, and what is tomorrow's forecast, as of NOW";
+    * identical batch fold (`ewmaFromDaily`) on the snapshot.
+    */
+  def runEwmaBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = s"stream_ewma_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val daily = StreamingHourPivot.eventsStream(s, sfDir)
+        .groupBy(col("event_type").as("k"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val q = daily.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.Forecast.ewmaFromDaily(snapshot, "event_type")
+    }
+  }
+
   /** Robust MAD outlier audit on a continuously-maintained VALUE
     * DISTRIBUTION: state = (type, value_cents, count) — bounded by
     * the cents grid, not the stream — folded through

@@ -744,6 +744,19 @@ class PlanSpec extends AnyFunSuite {
       s"class grid must build from the collapsed frame:\n$p")
   }
 
+  test("pareto frontier: no pair join — prune windows + one broadcast re-join") {
+    val p = planString("q_pareto_frontier")
+    // the naive skyline is an all-pairs inequality anti join; ours must
+    // show zero nested-loop shapes and re-join identities by equi-key
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      s"all-pairs shape leaked into the skyline plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin Inner") ||
+      !p.contains("q.p_retailprice"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier re-join should broadcast the frontier:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("heaps curve: no corpus-wide sort — bucket is a map-side formula") {
     val p = executedPlan("q_heaps_law")
     // a row_number-over-the-collection implementation would show a
