@@ -322,6 +322,42 @@ object GraphQueries {
       SELECT item, neighbor, n_ab, n_item, n_neighbor, cos2_ppm, rank
       FROM rk WHERE rank <= 5"""))
 
+  /** TextRank keywords (Collocations.textRankKeywords): fixed-point
+    * integer PageRank over the adjacent-token co-occurrence graph of
+    * the documents corpus — keyword extraction as a graph composition
+    * (Mihalcea & Tarau '04). Reuses the unrolled-trajectory PageRank
+    * oracle steps verbatim (same relation names), with the graph CTEs
+    * swapped for the token-adjacency build.
+    */
+  private val qTextRank = QueryDef(
+    "q_textrank_keywords",
+    (s, d) => graft.text.Collocations.textRankKeywords(
+      Tables.documents(s, d), "text"),
+    Some(s"""
+      WITH tok AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      adj AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+          i -> struct_pack(a := t[i], b := t[i+1]))) AS p
+        FROM tok WHERE len(t) >= 2),
+      fadj AS (
+        SELECT p.a AS a, p.b AS b FROM adj
+        WHERE p.a NOT IN ('the', 'a', 'of', 'and')
+          AND p.b NOT IN ('the', 'a', 'of', 'and') AND p.a <> p.b),
+      e AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT a AS src, b AS dst FROM fadj
+          UNION ALL SELECT b, a FROM fadj)),
+      nodes AS (SELECT DISTINCT src AS id FROM e),
+      outdeg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+      r0 AS (SELECT id, CAST($base AS BIGINT) AS rank FROM nodes),
+      ${(1 to iters).map(sqlPrStep).mkString(",")}
+      SELECT id AS token, rank, rank / $base.0 AS rank_units
+      FROM r$iters
+      ORDER BY rank DESC, token LIMIT 50"""))
+
   def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift,
-    qComponents, qKCore, qItemNeighbors)
+    qComponents, qKCore, qItemNeighbors, qTextRank)
 }

@@ -2619,7 +2619,24 @@ object TextQueries {
         CAST(g AS BIGINT) AS gini_x1e6, rank
       FROM rk WHERE rank <= 3"""))
 
+  /** Prefix-filtered EXACT Jaccard self-join (Dedup.
+    * prefixFilterNearDups — AllPairs/PPJoin): same pair set as
+    * q_minhash_lsh_neardup but with zero recall caveats — candidates
+    * come from each document's rarest-shingles prefix (sound by the
+    * prefix-filtering lemma, all-integer ⌈t·|x|⌉), not from banding
+    * probabilities. Shares the exact-Jaccard oracle verbatim: two
+    * independent engine paths (banded-LSH + estimate pre-filter vs
+    * rarity-ordered prefixes) must land the identical pair set.
+    */
+  private val qPrefixJoin = QueryDef(
+    "q_jaccard_prefix_join",
+    (s, d) => Dedup.prefixFilterNearDups(
+      Tables.documents(s, d), "doc_id", "text", tNum = 1, tDen = 2)
+      .select(col("id_a"), col("id_b"), col("jaccard")),
+    qMinhash.oracle)
+
   def all: Seq[QueryDef] = Seq(
+    qPrefixJoin,
     qHeapsLaw, qVocabOverlap, qSplitStump,
     qReadability,
     qDsirWeights, qDsirResample, qStreamDsir, qCollocations,

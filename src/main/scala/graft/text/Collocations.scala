@@ -30,6 +30,44 @@ import org.apache.spark.sql.functions._
   */
 object Collocations {
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): build
+    * the adjacent-token co-occurrence graph over the corpus (window 2,
+    * stopwords and self-loops dropped, symmetric distinct edges) and
+    * rank tokens by fixed-point integer PageRank (Graph.pageRank —
+    * deterministic, oracle-replayable trajectory). Top-k keywords by
+    * (rank DESC, token ASC) — a unique total order.
+    *
+    * Scale shape: adjacent pairs are MAP-SIDE (one transform+explode
+    * off each doc's token array — the Collocations build); the edge
+    * distinct is one shuffle keyed by (src,dst); per PageRank round,
+    * rank mass shuffles as (id, long) pairs — vocabulary-sized, never
+    * corpus-sized. The final top-k is a TakeOrderedAndProject.
+    */
+  def textRankKeywords(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+      iters: Int = 3, topK: Int = 50): DataFrame = {
+    val adj = df
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("a"),
+          element_at(col("__toks"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(!col("a").isin(stopwords: _*) &&
+        !col("b").isin(stopwords: _*) && col("a") =!= col("b"))
+    // checkpoint BEFORE the symmetric union: it references `adj`
+    // twice, and nodes + every PageRank round re-read the edge set
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+      .union(adj.select(col("b").as("a"), col("a").as("b"))
+        .select(col("a").as("src"), col("b").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("token")).distinct()
+    graft.graph.Graph.pageRank(edges, nodes, "token", iters = iters)
+      .orderBy(col("rank").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Top-k collocations: (w1, w2, n_xy, n_x, n_y, lift_ppm), ordered
     * by lift then (w1, w2). */
   def topCollocations(df: DataFrame, textCol: String, minCount: Long,

@@ -555,6 +555,61 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** EXACT set-similarity self-join by prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): every pair with shingle Jaccard ≥ tNum/tDen, with NO
+    * recall argument to defend — the algebraic complement to the
+    * banded-LSH path (minhashNearDups), which trades a measured miss
+    * probability for fewer candidates.
+    *
+    * Soundness (all-integer arithmetic): J(x,y) ≥ t implies the
+    * overlap O ≥ t·|x| and O ≥ t·|y| (from O ≥ t(|x|+|y|−O) and
+    * |y| ≥ O). By the prefix-filtering lemma, two sets with O ≥ α
+    * must share a token among each one's first |·| − α + 1 tokens
+    * under ANY shared total order; with α_x = ⌈t·|x|⌉ computed
+    * exactly as (tNum·|x| + tDen − 1) div tDen, per-doc prefixes of
+    * length |x| − α_x + 1 are (weakly longer than the lemma's, hence)
+    * sound. Candidates additionally pass the symmetric length filter
+    * tNum·|x| ≤ tDen·|y| ∧ tNum·|y| ≤ tDen·|x|; exact Jaccard
+    * verification keeps the final pairs.
+    *
+    * The global order is ASCENDING document frequency (ties by hash):
+    * prefixes are each document's RAREST shingles, so the candidate
+    * equi-join's per-token fan-out is bounded by the rare tail of the
+    * df distribution, not by stopword-shingle frequencies — the knob
+    * that makes the exact join survive corpus growth (candidate count
+    * grows with Σ_prefix-tokens df², dominated by df≈1 tokens).
+    *
+    * Scale shape: one shuffle for df counts, one id-keyed window pair
+    * (size + rarity rank share the sort), one token-keyed candidate
+    * equi-join over PREFIXES only, then verification joins by id.
+    * Nothing all-pairs, nothing driver-side.
+    */
+  def prefixFilterNearDups(df: DataFrame, idCol: String, textCol: String,
+      tNum: Int, tDen: Int, shingleN: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be in (0,1]: $tNum/$tDen")
+    val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN,
+      distinctShingles = true))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val wId = Window.partitionBy(col("id"))
+    val ranked = ex.join(dfreq, Seq("s"))
+      .withColumn("__sz", count(lit(1)).over(wId))
+      .withColumn("__pos", row_number().over(
+        wId.orderBy(col("__df"), col("s"))))
+    val prefix = ranked
+      .where(col("__pos") <=
+        col("__sz") - expr(s"(($tNum * __sz) + ${tDen - 1}) div $tDen") + 1)
+      .select(col("s"), col("id"), col("__sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("b.__sz") * tDen >= col("a.__sz") * tNum &&
+        col("a.__sz") * tDen >= col("b.__sz") * tNum)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifiedJaccard(cand, ex, tNum.toDouble / tDen)
+  }
+
   /** Connected-component clustering of near-dup pairs: every document
     * in a component gets the component's MINIMUM id as its canonical
     * representative (the keeper). This is the step that turns pairwise

@@ -38,4 +38,24 @@ class CollocationsSpec extends AnyFunSuite {
     // equal lift (symmetric corpus) → lexicographic (w1, w2): p q first
     assert(out(0).getString(0) == "p" && out(0).getString(1) == "q")
   }
+
+  test("textrank: hand-computed star-graph trajectory, stopwords dropped") {
+    // edges (symmetric distinct): alpha-beta, beta-gamma, beta-delta;
+    // doc 3 contributes only stopword pairs -> filtered out entirely.
+    // outdeg: beta 3, others 1. teleport 150000, damping 85/100:
+    //  r1: beta = 150000 + (3e6*85) div 100 = 2700000
+    //      leaf = 150000 + ((1e6 div 3)*85) div 100 = 433333
+    //  r2: beta = 150000 + (3*433333*85) div 100 = 1254999
+    //      leaf = 150000 + ((2700000 div 3)*85) div 100 = 915000
+    //  r3: beta = 150000 + (3*915000*85) div 100 = 2483250
+    //      leaf = 150000 + ((1254999 div 3)*85) div 100 = 505583
+    val docs = Seq("alpha beta gamma", "alpha beta delta", "the alpha the")
+      .toDF("text")
+    val out = Collocations.textRankKeywords(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 4 && !out.contains("the"))
+    assert(out("beta") == 2483250L)
+    assert(out("alpha") == 505583L)
+    assert(out("gamma") == 505583L && out("delta") == 505583L)
+  }
 }

@@ -46,6 +46,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(j === 8.0 / 14.0)
   }
 
+  test("prefix-filtered exact join equals brute-force jaccard, no misses") {
+    // brute force in Scala over distinct 3-gram shingles; the operator
+    // must return EXACTLY the pairs at j >= 1/2 — the no-recall-caveat
+    // contract that distinguishes it from the banded-LSH path
+    val docs = Seq(
+      1L -> docA, 2L -> docANear, 3L -> docB,
+      4L -> docA, // exact copy of 1 -> jaccard 1.0 with 1 and near 2
+      5L -> "completely different words about flink query engines and large scale data",
+      6L -> "one two three four five six seven eight nine ten")
+    def sh(t: String) =
+      t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = {
+        val (a, b) = (sh(ta), sh(tb))
+        (a & b).size.toDouble / (a | b).size
+      } if j >= 0.5
+    } yield (ia, ib, j)).toSet
+    val out = Dedup.prefixFilterNearDups(
+        docs.toDF("doc_id", "text"), "doc_id", "text", tNum = 1, tDen = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(out == brute, s"prefix join $out vs brute $brute")
+    assert(brute.exists(_._3 == 1.0) && brute.exists(t => t._3 < 1.0),
+      "fixture must exercise both exact and near pairs")
+  }
+
+  test("prefix length law: threshold 1/1 keeps a single rarest shingle") {
+    // at t=1 the prefix is |x| - |x| + 1 = 1 token: only identical
+    // sets can collide AND verify; near pair must vanish
+    val df = Seq((1L, docA), (2L, docANear), (3L, docA))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixFilterNearDups(df, "doc_id", "text", 1, 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L)))
+  }
+
   test("served near-dup index: batch vs indexed corpus equals all-pairs restriction") {
     // sf0.001 documents give a real near-dup population; the served
     // result must equal the batch×corpus restriction of the all-pairs
