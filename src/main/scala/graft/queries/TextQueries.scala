@@ -2260,6 +2260,86 @@ object TextQueries {
         CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
       FROM scored GROUP BY bin"""))
 
+  /** Isotonic (PAV) recalibration of the quality classifier
+    * (ops/Calibration.isotonicCalibration): the best NON-DECREASING
+    * bin→rate map under weighted L2, in closed form via the minimax
+    * characterization fitted_k = max_{i≤k} min_{j≥k} pooled(i..j) —
+    * no sequential pooling loop, every window bounded by the score
+    * grid (binDiv=2000 → 16 populated bins at sf0.01, with REAL
+    * monotonicity violations for the fit to pool — binDiv=1e5
+    * collapsed the corpus into one vacuous bin). This is the ACTION
+    * the Brier reliability term
+    * (q_brier_decomposition) says to take; raw_ppm vs fitted_ppm shows
+    * exactly which bins the monotone fit pools.
+    */
+  private val qIsotonic = QueryDef(
+    "q_isotonic_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = QualityClassifier.trainTokenWeights(
+        docs.where(col("doc_id") % 3 === 0), "text", col("lang") === "en")
+      val scored = QualityClassifier.scoreDocs(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("score_ppm"), (col("lang") === "en").as("y"))
+      graft.ops.Calibration.isotonicCalibration(
+        scored, "score_ppm", "y", binDiv = 2000L)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, $sqlTokens AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      tr AS (
+        SELECT lang = 'en' AS pos, unnest(t) AS term
+        FROM tok WHERE doc_id % 3 = 0),
+      w AS (
+        SELECT term,
+          CAST(1000000 * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) //
+            (COUNT(*) + 2) AS BIGINT) AS w_ppm
+        FROM tr GROUP BY term),
+      sc AS (SELECT doc_id, unnest(t) AS term FROM tok),
+      agg AS (
+        SELECT sc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          SUM(COALESCE(w.w_ppm, 500000)) AS w_sum
+        FROM sc LEFT JOIN w USING (term) GROUP BY 1),
+      scored AS (
+        SELECT CAST((w_sum // n_tokens) // 2000 AS BIGINT) AS bin,
+          CASE WHEN tok.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM agg JOIN tok ON tok.doc_id = agg.doc_id),
+      bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM scored GROUP BY bin),
+      idx AS (
+        SELECT bin, n_docs, n_pos,
+          ROW_NUMBER() OVER (ORDER BY bin) AS i,
+          SUM(n_docs) OVER (ORDER BY bin) AS nc,
+          SUM(n_pos) OVER (ORDER BY bin) AS pc
+        FROM bins),
+      pairs AS (
+        SELECT a.i AS i, b.i AS j,
+          (1000000 * (b.pc - (a.pc - a.n_pos)))
+            // (b.nc - (a.nc - a.n_docs)) AS rate
+        FROM idx a JOIN idx b ON a.i <= b.i),
+      rm AS (
+        SELECT i, j, MIN(rate) OVER (PARTITION BY i ORDER BY j DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin
+        FROM pairs),
+      f AS (SELECT j, MAX(rmin) AS fitted FROM rm GROUP BY j)
+      SELECT idx.bin, idx.n_docs, idx.n_pos,
+        CAST((1000000 * idx.n_pos) // idx.n_docs AS BIGINT) AS raw_ppm,
+        CAST(f.fitted AS BIGINT) AS fitted_ppm
+      FROM idx JOIN f ON f.j = idx.i"""))
+
+  /** Streaming twin: micro-batches collapse to additive bin partials
+    * at ingest (state = the bin grid, never documents); the PAV fold
+    * runs on the summed state (shared oracle).
+    */
+  private val qStreamIsotonic = QueryDef(
+    "q_stream_isotonic",
+    (s, d) => graft.streaming.StreamingCalibration
+      .runIsotonicBatchEquivalent(s, d),
+    qIsotonic.oracle)
+
   /** Murphy decomposition of the quality classifier's Brier score
     * (ops/Eval.brierDecomposition): reliability (miscalibration —
     * recalibrate to fix) vs resolution (discrimination — needs a
@@ -2640,7 +2720,7 @@ object TextQueries {
     qHeapsLaw, qVocabOverlap, qSplitStump,
     qReadability,
     qDsirWeights, qDsirResample, qStreamDsir, qCollocations,
-    qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration, qBrier,
+    qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration, qIsotonic, qStreamIsotonic, qBrier,
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
     qJaccard, qClusters, qBestKeepers, qLeakFreeSplit, qMinhash, qNearDupServed,
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,

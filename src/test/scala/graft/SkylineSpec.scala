@@ -78,6 +78,33 @@ class SkylineSpec extends AnyFunSuite {
     assert(a.getLong(a.fieldIndex("ewma_next_x1e6")) == 5333333L)
   }
 
+  test("isotonic fit: pools the violating pair, weighted, monotone") {
+    // bins 1..4 with rates 0, 1.0, 0.5, 1.0 (n=2 each): PAV pools
+    // bins 2-3 to (2+1)/(2+2) = 0.75; hand-checked minimax values:
+    //   bin1 -> 0, bin2 -> 750000, bin3 -> 750000, bin4 -> 1000000
+    val bins = Seq((1L, 2L, 0L), (2L, 2L, 2L), (3L, 2L, 1L), (4L, 2L, 2L))
+      .toDF("bin", "n_docs", "n_pos")
+    val out = graft.ops.Calibration.isotonicFromBins(bins)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("raw_ppm")),
+          r.getLong(r.fieldIndex("fitted_ppm")))).toMap
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L) == (1000000L, 750000L))
+    assert(out(3L) == (500000L, 750000L))
+    assert(out(4L) == (1000000L, 1000000L))
+  }
+
+  test("isotonic fit: already-monotone input is returned unchanged") {
+    val bins = Seq((10L, 4L, 1L), (20L, 4L, 2L), (30L, 4L, 4L))
+      .toDF("bin", "n_docs", "n_pos")
+    val out = graft.ops.Calibration.isotonicFromBins(bins)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("raw_ppm")),
+        r.getLong(r.fieldIndex("fitted_ppm"))))
+    assert(out.forall { case (raw, fit) => raw == fit })
+  }
+
   test("ewma band: first day is unscored (den=0), flat series never alarms") {
     // constant 3/day over 5 days: every scored day sits exactly on the
     // forecast -> zero alarms at any band; tomorrow's forecast = 3e6
