@@ -68,6 +68,72 @@ object Association {
         (col("n_ab").cast("double") / col("n_a")).as("confidence"))
   }
 
+  /** Frequent item TRIPLES by a-priori candidate generation (Agrawal &
+    * Srikant, VLDB'94): a triple can only be frequent if all three of
+    * its sub-pairs are — so candidates come from joining frequent
+    * pairs on their shared prefix ((a,b)⋈(a,c), b<c) and semi-joining
+    * the closure pair (b,c), and only THEN does support counting touch
+    * basket data: basket pair instances (the |basket|²-bounded join,
+    * cap-guarded) semi-restrict to candidate prefixes, extend by one
+    * (basket, item) EQUI-join probing c's membership, and aggregate.
+    * The |basket|³ three-way self-join never happens — the counting
+    * cost is Σ (candidate-prefix instances), which the pair-level
+    * support threshold already bounded.
+    *
+    * Output: (item_a < item_b < item_c, n_abc, n_ab, n_ac, n_bc,
+    * conf_ppm = 10⁶·n_abc div n_ab — confidence of (a,b)→c, one
+    * integral division, engine-exact).
+    */
+  def frequentTriples(df: DataFrame, groupCol: String, itemCol: String,
+      minSupport: Long = 2L, maxGroupSize: Long = 10000L): DataFrame = {
+    require(minSupport >= 1)
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+      .localCheckpoint(true)
+    val worst = g.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head()
+    if (!worst.isNullAt(0)) {
+      val mx = worst.getLong(0)
+      require(mx <= maxGroupSize,
+        s"frequentTriples: largest $groupCol basket has $mx distinct " +
+          s"items (cap $maxGroupSize) — cap or sample upstream")
+    }
+    val frequent = g.groupBy(col("i")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minSupport)
+    val fg = g.join(frequent.select(col("i")), Seq("i"), "left_semi")
+      .localCheckpoint(true) // feeds the pair join twice + the c-probe
+    val freqPairs = fg.select(col("g"), col("i").as("a"))
+      .join(fg.select(col("g"), col("i").as("b")), Seq("g"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+      .localCheckpoint(true) // candidates read it 3x, supports 3x
+    val cand = freqPairs.select(col("a"), col("b"))
+      .join(freqPairs.select(col("a"), col("b").as("c")), Seq("a"))
+      .where(col("b") < col("c"))
+      .join(freqPairs.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+    val inst = fg.select(col("g"), col("i").as("a"))
+      .join(fg.select(col("g"), col("i").as("b")), Seq("g"))
+      .where(col("a") < col("b"))
+    val triples = inst.join(cand, Seq("a", "b"))
+      .join(fg.select(col("g"), col("i").as("c")), Seq("g", "c"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .where(col("n_abc") >= minSupport)
+    triples
+      .join(freqPairs.withColumnsRenamed(Map("n_ab" -> "__nab")),
+        Seq("a", "b"))
+      .join(freqPairs.select(col("a"), col("b").as("c"),
+        col("n_ab").as("__nac")), Seq("a", "c"))
+      .join(freqPairs.select(col("a").as("b"), col("b").as("c"),
+        col("n_ab").as("__nbc")), Seq("b", "c"))
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c"), col("n_abc"),
+        col("__nab").as("n_ab"), col("__nac").as("n_ac"),
+        col("__nbc").as("n_bc"),
+        expr("(1000000 * n_abc) div __nab").as("conf_ppm"))
+  }
+
   /** Item-item nearest neighbors from co-occurrence — the classic
     * item-based collaborative-filtering primitive ("customers who
     * bought X also bought Y"), scored by set cosine

@@ -358,6 +358,47 @@ object GraphQueries {
       FROM r$iters
       ORDER BY rank DESC, token LIMIT 50"""))
 
+  /** A-priori frequent triples (Association.frequentTriples) over
+    * (user, day) session baskets of event types: candidates from
+    * frequent-pair prefix joins + closure semi-join, support counted
+    * by extending |basket|²-bounded pair instances with ONE
+    * (basket,item) equi-probe — never a |basket|³ self-join. The
+    * oracle is the INDEPENDENT naive three-way-join formulation, so
+    * the hash checks the candidate pruning kept every frequent triple.
+    */
+  private val qFreqTriples = QueryDef(
+    "q_frequent_triples",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("session",
+        concat_ws("-", col("user_id"), to_date(col("ts"))))
+      graft.ops.Association.frequentTriples(
+        ev, "session", "event_type", minSupport = 15L)
+    },
+    Some("""
+      WITH g AS (
+        SELECT DISTINCT user_id || '-' ||
+          strftime(CAST(ts AS DATE), '%Y-%m-%d') AS g, event_type AS i
+        FROM events),
+      ic AS (SELECT i, COUNT(*) AS c FROM g GROUP BY 1),
+      fi AS (SELECT i FROM ic WHERE c >= 15),
+      fg AS (SELECT g.g, g.i FROM g JOIN fi USING (i)),
+      p AS (
+        SELECT a.i AS a, b.i AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM fg a JOIN fg b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 15),
+      t AS (
+        SELECT a.i AS a, b.i AS b, c.i AS c,
+          CAST(COUNT(*) AS BIGINT) AS n_abc
+        FROM fg a JOIN fg b ON a.g = b.g AND a.i < b.i
+          JOIN fg c ON b.g = c.g AND b.i < c.i
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 15)
+      SELECT t.a AS item_a, t.b AS item_b, t.c AS item_c, t.n_abc,
+        pab.n_ab AS n_ab, pac.n_ab AS n_ac, pbc.n_ab AS n_bc,
+        CAST((1000000 * t.n_abc) // pab.n_ab AS BIGINT) AS conf_ppm
+      FROM t JOIN p pab ON pab.a = t.a AND pab.b = t.b
+        JOIN p pac ON pac.a = t.a AND pac.b = t.c
+        JOIN p pbc ON pbc.a = t.b AND pbc.b = t.c"""))
+
   def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift,
-    qComponents, qKCore, qItemNeighbors, qTextRank)
+    qComponents, qKCore, qItemNeighbors, qTextRank, qFreqTriples)
 }

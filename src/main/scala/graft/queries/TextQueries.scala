@@ -1319,6 +1319,48 @@ object TextQueries {
         FROM pairs WHERE jaccard >= 0.8)
       SELECT left_id, right_id, jaccard FROM ranked WHERE rn = 1"""))
 
+  /** Sorted-neighborhood blocking (FuzzyJoin.sortedNeighborhoodPairs):
+    * the THIRD blocking strategy in the ER family (vs q-gram prefix
+    * postings and LSH bands) — candidates are the n·(w−1) pairs within
+    * w=5 positions of the global (p_name, id) order, verified by
+    * 5-gram Jaccard ≥ 0.5 over the full entity string. The engine
+    * runs it as order-preserving prefix buckets + driver-coalesced
+    * super-buckets (≥ w−1 rows each) + one-hop tail replication — no
+    * global single-partition sort; the oracle replays the textbook
+    * single ROW_NUMBER definition, so the hash checks the bucketed
+    * decomposition IS the global window.
+    */
+  private val qSortedNeighborhood = QueryDef(
+    "q_sorted_neighborhood",
+    (s, d) => {
+      val entity = concat_ws(" ", col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size").cast("string"))
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), entity.as("entity"))
+      graft.text.FuzzyJoin.sortedNeighborhoodPairs(parts, "p_partkey",
+        "p_name", "entity", window = 5, threshold = 0.5)
+    },
+    Some("""
+      WITH ent AS (
+        SELECT p_partkey AS id, p_name AS key,
+          p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
+            CAST(p_size AS VARCHAR) AS txt
+        FROM part),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM ent),
+      cand AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+      tri AS (
+        SELECT id, list_distinct(list_transform(
+          range(1, length(txt) - 3), i -> substr(txt, i, 5))) AS t
+        FROM ent WHERE length(txt) >= 5),
+      v AS (
+        SELECT id_a, id_b,
+          len(list_intersect(x.t, y.t)) * 1.0 /
+            (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))) AS jaccard
+        FROM cand JOIN tri x ON x.id = id_a JOIN tri y ON y.id = id_b)
+      SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5"""))
+
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64
     * rolling variant stays in the library, spec-covered — its values
@@ -2726,6 +2768,6 @@ object TextQueries {
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qLmTrigram, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
-    qContamination, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin,
+    qContamination, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood,
     qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
 }

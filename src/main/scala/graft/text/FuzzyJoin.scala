@@ -42,6 +42,94 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95):
+    * candidate pairs are records within `window` positions of each
+    * other in the GLOBAL (sortKey, id) order — the linear-cost
+    * blocking strategy whose candidate count is exactly n·(w−1),
+    * independent of key-frequency skew (where q-gram postings or LSH
+    * buckets can still spike). Survivors verify by character-q-gram
+    * Jaccard ≥ threshold over `textCol`, exactly as [[fuzzyJoinTop1]].
+    *
+    * The global window is NOT implemented as one ORDER BY over the
+    * corpus (a single-partition sort at scale). Instead:
+    *  1. order-preserving buckets from the sort key's `prefixLen`-char
+    *     prefix (lexicographic prefixes are contiguous in the order);
+    *  2. per-bucket counts — a ≤|alphabet|^prefixLen METADATA frame —
+    *     are greedily coalesced driver-side into super-buckets of
+    *     ≥ w−1 rows each (short final super merges backward), so a
+    *     window can never span more than one boundary;
+    *  3. each super-bucket's last w−1 rows REPLICATE to its successor
+    *     (tagged), windows run per super-bucket, and a pair is
+    *     emitted only where the later row is an original — boundary
+    *     pairs appear exactly once, interior duplicates never.
+    * The result is row-identical to the single-sort definition (which
+    * the oracle replays with one global ROW_NUMBER) at any bucketing.
+    *
+    * Output: (id_a, id_b, jaccard) — (earlier, later) in sort order.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortKeyCol: String, textCol: String, window: Int,
+      threshold: Double, q: Int = 5, prefixLen: Int = 1): DataFrame = {
+    require(window >= 2 && threshold > 0 && threshold <= 1)
+    val w = window
+    val base = df.select(col(idCol).as("id"), col(sortKeyCol).as("key"),
+        col(textCol).as("__txt"))
+      .withColumn("__bkt", substring(col("key"), 1, prefixLen))
+      .localCheckpoint(true) // feeds the metadata count + both frame legs
+    // bounded metadata: per-prefix counts, coalesced so every
+    // super-bucket holds >= w-1 rows (one boundary hop suffices)
+    val counts = base.groupBy(col("__bkt")).agg(count(lit(1)).as("n"))
+      .orderBy(col("__bkt")).collect()
+    var cur = 0
+    var acc = 0L
+    val assign = counts.map { r =>
+      val a = (r.getString(0), cur)
+      acc += r.getLong(1)
+      if (acc >= w - 1) { cur += 1; acc = 0 }
+      a
+    }
+    val fixed = // short trailing super merges backward
+      if (acc > 0 && cur > 0) assign.map { case (b, s) =>
+        (b, if (s == cur) cur - 1 else s)
+      } else assign
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sup = broadcast(fixed.toSeq.toDF("__bkt", "__r"))
+    val tagged = base.join(sup, Seq("__bkt"))
+    val wTail = Window.partitionBy(col("__r"))
+      .orderBy(col("key").desc, col("id").desc)
+    val tails = tagged
+      .withColumn("__rd", row_number().over(wTail))
+      .where(col("__rd") <= w - 1)
+      .drop("__rd")
+      .withColumn("__r", col("__r") + 1)
+      .withColumn("__tag", lit(1))
+    val frame = tagged.withColumn("__tag", lit(0)).unionByName(tails)
+    val wOrd = Window.partitionBy(col("__r")).orderBy(col("key"), col("id"))
+    // lead columns first (one shared window sort), then explode
+    val withLeads = frame.select(
+      col("id").as("id_a") +:
+        (1 to w - 1).flatMap(j => Seq(
+          lead(col("id"), j).over(wOrd).as(s"__lid_$j"),
+          lead(col("__tag"), j).over(wOrd).as(s"__ltg_$j"))): _*)
+    val leadStructs = (1 to w - 1).map(j =>
+      struct(col(s"__lid_$j").as("id_b"), col(s"__ltg_$j").as("tg")))
+    val cand = withLeads
+      .select(col("id_a"), explode(array(leadStructs: _*)).as("p"))
+      .where(col("p.id_b").isNotNull && col("p.tg") === 0)
+      .select(col("id_a"), col("p.id_b").as("id_b"))
+    val grams = charGramFrame(df, idCol, textCol, q)
+    val sets = grams.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("__common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("__common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("__common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exploded distinct character-q-gram hash frame (id, s), built
     * map-side: positions 1..len-q+1, xxhash64 over each q-char slice.
     */

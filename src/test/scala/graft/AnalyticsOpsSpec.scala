@@ -43,6 +43,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("click") == (0L, 500000L, 1L))
   }
 
+  test("frequent triples: a-priori candidates, membership-counted support") {
+    // baskets: b1{x,y,z} b2{x,y,z} b3{x,y} b4{x,z,w} b5{y,z,w} b6{w}
+    // minSupport 2: frequent pairs xy:3 xz:3 yz:3 wz:2; the only
+    // candidate triple is (x,y,z) (closure: all three sub-pairs
+    // frequent); support 2 (b1, b2); (x,z,w)/(y,z,w) die at candidate
+    // generation (wx / wy infrequent) despite being basket triples.
+    val rows = Seq(
+      "b1" -> "x", "b1" -> "y", "b1" -> "z",
+      "b2" -> "x", "b2" -> "y", "b2" -> "z",
+      "b3" -> "x", "b3" -> "y",
+      "b4" -> "x", "b4" -> "z", "b4" -> "w",
+      "b5" -> "y", "b5" -> "z", "b5" -> "w",
+      "b6" -> "w").toDF("basket", "item")
+    val out = Association.frequentTriples(rows, "basket", "item",
+      minSupport = 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("x", "y", "z"))
+    assert(r.getLong(r.fieldIndex("n_abc")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_ab")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_ac")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_bc")) == 3L)
+    assert(r.getLong(r.fieldIndex("conf_ppm")) == 666666L)
+  }
+
   test("seasonal MASE: gap days zero-filled, constant series -> null") {
     // key A over days 1..5 (day 3 absent -> 0): counts 2,1,0,1,2
     // season=2: |c_d - c_{d-2}| for d=3..5 -> |0-2|+|1-1|+|2-0| = 4, n_s=3

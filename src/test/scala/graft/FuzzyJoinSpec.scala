@@ -9,6 +9,41 @@ class FuzzyJoinSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.builder("fuzzy-test", "4").getOrCreate()
   import spark.implicits._
 
+  test("sorted neighborhood: bucketed windows equal the global window") {
+    // identical texts -> jaccard 1 for every candidate, so the output
+    // IS the candidate set; keys span 4 prefix buckets (sizes 2,1,2,1)
+    // which the driver-side coalesce folds into supers of >= w-1 rows,
+    // exercising boundary replication on both seams
+    val txt = "same same entity text"
+    val rows = Seq((1L, "aa"), (2L, "ab"), (3L, "ba"),
+      (4L, "ca"), (5L, "cb"), (6L, "da"))
+      .map { case (id, k) => (id, k, txt) }
+      .toDF("id", "key", "txt")
+    val out = FuzzyJoin.sortedNeighborhoodPairs(rows, "id", "key", "txt",
+        window = 4, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      i <- 1L to 6L; j <- 1L to 6L if j > i && j - i <= 3
+    } yield (i, j)).toSet // ids happen to be in key order
+    assert(out == brute, s"got $out expected $brute")
+  }
+
+  test("sorted neighborhood: short trailing super merges backward") {
+    // bucket 'a' alone fills super 0 (4 rows >= w-1); bucket 'b' (1
+    // row) would be a short trailing super -> merged back, so the
+    // (a-tail, b) pairs still appear
+    val txt = "same same entity text"
+    val rows = (1L to 4L).map(i => (i, s"a$i", txt)) :+ ((5L, "b1", txt))
+    val out = FuzzyJoin.sortedNeighborhoodPairs(
+        rows.toDF("id", "key", "txt"), "id", "key", "txt",
+        window = 5, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      i <- 1L to 5L; j <- 1L to 5L if j > i && j - i <= 4
+    } yield (i, j)).toSet
+    assert(out == brute, s"got $out expected $brute")
+  }
+
   test("gram frame: count and distinctness") {
     val df = Seq((1L, "abcd")).toDF("id", "s")
     // q=3 grams: abc, bcd -> 2 distinct
