@@ -128,4 +128,75 @@ object Eval {
         expr("base_rate_ppm * (1000000 - base_rate_ppm)")
           .as("uncertainty_x1e12"))
   }
+
+  /** Exact RBO weight table for p = 9/10, truncation depth k ≤ 10:
+    * RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·overlap_d/d has common
+    * denominator 10^k·2520 (2520 = lcm(1..10)), so each depth
+    * contributes the INTEGER weight 9^{d−1}·10^{k−d}·(2520/d) — the
+    * nDCG pinned-log-table move applied to geometric weights: no
+    * cross-engine pow(), no floats anywhere.
+    */
+  private[graft] def rboWeights(depth: Int): (IndexedSeq[Long], Long) = {
+    require(depth >= 1 && depth <= 10, s"depth must be in [1,10], got $depth")
+    val w = (1 to depth).map(d =>
+      (BigInt(9).pow(d - 1) * BigInt(10).pow(depth - d) *
+        (2520 / d)).toLong)
+    (w, (BigInt(10).pow(depth) * 2520).toLong)
+  }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    * two rankings of the same items, truncated at `depth` — the
+    * top-weighted "do these two ranking signals agree" statistic
+    * (correlations over full ranks weight the tail equally; RBO decays
+    * by p^d, matching how consumers read a top-k).
+    *
+    *   overlap_d = |top_d(A) ∩ top_d(B)| counts items whose
+    *   max(posA, posB) ≤ d; RBO@k = (1−p)·Σ p^{d−1}·overlap_d/d,
+    *   p = 9/10, emitted ×10⁶ by one integral division over the
+    *   pinned weight table (engine-exact; the extrapolated RBO_ext
+    *   tail term is intentionally omitted — truncated RBO by spec).
+    *
+    * Scale shape: both rankings are per-key windows (partitioned,
+    * never global), the position join is an equi-join on (key, id)
+    * over ≤ depth rows per key per side, and the depth spine is a
+    * map-side explode of a k-literal array — everything past the two
+    * rank windows is bounded by |keys|·depth, not by data.
+    *
+    * Output: (key..., n_common, rbo_x1e6).
+    */
+  def rankBiasedOverlap(df: DataFrame, keyCols: Seq[String], idCol: String,
+      scoreA: Column, scoreB: Column, depth: Int = 10): DataFrame = {
+    val (w, den) = rboWeights(depth)
+    val keys = keyCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    def top(score: Column, posName: String) = df
+      .withColumn(posName, row_number().over(
+        Window.partitionBy(keys: _*).orderBy(score.desc, col(idCol))))
+      .where(col(posName) <= depth)
+      .select(keys :+ col(idCol) :+ col(posName): _*)
+    val joined = top(scoreA, "__pa")
+      .join(top(scoreB, "__pb"), keyCols :+ idCol)
+      .withColumn("__m", greatest(col("__pa"), col("__pb")))
+    val weightCase = (1 to depth)
+      .map(d => s"WHEN $d THEN ${w(d - 1)}L").mkString(" ")
+    val terms = joined
+      .select(keys :+ col("__m") :+
+        explode(sequence(col("__m"), lit(depth))).as("__d"): _*)
+      .withColumn("__w", expr(s"CASE __d $weightCase END"))
+    // identical rankings score 1−p^k truncated (the mass past depth k
+    // is unobserved); rbo_norm rescales so full agreement reads 10⁶
+    val wMax = (1 to depth).map(d => w(d - 1) * d).sum
+    terms.groupBy(keys: _*)
+      .agg(sum(col("__w")).as("__num"),
+        // every surviving item emits exactly one row at __d = depth
+        sum(when(col("__d") === depth, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("rbo_x1e6",
+        expr(s"(cast(__num as decimal(38,0)) * 1000000) div ${den}L")
+          .cast("long"))
+      .withColumn("rbo_norm_x1e6",
+        expr(s"(cast(__num as decimal(38,0)) * 1000000) div ${wMax}L")
+          .cast("long"))
+      .select(keys :+ col("n_common") :+ col("rbo_x1e6") :+
+        col("rbo_norm_x1e6"): _*)
+  }
 }

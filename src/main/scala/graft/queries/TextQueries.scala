@@ -2619,6 +2619,73 @@ object TextQueries {
           AS flesch_milli
       FROM m"""))
 
+  /** Rank-biased overlap (ops/Eval.rankBiasedOverlap — Webber et al.
+    * TOIS'10) between the per-source readability ranking and the
+    * per-source length ranking, truncated at depth 10: the
+    * top-weighted "do two ranking signals agree" statistic, exact via
+    * the pinned 9/10-geometric weight table (common denominator
+    * 10^k·2520 — the nDCG pinned-log move for geometric weights).
+    * Both rankings are partitioned windows; everything downstream is
+    * |sources|·depth-bounded.
+    */
+  private val qRbo = {
+    val (w, den) = graft.ops.Eval.rboWeights(10)
+    val weightCase = (1 to 10).map(d => s"WHEN $d THEN ${w(d - 1)}")
+      .mkString(" ")
+    QueryDef(
+      "q_rbo_rankings",
+      (s, d) => {
+        val punct = Tables.documents(s, d).select(col("doc_id"),
+          col("source"), col("n_chars"),
+          call_function("replace", col("text"), lit(" a "), lit(". "))
+            .as("text"))
+        val scored = TF.withReadability(punct, "text")
+        graft.ops.Eval.rankBiasedOverlap(scored, Seq("source"), "doc_id",
+          col("flesch_milli"), col("n_chars"), depth = 10)
+      },
+      Some(s"""
+        WITH punct AS (
+          SELECT doc_id, source, n_chars, replace(text, ' a ', '. ') AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id, source, n_chars,
+            GREATEST(CASE WHEN length(trim(t)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(t), '\\s+')) END, 1)
+              AS n_words,
+            GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1)
+              AS n_sentences,
+            GREATEST(len(regexp_extract_all(t, '[aeiouyAEIOUY]+')), 1)
+              AS n_vowel_groups
+          FROM punct),
+        sc AS (
+          SELECT doc_id, source, n_chars,
+            206835 - (1015 * n_words) // n_sentences
+              - (84600 * n_vowel_groups) // n_words AS flesch
+          FROM m),
+        ra AS (
+          SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY flesch DESC, doc_id) AS pa FROM sc),
+        rb AS (
+          SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS pb FROM sc),
+        j AS (
+          SELECT ra.source, ra.doc_id, GREATEST(pa, pb) AS mx
+          FROM ra JOIN rb ON ra.source = rb.source
+            AND ra.doc_id = rb.doc_id
+          WHERE pa <= 10 AND pb <= 10),
+        t AS (SELECT source, mx, unnest(range(mx, 11)) AS d FROM j),
+        g AS (
+          SELECT source,
+            CAST(COUNT(*) FILTER (d = 10) AS BIGINT) AS n_common,
+            SUM(CASE d $weightCase END) AS num
+          FROM t GROUP BY 1)
+        SELECT source, n_common,
+          CAST((num * 1000000) // $den AS BIGINT) AS rbo_x1e6,
+          CAST((num * 1000000) // ${(1 to 10).map(d => w(d - 1) * d).sum}
+            AS BIGINT) AS rbo_norm_x1e6
+        FROM g"""))
+  }
+
   /** Heaps'-law vocabulary growth (text/VocabGrowth.heapsCurve):
     * cumulative distinct tokens vs cumulative token count over ten
     * id-range corpus prefixes — the vocab-saturation readout that
@@ -2760,7 +2827,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qPrefixJoin,
     qHeapsLaw, qVocabOverlap, qSplitStump,
-    qReadability,
+    qReadability, qRbo,
     qDsirWeights, qDsirResample, qStreamDsir, qCollocations,
     qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration, qIsotonic, qStreamIsotonic, qBrier,
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,

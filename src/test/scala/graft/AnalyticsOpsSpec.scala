@@ -43,6 +43,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("click") == (0L, 500000L, 1L))
   }
 
+  test("rbo: hand-computed truncated overlap at depth 3") {
+    // A-order: a,b,c,d ; B-order: b,a,d,c ; depth 3
+    // overlaps: d1=0, d2=2 (a,b), d3=2 -> RBO = (1/10)(0.9 + 0.54)
+    //         = 0.144 exactly -> 144000 ppm-scaled
+    import graft.ops.Eval
+    val df = Seq(("g", "a", 40L, 30L), ("g", "b", 30L, 40L),
+      ("g", "c", 20L, 5L), ("g", "d", 10L, 20L))
+      .toDF("k", "item", "sa", "sb")
+    val out = Eval.rankBiasedOverlap(df, Seq("k"), "item",
+      col("sa"), col("sb"), depth = 3).collect().head
+    assert(out.getLong(out.fieldIndex("n_common")) == 2L)
+    assert(out.getLong(out.fieldIndex("rbo_x1e6")) == 144000L)
+    // identical rankings: truncated RBO = 1 - p^k = 0.271 exactly
+    // (mass past depth k is unobserved); the normalized column reads 1
+    val same = Eval.rankBiasedOverlap(df, Seq("k"), "item",
+      col("sa"), col("sa"), depth = 3).collect().head
+    assert(same.getLong(same.fieldIndex("rbo_x1e6")) == 271000L)
+    assert(same.getLong(same.fieldIndex("rbo_norm_x1e6")) == 1000000L)
+  }
+
   test("frequent triples: a-priori candidates, membership-counted support") {
     // baskets: b1{x,y,z} b2{x,y,z} b3{x,y} b4{x,z,w} b5{y,z,w} b6{w}
     // minSupport 2: frequent pairs xy:3 xz:3 yz:3 wz:2; the only

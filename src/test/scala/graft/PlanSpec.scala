@@ -757,6 +757,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("sorted neighborhood: every window partitioned — no global sort") {
+    val p = planString("q_sorted_neighborhood")
+    // the textbook single-ROW_NUMBER form would show a Window whose
+    // required distribution is SinglePartition; the bucketed
+    // decomposition partitions every window by the super-bucket id
+    val winSpecs = "windowspecdefinition\\(([^,]+)," .r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, p)
+    assert(winSpecs.forall(_.contains("__r")),
+      s"unpartitioned window leaked into the SN plan: $winSpecs")
+  }
+
+  test("prefix jaccard join: candidates come from a token equi-join") {
+    val p = planString("q_jaccard_prefix_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must never fall back to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("heaps curve: no corpus-wide sort — bucket is a map-side formula") {
     val p = executedPlan("q_heaps_law")
     // a row_number-over-the-collection implementation would show a
