@@ -1234,6 +1234,39 @@ object TextQueries {
     },
     Some(sqlContamination))
 
+  /** Ratio-threshold containment join (Dedup.containmentJoin): probe
+    * docs matched to corpus docs containing ≥ half the probe's
+    * shingles — decontamination as an eval contract actually states
+    * it. Candidates from each probe's rarest-in-corpus shingle prefix
+    * (containment form of the prefix lemma: at most |q|−⌈t|q|⌉
+    * shingles may be missing, so the first |q|−α+1 must hit);
+    * verification re-shingles candidate corpus docs only. The oracle
+    * is the independent full overlap-count formulation.
+    */
+  private val qContainment = QueryDef(
+    "q_containment_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.containmentJoin(
+        docs.where(col("doc_id") % 11 =!= 0),
+        docs.where(col("doc_id") % 11 === 0),
+        "doc_id", "text", tNum = 1, tDen = 2)
+    },
+    Some("""
+      WITH""" + sqlShingleCtes("documents") + """,
+      q AS (SELECT doc_id AS query_id, g FROM ex WHERE doc_id % 11 = 0),
+      c AS (SELECT doc_id, g FROM ex WHERE doc_id % 11 <> 0),
+      ov AS (
+        SELECT q.query_id, c.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+        FROM q JOIN c USING (g) GROUP BY 1, 2),
+      sz AS (
+        SELECT doc_id AS query_id, CAST(n AS BIGINT) AS q_size
+        FROM sizes WHERE doc_id % 11 = 0)
+      SELECT query_id, doc_id, overlap, q_size,
+        CAST((1000000 * overlap) // q_size AS BIGINT) AS containment_ppm
+      FROM ov JOIN sz USING (query_id)
+      WHERE overlap >= (q_size + 1) // 2"""))
+
   /** The same decontamination through the Bloom-prefilter path
     * (Dedup.contaminationFlagsBloom): probe shingles enter the plan as
     * a serialized sketch literal, candidates exact-verify through a
@@ -2835,6 +2868,6 @@ object TextQueries {
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qLmTrigram, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
-    qContamination, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood,
+    qContamination, qContainment, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood,
     qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
 }

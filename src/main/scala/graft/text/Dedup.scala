@@ -610,6 +610,75 @@ object Dedup {
     verifiedJaccard(cand, ex, tNum.toDouble / tDen)
   }
 
+  /** Asymmetric CONTAINMENT join (query-in-document): probe documents
+    * q matched to corpus documents d with |sh(q) ∩ sh(d)| ≥ t·|sh(q)|
+    * — ratio-threshold decontamination (the contaminationFlags family
+    * flags at an ABSOLUTE overlap; a ratio threshold is what an eval
+    * contract actually specifies: "no more than (1−t) of the probe's
+    * shingles may be novel").
+    *
+    * Prefix pruning, containment form: if |q∩d| ≥ α := ⌈t·|q|⌉, then
+    * at most |q|−α of q's shingles are missing from d, so d contains
+    * at least one of q's first |q|−α+1 shingles under ANY fixed
+    * order. Ordering q's shingles by ascending CORPUS document
+    * frequency (absent-from-corpus → df 0, sorted first — such a
+    * shingle can match nothing, correctly producing no candidates
+    * through itself) makes each prefix token's candidate fan-out its
+    * corpus posting length — the rare tail.
+    *
+    * Scale shape: one df-count shuffle over corpus shingles, one
+    * probe-keyed window pair (size + rarity rank), a prefix-token ×
+    * corpus-posting equi-join (Σ_prefix df candidates — LINEAR in
+    * matching postings, never |Q|·|corpus|), then verification
+    * re-shingles only candidate corpus docs (semi-join by id).
+    *
+    * Output: (query_id, doc_id, overlap, q_size, containment_ppm).
+    */
+  def containmentJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, tNum: Int, tDen: Int,
+      shingleN: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be in (0,1]: $tNum/$tDen")
+    val exC = pinned(shingleHashFrame(corpus, idCol, textCol, shingleN,
+      distinctShingles = true))
+    val exQ = pinned(shingleHashFrame(probes, idCol, textCol, shingleN,
+      distinctShingles = true))
+    val dfreq = exC.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val wId = Window.partitionBy(col("id"))
+    val ranked = exQ.join(dfreq, Seq("s"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .withColumn("__szq", count(lit(1)).over(wId))
+      .withColumn("__pos", row_number().over(
+        wId.orderBy(col("__df"), col("s"))))
+      .withColumn("__alpha",
+        expr(s"(($tNum * __szq) + ${tDen - 1}) div $tDen"))
+    val prefix = ranked
+      .where(col("__pos") <= col("__szq") - col("__alpha") + 1)
+      .select(col("s"), col("id").as("query_id"), col("__szq"),
+        col("__alpha"))
+    val cand = prefix
+      .join(exC.withColumnsRenamed(Map("id" -> "doc_id")), Seq("s"))
+      .select(col("query_id"), col("doc_id"), col("__szq"), col("__alpha"))
+      .distinct()
+    // verify: full-overlap count over candidate docs only
+    val qSets = exQ.groupBy(col("id").as("query_id"))
+      .agg(collect_set(col("s")).as("__shq"))
+    val dSets = exC
+      .join(cand.select(col("doc_id").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .groupBy(col("id").as("doc_id"))
+      .agg(collect_set(col("s")).as("__shd"))
+    cand
+      .join(qSets, Seq("query_id"))
+      .join(dSets, Seq("doc_id"))
+      .withColumn("overlap",
+        size(array_intersect(col("__shq"), col("__shd"))).cast("long"))
+      .where(col("overlap") >= col("__alpha"))
+      .select(col("query_id"), col("doc_id"), col("overlap"),
+        col("__szq").as("q_size"),
+        expr("(1000000 * overlap) div __szq").as("containment_ppm"))
+  }
+
   /** Connected-component clustering of near-dup pairs: every document
     * in a component gets the component's MINIMUM id as its canonical
     * representative (the keeper). This is the step that turns pairwise

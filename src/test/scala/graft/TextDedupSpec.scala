@@ -74,6 +74,24 @@ class TextDedupSpec extends AnyFunSuite {
       "fixture must exercise both exact and near pairs")
   }
 
+  test("containment join: ratio threshold, asymmetric, prefix-pruned") {
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "x y z w"))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (101L, "a b c d e"),     // 3 shingles, all in doc 1 -> 1.0
+      (102L, "a b c x y z"),   // 4 shingles, 1 hit each side -> below 1/2
+      (103L, "c d e f g h"))   // 4 shingles, 3 in doc 1 -> 0.75
+      .toDF("doc_id", "text")
+    val out = graft.text.Dedup.containmentJoin(
+        corpus, probes, "doc_id", "text", tNum = 1, tDen = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (101L, 1L) -> ((3L, 3L, 1000000L)),
+      (103L, 1L) -> ((3L, 4L, 750000L))), out.toString)
+  }
+
   test("prefix length law: threshold 1/1 keeps a single rarest shingle") {
     // at t=1 the prefix is |x| - |x| + 1 = 1 token: only identical
     // sets can collide AND verify; near pair must vanish
