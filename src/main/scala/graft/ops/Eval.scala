@@ -166,7 +166,6 @@ object Eval {
     */
   def rankBiasedOverlap(df: DataFrame, keyCols: Seq[String], idCol: String,
       scoreA: Column, scoreB: Column, depth: Int = 10): DataFrame = {
-    val (w, den) = rboWeights(depth)
     val keys = keyCols.map(col)
     import org.apache.spark.sql.expressions.Window
     def top(score: Column, posName: String) = df
@@ -174,14 +173,32 @@ object Eval {
         Window.partitionBy(keys: _*).orderBy(score.desc, col(idCol))))
       .where(col(posName) <= depth)
       .select(keys :+ col(idCol) :+ col(posName): _*)
-    val joined = top(scoreA, "__pa")
-      .join(top(scoreB, "__pb"), keyCols :+ idCol)
+    rboFromRankings(top(scoreA, "__pa"), top(scoreB, "__pb"),
+      keyCols, idCol, "__pa", "__pb", depth)
+  }
+
+  /** RBO over two ALREADY-RANKED frames — (keys..., id, position)
+    * with positions 1-based and ≤ depth on each side (e.g. the output
+    * of two knnJoin/top-k runs). The entry point when the two
+    * rankings come from different score columns over different
+    * candidate sets, where a shared scored frame doesn't exist.
+    */
+  def rboFromRankings(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      idCol: String, posColA: String, posColB: String,
+      depth: Int): DataFrame = {
+    val (w, den) = rboWeights(depth)
+    val keys = keyCols.map(col)
+    val joined = a
+      .select(keys :+ col(idCol) :+ col(posColA).as("__pa"): _*)
+      .where(col("__pa") <= depth)
+      .join(b.select(keys :+ col(idCol) :+ col(posColB).as("__pb"): _*)
+        .where(col("__pb") <= depth), keyCols :+ idCol)
       .withColumn("__m", greatest(col("__pa"), col("__pb")))
     val weightCase = (1 to depth)
       .map(d => s"WHEN $d THEN ${w(d - 1)}L").mkString(" ")
     val terms = joined
       .select(keys :+ col("__m") :+
-        explode(sequence(col("__m"), lit(depth))).as("__d"): _*)
+        explode(sequence(col("__m").cast("int"), lit(depth))).as("__d"): _*)
       .withColumn("__w", expr(s"CASE __d $weightCase END"))
     // identical rankings score 1−p^k truncated (the mass past depth k
     // is unobserved); rbo_norm rescales so full agreement reads 10⁶

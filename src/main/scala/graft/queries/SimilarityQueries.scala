@@ -1557,7 +1557,90 @@ object SimilarityQueries {
       SELECT vec_id, dot_q FROM dots WHERE vec_id <> 0
       ORDER BY dot_q DESC, vec_id LIMIT 20"""))
 
-  def all: Seq[QueryDef] = Seq(qMips, qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
+  /** Matryoshka truncation audit (Eval.rboFromRankings over two
+    * knnJoin runs): per query, the RBO@10 agreement between the
+    * full-64-dim cosine ranking and the ranking from the FIRST 16
+    * DIMENSIONS only — the question a pipeline asks before serving
+    * truncated embeddings as a cheap prefilter ("how much of the
+    * top-k ranking survives cutting storage 4×"). Both rankings are
+    * exact quantized-cosine top-10s (the knnJoin shape — per-query
+    * map-side pair-top-k, corpus never shuffles); the RBO fold is
+    * |queries|·depth-bounded. The oracle replays both dot-product
+    * rankings (full and i ≤ 16) and the pinned weight table.
+    */
+  private val qMatryoshkaRbo = {
+    val (w, den) = graft.ops.Eval.rboWeights(10)
+    val weightCase = (1 to 10).map(d => s"WHEN $d THEN ${w(d - 1)}")
+      .mkString(" ")
+    val wMax = (1 to 10).map(d => w(d - 1) * d).sum
+    QueryDef(
+      "q_matryoshka_rbo",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.where(col("vec_id") % 100 === 0)
+        val full = Similarity.knnJoin(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10)
+        val emb16 = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("emb16"))
+        val trunc = Similarity.knnJoin(emb16, "vec_id", "emb16",
+          emb16.where(col("vec_id") % 100 === 0), "vec_id", "emb16",
+          k = 10)
+        graft.ops.Eval.rboFromRankings(
+          full.select(col("query_id"), col("vec_id"), col("rank")),
+          trunc.select(col("query_id"), col("vec_id"), col("rank")),
+          Seq("query_id"), "vec_id", "rank", "rank", depth = 10)
+      },
+      Some(s"""
+        WITH flat AS ($sqlQuantFlat),
+        norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM flat GROUP BY 1),
+        norms16 AS (
+          SELECT vec_id, SUM(qv * qv) AS nrm FROM flat
+          WHERE i <= 16 GROUP BY 1),
+        dots AS (
+          SELECT g.vec_id AS query_id, f.vec_id,
+            SUM(f.qv * g.qv) AS qdot,
+            SUM(CASE WHEN f.i <= 16 THEN f.qv * g.qv ELSE 0 END)
+              AS qdot16
+          FROM flat f
+          JOIN flat g ON g.i = f.i AND g.vec_id % 100 = 0
+            AND f.vec_id <> g.vec_id
+          GROUP BY 1, 2),
+        ra AS (
+          SELECT d.query_id, d.vec_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY
+              CAST(qdot AS BIGINT) /
+                (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nq.nrm AS BIGINT)))
+              DESC, d.vec_id) AS pa
+          FROM dots d
+          JOIN norms na ON na.vec_id = d.vec_id
+          JOIN norms nq ON nq.vec_id = d.query_id),
+        rb AS (
+          SELECT d.query_id, d.vec_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY
+              CAST(qdot16 AS BIGINT) /
+                (sqrt(CAST(na.nrm AS BIGINT)) * sqrt(CAST(nq.nrm AS BIGINT)))
+              DESC, d.vec_id) AS pb
+          FROM dots d
+          JOIN norms16 na ON na.vec_id = d.vec_id
+          JOIN norms16 nq ON nq.vec_id = d.query_id),
+        j AS (
+          SELECT ra.query_id, ra.vec_id, GREATEST(pa, pb) AS mx
+          FROM ra JOIN rb ON ra.query_id = rb.query_id
+            AND ra.vec_id = rb.vec_id
+          WHERE pa <= 10 AND pb <= 10),
+        t AS (SELECT query_id, mx, unnest(range(mx, 11)) AS d FROM j),
+        g AS (
+          SELECT query_id,
+            CAST(COUNT(*) FILTER (d = 10) AS BIGINT) AS n_common,
+            SUM(CASE d $weightCase END) AS num
+          FROM t GROUP BY 1)
+        SELECT query_id, n_common,
+          CAST((num * 1000000) // $den AS BIGINT) AS rbo_x1e6,
+          CAST((num * 1000000) // $wMax AS BIGINT) AS rbo_norm_x1e6
+        FROM g"""))
+  }
+
+  def all: Seq[QueryDef] = Seq(qMatryoshkaRbo, qMips, qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,
     qIvfAppended, qNearDup, qLshNearDup, qSemanticDedup, qKmeans,
     qKmeansSample, qStreamKmeans, qPqCodes, qPqAdc, qIvfPq, qIvfPqServed, qIvfPqRefined, qIvfPqAdaptive,
     qCentroids, qCentroidVectors, qLabelOutliers, qHardNegatives, qMarginMining,
