@@ -1267,6 +1267,18 @@ object TextQueries {
       FROM ov JOIN sz USING (query_id)
       WHERE overlap >= (q_size + 1) // 2"""))
 
+  /** Streaming twin: the frozen probe slice checks every arriving
+    * corpus micro-batch (per-doc stateless — the StreamingLm
+    * contract); prefix pruning is complete under any per-batch
+    * rarity order, so the verified union is order-invariant (shared
+    * oracle).
+    */
+  private val qStreamContainment = QueryDef(
+    "q_stream_containment",
+    (s, d) => graft.streaming.StreamingRankings
+      .runContainmentBatchEquivalent(s, d),
+    qContainment.oracle)
+
   /** The same decontamination through the Bloom-prefilter path
     * (Dedup.contaminationFlagsBloom): probe shingles enter the plan as
     * a serialized sketch literal, candidates exact-verify through a
@@ -2719,6 +2731,17 @@ object TextQueries {
         FROM g"""))
   }
 
+  /** Streaming twin: per-batch per-source top-10 partials for BOTH
+    * score columns (top-k is a semilattice merge: top10 of the union
+    * equals top10 of unioned per-batch top10s), final re-rank + RBO
+    * fold on the bounded union (shared oracle).
+    */
+  private val qStreamRbo = QueryDef(
+    "q_stream_rbo",
+    (s, d) => graft.streaming.StreamingRankings
+      .runRboBatchEquivalent(s, d),
+    qRbo.oracle)
+
   /** Heaps'-law vocabulary growth (text/VocabGrowth.heapsCurve):
     * cumulative distinct tokens vs cumulative token count over ten
     * id-range corpus prefixes — the vocab-saturation readout that
@@ -2860,7 +2883,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qPrefixJoin,
     qHeapsLaw, qVocabOverlap, qSplitStump,
-    qReadability, qRbo,
+    qReadability, qRbo, qStreamRbo,
     qDsirWeights, qDsirResample, qStreamDsir, qCollocations,
     qStats, qLang, qLangKappa, qQuality, qQualityPercentile, qCommonNgrams, qQualityCalibration, qIsotonic, qStreamIsotonic, qBrier,
     qVocabCoverage, qDedupExact, qBm25, qHybrid, qBpePairs, qBpeTrain, qBpeEncode, qStreamBpeEncode, qBpeCompression, qCmsHeavyHitters, qSourceDrift, qChunk, qTokenIds,
@@ -2868,6 +2891,6 @@ object TextQueries {
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qLmTrigram, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
-    qContamination, qContainment, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood,
+    qContamination, qContainment, qStreamContainment, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood,
     qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
 }
