@@ -92,4 +92,78 @@ object Skyline {
       .select(keyCols.map(col) ++
         Seq(col(idCol), col(costCol), col(benefitCol)): _*)
   }
+
+  /** 3-D skyline with one BOUNDED dimension: rows not dominated on
+    * (minimize cost, maximize benefit, minimize level), where `level`
+    * ranges over a small grid (a discount ladder, a quality tier, a
+    * priority class — bounded by the domain, not the data).
+    *
+    * Decomposition by the dominator's level: a q at a STRICTLY lower
+    * level dominates p iff q.cost ≤ p.cost ∧ q.benefit ≥ p.benefit
+    * (level supplies the strict coordinate); a q at the SAME level
+    * needs strict 2-D dominance — which is exactly the running-max
+    * test once same-(level, cost) rows are collapsed to their max
+    * benefit. Both cases fold into ONE ordered pass per level:
+    *
+    *  1. collapse to (level, cost) → max benefit (L·|costs| rows);
+    *  2. CONTRIBUTORS: replicate each collapsed row to every
+    *     strictly-higher level present (≤ L× blowup of the collapsed
+    *     frame — the bounded-dimension bet; levels cross as a
+    *     broadcast bounded join); SUBJECTS: the level's own rows;
+    *  3. per target level, ordered by (cost, contributors-first),
+    *     a subject is dominated iff the running max of everything
+    *     BEFORE it ≥ its benefit — preceding contributors encode
+    *     lower-level ≤-cost dominators (ties included: equal cost +
+    *     equal benefit from a lower level IS domination), preceding
+    *     subjects encode same-level strictly-cheaper ones. The same
+    *     bucket-local prune as the 2-D operator keeps every window
+    *     partitioned by (level, bucket) before a survivor-sized
+    *     per-level pass;
+    *  4. broadcast identity re-join on (level, cost, benefit).
+    */
+  def paretoFrontier3D(df: DataFrame, idCol: String, costCol: String,
+      benefitCol: String, levelCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val g = df.groupBy(col(levelCol).as("__lvl"), col(costCol).as("__cost"))
+      .agg(max(col(benefitCol)).as("__bmax"))
+      .localCheckpoint(true) // feeds levels, contributors, subjects
+    val levels = g.select(col("__lvl").as("__tgt")).distinct()
+    // bounded × bounded broadcast inequality join: |levels|² pairs
+    val contribs = g.join(broadcast(levels), col("__tgt") > col("__lvl"))
+      .select(col("__tgt"), col("__cost"), col("__bmax"), lit(0).as("__tag"))
+    val subjects = g.select(col("__lvl").as("__tgt"), col("__cost"),
+      col("__bmax"), lit(1).as("__tag"))
+    val frame = contribs.unionByName(subjects)
+    val bounds = df.groupBy()
+      .agg(min(col(costCol)).as("__lo"), max(col(costCol)).as("__hi"))
+    val bucketed = frame.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("__cost") - col("__lo")) * buckets /
+              (col("__hi") - col("__lo"))).cast("int"))))
+    val wLocal = Window.partitionBy(col("__tgt"), col("__bkt"))
+      .orderBy(col("__cost"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // keep rows that RAISE the local running max (contributors kept
+    // only as new maxima — dropped ones are covered by a survivor)
+    val localSurvivors = bucketed
+      .withColumn("__prev", max(col("__bmax")).over(wLocal))
+      .where(col("__prev").isNull || col("__bmax") > col("__prev"))
+      .drop("__prev", "__bkt", "__lo", "__hi")
+    val wGlobal = Window.partitionBy(col("__tgt"))
+      .orderBy(col("__cost"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = localSurvivors
+      .withColumn("__prev", max(col("__bmax")).over(wGlobal))
+      .where(col("__tag") === 1 &&
+        (col("__prev").isNull || col("__bmax") > col("__prev")))
+      .select(col("__tgt").as("__flvl"), col("__cost"), col("__bmax"))
+    val cond = col(levelCol) === col("__flvl") &&
+      col(costCol) === col("__cost") && col(benefitCol) === col("__bmax")
+    df.select(col(idCol), col(costCol), col(benefitCol), col(levelCol))
+      .join(broadcast(frontier), cond)
+      .select(col(idCol), col(costCol), col(benefitCol), col(levelCol))
+  }
 }

@@ -723,10 +723,43 @@ object RelationalQueries {
           AND q.p_size >= p.p_size
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""))
 
+  /** 3-D skyline with a bounded dimension (Skyline.paretoFrontier3D):
+    * lineitems not dominated on (cheapest, most units, least
+    * discount-dependent) — the discount ladder has 11 values, so the
+    * cross-level contributor replication is a ≤11× blowup of the
+    * (level, cost)-collapsed frame and every window stays (level,
+    * bucket)-partitioned. Oracle: the independent 3-predicate
+    * NOT EXISTS all-pairs formulation.
+    */
+  private val qPareto3D = QueryDef(
+    "q_pareto_frontier_3d",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_partkey") % 31 === 0)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+          col("l_extendedprice"), col("l_quantity"), col("l_discount"))
+      graft.ops.Skyline.paretoFrontier3D(li, "line_id",
+        "l_extendedprice", "l_quantity", "l_discount")
+    },
+    Some("""
+      WITH s AS (
+        SELECT l_orderkey * 10 + l_linenumber AS line_id,
+          l_extendedprice, l_quantity, l_discount
+        FROM lineitem WHERE l_partkey % 31 = 0)
+      SELECT p.line_id, p.l_extendedprice, p.l_quantity, p.l_discount
+      FROM s p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s q
+        WHERE q.l_extendedprice <= p.l_extendedprice
+          AND q.l_quantity >= p.l_quantity
+          AND q.l_discount <= p.l_discount
+          AND (q.l_extendedprice < p.l_extendedprice
+            OR q.l_quantity > p.l_quantity
+            OR q.l_discount < p.l_discount))"""))
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q5, qDim, qSemi, qAnti, qOuter, qWinTop, qWinRun, qTopK,
     qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit,
     qFkOrphans,
     qKAnon, qKAnonSuppress, qLDiversity, qTCloseness, qBenford, qProfileDrift,
-    qPareto, qParetoBrand)
+    qPareto, qParetoBrand, qPareto3D)
 }

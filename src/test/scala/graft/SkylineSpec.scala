@@ -78,6 +78,26 @@ class SkylineSpec extends AnyFunSuite {
     assert(a.getLong(a.fieldIndex("ewma_next_x1e6")) == 5333333L)
   }
 
+  test("pareto 3d: all three domination modes, ties kept, bucket-invariant") {
+    // (id, cost, benefit, level) — minimize cost, maximize benefit,
+    // minimize level:
+    //  1 (10,5,1) dominated by 2 (same c/l, more b)
+    //  2 (10,7,1) dominated by 5 (cheaper, equal b, equal l)
+    //  3 (8,7,2)  dominated by 5 (equal c/b, lower level)
+    //  4 (12,9,3) frontier (highest benefit)
+    //  5 (8,7,1)  frontier; 7 is the identical point -> both kept
+    //  6 (9,6,0)  frontier (only level-0 point; no l<=0 dominator)
+    val df = Seq((1L, 10.0, 5, 1), (2L, 10.0, 7, 1), (3L, 8.0, 7, 2),
+      (4L, 12.0, 9, 3), (5L, 8.0, 7, 1), (6L, 9.0, 6, 0), (7L, 8.0, 7, 1))
+      .toDF("id", "cost", "benefit", "level")
+    for (buckets <- Seq(1, 3, 64)) {
+      val out = Skyline.paretoFrontier3D(df, "id", "cost", "benefit",
+          "level", buckets = buckets)
+        .collect().map(_.getLong(0)).toSet
+      assert(out == Set(4L, 5L, 6L, 7L), s"buckets=$buckets -> $out")
+    }
+  }
+
   test("isotonic fit: pools the violating pair, weighted, monotone") {
     // bins 1..4 with rates 0, 1.0, 0.5, 1.0 (n=2 each): PAV pools
     // bins 2-3 to (2+1)/(2+2) = 0.75; hand-checked minimax values:
