@@ -104,6 +104,61 @@ object Graph {
       (col("rank") / lit(base.toDouble)).as("rank_units"))
   }
 
+  /** PERSONALIZED PageRank: teleport mass returns only to the seed
+    * set, so rank measures proximity TO THE SEEDS along graph
+    * structure — the "related items to this collection" / "expand
+    * this trusted set" primitive (Haveliwala, WWW'02), where global
+    * PageRank measures centrality. Same exact-integer fixed-point
+    * discipline as [[pageRank]]:
+    *
+    *   r₀(v)    = base·[v ∈ S]
+    *   rᵢ₊₁(v) = [v ∈ S]·(base·(den−num) div den)
+    *              + num·Σ_{u→v}(rᵢ(u) div outdeg(u)) div den
+    *
+    * all floor divisions — the trajectory is a pure function of
+    * (edges, seeds, iters) that the oracle unrolls. Non-seed nodes
+    * unreachable from S in ≤ iters hops stay at exactly 0.
+    *
+    * Scale shape identical to pageRank (one contrib shuffle + one
+    * node-sized join per round, lineage cut per round); the seed flag
+    * rides the rank frame so no per-round membership join.
+    */
+  def pageRankPersonalized(edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, idCol: String, iters: Int = 3,
+      base: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val teleport = base * (dampDen - dampNum) / dampDen
+    val seedSet = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("__seed", lit(1))
+    var ranks = nodes.select(col(idCol).as("id"))
+      .join(seedSet, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0)).as("__seed"),
+        when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L))
+          .as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"), expr("rank div outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
+      ranks = ranks.select(col("id"), col("__seed"))
+        .join(contribs, Seq("id"), "left")
+        .withColumn("in2", coalesce(col("in_sum"), lit(0L)))
+        .select(col("id"), col("__seed"),
+          (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L)) +
+            expr(s"in2 * $dampNum div $dampDen")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id").as(idCol), col("rank"),
+      (col("rank") / lit(base.toDouble)).as("rank_units"))
+  }
+
   /** Synchronous seeded label propagation — the semi-supervised
     * labeling primitive a curation pipeline runs over a similarity or
     * co-occurrence graph (propagate a small set of trusted labels —

@@ -60,6 +60,37 @@ object Expectations {
     }.reduce(_ unionByName _)
   }
 
+  /** Functional-dependency audit: for each candidate determinant →
+    * dependent pair, how many determinant groups map to MORE than one
+    * dependent value — the schema-contract check ("order key
+    * determines customer", "part key determines brand") that catches
+    * silent denormalization drift and bad joins before they poison a
+    * training table.
+    *
+    * Scale shape: ONE two-level aggregate per pair — groupBy(A)
+    * count(distinct B) is realized as groupBy(A,B)→groupBy(A), both
+    * with map-side partials, so the shuffle carries distinct (A,B)
+    * combos, never rows. Violation rate is one integral ppm division.
+    * Output per pair: (fd, n_groups, n_violating, violation_ppm).
+    */
+  def fdAudit(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__a"))
+        .agg(count(lit(1)).as("__nvals"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__nvals") > 1, 1L).otherwise(0L))
+            .as("n_violating"))
+        .select(lit(s"$a->$b").as("fd"), col("n_groups"),
+          col("n_violating"),
+          expr("(1000000 * n_violating) div n_groups")
+            .as("violation_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   sealed trait Check { def name: String }
 
   /** `column` must be non-NULL. */

@@ -358,6 +358,54 @@ object GraphQueries {
       FROM r$iters
       ORDER BY rank DESC, token LIMIT 50"""))
 
+  /** One unrolled PERSONALIZED PageRank step: teleport only where the
+    * node is a seed (the Haveliwala proximity variant — see
+    * Graph.pageRankPersonalized).
+    */
+  private def sqlPprStep(i: Int): String = s"""
+      p$i AS (
+        SELECT n.id,
+          CAST(CASE WHEN sd.id IS NOT NULL THEN 150000 ELSE 0 END
+            + COALESCE(s.x, 0) * 85 // 100 AS BIGINT) AS rank
+        FROM nodes n
+        LEFT JOIN pseeds sd ON sd.id = n.id
+        LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.rank // d.outdeg) AS x
+          FROM e JOIN p${i - 1} r ON r.id = e.src
+          JOIN outdeg d ON d.src = e.src
+          GROUP BY 1) s ON s.id = n.id)"""
+
+  /** Personalized PageRank from the mod-17 seed parts over the
+    * co-purchase graph (Graph.pageRankPersonalized): rank = proximity
+    * to the seed collection, exactly-0 where unreachable in ≤ 3 hops.
+    * Oracle unrolls the seeded trajectory (the pageRank pattern with
+    * a conditional teleport).
+    */
+  private val qPpr = QueryDef(
+    "q_ppr_seeded",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val nodes = li.select(col("l_partkey")).distinct()
+      val seeds = nodes.where(pmod(col("l_partkey"), lit(17)) === 0)
+      Graph.pageRankPersonalized(edges, nodes, seeds, "l_partkey",
+        iters = iters, base = base)
+        .withColumnRenamed("l_partkey", "part_id")
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      pseeds AS (SELECT id FROM nodes WHERE id % 17 = 0),
+      outdeg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+      p0 AS (
+        SELECT n.id,
+          CAST(CASE WHEN sd.id IS NOT NULL THEN $base ELSE 0 END
+            AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN pseeds sd ON sd.id = n.id),
+      ${(1 to iters).map(sqlPprStep).mkString(",")}
+      SELECT id AS part_id, rank, rank / $base.0 AS rank_units
+      FROM p$iters"""))
+
   /** A-priori frequent triples (Association.frequentTriples) over
     * (user, day) session baskets of event types: candidates from
     * frequent-pair prefix joins + closure semi-join, support counted
@@ -400,5 +448,5 @@ object GraphQueries {
         JOIN p pbc ON pbc.a = t.b AND pbc.b = t.c"""))
 
   def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift,
-    qComponents, qKCore, qItemNeighbors, qTextRank, qFreqTriples)
+    qComponents, qKCore, qItemNeighbors, qTextRank, qFreqTriples, qPpr)
 }

@@ -723,6 +723,64 @@ object RelationalQueries {
           AND q.p_size >= p.p_size
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""))
 
+  /** Functional-dependency audit (Expectations.fdAudit): does the
+    * joined fact table still satisfy its schema contracts — order key
+    * determines customer (a true FD, 0 violations), while part key
+    * must NOT determine quantity and customer must NOT determine
+    * priority (both violated, with measured ppm rates). Each pair is
+    * one two-level aggregate (distinct (A,B) combos shuffle, never
+    * rows); the oracle replays with COUNT(DISTINCT).
+    */
+  private val qFdAudit = QueryDef(
+    "q_fd_audit",
+    (s, d) => {
+      val j = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      graft.ops.Expectations.fdAudit(j, Seq(
+        ("l_orderkey", "o_custkey"),
+        ("l_partkey", "l_quantity"),
+        ("o_custkey", "o_orderpriority")))
+    },
+    Some("""
+      WITH j AS (
+        SELECT l.l_orderkey, l.l_partkey, l.l_quantity,
+          o.o_custkey, o.o_orderpriority
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      p1 AS (
+        SELECT l_orderkey AS a, COUNT(DISTINCT o_custkey) AS nv
+        FROM j GROUP BY 1),
+      p2 AS (
+        SELECT l_partkey AS a, COUNT(DISTINCT l_quantity) AS nv
+        FROM j GROUP BY 1),
+      p3 AS (
+        SELECT o_custkey AS a, COUNT(DISTINCT o_orderpriority) AS nv
+        FROM j GROUP BY 1)
+      SELECT 'l_orderkey->o_custkey' AS fd,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating,
+        CAST((1000000 * SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END))
+          // COUNT(*) AS BIGINT) AS violation_ppm
+      FROM p1
+      UNION ALL
+      SELECT 'l_partkey->l_quantity',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST((1000000 * SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END))
+          // COUNT(*) AS BIGINT)
+      FROM p2
+      UNION ALL
+      SELECT 'o_custkey->o_orderpriority',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST((1000000 * SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END))
+          // COUNT(*) AS BIGINT)
+      FROM p3"""))
+
   /** 3-D skyline with a bounded dimension (Skyline.paretoFrontier3D):
     * lineitems not dominated on (cheapest, most units, least
     * discount-dependent) — the discount ladder has 11 values, so the
@@ -761,5 +819,5 @@ object RelationalQueries {
     qIntersect, qExcept, qDistinct, qRollup, qCube, qGroupingSets, qDqAudit,
     qFkOrphans,
     qKAnon, qKAnonSuppress, qLDiversity, qTCloseness, qBenford, qProfileDrift,
-    qPareto, qParetoBrand, qPareto3D)
+    qPareto, qParetoBrand, qPareto3D, qFdAudit)
 }

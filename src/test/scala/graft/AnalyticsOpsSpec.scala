@@ -63,6 +63,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(same.getLong(same.fieldIndex("rbo_norm_x1e6")) == 1000000L)
   }
 
+  test("fd audit: true FD zero violations, broken FD counted per group") {
+    val df = Seq(
+      (1L, "a", 10), (1L, "a", 20), // key 1 -> a (consistent), 2 vals of v
+      (2L, "b", 30),
+      (3L, "c", 40), (3L, "d", 40)) // key 3 -> {c, d}: violation
+      .toDF("k", "u", "v")
+    val out = graft.ops.Expectations.fdAudit(df,
+        Seq(("k", "u"), ("u", "v")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("k->u") == (3L, 1L, 333333L))
+    // u->v: a->{10,20} violates; b,c,d single-valued
+    assert(out("u->v") == (4L, 1L, 250000L))
+  }
+
+  test("personalized pagerank: seed-proximity trajectory, 0 off-component") {
+    import graft.graph.Graph
+    val und = Seq(("a", "b"), ("g", "b"), ("d", "b"), ("x", "y"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq("a", "b", "g", "d", "x", "y").toDF("id")
+    val seeds = Seq("b").toDF("id")
+    // hand trajectory (teleport 150000 only at b; leaves outdeg 1,
+    // b outdeg 3):
+    //  r1: b = 150000, leaf = (1e6 div 3)*85 div 100 = 283333
+    //  r2: b = 150000 + (3*283333*85) div 100 = 872499
+    //      leaf = ((150000 div 3)*85) div 100 = 42500
+    //  r3: b = 150000 + (3*42500*85) div 100 = 258375
+    //      leaf = ((872499 div 3)*85) div 100 = 247208
+    val out = Graph.pageRankPersonalized(edges, nodes, seeds, "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("b") == 258375L)
+    assert(out("a") == 247208L && out("g") == 247208L && out("d") == 247208L)
+    // x, y are unreachable from the seed: exactly 0, not epsilon
+    assert(out("x") == 0L && out("y") == 0L)
+  }
+
   test("frequent triples: a-priori candidates, membership-counted support") {
     // baskets: b1{x,y,z} b2{x,y,z} b3{x,y} b4{x,z,w} b5{y,z,w} b6{w}
     // minSupport 2: frequent pairs xy:3 xz:3 yz:3 wz:2; the only
