@@ -1406,6 +1406,36 @@ object TextQueries {
         FROM cand JOIN tri x ON x.id = id_a JOIN tri y ON y.id = id_b)
       SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5"""))
 
+  /** Feature hashing (TfIdf.featureHash — the Weinberger hashing
+    * trick): fixed-64-dim signed token-count vectors with no
+    * vocabulary pass, md5-derived buckets/signs so the oracle replays
+    * them (DuckDB parses hex via CAST('0x…')); sparse vectors
+    * serialize zero-padded (the q_inverted_index atomic-columns
+    * precedent).
+    */
+  private val qFeatureHash = QueryDef(
+    "q_feature_hashing",
+    (s, d) => graft.text.TfIdf.featureHash(
+      Tables.documents(s, d), "doc_id", "text", dim = 64),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($sqlTokens) AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      b AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) % 64 AS idx,
+          CASE WHEN CAST('0x' || substr(md5(t), 5, 1) AS INTEGER) % 2 = 0
+            THEN 1 ELSE -1 END AS sgn
+        FROM tok),
+      v AS (
+        SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v
+        FROM b GROUP BY 1, 2 HAVING SUM(sgn) <> 0)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+        array_to_string(list_sort(list(
+          lpad(CAST(idx AS VARCHAR), 3, '0') || ':' || CAST(v AS VARCHAR))),
+          ';') AS features
+      FROM v GROUP BY doc_id"""))
+
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64
     * rolling variant stays in the library, spec-covered — its values
@@ -2892,5 +2922,5 @@ object TextQueries {
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qLmTrigram, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContainment, qStreamContainment, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood,
-    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
+    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFeatureHash, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
 }

@@ -31,6 +31,47 @@ object TfIdf {
       .agg(count(lit(1)).as("tf"))
 
   /** (term, df): number of documents containing each term. */
+  /** Feature hashing (the "hashing trick" — Weinberger et al.,
+    * ICML'09): fixed-`dim` signed token-count vectors with NO
+    * vocabulary pass — the featurizer that keeps linear-model training
+    * one-pass at 100 TB (a vocabulary dictionary is a corpus-wide
+    * distinct + broadcast that grows with the crawl; the hash needs
+    * neither). Bucket and sign come from md5 (engine-portable, unlike
+    * xxhash64): idx = hex[0:4] mod dim, sign = parity of hex[4] —
+    * signed so bucket collisions cancel in expectation rather than
+    * bias upward.
+    *
+    * Declared output serializes the sparse vector as
+    * "idx:val;…" with zero-padded indexes (deterministic lexicographic
+    * = numeric order; the driver harness hashes atomic columns only —
+    * the q_inverted_index precedent). Exactly-cancelled buckets are
+    * dropped on both engines.
+    *
+    * Scale shape: one map-side explode+hash, one (id, idx) partial-agg
+    * shuffle (≤ dim rows per doc), one per-doc fold. Nothing
+    * vocabulary-sized anywhere.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536]: $dim")
+    df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("__h", md5(col("t")))
+      .withColumn("__idx",
+        expr(s"pmod(cast(conv(substring(__h, 1, 4), 16, 10) as bigint), $dim)"))
+      .withColumn("__sgn",
+        expr("case when cast(conv(substring(__h, 5, 1), 16, 10) as int) % 2 = 0" +
+          " then 1L else -1L end"))
+      .groupBy(col("id"), col("__idx"))
+      .agg(sum(col("__sgn")).as("__v"))
+      .where(col("__v") =!= 0)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_nonzero"),
+        concat_ws(";", sort_array(collect_list(
+          concat_ws(":", lpad(col("__idx"), 3, "0"), col("__v")))))
+          .as("features"))
+  }
+
   def docFreq(tf: DataFrame): DataFrame =
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 

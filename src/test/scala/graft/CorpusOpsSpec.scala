@@ -13,6 +13,28 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.builder("corpus-test", "4").getOrCreate()
   import spark.implicits._
 
+  test("feature hashing: md5 buckets, signed counts, padded serialization") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def idx(t: String): Long =
+      java.lang.Long.parseLong(md5hex(t).substring(0, 4), 16) % 64
+    def sgn(t: String): Long =
+      if (java.lang.Long.parseLong(md5hex(t).substring(4, 5), 16) % 2 == 0)
+        1L else -1L
+    // "x x y": x contributes twice -> value 2*sgn(x) in bucket idx(x)
+    val out = TfIdf.featureHash(
+        Seq((1L, "x x y")).toDF("doc_id", "text"), "doc_id", "text", 64)
+      .collect().head
+    val expected =
+      Seq(idx("x") -> 2 * sgn("x"), idx("y") -> sgn("y"))
+        .groupMapReduce(_._1)(_._2)(_ + _).toSeq.filter(_._2 != 0)
+        .map { case (i, v) => f"$i%03d:$v%d" }.sorted.mkString(";")
+    assert(out.getLong(out.fieldIndex("n_nonzero")) ==
+      expected.split(";").count(_.nonEmpty))
+    assert(out.getString(out.fieldIndex("features")) == expected)
+  }
+
   test("tf-idf top terms: ranks by tf desc, df asc, term asc") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
