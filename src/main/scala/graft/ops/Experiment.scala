@@ -82,6 +82,107 @@ object Experiment {
     * contingency table; margins re-aggregate THAT table (never the
     * corpus) and join back broadcast.
     */
+  /** Difference-in-differences: the panel-structure estimate
+    * (post_T − pre_T) − (post_C − pre_C) that removes level AND
+    * shared-trend confounds a raw arm comparison keeps — the readout
+    * for rollouts that switch on at a known time instead of being
+    * randomized per user.
+    *
+    * Determinism: the four cell means come from exact DECIMAL(12,2)
+    * sums and BIGINT counts (one conditional aggregate — a single
+    * partial→final shuffle of 8 moment columns); the estimate is ONE
+    * fixed double tree over them. Output: one row with the four cell
+    * means, the two deltas, and did = delta_t − delta_c.
+    */
+  def diffInDifferences(df: DataFrame, armCol: Column, postCol: Column,
+      value: Column): DataFrame = {
+    val v = value.cast(DecimalType(12, 2))
+    def cell(arm: Int, post: Boolean, c: Column): Column =
+      when(armCol === arm && (if (post) postCol else !postCol), c)
+    val m = df.agg(
+      sum(cell(1, post = false, v)).as("s_t0"),
+      count(cell(1, post = false, lit(1))).as("n_t0"),
+      sum(cell(1, post = true, v)).as("s_t1"),
+      count(cell(1, post = true, lit(1))).as("n_t1"),
+      sum(cell(0, post = false, v)).as("s_c0"),
+      count(cell(0, post = false, lit(1))).as("n_c0"),
+      sum(cell(0, post = true, v)).as("s_c1"),
+      count(cell(0, post = true, lit(1))).as("n_c1"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / col(n).cast("double")
+    m.select(
+        mean("s_t0", "n_t0").as("mean_treat_pre"),
+        mean("s_t1", "n_t1").as("mean_treat_post"),
+        mean("s_c0", "n_c0").as("mean_ctrl_pre"),
+        mean("s_c1", "n_c1").as("mean_ctrl_post"),
+        col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"))
+      .withColumn("delta_treat",
+        col("mean_treat_post") - col("mean_treat_pre"))
+      .withColumn("delta_ctrl",
+        col("mean_ctrl_post") - col("mean_ctrl_pre"))
+      .withColumn("did", col("delta_treat") - col("delta_ctrl"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13): adjust each
+    * unit's experiment metric by its PRE-period covariate,
+    * y_adj = y − θ·(x − x̄), θ = cov(x,y)/var(x) — the standard trick
+    * that shrinks experiment CIs using history instead of more
+    * traffic. Emits θ and the variance-reduction ratio
+    * var(y_adj)/var(y) = 1 − ρ² per arm-blind pool, plus per-arm
+    * adjusted means (the numbers a readout actually compares).
+    *
+    * Determinism: all five moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact DECIMAL sums in ONE aggregate; θ and the ratios are a
+    * fixed double tree. At 100 TB: one shuffle of moment rows, then
+    * one broadcast of the 1-row θ frame back across the units for
+    * the adjusted-mean pass (second aggregate, also one shuffle).
+    */
+  def cupedAdjust(df: DataFrame, unitMetric: Column, unitCovariate: Column,
+      armCol: Column): DataFrame = {
+    val y = unitMetric.cast(DecimalType(12, 2))
+    val x = unitCovariate.cast(DecimalType(12, 2))
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+      sum(y * y).as("syy"))
+    val stats = m.select(col("n"),
+      col("sx").cast("double").as("sx"),
+      col("sy").cast("double").as("sy"),
+      col("sxy").cast("double").as("sxy"),
+      col("sxx").cast("double").as("sxx"),
+      col("syy").cast("double").as("syy"))
+      .withColumn("nD", col("n").cast("double"))
+      .withColumn("cov_xy",
+        col("sxy") / col("nD") - (col("sx") / col("nD")) * (col("sy") / col("nD")))
+      .withColumn("var_x",
+        col("sxx") / col("nD") - (col("sx") / col("nD")) * (col("sx") / col("nD")))
+      .withColumn("var_y",
+        col("syy") / col("nD") - (col("sy") / col("nD")) * (col("sy") / col("nD")))
+      .withColumn("theta", col("cov_xy") / col("var_x"))
+      .withColumn("var_ratio",
+        lit(1.0) - (col("cov_xy") * col("cov_xy")) /
+          (col("var_x") * col("var_y")))
+      .withColumn("mean_x", col("sx") / col("nD"))
+    val th = broadcast(stats.select(col("theta"), col("mean_x"),
+      col("var_ratio")))
+    // adjusted mean from EXACT per-arm sums — never a row-wise double
+    // sum (order-dependent): Σ(y−θ(x−x̄))/n = ȳ_arm − θ·(x̄_arm − x̄)
+    df.select(armCol.as("arm"), y.as("__y"), x.as("__x"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_arm"),
+        sum(col("__y")).as("__sy"), sum(col("__x")).as("__sx"))
+      .crossJoin(th)
+      .withColumn("mean_raw",
+        col("__sy").cast("double") / col("n_arm").cast("double"))
+      .withColumn("mean_adj",
+        col("mean_raw") - col("theta") *
+          (col("__sx").cast("double") / col("n_arm").cast("double") -
+            col("mean_x")))
+      .select(col("arm"), col("n_arm"), col("theta"), col("var_ratio"),
+        col("mean_raw"), col("mean_adj"))
+  }
+
   def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol), col(bCol))
       .agg(count(lit(1)).as("observed"))

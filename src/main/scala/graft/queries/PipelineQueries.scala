@@ -970,6 +970,113 @@ object PipelineQueries {
     * Moments are exact DECIMAL (order-independent); the z itself is one
     * mirrored tree of IEEE double ops — hash-exact across engines.
     */
+  /** Difference-in-differences (Experiment.diffInDifferences): the
+    * rollout readout — arm = user parity, post = the Jan-16 switch
+    * point; (post−pre) in treatment minus (post−pre) in control
+    * removes level and shared-trend confounds. Four exact DECIMAL
+    * cell moments in ONE aggregate; one fixed double tree.
+    */
+  private val qDid = QueryDef(
+    "q_diff_in_diff",
+    (s, d) => graft.ops.Experiment.diffInDifferences(
+      Tables.events(s, d),
+      pmod(col("user_id"), lit(2)).cast("int"),
+      col("ts") >= lit("2024-01-16").cast("timestamp"),
+      col("value")),
+    Some("""
+      WITH e AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+          ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+          CAST(value AS DECIMAL(12,2)) AS v
+        FROM events),
+      m AS (
+        SELECT
+          SUM(CASE WHEN arm = 1 AND NOT post THEN v END) AS s_t0,
+          CAST(COUNT(CASE WHEN arm = 1 AND NOT post THEN 1 END) AS BIGINT) AS n_t0,
+          SUM(CASE WHEN arm = 1 AND post THEN v END) AS s_t1,
+          CAST(COUNT(CASE WHEN arm = 1 AND post THEN 1 END) AS BIGINT) AS n_t1,
+          SUM(CASE WHEN arm = 0 AND NOT post THEN v END) AS s_c0,
+          CAST(COUNT(CASE WHEN arm = 0 AND NOT post THEN 1 END) AS BIGINT) AS n_c0,
+          SUM(CASE WHEN arm = 0 AND post THEN v END) AS s_c1,
+          CAST(COUNT(CASE WHEN arm = 0 AND post THEN 1 END) AS BIGINT) AS n_c1
+        FROM e),
+      mm AS (
+        SELECT
+          CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) AS mean_treat_pre,
+          CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) AS mean_treat_post,
+          CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) AS mean_ctrl_pre,
+          CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) AS mean_ctrl_post,
+          n_t0, n_t1, n_c0, n_c1
+        FROM m)
+      SELECT *,
+        mean_treat_post - mean_treat_pre AS delta_treat,
+        mean_ctrl_post - mean_ctrl_pre AS delta_ctrl,
+        (mean_treat_post - mean_treat_pre) -
+          (mean_ctrl_post - mean_ctrl_pre) AS did
+      FROM mm"""))
+
+  /** CUPED variance reduction (Experiment.cupedAdjust): per-user
+    * post-period spend adjusted by pre-period spend — θ from pooled
+    * exact moments, per-arm adjusted means from exact per-arm sums
+    * (never a row-wise double sum), variance-reduction ratio 1−ρ².
+    */
+  private val qCuped = QueryDef(
+    "q_cuped_adjust",
+    (s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") >= cut,
+            col("value").cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(12, 2))).otherwise(lit(0))).as("y"),
+          sum(when(col("ts") < cut,
+            col("value").cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(12, 2))).otherwise(lit(0))).as("x"))
+      graft.ops.Experiment.cupedAdjust(perUser, col("y"), col("x"),
+        pmod(col("user_id"), lit(2)).cast("int"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+            THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2))
+            END) AS DECIMAL(12,2)) AS y,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+            THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2))
+            END) AS DECIMAL(12,2)) AS x
+        FROM events GROUP BY 1),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+          CAST(SUM(x * y) AS DOUBLE) AS sxy,
+          CAST(SUM(x * x) AS DOUBLE) AS sxx,
+          CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM u),
+      st AS (
+        SELECT
+          sxy / n - (sx / n) * (sy / n) AS cov_xy,
+          sxx / n - (sx / n) * (sx / n) AS var_x,
+          syy / n - (sy / n) * (sy / n) AS var_y,
+          sx / n AS mean_x
+        FROM m),
+      th AS (
+        SELECT cov_xy / var_x AS theta,
+          1.0 - (cov_xy * cov_xy) / (var_x * var_y) AS var_ratio,
+          mean_x
+        FROM st),
+      arms AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+          CAST(COUNT(*) AS BIGINT) AS n_arm,
+          SUM(y) AS sy_arm, SUM(x) AS sx_arm
+        FROM u GROUP BY 1)
+      SELECT arm, n_arm, theta, var_ratio,
+        CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE) AS mean_raw,
+        CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE) - theta *
+          (CAST(sx_arm AS DOUBLE) / CAST(n_arm AS DOUBLE) - mean_x)
+          AS mean_adj
+      FROM arms, th"""))
+
   private val qAbTest = QueryDef(
     "q_ab_test_z",
     (s, d) => graft.ops.Experiment.twoSampleZ(
@@ -1907,5 +2014,5 @@ object PipelineQueries {
     qEwma, qStreamEwma, qTheilSen,
     qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
-    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
+    qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -8,6 +8,38 @@ class ExperimentSpec extends AnyFunSuite {
   lazy val spark = Session.builder("experiment-test", "4").getOrCreate()
   import spark.implicits._
 
+  test("diff-in-diff: hand-computed four-cell estimate") {
+    import org.apache.spark.sql.functions._
+    // treat pre {1,3}->2, post {5,7}->6 (delta 4);
+    // ctrl pre {2}->2, post {3,3}->3 (delta 1); did = 3
+    val df = Seq((1, false, 1.0), (1, false, 3.0), (1, true, 5.0),
+      (1, true, 7.0), (0, false, 2.0), (0, true, 3.0), (0, true, 3.0))
+      .toDF("arm", "post", "v")
+    val r = Experiment.diffInDifferences(df, col("arm"), col("post"),
+      col("v")).collect().head
+    assert(r.getDouble(r.fieldIndex("delta_treat")) == 4.0)
+    assert(r.getDouble(r.fieldIndex("delta_ctrl")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("did")) == 3.0)
+    assert(r.getLong(r.fieldIndex("n_t1")) == 2L &&
+      r.getLong(r.fieldIndex("n_c0")) == 1L)
+  }
+
+  test("cuped: perfectly-correlated covariate absorbs all variance") {
+    import org.apache.spark.sql.functions._
+    // y = 2x exactly -> theta 2, var_ratio 0, and both arms' adjusted
+    // means collapse to 2*x-bar = 5.0 while raw means differ (3 vs 7)
+    val df = Seq((0, 1.0, 2.0), (0, 2.0, 4.0), (1, 3.0, 6.0), (1, 4.0, 8.0))
+      .toDF("arm", "x", "y")
+    val out = Experiment.cupedAdjust(df, col("y"), col("x"), col("arm"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getDouble(out(0).fieldIndex("theta")) == 2.0)
+    assert(math.abs(out(0).getDouble(out(0).fieldIndex("var_ratio"))) < 1e-12)
+    assert(out(0).getDouble(out(0).fieldIndex("mean_raw")) == 3.0)
+    assert(out(1).getDouble(out(1).fieldIndex("mean_raw")) == 7.0)
+    assert(out(0).getDouble(out(0).fieldIndex("mean_adj")) == 5.0)
+    assert(out(1).getDouble(out(1).fieldIndex("mean_adj")) == 5.0)
+  }
+
   test("two-sample z: hand-computed Welch z, degenerate arms -> NULL") {
     val df = Seq(
       // group m: arm0 {1,3} (mean 2, var 2), arm1 {2,6} (mean 4, var 8)
