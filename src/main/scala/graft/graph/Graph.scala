@@ -159,6 +159,64 @@ object Graph {
       (col("rank") / lit(base.toDouble)).as("rank_units"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) over a DIRECTED
+    * graph — the bipartite ranking pair PageRank doesn't give you:
+    * on a buyer→item graph, authority scores items endorsed by good
+    * hubs and hub scores buyers who pick authoritative items.
+    *
+    * Exact-integer fixed point: each round computes raw sums then
+    * MAX-normalizes to the 10⁶ grid with one floor division —
+    *
+    *   a'(v) = Σ_{u→v} h(u);  a(v) = (a'(v)·10⁶) div max a'
+    *   h'(u) = Σ_{u→v} a(v);  h(u) = (h'(u)·10⁶) div max h'
+    *
+    * The max is a 1-row aggregate crossed back as a broadcast (the
+    * denseGrid bounds pattern) — no driver loop state beyond the
+    * round counter; the whole trajectory is a pure integer function
+    * the oracle unrolls (L∞ normalization instead of the float L2 of
+    * the original — documented spec deviation; rankings identical up
+    * to the 10⁻⁶ grid).
+    *
+    * Scale shape per round: two edge-keyed join+aggregate passes
+    * (shuffles carry (id, long) pairs), two 1-row max aggregates,
+    * lineage cut per round.
+    */
+  def hits(edges: DataFrame, iters: Int = 3,
+      base: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && base >= 1L)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val srcs = e.select(col("src")).distinct().localCheckpoint(true)
+    val dsts = e.select(col("dst")).distinct().localCheckpoint(true)
+    var hubs = srcs.select(col("src"), lit(base).as("h"))
+      .localCheckpoint(true)
+    var auths = dsts.select(col("dst"), lit(base).as("a"))
+    for (_ <- 1 to iters) {
+      val rawA = e.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ra"))
+      val maxA = rawA.agg(max(col("ra")).as("__ma"))
+      auths = rawA.crossJoin(broadcast(maxA))
+        .select(col("dst"), expr(s"(cast(ra as decimal(38,0)) * ${base}L) div __ma")
+          .cast("long").as("a"))
+        .localCheckpoint(true)
+      val rawH = e.join(auths, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("rh"))
+      val maxH = rawH.agg(max(col("rh")).as("__mh"))
+      hubs = rawH.crossJoin(broadcast(maxH))
+        .select(col("src"), expr(s"(cast(rh as decimal(38,0)) * ${base}L) div __mh")
+          .cast("long").as("h"))
+        .localCheckpoint(true)
+    }
+    srcs.select(col("src").as("id"), lit("hub").as("role"))
+      .join(hubs.select(col("src").as("id"), col("h").as("score")),
+        Seq("id"), "left")
+      .unionByName(
+        dsts.select(col("dst").as("id"), lit("authority").as("role"))
+          .join(auths.select(col("dst").as("id"), col("a").as("score")),
+            Seq("id"), "left"))
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+  }
+
   /** Synchronous seeded label propagation — the semi-supervised
     * labeling primitive a curation pipeline runs over a similarity or
     * co-occurrence graph (propagate a small set of trusted labels —

@@ -447,6 +447,53 @@ object GraphQueries {
         JOIN p pac ON pac.a = t.a AND pac.b = t.c
         JOIN p pbc ON pbc.a = t.b AND pbc.b = t.c"""))
 
+  /** One unrolled HITS round: raw in-sum then L∞ max-normalize to the
+    * 10⁶ grid (one floor division; HUGEINT carrier for the product).
+    */
+  private def sqlHitsRound(i: Int): String = s"""
+      a${i}r AS (
+        SELECT dst, SUM(h) AS ra FROM be JOIN h${i - 1} USING (src)
+        GROUP BY 1),
+      a$i AS (
+        SELECT dst, CAST((CAST(ra AS HUGEINT) * 1000000) //
+          (SELECT MAX(ra) FROM a${i}r) AS BIGINT) AS a
+        FROM a${i}r),
+      h${i}r AS (
+        SELECT src, SUM(a) AS rh FROM be JOIN a$i USING (dst)
+        GROUP BY 1),
+      h$i AS (
+        SELECT src, CAST((CAST(rh AS HUGEINT) * 1000000) //
+          (SELECT MAX(rh) FROM h${i}r) AS BIGINT) AS h
+        FROM h${i}r)"""
+
+  /** HITS on the bipartite buyer→part graph (Graph.hits): hubs are
+    * customers whose baskets concentrate on authoritative parts,
+    * authorities are parts endorsed by good hubs — the directed
+    * ranking pair PageRank doesn't produce. Exact-integer L∞
+    * normalization per round (spec deviation from the float L2
+    * original, documented); the oracle unrolls all three rounds.
+    */
+  private val qHits = QueryDef(
+    "q_hits_bipartite",
+    (s, d) => {
+      val be = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      Graph.hits(be, iters = iters)
+    },
+    Some(s"""
+      WITH be AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM be),
+      ${(1 to iters).map(sqlHitsRound).mkString(",")}
+      SELECT src AS id, 'hub' AS role, h AS score FROM h$iters
+      UNION ALL
+      SELECT dst AS id, 'authority' AS role, a AS score FROM a$iters"""))
+
   def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift,
-    qComponents, qKCore, qItemNeighbors, qTextRank, qFreqTriples, qPpr)
+    qComponents, qKCore, qItemNeighbors, qTextRank, qFreqTriples, qPpr, qHits)
 }

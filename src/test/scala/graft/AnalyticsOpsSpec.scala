@@ -99,6 +99,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("x") == 0L && out("y") == 0L)
   }
 
+  test("hits: one-round bipartite trajectory, L-inf normalized") {
+    import graft.graph.Graph
+    // u1 -> {p1, p2}, u2 -> {p1}; one round:
+    //  raw auth: p1 = 2e6, p2 = 1e6; max 2e6 -> a(p1)=1e6, a(p2)=5e5
+    //  raw hub:  u1 = 1.5e6, u2 = 1e6; max 1.5e6 -> h(u1)=1e6,
+    //            h(u2) = (1e6*1e6) div 1.5e6 = 666666
+    val edges = Seq(("u1", "p1"), ("u1", "p2"), ("u2", "p1"))
+      .toDF("src", "dst")
+    val out = Graph.hits(edges, iters = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("p1", "authority")) == 1000000L)
+    assert(out(("p2", "authority")) == 500000L)
+    assert(out(("u1", "hub")) == 1000000L)
+    assert(out(("u2", "hub")) == 666666L)
+  }
+
   test("frequent triples: a-priori candidates, membership-counted support") {
     // baskets: b1{x,y,z} b2{x,y,z} b3{x,y} b4{x,z,w} b5{y,z,w} b6{w}
     // minSupport 2: frequent pairs xy:3 xz:3 yz:3 wz:2; the only
