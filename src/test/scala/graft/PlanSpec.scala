@@ -778,6 +778,33 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pareto 3d: only the bounded level-pair join is nested-loop") {
+    val p = planString("q_pareto_frontier_3d")
+    // allowed nested-loop shapes: the |levels|^2 broadcast inequality
+    // join and the 1-row bounds cross — both bounded by the domain;
+    // the frontier re-join must be a broadcast HASH join
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, s"unexpected nested-loop count $bnl:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"identity re-join should broadcast-hash:\n$p")
+  }
+
+  test("containment join: candidates flow through a shingle equi-join") {
+    val p = planString("q_containment_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must never go all-pairs:\n$p")
+  }
+
+  test("cuped: one moment aggregate, theta crosses back as broadcast") {
+    val p = planString("q_cuped_adjust")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final pairs for moments and arms")
+  }
+
   test("heaps curve: no corpus-wide sort — bucket is a map-side formula") {
     val p = executedPlan("q_heaps_law")
     // a row_number-over-the-collection implementation would show a
