@@ -1436,6 +1436,16 @@ object TextQueries {
           ';') AS features
       FROM v GROUP BY doc_id"""))
 
+  /** Streaming twin: the hashing trick is corpus-state-free, so the
+    * micro-batch union is row-identical by construction — the twin
+    * pins exactly that property (shared oracle).
+    */
+  private val qStreamFeatureHash = QueryDef(
+    "q_stream_feature_hashing",
+    (s, d) => graft.streaming.StreamingRankings
+      .runFeatureHashBatchEquivalent(s, d),
+    qFeatureHash.oracle)
+
   /** Document fingerprint + subword count, both oracle-portable: the
     * fingerprint is md5 over the canonical token stream (the xxhash64
     * rolling variant stays in the library, spec-covered — its values
@@ -2922,5 +2932,5 @@ object TextQueries {
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qLmTrigram, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
     qContamination, qContainment, qStreamContainment, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood,
-    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFeatureHash, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
+    qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFeatureHash, qStreamFeatureHash, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
 }

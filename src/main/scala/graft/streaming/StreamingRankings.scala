@@ -80,6 +80,36 @@ object StreamingRankings {
       Seq("source"), "doc_id", "pa", "pb", depth = 10)
   }
 
+  /** Ingest-time feature hashing: every arriving document vectorizes
+    * against NOTHING but itself (the hashing trick needs no
+    * vocabulary — that is its point), so the micro-batch union is
+    * trivially row-identical to the batch run; this twin pins that
+    * the featurizer really is corpus-state-free (a vocabulary-based
+    * vectorizer would hash-mismatch the moment a batch split changed
+    * dictionary ids).
+    */
+  def runFeatureHashBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    def feats(batch: DataFrame): DataFrame =
+      graft.text.TfIdf.featureHash(batch, "doc_id", "text", dim = 64)
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val stream = StreamingContamination.documentsStream(s, sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          buf.addAll(feats(batch).collectAsList())
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.createDataFrame(buf,
+      feats(Tables.documents(spark, sfDir).limit(0)).schema)
+  }
+
   /** Ingest-time ratio decontamination: the frozen probe slice
     * (doc_id % 11 = 0) checks every arriving corpus micro-batch via
     * the same containmentJoin; outputs union (per-doc stateless).
