@@ -55,7 +55,24 @@ object Attribution {
     */
   def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String, conversionType: String,
-      touchTypes: Seq[String], lookbackDays: Int): DataFrame = {
+      touchTypes: Seq[String], lookbackDays: Int): DataFrame =
+    attributedTouches(events, userCol, tsCol, idCol, typeCol,
+      conversionType, touchTypes, lookbackDays)
+      .groupBy(col("__ttype").as("touch_type"))
+      .agg(
+        sum(when(col("__rn") === 1, 1L).otherwise(0L))
+          .as("last_touch_convs"),
+        sum(expr("1000000 div __n")).as("linear_credit_ppm"),
+        count(lit(1)).as("touches"))
+
+  /** The shared (conversion × in-window touch) frame — interval-grid
+    * equi-key join + per-conversion recency windows — that every
+    * attribution model aggregates differently.
+    */
+  private def attributedTouches(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      lookbackDays: Int): DataFrame = {
     val wUs = lookbackDays * 86400L * 1000000L
     val conv = events
       .where(col(typeCol) === conversionType)
@@ -73,15 +90,55 @@ object Attribution {
       (col("__tts") === col("__cts") && col("__tid") < col("__cid"))) &&
       col("__tts") >= col("__cts") - expr(s"INTERVAL $lookbackDays DAYS")
     val w = Window.partitionBy(col("__u"), col("__cid"))
-    val joined = conv.join(touch, Seq("__u", "__b")).where(inWindow)
+    conv.join(touch, Seq("__u", "__b")).where(inWindow)
       .withColumn("__rn", row_number().over(
         w.orderBy(col("__tts").desc, col("__tid").desc)))
       .withColumn("__n", count(lit(1)).over(w))
-    joined.groupBy(col("__ttype").as("touch_type"))
+  }
+
+  /** The full four-model credit table: last-touch, linear, U-shaped
+    * position (40/20/40: first and last touch 40% each, middles split
+    * the remaining 20%; n=1 → 100%, n=2 → 50/50), and dyadic
+    * time-decay (weight 2^(lookback − ageDays) — credit halves per
+    * day of age; exact integers, the EWMA truncation move). Every
+    * share is integer ppm via floor division; per-conversion shares
+    * sum to ≤ 10⁶ (short by the deterministic floor remainders).
+    *
+    * Same join/window frame as [[touchAttribution]] — one extra
+    * ascending row_number (shares the existing per-conversion
+    * partition sort state) and one weight-sum window.
+    */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      lookbackDays: Int): DataFrame = {
+    require(lookbackDays >= 1 && lookbackDays <= 62)
+    val w = Window.partitionBy(col("__u"), col("__cid"))
+    val t = attributedTouches(events, userCol, tsCol, idCol, typeCol,
+        conversionType, touchTypes, lookbackDays)
+      .withColumn("__rnAsc", row_number().over(
+        w.orderBy(col("__tts").asc, col("__tid").asc)))
+      .withColumn("__pos",
+        when(col("__n") === 1, lit(1000000L))
+          .when(col("__n") === 2, lit(500000L))
+          .when(col("__rn") === 1 || col("__rnAsc") === 1, lit(400000L))
+          .otherwise(expr("200000 div (__n - 2)")))
+      .withColumn("__age",
+        expr("(__cus - unix_micros(__tts)) div 86400000000"))
+      .withColumn("__wt", expr(s"shiftleft(1L, cast($lookbackDays - __age as int))"))
+      .withColumn("__wsum", sum(col("__wt")).over(w))
+      .withColumn("__decay",
+        expr("(cast(__wt as decimal(38,0)) * 1000000) div __wsum")
+          .cast("long"))
+    t.groupBy(col("__ttype").as("touch_type"))
       .agg(
         sum(when(col("__rn") === 1, 1L).otherwise(0L))
           .as("last_touch_convs"),
+        sum(when(col("__rnAsc") === 1, 1L).otherwise(0L))
+          .as("first_touch_convs"),
         sum(expr("1000000 div __n")).as("linear_credit_ppm"),
+        sum(col("__pos")).as("position_credit_ppm"),
+        sum(col("__decay")).as("decay_credit_ppm"),
         count(lit(1)).as("touches"))
   }
 }

@@ -1591,6 +1591,59 @@ object PipelineQueries {
         CAST(COUNT(*) AS BIGINT) AS touches
       FROM j GROUP BY 1"""))
 
+  /** The four-model attribution table (Attribution
+    * .multiTouchAttribution): last/first-touch, linear, U-shaped
+    * position (40/20/40), and dyadic time-decay (weight halves per
+    * day of age — exact 2^(lookback−age) integers, the EWMA
+    * truncation move; share = one floor division per touch). Same
+    * interval-grid equi-key join as q_attribution_touch — the bot
+    * skew law carries over unchanged.
+    */
+  private val qAttributionModels = QueryDef(
+    "q_attribution_models",
+    (s, d) => graft.ops.Attribution.multiTouchAttribution(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      conversionType = "purchase", touchTypes = Seq("click", "view"),
+      lookbackDays = 3),
+    Some("""
+      WITH conv AS (
+        SELECT user_id, ts AS cts, event_id AS cid
+        FROM events WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT user_id, ts AS tts, event_id AS tid, event_type AS ttype
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT c.user_id, c.cid, t.ttype,
+          ROW_NUMBER() OVER (PARTITION BY c.user_id, c.cid
+            ORDER BY t.tts DESC, t.tid DESC) AS rn,
+          ROW_NUMBER() OVER (PARTITION BY c.user_id, c.cid
+            ORDER BY t.tts ASC, t.tid ASC) AS rna,
+          COUNT(*) OVER (PARTITION BY c.user_id, c.cid) AS n,
+          (epoch_us(c.cts) - epoch_us(t.tts)) // 86400000000 AS age
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+          AND (t.tts < c.cts OR (t.tts = c.cts AND t.tid < c.cid))
+          AND t.tts >= c.cts - INTERVAL 3 DAY),
+      j2 AS (
+        SELECT *,
+          CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+               WHEN rn = 1 OR rna = 1 THEN 400000
+               ELSE 200000 // (n - 2) END AS pos,
+          (CAST(1 AS BIGINT) << CAST(3 - age AS INTEGER)) AS wt
+        FROM j),
+      j3 AS (
+        SELECT *, SUM(wt) OVER (PARTITION BY user_id, cid) AS wsum
+        FROM j2)
+      SELECT ttype AS touch_type,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS last_touch_convs,
+        CAST(SUM(CASE WHEN rna = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS first_touch_convs,
+        CAST(SUM(1000000 // n) AS BIGINT) AS linear_credit_ppm,
+        CAST(SUM(pos) AS BIGINT) AS position_credit_ppm,
+        CAST(SUM((wt * 1000000) // wsum) AS BIGINT) AS decay_credit_ppm,
+        CAST(COUNT(*) AS BIGINT) AS touches
+      FROM j3 GROUP BY 1"""))
+
   /** Seasonal-naive MASE per event type (ops/Forecast
     * .seasonalNaiveMase): is day-of-week seasonality predictive?
     * Day-grain counts on a DENSE day grid (gaps as zeros — the lag-7
@@ -2009,7 +2062,7 @@ object PipelineQueries {
       .runAllocationBatchEquivalent(s, d),
     qAllocation.oracle)
 
-  def all: Seq[QueryDef] = Seq(qAttribution, qSeasonalMase,
+  def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
     qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,

@@ -141,6 +141,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("conf_ppm")) == 666666L)
   }
 
+  test("multi-touch: position 40/20/40 and dyadic decay, hand-computed") {
+    // conv Jan12 12:00; click Jan10 10:00 (age 2, wt 2), views Jan12
+    // 09:00/11:00 (age 0, wt 8 each), wsum 18:
+    //  decay: click (2e6 div 18)=111111, each view (8e6 div 18)=444444
+    //  position (n=3): last view 400000, first click 400000,
+    //  middle view 200000; linear 333333 each
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-10 10:00:00"), "click"),
+      (2L, 1L, ts("2024-01-12 09:00:00"), "view"),
+      (3L, 1L, ts("2024-01-12 11:00:00"), "view"),
+      (4L, 1L, ts("2024-01-12 12:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Attribution.multiTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", Seq("click", "view"),
+        lookbackDays = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out("click") == (0L, 1L, 333333L, 400000L, 111111L, 1L))
+    assert(out("view") == (1L, 0L, 666666L, 600000L, 888888L, 2L))
+  }
+
   test("seasonal MASE: gap days zero-filled, constant series -> null") {
     // key A over days 1..5 (day 3 absent -> 0): counts 2,1,0,1,2
     // season=2: |c_d - c_{d-2}| for d=3..5 -> |0-2|+|1-1|+|2-0| = 4, n_s=3
