@@ -104,6 +104,71 @@ object Graph {
       (col("rank") / lit(base.toDouble)).as("rank_units"))
   }
 
+  /** Local clustering coefficient per node: triangles(v) over the
+    * wedge count deg(v)·(deg(v)−1)/2 — "how much of my neighborhood
+    * is itself connected", the community-tightness readout that
+    * separates hub-of-strangers from clique-member at equal degree.
+    * Pure composition: [[triangleCounts]] + one degree aggregate;
+    * emitted as exact ppm via one floor division
+    * (2·10⁶·tri div (d·(d−1))), NULL for degree < 2 (no wedge to
+    * close). Products ride DECIMAL(38) — tri·10⁶ wraps LONG past
+    * ~9.2e12 triangles/node.
+    */
+  def clusteringCoefficient(edges: DataFrame, nodes: DataFrame,
+      idCol: String): DataFrame = {
+    val tri = triangleCounts(edges, nodes, idCol)
+    val deg = edges.groupBy(col("src").as(idCol))
+      .agg(count(lit(1)).as("degree"))
+    tri.join(deg, Seq(idCol), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("(cast(n_triangles as decimal(38,0)) * 2000000) " +
+            "div (degree * (degree - 1))").cast("long")))
+  }
+
+  /** Degree assortativity: the Pearson correlation of (deg(u), deg(v))
+    * over directed edge instances — positive means hubs link to hubs
+    * (social-style), negative means hubs link to leaves
+    * (infrastructure-style); the one-number mixing diagnostic for any
+    * co-occurrence graph. Determinism: degrees are exact BIGINTs, the
+    * five moments (m, Σx, Σy, Σxy, Σx², Σy²) are ONE exact integer
+    * aggregate over the edge list (DECIMAL(38) carriers — Σd² wraps
+    * LONG past ~3e9 edge-degree² mass), and r is a single fixed
+    * double tree. On a symmetric edge list x/y marginals coincide;
+    * the formula does not assume it.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val e = edges
+      .join(deg.select(col("n").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("d").as("dy")), Seq("dst"))
+    val m = e.agg(
+      count(lit(1)).as("m"),
+      sum(col("dx").cast(dec)).as("sx"),
+      sum(col("dy").cast(dec)).as("sy"),
+      sum(col("dx").cast(dec) * col("dy")).as("sxy"),
+      sum(col("dx").cast(dec) * col("dx")).as("sxx"),
+      sum(col("dy").cast(dec) * col("dy")).as("syy"))
+    m.select(col("m"),
+        col("sx").cast("double").as("sx"),
+        col("sy").cast("double").as("sy"),
+        col("sxy").cast("double").as("sxy"),
+        col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"))
+      .withColumn("mD", col("m").cast("double"))
+      .select(col("m").as("n_edges"),
+        ((col("sxy") / col("mD") -
+          (col("sx") / col("mD")) * (col("sy") / col("mD"))) /
+          (sqrt(col("sxx") / col("mD") -
+            (col("sx") / col("mD")) * (col("sx") / col("mD"))) *
+           sqrt(col("syy") / col("mD") -
+            (col("sy") / col("mD")) * (col("sy") / col("mD")))))
+          .as("assortativity"))
+  }
+
   /** PERSONALIZED PageRank: teleport mass returns only to the seed
     * set, so rank measures proximity TO THE SEEDS along graph
     * structure — the "related items to this collection" / "expand

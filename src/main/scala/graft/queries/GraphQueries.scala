@@ -494,6 +494,82 @@ object GraphQueries {
       UNION ALL
       SELECT dst AS id, 'authority' AS role, a AS score FROM a$iters"""))
 
+  /** Local clustering coefficient (Graph.clusteringCoefficient):
+    * triangles over wedges per node, exact ppm — hub-of-strangers vs
+    * clique-member at equal degree. Composes the degree-oriented
+    * triangle count with one degree aggregate; oracle extends the
+    * triangle CTEs with the wedge division.
+    */
+  private val qClustering = QueryDef(
+    "q_clustering_coefficient",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val nodes = li.select(col("l_partkey")).distinct()
+      Graph.clusteringCoefficient(edges, nodes, "l_partkey")
+        .withColumnRenamed("l_partkey", "part_id")
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      deg AS (SELECT src AS n, COUNT(*) AS d FROM e GROUP BY 1),
+      o AS (
+        SELECT e.src AS lo, e.dst AS hi FROM e
+        JOIN deg ds ON ds.n = e.src JOIN deg dd ON dd.n = e.dst
+        WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+      tri AS (
+        SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM o e1 JOIN o e2 ON e1.hi = e2.lo
+        WHERE EXISTS (SELECT 1 FROM o e3
+          WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
+      corner AS (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri),
+      cnt AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corner GROUP BY 1)
+      SELECT n.id AS part_id,
+        COALESCE(cnt.n_triangles, 0) AS n_triangles,
+        CAST(COALESCE(dg.d, 0) AS BIGINT) AS degree,
+        CAST(CASE WHEN dg.d >= 2 THEN
+          (COALESCE(cnt.n_triangles, 0) * 2000000) //
+            (dg.d * (dg.d - 1)) END AS BIGINT) AS clustering_ppm
+      FROM nodes n
+      LEFT JOIN cnt ON cnt.id = n.id
+      LEFT JOIN deg dg ON dg.n = n.id"""))
+
+  /** Degree assortativity (Graph.degreeAssortativity): Pearson r of
+    * endpoint degrees over edge instances — hubs-to-hubs vs
+    * hubs-to-leaves mixing in one number. Five exact integer moments
+    * in ONE aggregate, one fixed double tree.
+    */
+  private val qAssortativity = QueryDef(
+    "q_degree_assortativity",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      Graph.degreeAssortativity(
+        Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+    },
+    Some(s"""
+      WITH $sqlGraphCtes,
+      deg AS (SELECT src AS n, COUNT(*) AS d FROM e GROUP BY 1),
+      ed AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM e JOIN deg dx ON dx.n = e.src JOIN deg dy ON dy.n = e.dst),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+          CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+          CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+          CAST(SUM(dy * dy) AS DOUBLE) AS syy
+        FROM ed)
+      SELECT m AS n_edges,
+        ((sxy / m - (sx / m) * (sy / m)) /
+         (sqrt(sxx / m - (sx / m) * (sx / m)) *
+          sqrt(syy / m - (sy / m) * (sy / m)))) AS assortativity
+      FROM m"""))
+
   def all: Seq[QueryDef] = Seq(qPageRank, qLabelProp, qTriangles, qBfs, qLift,
-    qComponents, qKCore, qItemNeighbors, qTextRank, qFreqTriples, qPpr, qHits)
+    qComponents, qKCore, qItemNeighbors, qTextRank, qFreqTriples, qPpr, qHits,
+    qClustering, qAssortativity)
 }

@@ -9,6 +9,28 @@ class GraphSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.builder("graph-test", "4").getOrCreate()
   import spark.implicits._
 
+  test("clustering coefficient: triangle 1.0, junction diluted, pendant null") {
+    // triangle a-b-c plus pendant d on a: b,c fully clustered (1e6),
+    // a has 3 neighbors / 1 closed wedge of 3 -> 333333, d deg 1 -> NULL
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+    val out = Graph.clusteringCoefficient(edges, nodes, "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def ppm(k: String) = out(k).getLong(out(k).fieldIndex("clustering_ppm"))
+    assert(ppm("a") == 333333L)
+    assert(ppm("b") == 1000000L && ppm("c") == 1000000L)
+    assert(out("d").isNullAt(out("d").fieldIndex("clustering_ppm")))
+  }
+
+  test("assortativity: a star is exactly -1") {
+    val und = Seq(("a", "b"), ("a", "c"), ("a", "d"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(edges).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == -1.0)
+  }
+
   test("kCore: pendant peels, triangle survives, cascades peel in rounds") {
     import org.apache.spark.sql.functions.col
     // triangle 1-2-3, pendant 4 on 1, chain 5 on 4: at k=2 the chain
