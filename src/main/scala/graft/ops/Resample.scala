@@ -81,6 +81,47 @@ object Resample {
     *
     * Output: (keyCol, bucket_us, v_ffill, n_win, anomaly).
     */
+  /** Rolling-window distinct actors (the WAU/rolling-reach metric):
+    * for every calendar day, how many distinct `actorCol` values were
+    * active in the trailing `windowDays` window, per key.
+    *
+    * Distinct does NOT partial-aggregate across sliding windows (a
+    * user active twice in a window must count once), so the standard
+    * shapes fail: a per-day distinct can't be summed, and a window
+    * function over users would re-sort the corpus per day. Instead:
+    * collapse to the DISTINCT (key, day, actor) frame once (one
+    * shuffle, the only corpus-sized step), then each active-day row
+    * COVERS the `windowDays` window-ending days it contributes to —
+    * a map-side sequence explode (×w blowup of the collapsed frame,
+    * the documented trade) — and one count-distinct per (key, day)
+    * finishes. Days with no active window are emitted as 0 off the
+    * dense spine (gap days must exist — a reach metric that skips
+    * silent days overstates reach).
+    *
+    * Output: (key, day, distinct_actors) over the global day span.
+    */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsCol: String,
+      actorCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366)
+    val ud = df.select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
+        col(actorCol).as("u")).distinct()
+      .localCheckpoint(true) // feeds bounds, keys, and the explode
+    val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY")))
+        .as("day"))
+    val counts = ud
+      .select(col("k"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+          .as("day"), col("u"))
+      .groupBy(col("k"), col("day"))
+      .agg(countDistinct(col("u")).as("__du"))
+    ud.select(col("k")).distinct().crossJoin(spine)
+      .join(counts, Seq("k", "day"), "left")
+      .select(col("k").as(keyCol), col("day"),
+        coalesce(col("__du"), lit(0L)).as("distinct_actors"))
+  }
+
   def anomalyFlags(series: DataFrame, keyCol: String, window: Int,
       z: Long = 3L): DataFrame = {
     require(window >= 2 && z >= 1)

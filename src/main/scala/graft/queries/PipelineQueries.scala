@@ -1644,6 +1644,41 @@ object PipelineQueries {
         CAST(COUNT(*) AS BIGINT) AS touches
       FROM j3 GROUP BY 1"""))
 
+  /** Rolling 7-day distinct users per type (Resample.rollingDistinct
+    * — the WAU metric): distinct can't partial-aggregate across
+    * sliding windows, so each DISTINCT (type, day, user) row covers
+    * its 7 window-ending days via a map-side explode (×7 of the
+    * collapsed frame, never of events) and one count-distinct per
+    * (type, day) finishes; silent days emit 0 off the dense spine.
+    */
+  private val qRollingDistinct = QueryDef(
+    "q_rolling_distinct_users",
+    (s, d) => graft.ops.Resample.rollingDistinct(
+      Tables.events(s, d), "event_type", "ts", "user_id", windowDays = 7),
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        FROM events),
+      b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+      spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+          AS DATE) AS day FROM b),
+      keys AS (SELECT DISTINCT event_type FROM ud),
+      cov AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+            INTERVAL 1 DAY)) AS DATE) AS wday,
+          user_id
+        FROM ud),
+      c AS (
+        SELECT event_type, wday AS day,
+          COUNT(DISTINCT user_id) AS du
+        FROM cov GROUP BY 1, 2)
+      SELECT k.event_type, s.day,
+        CAST(COALESCE(c.du, 0) AS BIGINT) AS distinct_actors
+      FROM keys k CROSS JOIN spine s
+      LEFT JOIN c ON c.event_type = k.event_type AND c.day = s.day"""))
+
   /** Seasonal-naive MASE per event type (ops/Forecast
     * .seasonalNaiveMase): is day-of-week seasonality predictive?
     * Day-grain counts on a DENSE day grid (gaps as zeros — the lag-7
@@ -2062,7 +2097,7 @@ object PipelineQueries {
       .runAllocationBatchEquivalent(s, d),
     qAllocation.oracle)
 
-  def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qSeasonalMase,
+  def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
     qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,

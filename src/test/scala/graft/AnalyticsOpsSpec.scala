@@ -163,6 +163,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("view") == (1L, 0L, 666666L, 600000L, 888888L, 2L))
   }
 
+  test("rolling distinct: window coverage, dedup within window, zero days") {
+    // u1 active d1 and d10, u2 active d2; window 3:
+    //  d1:1  d2:2  d3:2  d4:1  d5..d9:0  d10:1 (span ends at the last
+    //  active day; u1's double activity never double-counts)
+    val ev = Seq(
+      ("A", ts("2024-03-01 01:00:00"), 1L),
+      ("A", ts("2024-03-01 09:00:00"), 1L), // same user+day dup
+      ("A", ts("2024-03-10 01:00:00"), 1L),
+      ("A", ts("2024-03-02 01:00:00"), 2L))
+      .toDF("k", "ts", "u")
+    val out = graft.ops.Resample.rollingDistinct(ev, "k", "ts", "u", 3)
+      .collect().map(r => r.getDate(1).toString -> r.getLong(2)).toMap
+    assert(out.size == 10)
+    assert(out("2024-03-01") == 1L && out("2024-03-02") == 2L &&
+      out("2024-03-03") == 2L && out("2024-03-04") == 1L)
+    assert((5 to 9).forall(d => out(f"2024-03-0$d%d") == 0L))
+    assert(out("2024-03-10") == 1L)
+  }
+
   test("seasonal MASE: gap days zero-filled, constant series -> null") {
     // key A over days 1..5 (day 3 absent -> 0): counts 2,1,0,1,2
     // season=2: |c_d - c_{d-2}| for d=3..5 -> |0-2|+|1-1|+|2-0| = 4, n_s=3
