@@ -314,6 +314,18 @@ object PipelineQueries {
           (s + CAST(256 - n_nonzero AS DOUBLE)) AS hll_raw_estimate
       FROM est"""))
 
+  /** Streaming twin of q_hll_rolling_users: per-(day, bucket)
+    * max-rho registers as streaming MAX-aggregate state (days x 256,
+    * bounded by calendar x sketch — the approximate-reach answer to
+    * rollingDistinct's user-sized frame); window merge + estimate
+    * fold on the snapshot (shared oracle).
+    */
+  private val qStreamHllRolling = QueryDef(
+    "q_stream_hll_rolling",
+    (s, d) => graft.streaming.StreamingForecast
+      .runHllRollingBatchEquivalent(s, d),
+    qHllRolling.oracle)
+
   private val qValues = QueryDef(
     "q_events_value_stats",
     (s, d) =>
@@ -2100,7 +2112,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

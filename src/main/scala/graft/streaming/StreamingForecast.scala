@@ -120,6 +120,38 @@ object StreamingForecast {
     }
   }
 
+  /** Rolling HLL reach on continuously-maintained SKETCH state: the
+    * per-(day, bucket) max-rho registers are a streaming MAX
+    * aggregate — state is days × 256 registers, bounded by the
+    * calendar and the sketch, never by users (the exact
+    * rollingDistinct needs the distinct (day, user) frame; this is
+    * its 100 TB-reach approximate twin) — and the trailing-window
+    * register merge + raw estimate fold on the snapshot through the
+    * identical batch path (shared oracle: the estimate is bit-exact
+    * cross-engine because every 2^-M term is dyadic).
+    */
+  def runHllRollingBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = s"stream_hll_roll_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val ev = StreamingHourPivot.eventsStream(s, sfDir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val regs = graft.ops.Sketches.hllRegisters(ev, "user_id", Seq("day"))
+      val q = regs.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.Sketches.hllRollingEstimate(snapshot, "day",
+        windowDays = 3)
+    }
+  }
+
   /** Hamilton budget allocation on continuously-maintained stratum
     * counts — "how many rows does tonight's eval set take from each
     * type, as of NOW"; state = |strata| rows, fold per snapshot.
