@@ -29,13 +29,15 @@ import org.apache.spark.sql.functions._
   *     frontier-sized input, so the single-partition sort that makes
   *     a global 1-D window a scale hazard runs over a vanishingly
   *     small frame (the classic local-skyline/merge split);
-  *  4. broadcast-join the frontier (cost, benefit) pairs back to the
-  *     input to emit row identities — ties (identical points) do not
+  *  4. equi-join the frontier (cost, benefit) pairs back to the
+  *     input to emit row identities (broadcast left to AQE — the
+  *     frontier is OUTPUT-sized and can approach n on adversarial
+  *     anti-correlated data); ties (identical points) do not
   *     dominate each other and are all kept.
   *
   * Scale shape: one groupBy shuffle on cost (partial max combine),
   * one bucket-partitioned window, one frontier-sized window, one
-  * broadcast join. No comparison arithmetic is performed on the
+  * equi re-join. No comparison arithmetic is performed on the
   * (possibly double) measure columns — values pass through unchanged,
   * so output equals the oracle's byte-for-byte.
   */
@@ -80,15 +82,19 @@ object Skyline {
       .withColumn("__prev", max(col("__bmax")).over(wGlobal))
       .where(col("__prev").isNull || col("__bmax") > col("__prev"))
       .drop("__prev")
-    // 4. identities back from the input; frontier is small -> broadcast
+    // 4. identities back from the input (AQE sizes the join)
     val fr = keyCols.foldLeft(frontier)(
       (f, k) => f.withColumnRenamed(k, s"__k_$k"))
     val cond = (keyCols.map(k => col(k) === col(s"__k_$k")) ++ Seq(
       col(costCol) === col("__cost"),
       col(benefitCol) === col("__bmax"))).reduce(_ && _)
+    // no forced broadcast: the frontier is OUTPUT-sized, and on
+    // anti-correlated continuous dims the skyline can approach n —
+    // AQE picks broadcast from the runtime size (the fkOrphans rule:
+    // an unconditional hint on an unbounded frame is a driver OOM)
     df.select(keyCols.map(col) ++
         Seq(col(idCol), col(costCol), col(benefitCol)): _*)
-      .join(broadcast(fr), cond)
+      .join(fr, cond)
       .select(keyCols.map(col) ++
         Seq(col(idCol), col(costCol), col(benefitCol)): _*)
   }
@@ -119,7 +125,7 @@ object Skyline {
     *     bucket-local prune as the 2-D operator keeps every window
     *     partitioned by (level, bucket) before a survivor-sized
     *     per-level pass;
-    *  4. broadcast identity re-join on (level, cost, benefit).
+    *  4. equi identity re-join on (level, cost, benefit) — AQE sizes it.
     */
   def paretoFrontier3D(df: DataFrame, idCol: String, costCol: String,
       benefitCol: String, levelCol: String,
@@ -163,7 +169,7 @@ object Skyline {
     val cond = col(levelCol) === col("__flvl") &&
       col(costCol) === col("__cost") && col(benefitCol) === col("__bmax")
     df.select(col(idCol), col(costCol), col(benefitCol), col(levelCol))
-      .join(broadcast(frontier), cond)
+      .join(frontier, cond) // AQE decides broadcast (output-sized frame)
       .select(col(idCol), col(costCol), col(benefitCol), col(levelCol))
   }
 }

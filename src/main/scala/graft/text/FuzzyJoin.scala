@@ -80,6 +80,10 @@ object FuzzyJoin {
     // super-bucket holds >= w-1 rows (one boundary hop suffices)
     val counts = base.groupBy(col("__bkt")).agg(count(lit(1)).as("n"))
       .orderBy(col("__bkt")).collect()
+    require(counts.length <= 100000,
+      s"sortedNeighborhoodPairs: ${counts.length} distinct key prefixes " +
+        s"at prefixLen=$prefixLen — the driver-side coalesce is metadata-" +
+        "sized only while the prefix alphabet is; shorten prefixLen")
     var cur = 0
     var acc = 0L
     val assign = counts.map { r =>

@@ -752,8 +752,11 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs shape leaked into the skyline plan:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin Inner") ||
       !p.contains("q.p_retailprice"), p)
-    assert(p.contains("BroadcastHashJoin"),
-      s"frontier re-join should broadcast the frontier:\n$p")
+    // identity re-join is an EQUI join (hash/merge); broadcast is
+    // AQE's runtime call — the frontier is output-sized, so a static
+    // hint would be the fkOrphans driver-OOM pattern
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
     assert(p.contains("Window"), p)
   }
 
@@ -786,8 +789,10 @@ class PlanSpec extends AnyFunSuite {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnl <= 2, s"unexpected nested-loop count $bnl:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin"),
-      s"identity re-join should broadcast-hash:\n$p")
+    // identity re-join: equi join, broadcast left to AQE (the frame
+    // is output-sized — same reasoning as the 2-D test above)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
   }
 
   test("containment join: candidates flow through a shingle equi-join") {
