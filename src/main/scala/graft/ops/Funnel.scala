@@ -72,6 +72,48 @@ object Funnel {
       .select(col("r.step"), col("r.event_type"), col("r.n_users"))
   }
 
+  /** Daily growth decomposition — the DAU triptych every product
+    * readout starts from: per day, ACTIVE distinct users, NEW users
+    * (first-ever activity that day), RETURNING = active − new, and
+    * the CUMULATIVE user count (= running sum of new — the identity
+    * that makes "cumulative distinct" computable without any
+    * unbounded coverage explode: a user is distinct-counted exactly
+    * once, on its first day).
+    *
+    * Scale shape: one distinct on (day, user) — the only corpus-sized
+    * step — one user-keyed min-day aggregate, then day-grain joins
+    * and one running-sum window over the dense calendar spine (gap
+    * days emit zeros; cumulative carries through them).
+    */
+  def dailyGrowth(events: DataFrame, tsCol: String,
+      userCol: String): DataFrame = {
+    val ud = events.select(to_date(col(tsCol)).as("day"),
+        col(userCol).as("u")).distinct()
+      .localCheckpoint(true) // feeds actives, first-days, and bounds
+    val active = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"))
+    val firsts = ud.groupBy(col("u")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY")))
+        .as("day"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    spine
+      .join(active, Seq("day"), "left")
+      .join(firsts, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("active_users"), lit(0L)).as("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("returning_users",
+        col("active_users") - col("new_users"))
+      // single-partition window: deliberate — the frame is the
+      // calendar spine, bounded by retention, never by events
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+  }
+
   /** Cohort retention: users grouped by the epoch-week of their FIRST
     * event; for every later week of activity, how many of the cohort
     * were active. Integer epoch-week arithmetic (ts div 604800) on

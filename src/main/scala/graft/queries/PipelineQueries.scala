@@ -1656,6 +1656,42 @@ object PipelineQueries {
         CAST(COUNT(*) AS BIGINT) AS touches
       FROM j3 GROUP BY 1"""))
 
+  /** Daily growth decomposition (Funnel.dailyGrowth): active, new,
+    * returning, cumulative users per calendar day — cumulative
+    * distinct computed WITHOUT unbounded coverage (running sum of
+    * first-activity days); gap days emit zeros, cumulative carries.
+    */
+  private val qDailyGrowth = QueryDef(
+    "q_daily_growth",
+    (s, d) => graft.ops.Funnel.dailyGrowth(
+      Tables.events(s, d), "ts", "user_id"),
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      act AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM ud GROUP BY 1),
+      fst AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM (
+          SELECT user_id, MIN(day) AS day FROM ud GROUP BY 1)
+        GROUP BY 1),
+      b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+      spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+          AS DATE) AS day FROM b),
+      j AS (
+        SELECT s.day, COALESCE(a.active_users, 0) AS active_users,
+          COALESCE(f.new_users, 0) AS new_users
+        FROM spine s
+        LEFT JOIN act a ON a.day = s.day
+        LEFT JOIN fst f ON f.day = s.day)
+      SELECT day, active_users, new_users,
+        active_users - new_users AS returning_users,
+        CAST(SUM(new_users) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cumulative_users
+      FROM j"""))
+
   /** Rolling 7-day distinct users per type (Resample.rollingDistinct
     * — the WAU metric): distinct can't partial-aggregate across
     * sliding windows, so each DISTINCT (type, day, user) row covers
@@ -2109,7 +2145,7 @@ object PipelineQueries {
       .runAllocationBatchEquivalent(s, d),
     qAllocation.oracle)
 
-  def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qSeasonalMase,
+  def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
     qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,

@@ -7,6 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Funnel
 
 class FunnelSpec extends AnyFunSuite {
+
+  test("daily growth: new/returning split, gap day zeros, cumulative carries") {
+    val spark2 = Session.builder("funnel-growth", "4").getOrCreate()
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 d1+d3, u2 d1, u3 d3; day 2 silent
+    val ev = Seq((1L, ts("2024-06-01 01:00:00")),
+      (1L, ts("2024-06-03 01:00:00")), (2L, ts("2024-06-01 02:00:00")),
+      (3L, ts("2024-06-03 02:00:00"))).toDF("user_id", "ts")
+    val out = graft.ops.Funnel.dailyGrowth(ev, "ts", "user_id")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("2024-06-01") == (2L, 2L, 0L, 2L))
+    assert(out("2024-06-02") == (0L, 0L, 0L, 2L))
+    assert(out("2024-06-03") == (2L, 1L, 1L, 3L))
+  }
   lazy val spark: SparkSession = Session.builder("funnel-test", "4").getOrCreate()
   import spark.implicits._
 
