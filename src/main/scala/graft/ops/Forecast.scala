@@ -180,6 +180,44 @@ object Forecast {
       .drop("__numl", "__denl")
   }
 
+  /** Day-of-week seasonal profile per key: for each weekday, the mean
+    * daily volume relative to the overall mean, in exact ppm — WHAT
+    * the weekly shape is, where MASE (above) answers whether the
+    * shape is predictive. Cross-multiplied means keep it integer:
+    *
+    *   index_ppm(dow) = (10⁶ · Σ_dow c · n_all) div (Σ_all c · n_dow)
+    *
+    * over the DENSE grid (gap days count as zero-volume days in both
+    * numerator and denominator — a sparse profile overstates quiet
+    * weekdays). DECIMAL(38) carriers; one grid pass, |keys|·7 rows.
+    */
+  def dowProfile(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    dowProfileFromDaily(
+      events.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("c")),
+      keyCol)
+
+  /** The profile fold over an ALREADY-aggregated (k, day, c) daily
+    * frame — the streaming-snapshot entry point.
+    */
+  def dowProfileFromDaily(daily: DataFrame, keyOut: String): DataFrame = {
+    val grid = denseGrid(daily)
+      // ISO weekday 1..7 (Monday = 1): Spark weekday() is 0=Monday,
+      // DuckDB isodow() is 1=Monday — weekday+1 aligns them (Spark's
+      // dayofweek() is 1=SUNDAY and DuckDB's is 0=Sunday: both wrong)
+      .withColumn("__dow", expr("weekday(day) + 1"))
+    val tot = grid.groupBy(col("k"))
+      .agg(sum(col("c")).as("__tc"), count(lit(1)).as("__tn"))
+    grid.groupBy(col("k"), col("__dow"))
+      .agg(sum(col("c")).as("__dc"), count(lit(1)).as("__dn"))
+      .join(tot, Seq("k"))
+      .select(col("k").as(keyOut), col("__dow").as("dow"),
+        col("__dn").as("n_days"), col("__dc").as("dow_events"),
+        expr("(cast(__dc as decimal(38,0)) * __tn * 1000000) " +
+          "div (__tc * __dn)").as("index_ppm"))
+  }
+
   /** Theil–Sen trend per key over the dense daily series: the MEDIAN
     * of all pairwise day-count slopes — the robust level-trend
     * estimator (a breakdown point of ~29%: a burst of bot days can't

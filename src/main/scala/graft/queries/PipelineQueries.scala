@@ -1727,6 +1727,56 @@ object PipelineQueries {
       FROM keys k CROSS JOIN spine s
       LEFT JOIN c ON c.event_type = k.event_type AND c.day = s.day"""))
 
+  /** Day-of-week seasonal profile (Forecast.dowProfile): WHAT the
+    * weekly shape is, where q_seasonal_mase answers whether it
+    * predicts — mean daily volume per ISO weekday vs overall, exact
+    * ppm by cross-multiplied means over the DENSE grid (gap days are
+    * zero-volume days, not missing ones). Spark weekday()+1 ==
+    * DuckDB isodow (both 1=Monday; each engine's dayofweek() is
+    * Sunday-based and they even disagree with each other).
+    */
+  private val qDowProfile = QueryDef(
+    "q_dow_profile",
+    (s, d) => graft.ops.Forecast.dowProfile(
+      Tables.events(s, d), "event_type", "ts"),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+          AS DATE) AS day FROM b),
+      keys AS (SELECT DISTINCT event_type FROM daily),
+      grid AS (
+        SELECT k.event_type, s.day, COALESCE(d.c, 0) AS c
+        FROM keys k CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = k.event_type
+          AND d.day = s.day),
+      g2 AS (SELECT event_type, isodow(day) AS dow, c FROM grid),
+      tot AS (
+        SELECT event_type, SUM(c) AS tc, COUNT(*) AS tn
+        FROM g2 GROUP BY 1),
+      dd AS (
+        SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+          CAST(SUM(c) AS BIGINT) AS dow_events
+        FROM g2 GROUP BY 1, 2)
+      SELECT dd.event_type, CAST(dd.dow AS INT) AS dow, dd.n_days,
+        dd.dow_events,
+        CAST((CAST(dd.dow_events AS HUGEINT) * tn * 1000000) //
+          (tc * dd.n_days) AS BIGINT) AS index_ppm
+      FROM dd JOIN tot USING (event_type)"""))
+
+  /** Streaming twin: the dow profile fold on the continuously-
+    * maintained day counts (shared oracle) — seventh member of the
+    * snapshot-fold monitor family.
+    */
+  private val qStreamDowProfile = QueryDef(
+    "q_stream_dow_profile",
+    (s, d) => graft.streaming.StreamingForecast
+      .runDowProfileBatchEquivalent(s, d),
+    qDowProfile.oracle)
+
   /** Seasonal-naive MASE per event type (ops/Forecast
     * .seasonalNaiveMase): is day-of-week seasonality predictive?
     * Day-grain counts on a DENSE day grid (gaps as zeros — the lag-7
@@ -2145,7 +2195,7 @@ object PipelineQueries {
       .runAllocationBatchEquivalent(s, d),
     qAllocation.oracle)
 
-  def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qSeasonalMase,
+  def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
     qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,

@@ -120,6 +120,31 @@ object StreamingForecast {
     }
   }
 
+  /** Day-of-week profile on the same continuously-maintained day
+    * counts — "what does the weekly shape look like as of NOW";
+    * identical batch fold (`dowProfileFromDaily`) on the snapshot.
+    */
+  def runDowProfileBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = s"stream_dow_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val daily = StreamingHourPivot.eventsStream(s, sfDir)
+        .groupBy(col("event_type").as("k"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val q = daily.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.Forecast.dowProfileFromDaily(snapshot, "event_type")
+    }
+  }
+
   /** Rolling HLL reach on continuously-maintained SKETCH state: the
     * per-(day, bucket) max-rho registers are a streaming MAX
     * aggregate — state is days × 256 registers, bounded by the

@@ -182,6 +182,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("2024-03-10") == 1L)
   }
 
+  test("dow profile: ISO weekday, dense-grid zeros, cross-multiplied index") {
+    // Mon 2 events, Tue 1, Wed an explicit zero-volume day (the grid
+    // treats gap days the same): tc=3 over tn=3 days
+    //  Mon index = (2*3*1e6) div (3*1) = 2e6; Tue 1e6; Wed 0
+    val daily = Seq(("A", java.sql.Date.valueOf("2024-06-03"), 2L),
+      ("A", java.sql.Date.valueOf("2024-06-04"), 1L))
+      .toDF("k", "day", "c")
+      .union(Seq(("A", java.sql.Date.valueOf("2024-06-05"), 0L))
+        .toDF("k", "day", "c"))
+    val out = Forecast.dowProfileFromDaily(daily, "k")
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1) == (1L, 2L, 2000000L)) // Monday
+    assert(out(2) == (1L, 1L, 1000000L)) // Tuesday
+    assert(out(3) == (1L, 0L, 0L))       // Wednesday
+  }
+
   test("seasonal MASE: gap days zero-filled, constant series -> null") {
     // key A over days 1..5 (day 3 absent -> 0): counts 2,1,0,1,2
     // season=2: |c_d - c_{d-2}| for d=3..5 -> |0-2|+|1-1|+|2-0| = 4, n_s=3
