@@ -32,6 +32,64 @@ object GeoJoin {
     * with the exact squared distance. `df` must carry (idCol, xCol,
     * yCol) with integer micro-coordinates ≥ 0.
     */
+  /** Grid-density clustering — the DBSCAN idea made relational by
+    * clustering CELLS instead of points (the CLIQUE/grid family):
+    * cells with ≥ minPts points are CORE; core cells that touch in
+    * the 8-neighborhood belong to one cluster (min-label connected
+    * components over the core-cell adjacency graph, `iters` rounds of
+    * the HashMin discipline); points inherit their cell's cluster,
+    * points in sparse cells report cluster −1 (noise — the border-
+    * absorption step of point-DBSCAN is deliberately omitted: it
+    * makes membership order-dependent at ties, which a hash-checked
+    * operator cannot be).
+    *
+    * Scale shape: one cell-count aggregate (the only corpus-sized
+    * shuffle), then EVERYTHING — adjacency (9× explode of the core-
+    * cell frame), components rounds, label join — runs on the CELL
+    * frame, bounded by occupied-cell count, not points. The classic
+    * density hotspot (a mega-cell) costs its density once in the
+    * count, never density².
+    *
+    * Output: (id, cx, cy, cluster) — cluster is the minimum cell key
+    * (cx·2²⁰ + cy) of the component, −1 for sparse-cell points.
+    */
+  def gridDensityClusters(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, cellSize: Long, minPts: Long,
+      iters: Int = 3): DataFrame = {
+    require(cellSize > 0 && minPts >= 1 && iters >= 1)
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("cx", expr(s"x div ${cellSize}L"))
+      .withColumn("cy", expr(s"y div ${cellSize}L"))
+    val cellCounts = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("__n"))
+    val core = cellCounts.where(col("__n") >= minPts)
+      .withColumn("cell", expr("cx * 1048576 + cy")) // cx·2^20 + cy
+      .localCheckpoint(true) // feeds probe, build, nodes
+    val probe = core
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .where(col("dx") =!= 0 || col("dy") =!= 0)
+      .select(col("cell").as("src"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val edges = probe
+      .join(core.select(col("cx"), col("cy"), col("cell").as("dst")),
+        Seq("cx", "cy"))
+      .select(col("src"), col("dst"))
+    val comps = graft.graph.Graph.connectedComponents(
+      edges, core.select(col("cell")), "cell", iters)
+    pts
+      .join(core.select(col("cx"), col("cy"), col("cell")),
+        Seq("cx", "cy"), "left")
+      .join(comps, Seq("cell"), "left")
+      .select(col("id"), col("cx"), col("cy"),
+        coalesce(col("component"), lit(-1L)).as("cluster"))
+  }
+
+  /** All unordered pairs (id_a < id_b) within `radius` (micro-units),
+    * with the exact squared distance. `df` must carry (idCol, xCol,
+    * yCol) with integer micro-coordinates ≥ 0.
+    */
   def neighborPairs(df: DataFrame, idCol: String, xCol: String,
       yCol: String, radius: Long): DataFrame = {
     require(radius > 0)

@@ -1150,7 +1150,73 @@ object AdvancedQueries {
         b2.c_mktsegment
       FROM a2 JOIN b2 ON a2.o_custkey = b2.c_custkey"""))
 
-  def all: Seq[QueryDef] = Seq(qAsOf, qAsOfForward, qAboveAvg, qPercentile, qApproxPct,
+  /** Grid-density clustering (GeoJoin.gridDensityClusters — the
+    * DBSCAN idea at cell granularity, CLIQUE-family): cells with >= 3
+    * points are core, 8-adjacent core cells merge via 3 min-label
+    * component rounds, points inherit their cell's cluster (sparse
+    * cells -> -1 noise; point-level border absorption is omitted by
+    * spec — it is order-dependent at ties and cannot be
+    * hash-checked). Everything past the one cell-count aggregate
+    * runs on the occupied-cell frame.
+    */
+  private val qGridDbscan = QueryDef(
+    "q_grid_density_clusters",
+    (s, d) => {
+      def coord(tag: String) = pmod(
+        conv(substring(md5(concat_ws(":", lit(tag), col("c_custkey"))),
+          1, 13), 16, 10).cast("long"), lit(1000000L))
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        coord("gx").as("x"), coord("gy").as("y"))
+      graft.ops.GeoJoin.gridDensityClusters(pts, "id", "x", "y",
+        cellSize = 50000L, minPts = 3L, iters = 3)
+    },
+    Some("""
+      WITH pts AS (
+        SELECT c_custkey AS id,
+          CAST(CAST(('0x' || substr(md5('gx:' || c_custkey), 1, 13))
+            AS UBIGINT) % 1000000 AS BIGINT) AS x,
+          CAST(CAST(('0x' || substr(md5('gy:' || c_custkey), 1, 13))
+            AS UBIGINT) % 1000000 AS BIGINT) AS y
+        FROM customer),
+      cells AS (
+        SELECT id, x // 50000 AS cx, y // 50000 AS cy FROM pts),
+      cnt AS (SELECT cx, cy, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+      core AS (
+        SELECT cx, cy, cx * 1048576 + cy AS cell FROM cnt WHERE n >= 3),
+      e AS (
+        SELECT a.cell AS src, b.cell AS dst
+        FROM core a
+        CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+        CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+        JOIN core b ON b.cx = a.cx + dx.v AND b.cy = a.cy + dy.v
+        WHERE NOT (dx.v = 0 AND dy.v = 0)),
+      c0 AS (SELECT cell AS id, cell AS label FROM core),
+      c1 AS (
+        SELECT n.id, LEAST(n.label, COALESCE(m.minl, n.label)) AS label
+        FROM c0 n LEFT JOIN (
+          SELECT e.dst AS id, MIN(l.label) AS minl
+          FROM e JOIN c0 l ON e.src = l.id
+          GROUP BY 1) m ON m.id = n.id),
+      c2 AS (
+        SELECT n.id, LEAST(n.label, COALESCE(m.minl, n.label)) AS label
+        FROM c1 n LEFT JOIN (
+          SELECT e.dst AS id, MIN(l.label) AS minl
+          FROM e JOIN c1 l ON e.src = l.id
+          GROUP BY 1) m ON m.id = n.id),
+      c3 AS (
+        SELECT n.id, LEAST(n.label, COALESCE(m.minl, n.label)) AS label
+        FROM c2 n LEFT JOIN (
+          SELECT e.dst AS id, MIN(l.label) AS minl
+          FROM e JOIN c2 l ON e.src = l.id
+          GROUP BY 1) m ON m.id = n.id),
+      fin AS (SELECT id AS cell, label FROM c3)
+      SELECT c.id, c.cx, c.cy,
+        CAST(COALESCE(f.label, -1) AS BIGINT) AS cluster
+      FROM cells c
+      LEFT JOIN core k ON k.cx = c.cx AND k.cy = c.cy
+      LEFT JOIN fin f ON f.cell = k.cell"""))
+
+  def all: Seq[QueryDef] = Seq(qGridDbscan, qAsOf, qAsOfForward, qAboveAvg, qPercentile, qApproxPct,
     qUnionAll, qApprox, qRange, qGeoJoin, qSample, qSplit, qSnapshotDiff, qIncrementalJoinView, qAggAdvice, qStreamAdvice, qShuffle, qMixSources, qTemperatureMix, qTokenBudget, qNegatives, qNegativesSharded, qNegativesDraws, qNegativesWeighted, qStratified, qIncrementalAgg, qStreamIncrementalAgg,
     qPacking, qPackingEfficiency, qSalted, qSaltedJoin, qBloomJoin, qBucketedJoin, qTopKAgg)
 }

@@ -163,6 +163,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("view") == (1L, 0L, 666666L, 600000L, 888888L, 2L))
   }
 
+  test("grid dbscan: diagonal merge, isolated core, sparse-cell noise") {
+    // cellSize 10, minPts 2: cells (0,0),(1,0) core and adjacent;
+    // (2,1) core and DIAGONAL to (1,0) -> all one cluster labeled by
+    // the min cell key 0; (9,0) core but isolated -> own cluster
+    // 9*2^20; (5,5) single point -> noise -1
+    val pts = Seq(
+      (1L, 1L, 1L), (2L, 2L, 2L),      // cell (0,0)
+      (3L, 11L, 5L), (4L, 12L, 6L),    // cell (1,0)
+      (5L, 21L, 11L), (6L, 22L, 12L),  // cell (2,1) diagonal to (1,0)
+      (7L, 55L, 55L),                  // sparse cell (5,5)
+      (8L, 91L, 1L), (9L, 92L, 2L))    // cell (9,0) isolated core
+      .toDF("id", "x", "y")
+    val out = graft.ops.GeoJoin.gridDensityClusters(pts, "id", "x", "y",
+        cellSize = 10L, minPts = 2L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((1L to 6L).forall(out(_) == 0L), out.toString)
+    assert(out(7L) == -1L)
+    assert(out(8L) == 9L * 1048576L && out(9L) == 9L * 1048576L)
+  }
+
   test("rolling distinct: window coverage, dedup within window, zero days") {
     // u1 active d1 and d10, u2 active d2; window 3:
     //  d1:1  d2:2  d3:2  d4:1  d5..d9:0  d10:1 (span ends at the last
