@@ -55,9 +55,10 @@ object Attribution {
     */
   def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String, conversionType: String,
-      touchTypes: Seq[String], lookbackDays: Int): DataFrame =
+      touchTypes: Seq[String], lookbackDays: Int,
+      saltFactor: Int = 1): DataFrame =
     attributedTouches(events, userCol, tsCol, idCol, typeCol,
-      conversionType, touchTypes, lookbackDays)
+      conversionType, touchTypes, lookbackDays, saltFactor)
       .groupBy(col("__ttype").as("touch_type"))
       .agg(
         sum(when(col("__rn") === 1, 1L).otherwise(0L))
@@ -69,10 +70,24 @@ object Attribution {
     * equi-key join + per-conversion recency windows — that every
     * attribution model aggregates differently.
     */
+  /** `saltFactor` is the burst-bot rung: the grid spreads a bot whose
+    * activity SPANS many lookback-width buckets, but a bot whose whole
+    * burst sits INSIDE one bucket degenerates back to the user-only
+    * hot-key regime — one (user, bucket) key carries that burst's
+    * |convs| × |touches| pairs through one partition (AttributionProbe
+    * burst mode measures it). With saltFactor = S the TOUCH side adds
+    * salt = hash(touch id) mod S to the key and the (rare) conversion
+    * side replicates to all S salts, so every pair still meets exactly
+    * once and the hot key's pair evaluations spread across S
+    * partitions. Output is byte-identical (probe + spec assert it);
+    * cost is S× the conversion-slice exchange, which is the thin
+    * slice by construction. Keep 1 unless bursty bots are expected.
+    */
   private def attributedTouches(events: DataFrame, userCol: String,
       tsCol: String, idCol: String, typeCol: String,
       conversionType: String, touchTypes: Seq[String],
-      lookbackDays: Int): DataFrame = {
+      lookbackDays: Int, saltFactor: Int = 1): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1: $saltFactor")
     val wUs = lookbackDays * 86400L * 1000000L
     val conv = events
       .where(col(typeCol) === conversionType)
@@ -81,16 +96,22 @@ object Attribution {
         unix_micros(col(tsCol)).as("__cus"))
       .withColumn("__b", explode(array(
         expr(s"__cus div ${wUs}L - 1"), expr(s"__cus div ${wUs}L"))))
+      .withColumn("__salt",
+        if (saltFactor == 1) lit(0L)
+        else explode(sequence(lit(0L), lit(saltFactor - 1L))))
     val touch = events
       .where(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("__u"), col(tsCol).as("__tts"),
         col(idCol).as("__tid"), col(typeCol).as("__ttype"),
         expr(s"unix_micros($tsCol) div ${wUs}L").as("__b"))
+      .withColumn("__salt",
+        if (saltFactor == 1) lit(0L)
+        else pmod(xxhash64(col("__tid")), lit(saltFactor.toLong)))
     val inWindow = (col("__tts") < col("__cts") ||
       (col("__tts") === col("__cts") && col("__tid") < col("__cid"))) &&
       col("__tts") >= col("__cts") - expr(s"INTERVAL $lookbackDays DAYS")
     val w = Window.partitionBy(col("__u"), col("__cid"))
-    conv.join(touch, Seq("__u", "__b")).where(inWindow)
+    conv.join(touch, Seq("__u", "__b", "__salt")).where(inWindow)
       .withColumn("__rn", row_number().over(
         w.orderBy(col("__tts").desc, col("__tid").desc)))
       .withColumn("__n", count(lit(1)).over(w))
@@ -111,11 +132,11 @@ object Attribution {
   def multiTouchAttribution(events: DataFrame, userCol: String,
       tsCol: String, idCol: String, typeCol: String,
       conversionType: String, touchTypes: Seq[String],
-      lookbackDays: Int): DataFrame = {
+      lookbackDays: Int, saltFactor: Int = 1): DataFrame = {
     require(lookbackDays >= 1 && lookbackDays <= 62)
     val w = Window.partitionBy(col("__u"), col("__cid"))
     val t = attributedTouches(events, userCol, tsCol, idCol, typeCol,
-        conversionType, touchTypes, lookbackDays)
+        conversionType, touchTypes, lookbackDays, saltFactor)
       .withColumn("__rnAsc", row_number().over(
         w.orderBy(col("__tts").asc, col("__tid").asc)))
       .withColumn("__pos",
@@ -126,7 +147,14 @@ object Attribution {
       .withColumn("__age",
         expr("(__cus - unix_micros(__tts)) div 86400000000"))
       .withColumn("__wt", expr(s"shiftleft(1L, cast($lookbackDays - __age as int))"))
-      .withColumn("__wsum", sum(col("__wt")).over(w))
+      // __wt itself fits a LONG (<= 2^62 at the max lookback), but the
+      // per-conversion SUM does not: two age-0 touches at lookback 62
+      // already exceed Long.MaxValue and a LONG window sum would wrap
+      // silently to negative decay credit (ADVICE r12). Accumulate in
+      // DECIMAL(38,0) — 2^62 · touches stays inside 38 digits up to
+      // ~2·10^19 touches per conversion.
+      .withColumn("__wsum",
+        sum(col("__wt").cast("decimal(38,0)")).over(w))
       .withColumn("__decay",
         expr("(cast(__wt as decimal(38,0)) * 1000000) div __wsum")
           .cast("long"))

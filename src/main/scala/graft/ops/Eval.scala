@@ -188,11 +188,19 @@ object Eval {
       depth: Int): DataFrame = {
     val (w, den) = rboWeights(depth)
     val keys = keyCols.map(col)
-    val joined = a
-      .select(keys :+ col(idCol) :+ col(posColA).as("__pa"): _*)
+    val aa = a.select(keys :+ col(idCol) :+ col(posColA).as("__pa"): _*)
       .where(col("__pa") <= depth)
-      .join(b.select(keys :+ col(idCol) :+ col(posColB).as("__pb"): _*)
-        .where(col("__pb") <= depth), keyCols :+ idCol)
+    val bb = b.select(keys :+ col(idCol) :+ col(posColB).as("__pb"): _*)
+      .where(col("__pb") <= depth)
+    // Key universe = keys present in EITHER ranking: an inner-join-only
+    // fold would drop exactly the keys whose two top-k lists share zero
+    // items — the strongest-disagreement keys the statistic exists to
+    // surface (ADVICE r12). Those keys must report n_common = 0, rbo 0.
+    // |keys|-sized frame, one extra distinct + left join — never
+    // data-sized.
+    val keyUniverse = aa.select(keys: _*).union(bb.select(keys: _*))
+      .distinct()
+    val joined = aa.join(bb, keyCols :+ idCol)
       .withColumn("__m", greatest(col("__pa"), col("__pb")))
     val weightCase = (1 to depth)
       .map(d => s"WHEN $d THEN ${w(d - 1)}L").mkString(" ")
@@ -203,7 +211,7 @@ object Eval {
     // identical rankings score 1−p^k truncated (the mass past depth k
     // is unobserved); rbo_norm rescales so full agreement reads 10⁶
     val wMax = (1 to depth).map(d => w(d - 1) * d).sum
-    terms.groupBy(keys: _*)
+    val perKey = terms.groupBy(keys: _*)
       .agg(sum(col("__w")).as("__num"),
         // every surviving item emits exactly one row at __d = depth
         sum(when(col("__d") === depth, 1L).otherwise(0L)).as("n_common"))
@@ -213,7 +221,10 @@ object Eval {
       .withColumn("rbo_norm_x1e6",
         expr(s"(cast(__num as decimal(38,0)) * 1000000) div ${wMax}L")
           .cast("long"))
-      .select(keys :+ col("n_common") :+ col("rbo_x1e6") :+
-        col("rbo_norm_x1e6"): _*)
+    keyUniverse.join(perKey, keyCols, "left")
+      .select(keys :+
+        coalesce(col("n_common"), lit(0L)).as("n_common") :+
+        coalesce(col("rbo_x1e6"), lit(0L)).as("rbo_x1e6") :+
+        coalesce(col("rbo_norm_x1e6"), lit(0L)).as("rbo_norm_x1e6"): _*)
   }
 }

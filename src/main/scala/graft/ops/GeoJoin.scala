@@ -43,6 +43,17 @@ object GeoJoin {
     * makes membership order-dependent at ties, which a hash-checked
     * operator cannot be).
     *
+    * Cluster identity is exact only up to `iters` hops of min-label
+    * propagation: a dense region whose core-cell adjacency diameter
+    * exceeds `iters` reports as several clusters. Pass
+    * `runToFixpoint = true` for the exact one-cluster-per-connected-
+    * dense-region DBSCAN semantics — `iters` then acts as the round
+    * CAP (the kCore convention), so size it ≥ the expected core-cell
+    * diameter (each extra round costs one
+    * cell-frame join + an emptiness probe, bounded by the adjacency
+    * diameter — at 100 TB that is the diameter of the densest
+    * contiguous region in CELLS, typically tens, not data-sized).
+    *
     * Scale shape: one cell-count aggregate (the only corpus-sized
     * shuffle), then EVERYTHING — adjacency (9× explode of the core-
     * cell frame), components rounds, label join — runs on the CELL
@@ -55,7 +66,7 @@ object GeoJoin {
     */
   def gridDensityClusters(df: DataFrame, idCol: String, xCol: String,
       yCol: String, cellSize: Long, minPts: Long,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, runToFixpoint: Boolean = false): DataFrame = {
     require(cellSize > 0 && minPts >= 1 && iters >= 1)
     val pts = df.select(col(idCol).cast("long").as("id"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
@@ -63,8 +74,22 @@ object GeoJoin {
       .withColumn("cy", expr(s"y div ${cellSize}L"))
     val cellCounts = pts.groupBy(col("cx"), col("cy"))
       .agg(count(lit(1)).as("__n"))
+    // The packed key cx·2^20 + cy is injective ONLY for cx, cy in
+    // [0, 2^20): negative coordinates or cy >= 2^20 would collide
+    // distinct cells into one key and silently corrupt adjacency and
+    // cluster labels (ADVICE r12). Enforce loudly at runtime on the
+    // cell frame (cheap — occupied-cell-sized, never per point);
+    // raise_error fires the moment an out-of-range core cell exists.
     val core = cellCounts.where(col("__n") >= minPts)
-      .withColumn("cell", expr("cx * 1048576 + cy")) // cx·2^20 + cy
+      .withColumn("cell",
+        when(col("cx") < 0 || col("cx") >= 1048576L ||
+             col("cy") < 0 || col("cy") >= 1048576L,
+          raise_error(concat(
+            lit("gridDensityClusters: cell coords out of [0, 2^20): ("),
+            col("cx"), lit(", "), col("cy"),
+            lit(") — micro-coordinates must be >= 0 and < cellSize*2^20")))
+            .cast("long"))
+        .otherwise(expr("cx * 1048576 + cy"))) // cx·2^20 + cy
       .localCheckpoint(true) // feeds probe, build, nodes
     val probe = core
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -77,7 +102,7 @@ object GeoJoin {
         Seq("cx", "cy"))
       .select(col("src"), col("dst"))
     val comps = graft.graph.Graph.connectedComponents(
-      edges, core.select(col("cell")), "cell", iters)
+      edges, core.select(col("cell")), "cell", iters, runToFixpoint)
     pts
       .join(core.select(col("cx"), col("cy"), col("cell")),
         Seq("cx", "cy"), "left")

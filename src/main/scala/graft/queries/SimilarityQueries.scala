@@ -1633,11 +1633,17 @@ object SimilarityQueries {
           SELECT query_id,
             CAST(COUNT(*) FILTER (d = 10) AS BIGINT) AS n_common,
             SUM(CASE d $weightCase END) AS num
-          FROM t GROUP BY 1)
-        SELECT query_id, n_common,
-          CAST((num * 1000000) // $den AS BIGINT) AS rbo_x1e6,
-          CAST((num * 1000000) // $wMax AS BIGINT) AS rbo_norm_x1e6
-        FROM g"""))
+          FROM t GROUP BY 1),
+        ku AS (
+          SELECT DISTINCT query_id FROM ra WHERE pa <= 10
+          UNION
+          SELECT DISTINCT query_id FROM rb WHERE pb <= 10)
+        SELECT ku.query_id,
+          CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+          CAST(COALESCE((num * 1000000) // $den, 0) AS BIGINT) AS rbo_x1e6,
+          CAST(COALESCE((num * 1000000) // $wMax, 0) AS BIGINT)
+            AS rbo_norm_x1e6
+        FROM ku LEFT JOIN g USING (query_id)"""))
   }
 
   def all: Seq[QueryDef] = Seq(qMatryoshkaRbo, qMips, qTopKQuant, qTopKFloat, qLsh, qRpTopK, qKnnJoin, qIvf, qIvfServed,

@@ -1432,7 +1432,7 @@ object TextQueries {
         FROM b GROUP BY 1, 2 HAVING SUM(sgn) <> 0)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
         array_to_string(list_sort(list(
-          lpad(CAST(idx AS VARCHAR), 3, '0') || ':' || CAST(v AS VARCHAR))),
+          lpad(CAST(idx AS VARCHAR), 2, '0') || ':' || CAST(v AS VARCHAR))),
           ';') AS features
       FROM v GROUP BY doc_id"""))
 

@@ -54,6 +54,12 @@ object TfIdf {
   def featureHash(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536]: $dim")
+    // pad width derives from dim: lpad TRUNCATES strings longer than
+    // the pad length (Spark and DuckDB agree on this), so a fixed
+    // width-3 pad would silently collapse indexes >= 1000 at
+    // dim > 1000 — distinct buckets collide to one label and the
+    // zero-padded-equals-numeric-order contract breaks (ADVICE r12).
+    val padW = (dim - 1).toString.length
     df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
       .withColumn("__h", md5(col("t")))
@@ -68,7 +74,7 @@ object TfIdf {
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_nonzero"),
         concat_ws(";", sort_array(collect_list(
-          concat_ws(":", lpad(col("__idx"), 3, "0"), col("__v")))))
+          concat_ws(":", lpad(col("__idx"), padW, "0"), col("__v")))))
           .as("features"))
   }
 

@@ -55,7 +55,27 @@ object CurationProbe {
   def main(args: Array[String]): Unit = {
     val nM = args.headOption.map(_.toInt).getOrElse(10)
     val n = nM * 1000000L
-    val spark = Session.get("curation-probe")
+    // Shuffle-scratch provisioning knobs (the 5M run established the
+    // dominant exchange is linear in docs; the first 10M attempt died
+    // on executor-local DISK, not memory — "No space left" with >80 GB
+    // of lz4 shuffle scratch). Two deployment levers, both opt-in via
+    // env so the 5M re-measure stays config-identical to round 11:
+    //  - SPARK_GRAFT_IO_CODEC=zstd: shuffle/spill blocks compress ~2-3×
+    //    tighter than lz4 on wordy text (the exact trade a disk-bound
+    //    cluster makes; CPU-bound ones keep lz4);
+    //  - SPARK_GRAFT_RDD_COMPRESS=true: DISK_ONLY stage pins compress
+    //    (text pins are the other big disk consumer);
+    //  - periodic GC at 2min: shuffle files of CONSUMED stages are only
+    //    deleted when the driver GC collects their dependencies — a
+    //    multi-phase DAG that pins+unpersists per phase otherwise
+    //    carries every prior phase's scratch to the peak.
+    val spark = Session.builder("curation-probe")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "false"))
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // 32 partitions × ~310k docs × ~100 shingles each blew the hash
     // aggregate's memory budget (AGGREGATE_OUT_OF_MEMORY with 32

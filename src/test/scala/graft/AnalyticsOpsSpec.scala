@@ -63,6 +63,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(same.getLong(same.fieldIndex("rbo_norm_x1e6")) == 1000000L)
   }
 
+  test("rbo: zero-overlap key reports 0, not a dropped row") {
+    // key g: disjoint top-3s (sa ranks a,b,c; sb ranks x,y,z) — the
+    // strongest-disagreement key must surface as rbo 0, not vanish
+    // from the output (ADVICE r12: inner-join-only fold dropped it)
+    import graft.ops.Eval
+    val df = Seq(
+      ("g", "a", 30L, 0L), ("g", "b", 20L, 0L), ("g", "c", 10L, 0L),
+      ("g", "x", 0L, 30L), ("g", "y", 0L, 20L), ("g", "z", 0L, 10L),
+      ("h", "a", 30L, 30L), ("h", "b", 20L, 20L), ("h", "c", 10L, 10L))
+      .toDF("k", "item", "sa", "sb")
+    val out = Eval.rankBiasedOverlap(df, Seq("k"), "item",
+        col("sa"), col("sb"), depth = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("n_common")),
+          r.getLong(r.fieldIndex("rbo_x1e6")))).toMap
+    assert(out.size == 2, s"zero-overlap key dropped: $out")
+    assert(out("g") == (0L, 0L))
+    assert(out("h") == (3L, 271000L))
+  }
+
   test("fd audit: true FD zero violations, broken FD counted per group") {
     val df = Seq(
       (1L, "a", 10), (1L, "a", 20), // key 1 -> a (consistent), 2 vals of v
@@ -163,6 +183,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("view") == (1L, 0L, 666666L, 600000L, 888888L, 2L))
   }
 
+  test("attribution: salted rung output identical to plain grid") {
+    // burst-bot rung (ADVICE/verdict r12): saltFactor spreads one
+    // (user, bucket) hot key's pairs across partitions — must be a
+    // pure compute rewrite, byte-identical output
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-10 10:00:00"), "click"),
+      (2L, 1L, ts("2024-01-12 09:00:00"), "view"),
+      (3L, 1L, ts("2024-01-12 11:00:00"), "view"),
+      (4L, 1L, ts("2024-01-12 12:00:00"), "purchase"),
+      (5L, 2L, ts("2024-01-12 08:00:00"), "click"),
+      (6L, 2L, ts("2024-01-12 09:30:00"), "purchase"),
+      (7L, 2L, ts("2024-01-12 10:00:00"), "view")) // after conv: no credit
+      .toDF("event_id", "user_id", "ts", "event_type")
+    def run(salt: Int) = Attribution.touchAttribution(ev, "user_id",
+        "ts", "event_id", "event_type", "purchase", Seq("click", "view"),
+        lookbackDays = 3, saltFactor = salt)
+      .orderBy("touch_type").collect().map(_.toString).toSeq
+    assert(run(1) == run(5))
+    def runMulti(salt: Int) = Attribution.multiTouchAttribution(ev,
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        Seq("click", "view"), lookbackDays = 3, saltFactor = salt)
+      .orderBy("touch_type").collect().map(_.toString).toSeq
+    assert(runMulti(1) == runMulti(5))
+  }
+
+  test("multi-touch: lookback 62 decay sum does not wrap (decimal wsum)") {
+    // three age-0 touches at lookback 62: each __wt = 2^62, so a LONG
+    // window sum would wrap to negative (3·2^62 > Long.MaxValue) and
+    // emit garbage decay credit (ADVICE r12). Decimal accumulation
+    // gives exactly 10^6 div 3 = 333333 each.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-12 09:00:00"), "view"),
+      (2L, 1L, ts("2024-01-12 10:00:00"), "view"),
+      (3L, 1L, ts("2024-01-12 11:00:00"), "view"),
+      (4L, 1L, ts("2024-01-12 12:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Attribution.multiTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", Seq("click", "view"),
+        lookbackDays = 62)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(out("view") == 999999L, s"decay wrapped: $out") // 3×333333
+  }
+
   test("grid dbscan: diagonal merge, isolated core, sparse-cell noise") {
     // cellSize 10, minPts 2: cells (0,0),(1,0) core and adjacent;
     // (2,1) core and DIAGONAL to (1,0) -> all one cluster labeled by
@@ -181,6 +244,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert((1L to 6L).forall(out(_) == 0L), out.toString)
     assert(out(7L) == -1L)
     assert(out(8L) == 9L * 1048576L && out(9L) == 9L * 1048576L)
+  }
+
+  test("grid dbscan: out-of-range cell coords fail loudly, not collide") {
+    // cy >= 2^20 would alias a different (cx, cy) under the packed
+    // key cx·2^20 + cy (ADVICE r12) — the guard must raise, not
+    // silently merge clusters
+    val pts = Seq((1L, 5L, 20971520000L), (2L, 6L, 20971520001L))
+      .toDF("id", "x", "y") // y div 10 = 2097152000 >= 2^20
+    val ex = intercept[Exception] {
+      graft.ops.GeoJoin.gridDensityClusters(pts, "id", "x", "y",
+        cellSize = 10L, minPts = 2L, iters = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("grid dbscan: runToFixpoint merges a chain longer than iters") {
+    // 6 core cells in a row: adjacency diameter 5 > iters 1; fixed
+    // iters=1 leaves multiple labels, runToFixpoint (iters as the
+    // round cap, the kCore convention) converges to the single label
+    val pts = (0 until 6).flatMap(c =>
+      Seq((c * 2L, c * 10L + 1L, 1L), (c * 2L + 1L, c * 10L + 2L, 2L)))
+      .toDF("id", "x", "y")
+    def clusters(iters: Int, fix: Boolean) =
+      graft.ops.GeoJoin.gridDensityClusters(pts, "id", "x", "y",
+          cellSize = 10L, minPts = 2L, iters = iters, runToFixpoint = fix)
+        .collect().map(_.getLong(3)).toSet
+    assert(clusters(1, fix = false).size > 1)
+    assert(clusters(20, fix = true) == Set(0L))
   }
 
   test("rolling distinct: window coverage, dedup within window, zero days") {

@@ -29,10 +29,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     val expected =
       Seq(idx("x") -> 2 * sgn("x"), idx("y") -> sgn("y"))
         .groupMapReduce(_._1)(_._2)(_ + _).toSeq.filter(_._2 != 0)
-        .map { case (i, v) => f"$i%03d:$v%d" }.sorted.mkString(";")
+        .map { case (i, v) => f"$i%02d:$v%d" }.sorted.mkString(";")
     assert(out.getLong(out.fieldIndex("n_nonzero")) ==
       expected.split(";").count(_.nonEmpty))
     assert(out.getString(out.fieldIndex("features")) == expected)
+  }
+
+  test("feature hashing: pad width grows with dim, no lpad truncation") {
+    // dim = 4096 -> pad width 4; a fixed width-3 lpad would truncate
+    // any bucket index >= 1000 to its first 3 digits (ADVICE r12).
+    val out = TfIdf.featureHash(
+        Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text"), "doc_id", "text", 4096)
+      .collect().head
+    val labels = out.getString(out.fieldIndex("features"))
+      .split(";").map(_.split(":")(0))
+    assert(labels.forall(_.length == 4),
+      s"expected width-4 labels, got ${labels.mkString(",")}")
+    // zero-padded order == numeric order
+    assert(labels.map(_.toInt).sorted.sameElements(
+      labels.sorted.map(_.toInt)))
   }
 
   test("tf-idf top terms: ranks by tf desc, df asc, term asc") {

@@ -64,6 +64,15 @@ def main():
         oracles = json.load(f)
     results = {}
     passed = {}  # single source of truth for both the label and the count
+    oracle_cache = {}  # SQL text -> DataFrame: shared oracles (e.g. the
+    # exact-Jaccard self-join declared by BOTH q_minhash_lsh_neardup and
+    # q_jaccard_prefix_join) execute ONCE per sweep instead of once per
+    # declaring query — the sf0.1 sweep's dominant cost (round-12
+    # verdict #3: ~42 min, quadratic-ish in sharers without this).
+    # Only SQL declared by >1 query is cached (no memory cost for the
+    # 200+ unique ones).
+    from collections import Counter
+    sql_counts = Counter(oracles.values())
     for qdir in sorted(glob.glob(f"{out_dir}/*")):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
@@ -76,7 +85,13 @@ def main():
             passed[name] = len(spark_df) > 0
             continue
         try:
-            duck_df = con.execute(oracles[name]).df()
+            sql = oracles[name]
+            if sql in oracle_cache:
+                duck_df = oracle_cache[sql]
+            else:
+                duck_df = con.execute(sql).df()
+                if sql_counts[sql] > 1:
+                    oracle_cache[sql] = duck_df
         except Exception as e:
             results[name] = f"DUCKDB ERROR: {e}"
             passed[name] = False
