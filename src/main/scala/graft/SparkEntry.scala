@@ -22,7 +22,15 @@ object SparkEntry {
     * driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Registry.all.collect { case QueryDef(n, _, Some(sql), _) => n -> sql }.toMap
+    Registry.all.collect {
+      case q if q.oracle.isDefined => q.name -> q.oracle.get
+    }.toMap
+
+  /** Vacuous-output floors (QueryDef.minDistinct), enforced by Verify. */
+  def minDistinct: Map[String, (String, Long)] =
+    Registry.all.collect {
+      case q if q.minDistinct.isDefined => q.name -> q.minDistinct.get
+    }.toMap
 
   /** Subset used by Bench. */
   def headlineQueries: Seq[QueryDef] = Registry.all.filter(_.headline)

@@ -20,9 +20,27 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // vacuous-output floor (QueryDef.minDistinct): a pooling query
+        // whose output collapsed to one group would still hash-match a
+        // degenerate oracle — fail loudly instead. Checked on the
+        // written parquet (results are small; no recompute).
+        SparkEntry.minDistinct.get(name).foreach { case (c, floor) =>
+          val got = spark.read.parquet(s"$outDir/$name")
+            .select(c).distinct().count()
+          if (got < floor) {
+            // remove the dump so the gate records an err, not a
+            // trivially-matching degenerate result
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(s"$outDir/$name")).deleteRecursively()
+            throw new IllegalStateException(
+              s"vacuous output: $name has $got distinct '$c' " +
+                s"values, floor is $floor")
+          }
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist intermediates (shingle frames, IVF cells);

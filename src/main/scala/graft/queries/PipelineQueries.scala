@@ -87,6 +87,53 @@ object PipelineQueries {
         $hourColsSql
       FROM kept GROUP BY 1, 2"""))
 
+  /** UPDATE-mode twin of q_stream_late_pivot (round-12 verdict #6 —
+    * completes the output-mode decision matrix): same arrival replay,
+    * same lagged-watermark drop rule, but update mode re-emits every
+    * amended group per micro-batch. On this schedule each real
+    * (day, type) group arrives in exactly one batch so it emits once
+    * with full counts (identical rows to append), while the sentinel
+    * group — which append can never finalize — is amended by BOTH
+    * sentinel batches and emits twice, at count 1 and count 2. The
+    * oracle reproduces the amendment waves in SQL: append's kept-set
+    * aggregation UNION ALL one sentinel row per wave.
+    */
+  private val qStreamLatePivotUpdate = {
+    val sentinelHourCols = (0 until 24).map(h =>
+      s"CAST(CASE WHEN EXTRACT(hour FROM s.sts) = $h THEN waves.w ELSE 0 END AS BIGINT) AS hour_$h")
+      .mkString(",\n          ")
+    QueryDef(
+      "q_stream_late_pivot_update",
+      (s, d) => graft.streaming.StreamingLateData
+        .runLateHourPivotUpdate(s, d),
+      Some(s"""
+        WITH nc AS (
+          SELECT ts, event_type FROM events WHERE event_type <> 'click'),
+        lastday AS (SELECT CAST(MAX(ts) AS DATE) AS d FROM events),
+        wm AS (
+          SELECT date_trunc('millisecond', MAX(ts)) - INTERVAL 3 DAY AS w
+          FROM nc),
+        kept AS (
+          SELECT ts, event_type FROM nc
+          UNION ALL
+          SELECT e.ts, e.event_type FROM events e, lastday
+          WHERE e.event_type = 'click' AND CAST(e.ts AS DATE) = lastday.d
+          UNION ALL
+          SELECT e.ts, e.event_type FROM events e, lastday, wm
+          WHERE e.event_type = 'click' AND CAST(e.ts AS DATE) <> lastday.d
+            AND CAST(e.ts AS DATE) + INTERVAL 1 DAY > wm.w),
+        s AS (SELECT MAX(ts) + INTERVAL 10 DAY AS sts FROM events),
+        waves AS (SELECT 1 AS w UNION ALL SELECT 2)
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+          $hourColsSql
+        FROM kept GROUP BY 1, 2
+        UNION ALL
+        SELECT CAST(s.sts AS DATE) AS event_date,
+          '__wm_sentinel' AS event_type,
+          $sentinelHourCols
+        FROM s CROSS JOIN waves"""))
+  }
+
   /** Pivot⁻¹ (HourPivot.unpivot): melt the wide hour table back to
     * long (date, key, hour, n) rows — `stack` is a map-side generator,
     * so the inverse costs one scan with no shuffle beyond the pivot's
@@ -2198,7 +2245,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

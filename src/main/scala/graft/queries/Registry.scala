@@ -19,7 +19,15 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    // Vacuous-output guard (round-12 verdict #7, mechanizing the
+    // binDiv=1e5 one-bin catch): (column, floor) — the result must
+    // contain at least `floor` DISTINCT values of `column`, or Verify
+    // fails loudly. A pooling/fitting query that degenerates to one
+    // group passes a hash gate trivially (the oracle degenerates the
+    // same way); this floor is the engine-side check that the query
+    // still exercises the semantics it exists to show.
+    minDistinct: Option[(String, Long)] = None)
 
 object Registry {
   /** All query modules, assembled by SparkEntry. */

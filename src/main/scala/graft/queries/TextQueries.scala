@@ -1406,6 +1406,59 @@ object TextQueries {
         FROM cand JOIN tri x ON x.id = id_a JOIN tri y ON y.id = id_b)
       SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5"""))
 
+  /** The ADAPTIVE operating point (round-12 verdict #4 — act on the
+    * recall-decay law): the window is DERIVED from the data via
+    * FuzzyJoin.windowFromClusterSize — the q90 first-token cluster
+    * size + 1, clamped to [2, 64] — instead of a constant, so it
+    * grows with the catalog's duplicate-cluster structure. The oracle
+    * re-derives the SAME window in SQL (discrete quantile by
+    * ROW_NUMBER position — quantile_disc differs at exact cut points;
+    * 0.9 CAST to DOUBLE so both engines ceil the same IEEE product)
+    * and replays the textbook single-ROW_NUMBER definition at it, so
+    * the hash pins both the derivation and the blocking.
+    */
+  private val qSortedNeighborhoodAdaptive = QueryDef(
+    "q_sorted_neighborhood_adaptive",
+    (s, d) => {
+      val entity = concat_ws(" ", col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size").cast("string"))
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), entity.as("entity"))
+      val w = graft.text.FuzzyJoin.windowFromClusterSize(
+        parts, "p_name", quantile = 0.9)
+      graft.text.FuzzyJoin.sortedNeighborhoodPairs(parts, "p_partkey",
+        "p_name", "entity", window = w, threshold = 0.5)
+    },
+    Some("""
+      WITH ent AS (
+        SELECT p_partkey AS id, p_name AS key,
+          p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
+            CAST(p_size AS VARCHAR) AS txt
+        FROM part),
+      cl AS (
+        SELECT split_part(key, ' ', 1) AS c, COUNT(*) AS n
+        FROM ent GROUP BY 1),
+      ws AS (
+        SELECT CAST(LEAST(64, GREATEST(2, n + 1)) AS BIGINT) AS w
+        FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS r,
+                COUNT(*) OVER () AS tot FROM cl)
+        WHERE r = CAST(CEIL(CAST(0.9 AS DOUBLE) * tot) AS BIGINT)),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM ent),
+      cand AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM r a JOIN r b
+          ON b.rn > a.rn AND b.rn <= a.rn + (SELECT w FROM ws) - 1),
+      tri AS (
+        SELECT id, list_distinct(list_transform(
+          range(1, length(txt) - 3), i -> substr(txt, i, 5))) AS t
+        FROM ent WHERE length(txt) >= 5),
+      v AS (
+        SELECT id_a, id_b,
+          len(list_intersect(x.t, y.t)) * 1.0 /
+            (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))) AS jaccard
+        FROM cand JOIN tri x ON x.id = id_a JOIN tri y ON y.id = id_b)
+      SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5"""))
+
   /** Feature hashing (TfIdf.featureHash — the Weinberger hashing
     * trick): fixed-64-dim signed token-count vectors with no
     * vocabulary pass, md5-derived buckets/signs so the oracle replays
@@ -2341,10 +2394,16 @@ object TextQueries {
       LIMIT 20"""
 
   /** Calibration readout for the NB quality classifier: score_ppm
-    * banded into 100k-ppm bins, per-bin count + positive rate — the
+    * banded into 2k-ppm bins, per-bin count + positive rate — the
     * reliability-diagram table (a well-calibrated scorer's pos_rate
     * tracks the bin midpoint). Bin id is a positive integer floor
     * division; pos_rate ONE int/int division — exact on both engines.
+    * binDiv = 2000 matches q_isotonic_calibration: the original
+    * 100000 collapsed every score into ONE bin (scores concentrate
+    * near the 500k-ppm prior) — a vacuous reliability diagram that
+    * stayed hash-green because the oracle degenerated identically.
+    * Caught by the QueryDef.minDistinct floor the moment it was
+    * mechanized (round-13); the floor stays as the regression guard.
     */
   private val qQualityCalibration = QueryDef(
     "q_quality_calibration",
@@ -2354,7 +2413,7 @@ object TextQueries {
         docs.where(col("doc_id") % 3 === 0), "text", col("lang") === "en")
       QualityClassifier.scoreDocs(docs, "doc_id", "text", w)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .select((col("score_ppm") / 100000).cast("long").as("bin"),
+        .select(expr("score_ppm div 2000").as("bin"),
           (col("lang") === "en").cast("long").as("__y"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__y")).as("n_pos"))
@@ -2379,13 +2438,15 @@ object TextQueries {
           SUM(COALESCE(w.w_ppm, 500000)) AS w_sum
         FROM sc LEFT JOIN w USING (term) GROUP BY 1),
       scored AS (
-        SELECT CAST((w_sum // n_tokens) // 100000 AS BIGINT) AS bin,
+        SELECT CAST((w_sum // n_tokens) // 2000 AS BIGINT) AS bin,
           CASE WHEN tok.lang = 'en' THEN 1 ELSE 0 END AS y
         FROM agg JOIN tok ON tok.doc_id = agg.doc_id)
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(y) AS BIGINT) AS n_pos,
         CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
-      FROM scored GROUP BY bin"""))
+      FROM scored GROUP BY bin"""),
+    // a reliability diagram needs >= 2 score bins to say anything
+    minDistinct = Some(("bin", 2L)))
 
   /** Isotonic (PAV) recalibration of the quality classifier
     * (ops/Calibration.isotonicCalibration): the best NON-DECREASING
@@ -2455,7 +2516,10 @@ object TextQueries {
       SELECT idx.bin, idx.n_docs, idx.n_pos,
         CAST((1000000 * idx.n_pos) // idx.n_docs AS BIGINT) AS raw_ppm,
         CAST(f.fitted AS BIGINT) AS fitted_ppm
-      FROM idx JOIN f ON f.j = idx.i"""))
+      FROM idx JOIN f ON f.j = idx.i"""),
+    // the mechanized binDiv=1e5 catch: a one-bin (or one-pooled-value)
+    // fit is vacuous even when hash-green
+    minDistinct = Some(("fitted_ppm", 2L)))
 
   /** Streaming twin: micro-batches collapse to additive bin partials
     * at ingest (state = the bin grid, never documents); the PAV fold
@@ -2465,7 +2529,8 @@ object TextQueries {
     "q_stream_isotonic",
     (s, d) => graft.streaming.StreamingCalibration
       .runIsotonicBatchEquivalent(s, d),
-    qIsotonic.oracle)
+    qIsotonic.oracle,
+    minDistinct = Some(("fitted_ppm", 2L)))
 
   /** Murphy decomposition of the quality classifier's Brier score
     * (ops/Eval.brierDecomposition): reliability (miscalibration —
@@ -2931,6 +2996,6 @@ object TextQueries {
     qSimhash, qSimhashGuarantee, qCorpusDedup, qCurationE2E, qRepetition, qDupSpans,
     qDupSpanRemoval, qSelfSpanRemoval, qQualityClassifier, qLmBigramScore, qLmTrigram, qStreamLm, qLmBuckets, qHllSourceVocab,
     qStreamHll, qSourceDatacard,
-    qContamination, qContainment, qStreamContainment, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood,
+    qContamination, qContainment, qStreamContainment, qContaminationBloom, qNgramNovelty, qCrossSourceDup, qFuzzyJoin, qSortedNeighborhood, qSortedNeighborhoodAdaptive,
     qStreamContamination, qStreamContaminationBloom, qStreamNearDup, qStreamCms, qFeatureHash, qStreamFeatureHash, qFingerprint, qTopTerms, qInvertedIndex, qPhraseLookup, qCurriculum, qRedact)
 }

@@ -154,4 +154,42 @@ object StreamingLateData {
         to_date(col("ts")) =!= lastDay),
       sentinel, sentinel), watermarkDelay = "3 days")
   }
+
+  /** The SAME arrival replay in UPDATE output mode — the other half
+    * of the output-mode decision matrix (SURVEY §7.4): update re-emits
+    * a group every micro-batch that amends it, pushing the
+    * drop-vs-amend decision downstream instead of finalizing.
+    *
+    * On this schedule the re-emission set is fully determined:
+    *  - every real (day, type) group arrives in exactly ONE batch
+    *    (non-clicks in batch 0, final-day clicks in batch 1, surviving
+    *    late clicks in batch 2 — the late filter is the same lagged
+    *    watermark as append, so the kept/dropped split is identical),
+    *    so each emits exactly once with its full counts — the same
+    *    rows append ships;
+    *  - the two sentinel batches amend the SENTINEL group twice, so
+    *    update emits it at count 1 and again at count 2 — the group
+    *    append proves can never finalize is exactly the one update
+    *    re-emits. The oracle reproduces both waves in SQL.
+    */
+  def runLateHourPivotUpdate(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val lastDay = to_date(lit(maxTs))
+    val sentinelTs =
+      new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
+    val sentinel = spark.range(1)
+      .select(lit(sentinelTs).as("ts"),
+        lit("__wm_sentinel").as("event_type"))
+    lateReplayPivot(spark, Seq(
+      ev.where(col("event_type") =!= "click"),
+      ev.where(col("event_type") === "click" &&
+        to_date(col("ts")) === lastDay),
+      ev.where(col("event_type") === "click" &&
+        to_date(col("ts")) =!= lastDay),
+      sentinel, sentinel), watermarkDelay = "3 days",
+      outputMode = "update")
+  }
 }

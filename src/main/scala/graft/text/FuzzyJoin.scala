@@ -134,6 +134,60 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Data-derived window for [[sortedNeighborhoodPairs]] — the fix for
+    * the measured recall-decay law (SCALE_NOTES): at FIXED w, SN
+    * recall decays as the corpus grows (15.2% → 1.6% across a 10×
+    * part-catalog growth at w = 5), because similar-name clusters gain
+    * members faster than a constant window spans. w must scale with
+    * the DUPLICATE-CLUSTER SIZE DISTRIBUTION (data), not be a constant
+    * (config).
+    *
+    * Cluster proxy: records sharing the sort key's first whitespace
+    * token (the block a lexicographic sort actually packs together —
+    * color-word prefixes on part names, street names on addresses).
+    * w = clamp(q-th discrete quantile of cluster sizes + 1,
+    * [minWindow, maxWindow]): a window that spans the q-quantile
+    * cluster end-to-end. The +1 converts a cluster SIZE into a window
+    * that pairs its first and last member. maxWindow bounds candidate
+    * cost at n·(maxWindow−1) — the bounded-COST contract is the only
+    * reason to run SN at all.
+    *
+    * CONTRACT ORDERING (the ER-family law, promoted from the round-12
+    * write-up): prefix-filter join (exact — zero false negatives,
+    * candidates linear in posting mass) > LSH bands (recall measured
+    * per operating point) > sorted-neighborhood (recall unquantified
+    * without a ground-truth pass; bounded COST, not bounded LOSS).
+    * Prefer [[fuzzyJoinTop1]]'s prefix filtering when the sort key
+    * does not cluster true matches; SN earns its keep only where the
+    * key order IS the match structure (timestamps, serial numbers).
+    *
+    * Driver-side derivation is metadata-sized: the cluster frame is
+    * bounded by the first-token vocabulary (loud require, the
+    * super-bucket coalesce discipline).
+    */
+  def windowFromClusterSize(df: DataFrame, sortKeyCol: String,
+      quantile: Double = 0.9, minWindow: Int = 2,
+      maxWindow: Int = 64): Int = {
+    require(quantile > 0 && quantile <= 1, s"quantile: $quantile")
+    require(minWindow >= 2 && maxWindow >= minWindow)
+    val sizes = df
+      .select(split(col(sortKeyCol), " ").getItem(0).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("n"))
+      .select(col("n")).collect().map(_.getLong(0)).sorted
+    require(sizes.nonEmpty, "windowFromClusterSize: empty input")
+    require(sizes.length <= 100000,
+      s"windowFromClusterSize: ${sizes.length} distinct first tokens — " +
+        "the driver-side quantile is metadata-sized only while the " +
+        "token vocabulary is")
+    // discrete (type-1) quantile: value at 1-based position
+    // ceil(q · n) of the ascending size multiset — tie order cannot
+    // change the value, so this is engine-portable (DuckDB: the same
+    // ROW_NUMBER selection; quantile_disc differs at exact cut points)
+    val pos = math.ceil(quantile * sizes.length).toLong
+    val q = sizes(pos.toInt - 1)
+    math.min(maxWindow.toLong, math.max(minWindow.toLong, q + 1)).toInt
+  }
+
   /** Exploded distinct character-q-gram hash frame (id, s), built
     * map-side: positions 1..len-q+1, xxhash64 over each q-char slice.
     */

@@ -74,7 +74,14 @@ object TriangleProfile {
 
     val spreadStr = spread.map(s => f"$s%.2f").mkString("[", ",", "]")
     val spreadShStr = spreadSh.map(s => f"$s%.2f").mkString("[", ",", "]")
-    println(f"""{"workload":"triangles","sf":"$sf","broadcast_runs_sec":$spreadStr,"shuffle_runs_sec":$spreadShStr,"edges":$nEdges,"oriented":$nOriented,"wedges":$nWedges,"triangles_x3":$nTri,"edge_sec":$edgeSec%.2f,"orient_sec":$orientSec%.2f,"wedge_sec":$wedgeSec%.2f,"closure_sec":$closeSec%.2f}""")
+    // per-round regression yardstick (round-12 verdict #5): the wedge
+    // join's single-run bench swings ±33% on this box, so the recorded
+    // number is the N-run MEDIAN — compare medians across rounds, not
+    // single draws
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    println(f"""{"workload":"triangles","sf":"$sf","broadcast_runs_sec":$spreadStr,"broadcast_median_sec":${median(spread)}%.2f,"shuffle_runs_sec":$spreadShStr,"shuffle_median_sec":${median(spreadSh)}%.2f,"edges":$nEdges,"oriented":$nOriented,"wedges":$nWedges,"triangles_x3":$nTri,"edge_sec":$edgeSec%.2f,"orient_sec":$orientSec%.2f,"wedge_sec":$wedgeSec%.2f,"closure_sec":$closeSec%.2f}""")
     spark.stop()
   }
 }

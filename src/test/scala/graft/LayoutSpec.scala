@@ -123,4 +123,36 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     }
   }
+
+  test("mips sorted storage: rung point-read pushes In, prefix row groups only") {
+    // The Similarity.scala In-literal rung claims "row-group-skippable
+    // on sorted parquet" (MipsStorageProbe measures it at 2M rows).
+    // Deterministic half here: on an id-sorted layout with small row
+    // groups, the footer stats audit must show the rung range touches
+    // only the prefix row groups, and the filter must reach the scan
+    // as PushedFilters (Spark pushes a wide In as the [min,max] range
+    // — SPARK-32792).
+    val dir = Files.createTempDirectory("graft_mips_sorted").toString
+    spark.range(100000).select(col("id").as("vec_id"),
+        concat(lit("pad_"), col("id")).as("payload"))
+      .repartitionByRange(4, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(dir)
+    val rung = 1000L
+    val (total, hit, rowsHit) = graft.tools.MipsStorageProbe.footerAudit(
+      spark.sparkContext.hadoopConfiguration, dir, "vec_id", 0L, rung - 1)
+    assert(total >= 8, s"layout produced too few row groups to test: $total")
+    assert(hit < total / 2,
+      s"sorted layout did not skip: $hit of $total row groups overlap")
+    assert(rowsHit >= rung && rowsHit < 100000 / 2,
+      s"rows in overlapping groups out of range: $rowsHit")
+    val read = spark.read.parquet(dir)
+      .where(col("vec_id").isin((0L until rung): _*))
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert("PushedFilters: \\[[^\\]]*vec_id".r.findFirstIn(plan).isDefined,
+      s"rung filter did not reach the parquet scan:\n$plan")
+    assert(read.count() == rung)
+  }
 }
