@@ -38,13 +38,19 @@ object GroupQuantile {
     * `__gq_cum`/`__gq_tot`/`__gq_thr`.
     *
     * TWO-CONSUMER caveat: `df` feeds both the threshold aggregate and
-    * the filter join-back, so an EXPENSIVE `value` expression (regex
-    * quality scores, model scoring) evaluates twice unless the caller
-    * materializes the scored frame first — CurationProbe measured the
-    * un-pinned form re-running the quality regexes for 2.5× the cost
-    * of the entire dedup stage at 5M docs. Score once, pin
-    * (persist/localCheckpoint), then filter on the materialized
-    * column.
+    * the filter join-back, so an EXPENSIVE `value` expression
+    * evaluates twice. MEASURED (CurationProbe three-way A/B, 5M wide
+    * text docs, quiet box): the double eval is the thing to BEAT, not
+    * an obvious bug — unpinned 949.9 s < fat pin (persist the scored
+    * corpus) 1,017.7 s < narrow (id, group, score) pin + left-semi
+    * join-back 1,244.2 s. A regex-grade score costs about one
+    * corpus move per pass, so both materialization "fixes" pay more
+    * in corpus movement (block-manager serialization / join shuffle)
+    * than the recompute they save — and at a high keep rate the
+    * semi-join moves the whole corpus to drop a sliver. Materialize
+    * only when BOTH hold: value-eval ≫ one corpus move (model
+    * inference, not regexes), and the keep rate is low enough that
+    * the join-back narrows the frame.
     */
   def filterAtQuantile(df: DataFrame, groupCols: Seq[Column],
       value: Column, p: Double): DataFrame = {
@@ -174,8 +180,8 @@ object GroupQuantile {
     * two-middle averaging ambiguity). `value` must be exact integers
     * (quantize money to cents first). Two distribution aggregates +
     * two broadcast join-backs; the input is consumed three times, so
-    * pin upstream if `value` is expensive (the filterAtQuantile
-    * caveat).
+    * pin upstream if `value` is expensive — the NARROW projection,
+    * not the corpus (the filterAtQuantile caveat).
     *
     * Output: `(groups…, n, median, mad, n_outliers)`.
     */

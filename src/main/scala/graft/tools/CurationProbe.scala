@@ -139,19 +139,30 @@ object CurationProbe {
       dc
     }
 
-    val (gated, gateSec) = timed("quality_gate") {
-      // PIN THE SCORED FRAME: filterAtQuantile consumes its input
-      // twice (threshold aggregate + filter join-back), so an
-      // expensive score expression evaluates twice unless
-      // materialized — the first 5M run spent 950 s here (2.5× the
-      // whole dedup) re-running the quality regexes; scoring once and
-      // pinning is the cross-stage-replay fix the pinned-frame
-      // pattern exists for.
-      val scored = pin(TF.withQualityScore(decon, "text", "q"))
-      decon.unpersist()
+    // MEASURED three-way A/B (5M docs, quiet box, 48g) — the r11
+    // "pin the scored frame" theory is REFUTED:
+    //   unpinned double-eval (r11)                949.9 s  <- WINNER
+    //   fat pin (persist scored corpus, r13)    1,017.7 s
+    //     = score+pin 534.1 (zero shuffle: regex pass + full-corpus
+    //       DISK_ONLY round-trip) + filter 483.6 (two pin reads +
+    //       output re-pin)
+    //   narrow pin + left-semi (r13)            1,244.2 s
+    //     = score+narrow-pin 450.5 + semi-join 793.7 (the corpus
+    //       TEXT shuffles through the join — 5.9 GB shuffle write —
+    //       to drop the 1% below threshold)
+    // Law: the regex score costs ~450-475 s/pass here, i.e. ~one
+    // corpus move — so every materialization "fix" pays MORE in
+    // corpus movement (serialization or shuffle) than the recompute
+    // it saves, and at a 99% keep rate the semi-join moves everything
+    // to drop almost nothing. Let the score evaluate twice; pin only
+    // when value-eval ≫ a corpus move (model scoring) AND the keep
+    // rate is low enough that the join-back narrows. The probe ships
+    // the winner.
+    val (gated, gateSec) = timed("quality_gate_unpinned") {
       val g = pin(graft.ops.GroupQuantile.filterAtQuantile(
-        scored, Seq(col("lang")), col("q"), p = 0.25).drop("q"))
-      scored.unpersist()
+        TF.withQualityScore(decon, "text", "q"),
+        Seq(col("lang")), col("q"), p = 0.25).drop("q"))
+      decon.unpersist()
       g
     }
 
@@ -168,8 +179,8 @@ object CurationProbe {
 
     val gb = 1024.0 * 1024 * 1024
     val phases = Seq("generate" -> genSec, "dedup" -> dedupSec,
-      "decontaminate" -> deconSec, "quality_gate" -> gateSec,
-      "split_pack" -> packSec)
+      "decontaminate" -> deconSec,
+      "quality_gate_unpinned" -> gateSec, "split_pack" -> packSec)
     val rows = phases.map { case (name, sec) =>
       val m = listener.byPhase.getOrElse(name, M())
       f""""$name":{"sec":$sec%.1f,"shuffle_write_gb":${m.shuffleWrite / gb}%.2f,"spill_disk_gb":${m.spillDisk / gb}%.2f,"peak_exec_mem_gb":${m.peakExecMem / gb}%.2f,"max_stage_shuffle_gb":${m.maxStageShuffle / gb}%.2f}"""
