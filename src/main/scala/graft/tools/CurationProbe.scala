@@ -80,10 +80,13 @@ object CurationProbe {
     // 32 partitions × ~310k docs × ~100 shingles each blew the hash
     // aggregate's memory budget (AGGREGATE_OUT_OF_MEMORY with 32
     // concurrent fat tasks) — size partitions so a task's partial agg
-    // fits: ~20k docs/task. The exact knob a 1000-executor deployment
-    // turns (shuffle.partitions scales with data, not cluster default).
-    spark.conf.set("spark.sql.shuffle.partitions", "512")
-    val parts = 512
+    // fits: ~10k docs/task. The exact knob a 1000-executor deployment
+    // turns (shuffle.partitions scales with DATA, not cluster
+    // default): 512 at 5M docs; a fixed 512 at 10M (19.5k docs/task)
+    // OOM'd the same aggregate at 48g — the ceiling is per-task docs,
+    // so partitions double with the corpus.
+    val parts = math.max(512, (n / 10000L).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val listener = new PhaseListener
     spark.sparkContext.addSparkListener(listener)
 
