@@ -70,7 +70,13 @@ object Dedup {
     * disk-evictable under execution pressure). Costs one deserialize
     * per re-read; worth it for 10⁸-row gram/shingle frames (measured:
     * 2×75M-row gram frames pinned deserialized OOM an 8 g heap that
-    * the serialized form fits with room to spare).
+    * the serialized form fits with room to spare). Round-13: EVERY
+    * shingle-frame pin in this file now uses this level — the 10M-doc
+    * composed curation run (10⁹ shingle rows) OOM'd a 48 g heap on
+    * the deserialized pin at two different partition counts, exactly
+    * the failure mode this level exists for; the deserialize-per-
+    * re-read tax is noise next to the bands+verify joins that consume
+    * the frame.
     */
   private[text] def pinnedSerFrame(df: DataFrame): DataFrame =
     df.localCheckpoint(true,
@@ -207,7 +213,7 @@ object Dedup {
     require(numHashes % b == 0, "numHashes must divide into bands")
     // one pinned shingle frame feeds signatures AND verification;
     // collect_set dedups for the verify arrays, min-aggs don't care
-    val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN,
+    val ex = pinnedSerFrame(shingleHashFrame(df, idCol, textCol, shingleN,
       distinctShingles = false))
     minhashNearDupsFromFrame(ex, threshold, numHashes, b,
       estThresholdOpt.getOrElse(math.max(threshold, 2.0 / numHashes)))
@@ -297,7 +303,7 @@ object Dedup {
     val estThreshold =
       estThresholdOpt.getOrElse(math.max(threshold, 2.0 / numHashes))
     val idx = spark.read.parquet(indexDir)
-    val exB = pinned(shingleHashFrame(batch, idCol, textCol, shingleN,
+    val exB = pinnedSerFrame(shingleHashFrame(batch, idCol, textCol, shingleN,
       distinctShingles = false))
     val bandCols = (0 until b).map { bi =>
       xxhash64((bi * r until (bi + 1) * r).map(i => col(s"mh_$i")): _*)
@@ -530,7 +536,7 @@ object Dedup {
     // (the 16×4 pigeonhole exhibit) keep the single alignment.
     val rotations = if (chunks == 0) Seq(0, 64 / c / 2) else Seq(0)
     // one pinned shingle frame feeds signatures AND verification
-    val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN))
+    val ex = pinnedSerFrame(shingleHashFrame(df, idCol, textCol, shingleN))
     val pairs = simhashPairsWithin(simhashSignaturesFrom(ex), maxHamming, c,
       rotations).select(col("id_a"), col("id_b"))
     verifiedJaccard(pairs, ex, threshold)
@@ -589,7 +595,7 @@ object Dedup {
       tNum: Int, tDen: Int, shingleN: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be in (0,1]: $tNum/$tDen")
-    val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN,
+    val ex = pinnedSerFrame(shingleHashFrame(df, idCol, textCol, shingleN,
       distinctShingles = true))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val wId = Window.partitionBy(col("id"))
@@ -639,9 +645,9 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be in (0,1]: $tNum/$tDen")
-    val exC = pinned(shingleHashFrame(corpus, idCol, textCol, shingleN,
+    val exC = pinnedSerFrame(shingleHashFrame(corpus, idCol, textCol, shingleN,
       distinctShingles = true))
-    val exQ = pinned(shingleHashFrame(probes, idCol, textCol, shingleN,
+    val exQ = pinnedSerFrame(shingleHashFrame(probes, idCol, textCol, shingleN,
       distinctShingles = true))
     val dfreq = exC.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val wId = Window.partitionBy(col("id"))
@@ -902,7 +908,7 @@ object Dedup {
     // Probe side is bounded by contract (benchmarks/blocklists) and
     // feeds three consumers (count, sketch build, exact verify) →
     // pinned, the no-unpersist-hook pattern.
-    val probeSh = pinned(shingleHashFrame(probes, idCol, textCol, shingleN)
+    val probeSh = pinnedSerFrame(shingleHashFrame(probes, idCol, textCol, shingleN)
       .select(col("s")).distinct())
     val nProbe = math.max(probeSh.count(), 1L)
     val bf = probeSh.stat.bloomFilter("s", nProbe, fpp)
@@ -926,7 +932,7 @@ object Dedup {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val mightHit = org.apache.spark.sql.functions
       .call_function("bloom_might_contain", lit(sketch), col("s"))
-    val corpusSh = pinned(shingleHashFrame(corpus, idCol, textCol, shingleN))
+    val corpusSh = pinnedSerFrame(shingleHashFrame(corpus, idCol, textCol, shingleN))
     val totals = corpusSh.groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"))
     val overlap = corpusSh.where(mightHit)
@@ -1108,7 +1114,7 @@ object Dedup {
     // 3×. pinned() (eager localCheckpoint) rather than persist: a
     // function returning a lazy DataFrame has no unpersist hook, and
     // checkpoint blocks free with the frame's GC (see pinned's doc).
-    val ex = pinned(shingleHashFrame(df, idCol, textCol, shingleN))
+    val ex = pinnedSerFrame(shingleHashFrame(df, idCol, textCol, shingleN))
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

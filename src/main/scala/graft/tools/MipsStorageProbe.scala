@@ -122,7 +122,15 @@ object MipsStorageProbe {
       .sortWithinPartitions("vec_id")
       .write.option("parquet.block.size", 1024 * 1024)
       .mode("overwrite").parquet(s"$base/sorted")
+    // the control must be genuinely order-free INSIDE each file: a
+    // bare repartition concatenates map outputs in map order, so the
+    // low ids still front-load each file's first row group and the
+    // footer stats accidentally stay tight (first probe run measured
+    // 10/266 groups overlapping on the "shuffled" control — a broken
+    // control, caught by the audit). Sort within partitions by an id
+    // hash so every row group spans ~the whole id domain.
     vecs.repartition(16, pmod(xxhash64(col("vec_id"), lit(3)), lit(16)))
+      .sortWithinPartitions(xxhash64(col("vec_id"), lit(11)))
       .write.option("parquet.block.size", 1024 * 1024)
       .mode("overwrite").parquet(s"$base/shuffled")
 
