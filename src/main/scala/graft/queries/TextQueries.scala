@@ -2828,12 +2828,18 @@ object TextQueries {
           SELECT source,
             CAST(COUNT(*) FILTER (d = 10) AS BIGINT) AS n_common,
             SUM(CASE d $weightCase END) AS num
-          FROM t GROUP BY 1)
-        SELECT source, n_common,
-          CAST((num * 1000000) // $den AS BIGINT) AS rbo_x1e6,
-          CAST((num * 1000000) // ${(1 to 10).map(d => w(d - 1) * d).sum}
-            AS BIGINT) AS rbo_norm_x1e6
-        FROM g"""))
+          FROM t GROUP BY 1),
+        ku AS (
+          SELECT DISTINCT source FROM ra WHERE pa <= 10
+          UNION
+          SELECT DISTINCT source FROM rb WHERE pb <= 10)
+        SELECT ku.source,
+          CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+          CAST(COALESCE((num * 1000000) // $den, 0) AS BIGINT) AS rbo_x1e6,
+          CAST(COALESCE((num * 1000000) //
+            ${(1 to 10).map(d => w(d - 1) * d).sum}, 0) AS BIGINT)
+            AS rbo_norm_x1e6
+        FROM ku LEFT JOIN g USING (source)"""))
   }
 
   /** Streaming twin: per-batch per-source top-10 partials for BOTH
