@@ -34,18 +34,24 @@ w = con.execute(f"""
           COUNT(*) OVER () AS tot FROM cl)
   WHERE r = CAST(CEIL(CAST({quant} AS DOUBLE) * tot) AS BIGINT)""").fetchone()[0]
 
+# Materialize the all-pairs ground truth ONCE — it is the expensive
+# pass (n^2 list intersections; ~1 h at sf0.1 on 2 cores) and the
+# first version of this script recomputed it per operating point.
+con.execute(f"""
+  CREATE TEMP TABLE truth AS
+  WITH ent AS ({ENT}),
+  tri AS (
+    SELECT id, list_distinct(list_transform(
+      range(1, length(txt) - 3), i -> substr(txt, i, 5))) AS t
+    FROM ent WHERE length(txt) >= 5)
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM tri a JOIN tri b ON a.id < b.id
+  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+    (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5""")
+
 def measure(window):
     truth, caught = con.execute(f"""
       WITH ent AS ({ENT}),
-      tri AS (
-        SELECT id, list_distinct(list_transform(
-          range(1, length(txt) - 3), i -> substr(txt, i, 5))) AS t
-        FROM ent WHERE length(txt) >= 5),
-      truth AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM tri a JOIN tri b ON a.id < b.id
-        WHERE len(list_intersect(a.t, b.t)) * 1.0 /
-          (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5),
       r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM ent),
       cand AS (
         SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
