@@ -26,15 +26,33 @@ object Verify {
         // vacuous-output floor (QueryDef.minDistinct): a pooling query
         // whose output collapsed to one group would still hash-match a
         // degenerate oracle — fail loudly instead. Checked on the
-        // written parquet (results are small; no recompute).
+        // written parquet (results are small; no recompute). ANY error
+        // inside the check (a typo'd/renamed floor column, an unreadable
+        // dump) withdraws the dump too: a floor that cannot evaluate
+        // must fail the gate, not silently never enforce (r13 ADVICE).
         SparkEntry.minDistinct.get(name).foreach { case (c, floor) =>
-          val got = spark.read.parquet(s"$outDir/$name")
-            .select(c).distinct().count()
-          if (got < floor) {
-            // remove the dump so the gate records an err, not a
-            // trivially-matching degenerate result
+          def withdraw(): Unit = {
+            // remove the dump so the gate records a missing result, not
+            // a trivially-matching degenerate one
             import scala.reflect.io.Directory
             new Directory(new java.io.File(s"$outDir/$name")).deleteRecursively()
+          }
+          val got =
+            try {
+              val back = spark.read.parquet(s"$outDir/$name")
+              if (!back.columns.contains(c))
+                throw new IllegalStateException(
+                  s"minDistinct column '$c' absent from output schema " +
+                    back.columns.mkString("[", ",", "]"))
+              back.select(c).distinct().count()
+            } catch { case e: Throwable =>
+              withdraw()
+              throw new IllegalStateException(
+                s"minDistinct check unevaluable for $name: ${e.getMessage}",
+                e)
+            }
+          if (got < floor) {
+            withdraw()
             throw new IllegalStateException(
               s"vacuous output: $name has $got distinct '$c' " +
                 s"values, floor is $floor")

@@ -501,9 +501,15 @@ object Graph {
     (out, round, converged)
   }
 
-  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+  /** Min-label HashMin with the convergence state SURFACED (the
+    * kCoreWithRounds convention): returns (labels, rounds executed,
+    * converged). With `runToFixpoint = false` the convergence probe
+    * never runs, so `converged` stays false and rounds == iters — the
+    * fixed-round unrolled-oracle contract.
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, nodes: DataFrame,
       idCol: String, iters: Int,
-      runToFixpoint: Boolean = false): DataFrame = {
+      runToFixpoint: Boolean = false): (DataFrame, Int, Boolean) = {
     require(iters >= 1, "connectedComponents needs iters >= 1")
     var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
@@ -527,6 +533,29 @@ object Graph {
       labels = next
       round += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("component"))
+    (labels.select(col("id").as(idCol), col("label").as("component")),
+      round, converged)
+  }
+
+  /** `runToFixpoint = true` PROMISES exact component semantics, so a
+    * run that exhausts `iters` still unconverged throws instead of
+    * silently returning split clusters (r13 ADVICE) — raise `iters`
+    * past the graph's label-propagation diameter, or call
+    * [[connectedComponentsWithRounds]] to inspect the flag yourself.
+    * With `runToFixpoint = false` this is the documented fixed-round
+    * operator and never throws.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      idCol: String, iters: Int,
+      runToFixpoint: Boolean = false): DataFrame = {
+    val (labels, rounds, converged) = connectedComponentsWithRounds(
+      edges, nodes, idCol, iters, runToFixpoint)
+    if (runToFixpoint && !converged)
+      throw new IllegalStateException(
+        s"connectedComponents: runToFixpoint=true but the iteration cap " +
+          s"($iters rounds) was exhausted before fixpoint — the labels " +
+          "would be split clusters; raise iters or use " +
+          "connectedComponentsWithRounds to handle partial convergence")
+    labels
   }
 }

@@ -167,25 +167,64 @@ object FuzzyJoin {
     */
   def windowFromClusterSize(df: DataFrame, sortKeyCol: String,
       quantile: Double = 0.9, minWindow: Int = 2,
-      maxWindow: Int = 64): Int = {
+      maxWindow: Int = 64): Int =
+    windowDerivation(df, sortKeyCol, quantile, minWindow, maxWindow).window
+
+  /** The full adaptive-window derivation: the clamped `window` plus the
+    * UNCLAMPED `derived` value (q-quantile cluster size + 1) and a
+    * `clamped` flag — the machine-visible handoff signal (r13 verdict
+    * #6). The sf0.1 measurement (SCALE_NOTES "the clamp is now the
+    * binding constraint"): when the derivation wants w ≈ 220 and the
+    * clamp caps it at 64, recall has already decayed to 23.4% and SN's
+    * bounded-cost contract is the thing limiting recall — the exact
+    * prefix join ([[fuzzyJoinTop1]], zero false negatives, no window
+    * to size) is the right tool past this point. Callers that ignore
+    * the flag still hear about it: a binding clamp logs one loud
+    * stderr notice.
+    */
+  final case class WindowDerivation(window: Int, derived: Long,
+      clamped: Boolean)
+
+  def windowDerivation(df: DataFrame, sortKeyCol: String,
+      quantile: Double = 0.9, minWindow: Int = 2,
+      maxWindow: Int = 64): WindowDerivation = {
     require(quantile > 0 && quantile <= 1, s"quantile: $quantile")
     require(minWindow >= 2 && maxWindow >= minWindow)
-    val sizes = df
+    val sizeFrame = df
       .select(split(col(sortKeyCol), " ").getItem(0).as("__c"))
       .groupBy(col("__c")).agg(count(lit(1)).as("n"))
-      .select(col("n")).collect().map(_.getLong(0)).sorted
-    require(sizes.nonEmpty, "windowFromClusterSize: empty input")
-    require(sizes.length <= 100000,
-      s"windowFromClusterSize: ${sizes.length} distinct first tokens — " +
+      .select(col("n"))
+    // Guard BEFORE the collect (r13 verdict #2): the 100k metadata
+    // contract must fire while the frame is still distributed — a
+    // bounded limit-probe counts at most 100001 rows executor-side, so
+    // a pathological vocabulary (tens of millions of first tokens on a
+    // real text corpus) hits the loud stop without the driver ever
+    // holding the frame.
+    val probed = sizeFrame.limit(100001).count()
+    require(probed > 0, "windowFromClusterSize: empty input")
+    require(probed <= 100000,
+      s"windowFromClusterSize: over 100000 distinct first tokens — " +
         "the driver-side quantile is metadata-sized only while the " +
         "token vocabulary is")
+    val sizes = sizeFrame.collect().map(_.getLong(0)).sorted
     // discrete (type-1) quantile: value at 1-based position
     // ceil(q · n) of the ascending size multiset — tie order cannot
     // change the value, so this is engine-portable (DuckDB: the same
     // ROW_NUMBER selection; quantile_disc differs at exact cut points)
     val pos = math.ceil(quantile * sizes.length).toLong
     val q = sizes(pos.toInt - 1)
-    math.min(maxWindow.toLong, math.max(minWindow.toLong, q + 1)).toInt
+    val derived = q + 1
+    val w = math.min(maxWindow.toLong, math.max(minWindow.toLong, derived))
+      .toInt
+    val clamped = derived > maxWindow
+    if (clamped)
+      System.err.println(
+        s"[windowFromClusterSize] NOTICE: derivation wants w=$derived " +
+          s"but maxWindow=$maxWindow binds — SN recall is now limited " +
+          "by the bounded-cost clamp, not the data; prefer the exact " +
+          "prefix-filter join (FuzzyJoin.fuzzyJoinTop1) at this " +
+          "cluster-size distribution")
+    WindowDerivation(w, derived, clamped)
   }
 
   /** Exploded distinct character-q-gram hash frame (id, s), built

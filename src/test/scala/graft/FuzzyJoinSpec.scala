@@ -44,6 +44,38 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(out == brute, s"got $out expected $brute")
   }
 
+  test("window derivation: exposes the unclamped value and flags a binding clamp") {
+    import org.apache.spark.sql.functions._
+    // one 200-row first-token cluster + one singleton: ascending sizes
+    // [1, 200], q90 position ceil(0.9*2)=2 -> q=200 -> derived=201
+    val df = spark.range(200).select(lit("big cluster").as("key"))
+      .unionAll(spark.range(1).select(lit("solo one").as("key")))
+    val d = FuzzyJoin.windowDerivation(df, "key", quantile = 0.9,
+      minWindow = 2, maxWindow = 8)
+    assert(d.derived == 201L, "unclamped derivation must be visible")
+    assert(d.window == 8 && d.clamped,
+      "maxWindow must bind and the clamp must be flagged")
+    // unclamped regime: same data, roomy clamp -> flag off, values agree
+    val u = FuzzyJoin.windowDerivation(df, "key", quantile = 0.9,
+      minWindow = 2, maxWindow = 500)
+    assert(u.window == 201 && u.derived == 201L && !u.clamped)
+    assert(FuzzyJoin.windowFromClusterSize(df, "key",
+      maxWindow = 8) == 8, "scalar entry point stays clamp-compatible")
+  }
+
+  test("window derivation: vocabulary guard fires before the driver collects") {
+    import org.apache.spark.sql.functions._
+    // 100001 distinct first tokens — over the metadata contract. The
+    // limit-probe must trip the require without materializing the
+    // frame driver-side (the guard-after-collect fix, r13 verdict #2).
+    val big = spark.range(100001)
+      .select(concat(lit("t"), col("id")).as("key"))
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.windowDerivation(big, "key")
+    }
+    assert(e.getMessage.contains("distinct first tokens"))
+  }
+
   test("gram frame: count and distinctness") {
     val df = Seq((1L, "abcd")).toDF("id", "s")
     // q=3 grams: abc, bcd -> 2 distinct

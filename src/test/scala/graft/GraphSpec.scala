@@ -198,4 +198,25 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped(4L) == 3L && capped(2L) == 1L && capped(8L) == 8L)
   }
+
+  test("connected components: exhausting iters under runToFixpoint throws") {
+    // the path graph needs >1 HashMin round; runToFixpoint PROMISES
+    // exact components, so a binding cap must be loud, never a silent
+    // split-cluster labeling (r13 ADVICE)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 4L).toDF("id")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(edges, nodes, "id", iters = 1,
+        runToFixpoint = true).collect()
+    }
+    assert(e.getMessage.contains("before fixpoint"))
+    // the WithRounds variant surfaces the state instead of throwing
+    val (_, rounds, converged) = Graph.connectedComponentsWithRounds(
+      edges, nodes, "id", iters = 1, runToFixpoint = true)
+    assert(rounds == 1 && !converged)
+    // and the fixed-round mode (the oracle contract) still never throws
+    assert(Graph.connectedComponents(edges, nodes, "id", iters = 1)
+      .count() == 4L)
+  }
 }

@@ -99,6 +99,15 @@ def main():
         v = compare(name, spark_df, duck_df)
         results[name] = f"{v} rows={len(spark_df)}"
         passed[name] = v.startswith("OK")
+    # A query whose dump Verify withdrew (the minDistinct vacuous-output
+    # guard deletes the parquet dir on a floor violation) must FAIL the
+    # gate, not silently shrink N/N: iterate the declared oracle names,
+    # not just the dirs that happen to exist.
+    for name in oracles:
+        if name not in results:
+            results[name] = "MISSING RESULT (no output dir — withdrawn " \
+                "by Verify or never written)"
+            passed[name] = False
     fails = sum(1 for ok in passed.values() if not ok)
     for k in sorted(results):
         print(f"{'PASS' if passed[k] else 'FAIL':4} {k}: {results[k]}")
