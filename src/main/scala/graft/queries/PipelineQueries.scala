@@ -63,6 +63,13 @@ object PipelineQueries {
     * gate checks the watermark semantics themselves, not just row
     * plumbing. Drop-vs-update behavior is pinned by fixture in
     * StreamingSpec.
+    *
+    * Why the wm CTE is over NON-CLICKS ONLY (r13 ADVICE adjudicated by
+    * measurement): batch 2's late filter is the watermark derived from
+    * batch 0's data alone — batches 0..N−2, the two-batch lag — NOT
+    * the max over batches 0 and 1. tools/WatermarkLagProbe separates
+    * the two candidates by 4 days and the probe row is KEPT; the
+    * "late filter ... batches 0..N-2" StreamingSpec fixture pins it.
     */
   private val qStreamLatePivot = QueryDef(
     "q_stream_late_pivot",
@@ -132,6 +139,73 @@ object PipelineQueries {
           '__wm_sentinel' AS event_type,
           $sentinelHourCols
         FROM s CROSS JOIN waves"""))
+  }
+
+  /** Update mode with REAL amended groups (r13 verdict #8): in
+    * q_stream_late_pivot_update every real (day, type) group arrives
+    * in exactly one micro-batch, so only the sentinel exercises
+    * re-emission. Here the non-click epoch arrives split at noon —
+    * morning rows one batch, afternoon rows the next — so every group
+    * with events on both sides emits TWO waves: the morning partial
+    * (hour_12..23 all zero) and the amended full counts. The oracle
+    * reproduces both waves per group in SQL (partial-where-morning ∪
+    * full-where-afternoon), clicks/sentinel exactly as the update
+    * twin. A green hash proves (a) afternoon rows merged CUMULATIVELY
+    * into live state (a re-created-state bug would emit
+    * afternoon-only counts), and (b) each amendment wave reached the
+    * sink exactly once.
+    */
+  private val qStreamUpdateWaves = {
+    val morningHourCols = (0 until 24).map(h =>
+      if (h < 12)
+        s"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS hour_$h"
+      else s"CAST(0 AS BIGINT) AS hour_$h")
+      .mkString(",\n          ")
+    val sentinelHourCols = (0 until 24).map(h =>
+      s"CAST(CASE WHEN EXTRACT(hour FROM s.sts) = $h THEN waves.w ELSE 0 END AS BIGINT) AS hour_$h")
+      .mkString(",\n          ")
+    QueryDef(
+      "q_stream_update_waves",
+      (s, d) => graft.streaming.StreamingLateData
+        .runLateHourPivotUpdateSplit(s, d),
+      Some(s"""
+        WITH nc AS (
+          SELECT ts, event_type FROM events WHERE event_type <> 'click'),
+        lastday AS (SELECT CAST(MAX(ts) AS DATE) AS d FROM events),
+        wm AS (
+          SELECT date_trunc('millisecond', MAX(ts)) - INTERVAL 3 DAY AS w
+          FROM nc),
+        keptclicks AS (
+          SELECT e.ts, e.event_type FROM events e, lastday
+          WHERE e.event_type = 'click' AND CAST(e.ts AS DATE) = lastday.d
+          UNION ALL
+          SELECT e.ts, e.event_type FROM events e, lastday, wm
+          WHERE e.event_type = 'click' AND CAST(e.ts AS DATE) <> lastday.d
+            AND CAST(e.ts AS DATE) + INTERVAL 1 DAY > wm.w),
+        s AS (SELECT MAX(ts) + INTERVAL 10 DAY AS sts FROM events),
+        waves AS (SELECT 1 AS w UNION ALL SELECT 2)
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+          $morningHourCols
+        FROM nc GROUP BY 1, 2
+        HAVING SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END) > 0
+        UNION ALL
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+          $hourColsSql
+        FROM nc GROUP BY 1, 2
+        HAVING SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END) > 0
+        UNION ALL
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+          $hourColsSql
+        FROM keptclicks GROUP BY 1, 2
+        UNION ALL
+        SELECT CAST(s.sts AS DATE) AS event_date,
+          '__wm_sentinel' AS event_type,
+          $sentinelHourCols
+        FROM s CROSS JOIN waves"""),
+      // a one-wave-only output (the amendment path never firing) must
+      // fail loudly, not hash-compare: demand the types AND both
+      // sentinel waves worth of distinct dates
+      minDistinct = Some(("event_type", 3L)))
   }
 
   /** Pivot⁻¹ (HourPivot.unpivot): melt the wide hour table back to
@@ -2245,7 +2319,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

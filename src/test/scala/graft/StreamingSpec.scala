@@ -166,6 +166,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(day2.exists(_.getAs[Long]("hour_9") == 0L), "first emission visible")
   }
 
+  test("late filter for batch N derives from batches 0..N-2, not N-1") {
+    import spark.implicits._
+    import graft.streaming.StreamingLateData
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Decisive two-watermark fixture (r13 ADVICE adjudication — the
+    // fixture above cannot distinguish the candidates because its
+    // batch-0/1 maxima share a day): batch 0 max = day1 10:00, batch 1
+    // max = day5 23:00, and the batch-2 late row's window end (day4
+    // 00:00) falls strictly BETWEEN wm(after b0) = day1 09:00 and
+    // wm(after b1) = day5 22:00 at 1 h delay. Measured verdict
+    // (tools/WatermarkLagProbe): the row is KEPT — batch 2's late
+    // filter is the watermark from batch 0's data only, so the
+    // nc-only wm CTE in q_stream_late_pivot[_update]'s oracle is
+    // schedule-exact, not dataset-lucky.
+    val b0 = Seq((ts("2024-01-01 10:00:00"), "a")).toDF("ts", "event_type")
+    val b1 = Seq((ts("2024-01-05 23:00:00"), "a")).toDF("ts", "event_type")
+    val b2 = Seq((ts("2024-01-03 12:00:00"), "a")).toDF("ts", "event_type")
+    val sent = Seq((ts("2024-03-01 12:00:00"), "__wm_sentinel"))
+      .toDF("ts", "event_type")
+    val out = StreamingLateData.lateReplayPivot(
+      spark, Seq(b0, b1, b2, sent, sent))
+    val days = out.select(col("event_date").cast("string"))
+      .as[String].collect().toSet
+    assert(days("2024-01-03"),
+      "batch-2 late row must pass the filter lagged to batch 0's wm")
+    assert(days == Set("2024-01-01", "2024-01-03", "2024-01-05"))
+  }
+
+  test("update waves: a real business key amends across micro-batches") {
+    // r13 verdict #8 done-criterion: the update stream must provably
+    // emit >= 2 waves for a NON-sentinel key. The noon-split schedule
+    // amends every (day, type) group with events on both sides of
+    // noon; waves differ (wave 1 has hour_12..23 all zero).
+    val out = graft.streaming.StreamingLateData
+      .runLateHourPivotUpdateSplit(spark, sf)
+      .where(col("event_type") =!= "__wm_sentinel")
+      .localCheckpoint(true)
+    val amended = out.groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("waves"))
+      .where(col("waves") >= 2)
+    assert(amended.count() > 0,
+      "at least one real (day, type) group must emit two waves")
+    // the two waves of an amended group are distinct rows: the morning
+    // partial has zero afternoon counts, the amendment does not
+    val afternoonSum = (12 until 24)
+      .map(h => col(s"hour_$h")).reduce(_ + _)
+    val firstWaves = out.where(afternoonSum === 0)
+    val fullWaves = out.where(afternoonSum > 0)
+    assert(firstWaves.join(fullWaves.select(col("event_date"),
+        col("event_type")), Seq("event_date", "event_type"), "left_semi")
+      .count() > 0, "partial and amended waves must coexist per group")
+  }
+
   test("streaming dedup suppresses duplicates within the watermark window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
