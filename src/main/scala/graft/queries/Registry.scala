@@ -30,9 +30,14 @@ final case class QueryDef(
     minDistinct: Option[(String, Long)] = None)
 
 object Registry {
-  /** All query modules, assembled by SparkEntry. */
+  /** All query modules, assembled by SparkEntry. Central vacuous-output
+    * floors ([[Floors]]) fill in minDistinct for every query that does
+    * not declare its own inline.
+    */
   def all: Seq[QueryDef] =
-    RelationalQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++
+    (RelationalQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++
       PipelineQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ GraphQueries.all
+      MultimodalQueries.all ++ GraphQueries.all)
+      .map(q => q.copy(minDistinct =
+        q.minDistinct.orElse(Floors.byName.get(q.name))))
 }

@@ -43,6 +43,11 @@ import graft.Session
   * never semantics).
   *
   * Usage: runMain graft.tools.MipsStorageProbe [nThousands] [rungSize]
+  *        [rowGroupBytes]
+  * rowGroupBytes defaults to 1 MB (skipping measurable at probe
+  * scale); pass 134217728 with a catalog ≥ 20M rows for the
+  * DEPLOYMENT point (128 MB groups — the parquet default a real
+  * serving catalog is written with).
   */
 object MipsStorageProbe {
 
@@ -97,6 +102,7 @@ object MipsStorageProbe {
   def main(args: Array[String]): Unit = {
     val nK = args.headOption.map(_.toInt).getOrElse(2000)
     val rung = args.lift(1).map(_.toInt).getOrElse(8192)
+    val rowGroupBytes = args.lift(2).map(_.toLong).getOrElse(1024L * 1024)
     val n = nK * 1000L
     val dim = 32
     val k = 20
@@ -115,12 +121,12 @@ object MipsStorageProbe {
         transform(sequence(lit(1), lit(dim)),
           i => (gauss(i) * w).cast("float")).as("embedding"))
 
-    // ~1 MB row groups make skipping measurable at probe scale; a
-    // deployment uses the 128 MB default and the same prefix argument
-    // holds with proportionally coarser granularity
+    // ~1 MB row groups make skipping measurable at probe scale; the
+    // rowGroupBytes arg reruns the same audit at the deployment
+    // 128 MB default (r13 verdict #7)
     vecs.repartitionByRange(16, col("vec_id"))
       .sortWithinPartitions("vec_id")
-      .write.option("parquet.block.size", 1024 * 1024)
+      .write.option("parquet.block.size", rowGroupBytes)
       .mode("overwrite").parquet(s"$base/sorted")
     // the control must be genuinely order-free INSIDE each file: a
     // bare repartition concatenates map outputs in map order, so the
@@ -131,7 +137,7 @@ object MipsStorageProbe {
     // hash so every row group spans ~the whole id domain.
     vecs.repartition(16, pmod(xxhash64(col("vec_id"), lit(3)), lit(16)))
       .sortWithinPartitions(xxhash64(col("vec_id"), lit(11)))
-      .write.option("parquet.block.size", 1024 * 1024)
+      .write.option("parquet.block.size", rowGroupBytes)
       .mode("overwrite").parquet(s"$base/shuffled")
 
     val rungIds = (0L until rung.toLong) // top-`rung` norms BY LAYOUT KEY
@@ -160,7 +166,7 @@ object MipsStorageProbe {
         footerAudit(conf, s"$base/$layout", "vec_id", 0L, rung - 1L)
       val rec = listener.records.getOrElse(s"scan_$layout", 0L)
       val byt = listener.bytes.getOrElse(s"scan_$layout", 0L)
-      println(f"""{"workload":"mips_storage","layout":"$layout","rows":$n,"rung":$rung,"records_read":$rec,"bytes_read_mb":${byt / 1048576.0}%.1f,"row_groups_total":$rgTotal,"row_groups_overlapping":$rgHit,"rows_in_overlapping":$rowsHit,"seconds":$sec%.2f}""")
+      println(f"""{"workload":"mips_storage","layout":"$layout","rows":$n,"rung":$rung,"row_group_bytes":$rowGroupBytes,"records_read":$rec,"bytes_read_mb":${byt / 1048576.0}%.1f,"row_groups_total":$rgTotal,"row_groups_overlapping":$rgHit,"rows_in_overlapping":$rowsHit,"seconds":$sec%.2f}""")
     }
     assert(outs("sorted") == outs("shuffled"),
       s"layout changed semantics:\n${outs("sorted")}\nvs\n${outs("shuffled")}")

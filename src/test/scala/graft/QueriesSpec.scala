@@ -70,6 +70,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("central floors match tools/floor_check.py and name real columns") {
+    // The floor table lives twice: graft.queries.Floors (enforced by
+    // Verify) and tools/floor_check.py (validated against all-SF
+    // dumps). They must be IDENTICAL — a floor present in one place
+    // only is either unenforced or unvalidated.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/floor_check.py")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val trip = """\("(q_[a-z0-9_]+)", "([a-z0-9_]+)", (\d+)\)""".r
+    val py = trip.findAllMatchIn(src)
+      .map(m => m.group(1) -> ((m.group(2), m.group(3).toLong))).toMap
+    assert(py.nonEmpty && py.size > 100, s"parsed only ${py.size} floors")
+    assert(py == graft.queries.Floors.byName,
+      "Floors.byName and tools/floor_check.py diverge: " +
+        s"py-only=${py.keySet -- graft.queries.Floors.byName.keySet} " +
+        s"scala-only=${graft.queries.Floors.byName.keySet -- py.keySet} " +
+        "value-diffs=" + py.collect {
+          case (k, v) if graft.queries.Floors.byName.get(k).exists(_ != v) =>
+            s"$k: py=$v scala=${graft.queries.Floors.byName(k)}"
+        }.mkString(","))
+    // every declared floor (central + inline) must name a query that
+    // exists and a column in its output schema — a typo'd floor would
+    // otherwise only surface as a withdrawn dump at Verify time
+    SparkEntry.minDistinct.foreach { case (name, (c, floor)) =>
+      assert(SparkEntry.queries.contains(name), s"floor on unknown $name")
+      assert(floor >= 2, s"$name floor $floor is vacuous itself")
+      val cols = SparkEntry.queries(name)(spark, sf).columns
+      assert(cols.contains(c),
+        s"$name floor column '$c' not in ${cols.mkString(",")}")
+    }
+  }
+
   test("hour pivot has 24 hour columns and totals equal row count") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
