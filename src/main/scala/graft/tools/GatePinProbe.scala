@@ -74,7 +74,7 @@ object GatePinProbe {
     // caveat, held constant across arms).
     def score(text: org.apache.spark.sql.Column) = pmod(
       aggregate(sequence(lit(1), lit(rounds)), lit(0L),
-        (acc, i) => acc + xxhash64(text, i)),
+        (acc, i) => acc.bitwiseXOR(xxhash64(text, i))), // XOR: no overflow
       lit(10000L))
 
     // ---- calibration: one corpus move, one scorer pass ----
