@@ -47,10 +47,29 @@ object GroupQuantile {
     * corpus move per pass, so both materialization "fixes" pay more
     * in corpus movement (block-manager serialization / join shuffle)
     * than the recompute they save — and at a high keep rate the
-    * semi-join moves the whole corpus to drop a sliver. Materialize
-    * only when BOTH hold: value-eval ≫ one corpus move (model
-    * inference, not regexes), and the keep rate is low enough that
-    * the join-back narrows the frame.
+    * semi-join moves the whole corpus to drop a sliver.
+    *
+    * The LOW-KEEP regime is now measured too (GatePinProbe, r14 — the
+    * cell the r12 law prescribed without evidence): at p = 0.99 (keep
+    * ~1%, 2M wide docs) the ordering INVERTS — narrow (id, group,
+    * score) pin + join-back 23.9 s < fat pin 25.7 s < unpinned 81.8 s
+    * with a scorer costing 9.6× a corpus move, and still 6.2 < 10.0 <
+    * 19.5 s with a near-regex scorer (1.5× a move). The mechanism: at
+    * a low keep rate the surviving-id set BROADCASTS, so the join-back
+    * is a map-side corpus scan instead of the corpus-text shuffle that
+    * sank it at 99% keep — the keep rate, not the scorer, is what
+    * flips the join-back from corpus-shuffle to broadcast. So the
+    * decision rule, both halves measured: LOW keep rate → narrow pin +
+    * broadcast join-back (gain grows with scorer cost); HIGH keep
+    * rate → let the score evaluate twice, every materialization
+    * "fix" pays more corpus movement than it saves.
+    *
+    * Measurement footnote (GatePinDiag): keep hot-path score
+    * expressions CODEGEN-ABLE. A higher-order-function lambda scorer
+    * evaluated at 0.3 s or 9–10 s for the SAME plan depending on where
+    * in the session it ran (reproducible) — interpreted HOF cost is
+    * unstable by evaluation context, which both slows pipelines and
+    * poisons A/B measurements.
     */
   def filterAtQuantile(df: DataFrame, groupCols: Seq[Column],
       value: Column, p: Double): DataFrame = {

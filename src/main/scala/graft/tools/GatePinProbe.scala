@@ -41,7 +41,12 @@ object GatePinProbe {
   def main(args: Array[String]): Unit = {
     val nM = args.headOption.map(_.toDouble).getOrElse(2.0)
     val n = (nM * 1000000L).toLong
-    val rounds = args.lift(1).map(_.toInt).getOrElse(8)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(150)
+    // expression DEPTH past ~1000 overflows the analyzer stack; scale
+    // scorer cost via per-round input fatness instead (text repeated
+    // `fatness` times, CSE'd once per row by whole-stage codegen)
+    val fatness = args.lift(2).map(_.toInt).getOrElse(1)
+    require(rounds <= 300, "rounds > 300 risks analyzer stack overflow")
     val spark = Session.builder("gate-pin-probe")
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
@@ -68,24 +73,40 @@ object GatePinProbe {
             .as("text")))
     }
 
-    // Expensive scorer: `rounds` independent full-text hash passes,
-    // bucketed to 10k grains so the threshold distribution agg stays
-    // metadata-sized in every arm (the GroupQuantile continuous-score
-    // caveat, held constant across arms).
-    def score(text: org.apache.spark.sql.Column) = pmod(
-      aggregate(sequence(lit(1), lit(rounds)), lit(0L),
-        (acc, i) => acc.bitwiseXOR(xxhash64(text, i))), // XOR: no overflow
-      lit(10000L))
+    // Expensive scorer: a SEQUENTIAL chain of `rounds` full-text hash
+    // passes (each round re-hashes the text salted by the previous
+    // round's digest — unprunable, unreorderable), bucketed to 10k
+    // grains so the threshold distribution agg stays metadata-sized in
+    // every arm (the GroupQuantile continuous-score caveat, held
+    // constant across arms). The chain is a plain codegen'd expression
+    // tree ON PURPOSE: the first cut used a higher-order `aggregate`
+    // lambda and its cost was UNSTABLE BY EVALUATION CONTEXT (the same
+    // 1M-doc pass measured 0.3 s or 9-10 s depending on where in the
+    // session the plan ran — GatePinDiag, reproducible), which poisons
+    // any cross-arm comparison. Codegen-able scorers are not just
+    // faster, they are MEASURABLE.
+    def score(text: org.apache.spark.sql.Column) = {
+      val in = if (fatness == 1) text else repeat(text, fatness)
+      pmod((1 to rounds).foldLeft(lit(0L))((h, _) => xxhash64(in, h)),
+        lit(10000L))
+    }
 
     // ---- calibration: one corpus move, one scorer pass ----
-    val (_, moveSec) = timed {
+    // median of 3 reps each: disk/page-cache state drifts within a
+    // session (GatePinDiag measured the move 0.24 -> 1.23 s between
+    // passes), and the law below is a RATIO of these two units
+    def median3(f: => Unit): Double = {
+      val ds = (1 to 3).map { _ => val (_, d) = timed(f); d }.sorted
+      ds(1)
+    }
+    val moveSec = median3 {
       // one corpus move = read the corpus once + serialize it once
       // through the block manager (the r12 A/B's unit)
       val c = docs.select(col("doc_id"), col("lang"), col("text"))
         .persist(DISK_ONLY)
       c.count(); c.unpersist(true)
     }
-    val (_, scoreSec) = timed {
+    val scoreSec = median3 {
       docs.select(score(col("text")).as("q"))
         .agg(sum(col("q"))).head()
     }
@@ -93,9 +114,17 @@ object GatePinProbe {
     val P = 0.99 // keep ~1%
 
     // ---- arm A: unpinned double-eval ----
+    // the library idiom (CurationProbe's winning arm): a LAZY
+    // withColumn, gated on the column — the score still evaluates
+    // twice (threshold agg + filter join-back) because nothing pins
+    // it. (Passing the raw HOF expression as `value` trips a Catalyst
+    // binder INTERNAL_ERROR in the join-back — lambda-bearing exprs
+    // don't survive the broadcast-join rewrite; the withColumn form
+    // is both the documented usage and the workaround.)
     val (aKept, aSec) = timed {
       graft.ops.GroupQuantile.filterAtQuantile(
-        docs, Seq(col("lang")), score(col("text")), P).count()
+        docs.withColumn("__q", score(col("text"))),
+        Seq(col("lang")), col("__q"), P).count()
     }
 
     // ---- arm B: fat pin ----
@@ -126,7 +155,7 @@ object GatePinProbe {
         "measurement void")
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f",
       Double.box(v))
-    println(s"""{"workload":"gate_pin_missing_cell","docs":$n,"hash_rounds":$rounds,"keep_p":$P,"kept":$aKept,"gen_sec":${f(genSec)},"corpus_move_sec":${f(moveSec)},"scorer_pass_sec":${f(scoreSec)},"scorer_over_move":${f(scoreSec / moveSec)},"arm_unpinned_sec":${f(aSec)},"arm_fat_pin_sec":${f(bSec)},"arm_narrow_pin_sec":${f(cSec)}}""")
+    println(s"""{"workload":"gate_pin_missing_cell","docs":$n,"chain_rounds":$rounds,"fatness":$fatness,"keep_p":$P,"kept":$aKept,"gen_sec":${f(genSec)},"corpus_move_sec":${f(moveSec)},"scorer_pass_sec":${f(scoreSec)},"scorer_over_move":${f(scoreSec / moveSec)},"arm_unpinned_sec":${f(aSec)},"arm_fat_pin_sec":${f(bSec)},"arm_narrow_pin_sec":${f(cSec)}}""")
     spark.stop()
   }
 }
