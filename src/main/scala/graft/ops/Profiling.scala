@@ -195,4 +195,107 @@ object Profiling {
             greatest(lit(2L), expr(s"mass_share_ppm div $thr"))))
           .otherwise(lit(1L)))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift, EXACT, per group: the
+    * classic "did this feature's distribution move between the
+    * reference and current populations" test the drift family was
+    * missing (profileDrift sees null/distinct decay, chi2 sees
+    * categorical shifts, L1 token drift sees vocab mass — KS sees a
+    * CONTINUOUS column's shape move).
+    *
+    * D = max over v of |F_a(v) − F_b(v)| is computed as a RATIONAL:
+    * max |cumA(v)·N_b − cumB(v)·N_a| over the pooled distinct values,
+    * divided once at the end — integer arithmetic throughout (the
+    * l1_drift discipline: libm-free, engine-exact), so the DOUBLE is
+    * the same IEEE value on any engine. `ks_num` ships alongside for
+    * fully-integer downstream thresholds (reject at α: compare
+    * ks_num² · (N_a+N_b) against c(α)² · N_a·N_b · (N_a+N_b) — still
+    * integer).
+    *
+    * Scale shape: one count shuffle on (group, value, pop) — map-side
+    * combined, distribution-sized output (distinct values per group,
+    * NOT corpus rows; the GroupQuantile caveat applies — bucket
+    * genuinely continuous doubles first); then a window cumsum and a
+    * max over that distribution frame. The overflow bound is the
+    * l1_drift one: cum·N products need N_a·N_b < 2^63, i.e. both
+    * populations under ~3e9 rows per group — past that, lift to
+    * DECIMAL(38,0).
+    *
+    * Output: (group..., n_a, n_b, ks_num, ks) with
+    * ks = ks_num / (n_a·n_b) ∈ [0, 1].
+    */
+  def ksDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      popCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = df
+      .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    counts
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+      .withColumn("__ta", sum(col("__na")).over(wAll))
+      .withColumn("__tb", sum(col("__nb")).over(wAll))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__ta")).as("n_a"),
+        max(col("__tb")).as("n_b"),
+        max(abs(col("__ca") * col("__tb") - col("__cb") * col("__ta")))
+          .as("ks_num"))
+      .withColumn("ks",
+        col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+  }
+
+  /** Mann–Whitney U (rank-sum) per group, EXACT with midrank tie
+    * handling: the nonparametric "is population A stochastically
+    * larger" companion to [[ksDrift]] (KS answers "did the shape
+    * move"; U answers "in which direction"). All integers: midranks
+    * double to stay integral (rank2 = first+last rank), so
+    * u2_a = 2·U_a exactly; auc_ab = U_a / (n_a·n_b) = P(A > B) +
+    * P(A = B)/2 — the common-language effect size — is one final
+    * division of exact integers.
+    *
+    * Same distribution-sized scale shape and ~3e9-rows-per-group
+    * overflow bound as [[ksDrift]] (rank sums reach N², lifted
+    * through DECIMAL(38,0) in the fold).
+    */
+  def mannWhitneyU(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, popCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = df
+      .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+      .withColumn("__n", col("__na") + col("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    counts
+      .withColumn("__cum", sum(col("__n")).over(w))
+      // 2×midrank of a tie block = first + last = 2·cum − n + 1
+      .withColumn("__rank2", lit(2L) * col("__cum") - col("__n") + 1L)
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__na")).as("n_a"),
+        sum(col("__nb")).as("n_b"),
+        sum(expr(
+          "cast(cast(__na as decimal(38,0)) * __rank2 as decimal(38,0))"))
+          .as("__rs2a"))
+      // 2·U_a = 2·R_a − n_a(n_a+1); DECIMAL(38,0) carries the N² term
+      .withColumn("u2_a",
+        (col("__rs2a") - col("n_a").cast("decimal(38,0)") *
+          (col("n_a") + 1L)).cast("decimal(38,0)"))
+      .withColumn("auc_ab",
+        col("u2_a").cast("double") /
+          (lit(2.0) * (col("n_a") * col("n_b")).cast("double")))
+      .select(g :+ col("n_a") :+ col("n_b") :+
+        col("u2_a").cast("long").as("u2_a") :+ col("auc_ab"): _*)
+  }
 }

@@ -2125,6 +2125,97 @@ object PipelineQueries {
           AS alloc
       FROM r"""))
 
+  /** Two-sample KS drift (ops/Profiling.ksDrift): did each event
+    * type's VALUE distribution move between the first 15 days and the
+    * rest of the epoch — the continuous-shape drift test the monitor
+    * family was missing (chi2 = categorical, L1 = vocab mass, profile
+    * = null/distinct decay). D is exact-rational (max |cumA·N_b −
+    * cumB·N_a| over pooled distinct values, ONE final double
+    * division — libm-free, so the double hash-matches); ks_num ships
+    * for fully-integer downstream thresholds. The oracle replays the
+    * identical integer windows.
+    */
+  private val qKsDrift = QueryDef(
+    "q_ks_value_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      graft.ops.Profiling.ksDrift(ev, Seq("event_type"), col("value"),
+        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+    },
+    Some("""
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + INTERVAL 15 DAY AS c FROM events),
+      base AS (
+        SELECT e.event_type AS g, e.value AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut),
+      counts AS (
+        SELECT g, v,
+          CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM base GROUP BY 1, 2),
+      cum AS (
+        SELECT g, v,
+          CAST(SUM(na) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+          CAST(SUM(nb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb,
+          CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+          CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb
+        FROM counts)
+      SELECT g AS event_type,
+        CAST(MAX(ta) AS BIGINT) AS n_a,
+        CAST(MAX(tb) AS BIGINT) AS n_b,
+        CAST(MAX(ABS(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+        CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE) /
+          CAST(MAX(ta) * MAX(tb) AS DOUBLE) AS ks
+      FROM cum GROUP BY 1"""),
+    minDistinct = Some(("ks", 2L)))
+
+  /** Mann–Whitney U / rank-sum (ops/Profiling.mannWhitneyU) on the
+    * same population split: KS says whether the shape moved, U says
+    * in WHICH DIRECTION — auc_ab = P(early > late) + P(=)/2, the
+    * common-language effect size, exact midrank tie handling with
+    * doubled ranks so everything is integral until one division.
+    */
+  private val qMannWhitney = QueryDef(
+    "q_mannwhitney_value",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      graft.ops.Profiling.mannWhitneyU(ev, Seq("event_type"),
+        col("value"),
+        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+    },
+    Some("""
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + INTERVAL 15 DAY AS c FROM events),
+      base AS (
+        SELECT e.event_type AS g, e.value AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut),
+      counts AS (
+        SELECT g, v,
+          CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM base GROUP BY 1, 2),
+      cum AS (
+        SELECT g, v, na, nb, na + nb AS n,
+          CAST(SUM(na + nb) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+            AS cumn
+        FROM counts),
+      r AS (
+        SELECT g, na, nb, 2 * cumn - n + 1 AS rank2 FROM cum)
+      SELECT g AS event_type,
+        CAST(SUM(na) AS BIGINT) AS n_a,
+        CAST(SUM(nb) AS BIGINT) AS n_b,
+        CAST(SUM(na * rank2) - SUM(na) * (SUM(na) + 1) AS BIGINT)
+          AS u2_a,
+        CAST(SUM(na * rank2) - SUM(na) * (SUM(na) + 1) AS DOUBLE) /
+          (CAST(2 AS DOUBLE) * CAST(SUM(na) * SUM(nb) AS DOUBLE))
+          AS auc_ab
+      FROM r GROUP BY 1"""),
+    minDistinct = Some(("auc_ab", 2L)))
+
   /** CUSUM control chart (ops/Changepoint.cusumFromDaily): on which
     * day would a one-sided chart (both directions) have alarmed on
     * each type's daily volume, against the first week's mean, with
@@ -2319,7 +2410,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qMannWhitney, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }
