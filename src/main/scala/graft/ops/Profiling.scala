@@ -227,12 +227,21 @@ object Profiling {
   def ksDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       popCol: Column): DataFrame = {
     val g = groupCols.map(col)
-    val counts = df
+    ksFromCounts(df
       .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
       .groupBy(g :+ col("__v"): _*)
       .agg(
         sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
-        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb")), groupCols)
+  }
+
+  /** The KS fold over a pre-built distribution frame (group...,
+    * `__v`, `__na`, `__nb`) — split out so continuously-maintained
+    * count state (the streaming twin) folds through the SAME code as
+    * the batch scan.
+    */
+  def ksFromCounts(counts: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)

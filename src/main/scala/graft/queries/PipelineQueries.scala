@@ -2171,6 +2171,18 @@ object PipelineQueries {
       FROM cum GROUP BY 1"""),
     minDistinct = Some(("ks", 2L)))
 
+  /** Streaming twin of q_ks_value_drift (StreamingForecast
+    * .runKsBatchEquivalent): distribution counts as continuous state,
+    * exact KS fold on the snapshot, shared oracle — the drift monitor
+    * in its serving shape.
+    */
+  private val qStreamKs = QueryDef(
+    "q_stream_ks_drift",
+    (s, d) => graft.streaming.StreamingForecast
+      .runKsBatchEquivalent(s, d),
+    qKsDrift.oracle,
+    minDistinct = Some(("ks", 2L)))
+
   /** Mann–Whitney U / rank-sum (ops/Profiling.mannWhitneyU) on the
     * same population split: KS says whether the shape moved, U says
     * in WHICH DIRECTION — auc_ab = P(early > late) + P(=)/2, the
@@ -2410,7 +2422,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qMannWhitney, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -202,4 +202,44 @@ object StreamingForecast {
         snapshot, Seq("event_type"), budget = 1000L)
     }
   }
+
+  /** Streaming twin of q_ks_value_drift: the per-(type, value, pop)
+    * distribution counts are ONE streaming aggregation (state =
+    * distinct values per group — distribution-sized, the
+    * GroupQuantile caveat, never corpus rows) and the exact-rational
+    * KS fold runs on the snapshot through the identical batch code
+    * path (`Profiling.ksFromCounts`), sharing the batch oracle. The
+    * population cut (first 15 days) is derived batch-side up front —
+    * a deployment would configure the reference window statically.
+    */
+  def runKsBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val minTs = graft.sources.Tables.events(spark, sfDir)
+      .agg(min(col("ts"))).head().getTimestamp(0)
+    val name = s"stream_ks_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val dist = StreamingHourPivot.eventsStream(s, sfDir)
+        .groupBy(col("event_type"), col("value").as("__v"),
+          (to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+            .as("__p"))
+        .agg(count(lit(1)).as("__n"))
+      val q = dist.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      graft.ops.Profiling.ksFromCounts(
+        snapshot.groupBy(col("event_type"), col("__v"))
+          .agg(
+            sum(when(col("__p"), col("__n")).otherwise(0L)).as("__na"),
+            sum(when(col("__p"), lit(0L)).otherwise(col("__n")))
+              .as("__nb")),
+        Seq("event_type"))
+    }
+  }
 }
