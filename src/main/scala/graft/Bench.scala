@@ -51,6 +51,29 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Box-state calibration unit (r14 verdict #2): one DISK_ONLY
+    // corpus-move round-trip (read the documents corpus once,
+    // serialize it once through the block manager — GatePinProbe's
+    // unit), median-of-3 because the same move measured 2.7→5.4→2.7 s
+    // within an hour on this time-shared box. Published in the JSON
+    // line so a round-over-round headline delta on byte-identical code
+    // is FALSIFIABLE: divide both rounds' headline by their own
+    // calibration_sec before attributing a swing to the code.
+    val calibrationSec = {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val c = docs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        c.count(); c.unpersist(true)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      System.err.println(f"[bench] calibration corpus-move median " +
+        f"${reps(1)}%.3f s " + reps.map(r => f"$r%.2f").mkString("[", " ", "]"))
+      reps(1)
+    }
+
     val headline = SparkEntry.headlineQueries.map(_.name).toSet
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     // Headline queries run FIRST: the wall-clock budget degrades later
@@ -137,7 +160,7 @@ object Bench {
       case (name, t) if headline.contains(name) && t > 0 => t
     }.sum
     val sf = sfDir.split('/').last
-    println(s"""{"metric":"headline_total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sf"}""")
+    println(s"""{"metric":"headline_total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sf","calibration_sec":${f3(calibrationSec)}}""")
     spark.stop()
   }
 }

@@ -215,8 +215,11 @@ object Profiling {
     * Scale shape: one count shuffle on (group, value, pop) — map-side
     * combined, distribution-sized output (distinct values per group,
     * NOT corpus rows; the GroupQuantile caveat applies — bucket
-    * genuinely continuous doubles first); then a window cumsum and a
-    * max over that distribution frame. The overflow bound is the
+    * genuinely continuous doubles first, and [[guardKsDomain]] now
+    * makes that contract BINDING: past `domainCap` pooled distinct
+    * values the call throws and names [[ksDriftBucketed]] instead of
+    * silently paying a corpus-sized window sort); then a window cumsum
+    * and a max over that distribution frame. The overflow bound is the
     * l1_drift one: cum·N products need N_a·N_b < 2^63, i.e. both
     * populations under ~3e9 rows per group — past that, lift to
     * DECIMAL(38,0).
@@ -225,14 +228,97 @@ object Profiling {
     * ks = ks_num / (n_a·n_b) ∈ [0, 1].
     */
   def ksDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-      popCol: Column): DataFrame = {
+      popCol: Column, domainCap: Long = DefaultKsDomainCap): DataFrame = {
     val g = groupCols.map(col)
-    ksFromCounts(df
+    val counts = df
       .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
+      // NULL values carry no CDF position and their sort placement
+      // differs across engines (Spark windows: NULLS FIRST ASC; DuckDB:
+      // NULLS LAST) — drop them so the cumulative counts are
+      // engine-identical even on corpora with null measurements
+      .filter(col("__v").isNotNull)
       .groupBy(g :+ col("__v"): _*)
       .agg(
         sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
-        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb")), groupCols)
+        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+    guardKsDomain(counts, domainCap, "ksDrift")
+    ksFromCounts(counts, groupCols)
+  }
+
+  /** Hard cap on pooled distinct (group, value) pairs a KS/rank-sum
+    * fold will window over before [[guardKsDomain]] stops it. 2^20
+    * distinct values is far past any bucketed/discretized feature and
+    * far below where a per-group window sort becomes a straggler task.
+    */
+  val DefaultKsDomainCap: Long = 1L << 20
+
+  /** The bounded-domain contract, ENFORCED (r14 verdict #4): the
+    * KS/MWU window cumsum is distribution-sized only while the value
+    * domain is bounded — a caller passing raw 64-bit doubles on a
+    * 100 TB corpus would get a corpus-sized single-task sort per
+    * group. The scaladoc warned; this probe makes the hazard binding
+    * (the connectedComponents convention: a measured cliff THROWS with
+    * the remediation named, it does not degrade silently).
+    *
+    * Cost shape: one limit-bounded count over the counts aggregation.
+    * The limit bounds what moves AFTER the shuffle (≤ cap + 1 rows);
+    * the map-side scan + partial aggregation of the input does re-run
+    * once for the probe — the price of firing BEFORE the window sort
+    * executes, same trade windowDerivation makes. `cap <= 0` disables
+    * the probe for deployments that have already bucketed
+    * (ksDriftBucketed sets it, having bounded the domain by
+    * construction) or that accept the window cost knowingly.
+    */
+  private[graft] def guardKsDomain(counts: DataFrame, cap: Long,
+      caller: String): Unit = {
+    if (cap > 0) {
+      val probed =
+        counts.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+      if (probed > cap)
+        throw new IllegalStateException(
+          s"[$caller] over $cap distinct (group, value) pairs — the " +
+            "exact KS/rank-sum window is distribution-sized only " +
+            "while the value domain is bounded; bucket the value " +
+            "first (Profiling.ksDriftBucketed) or raise domainCap " +
+            "if the window sort is a cost you accept")
+    }
+  }
+
+  /** KS drift over an EQUAL-WIDTH-BUCKETED value — the scale path for
+    * genuinely continuous domains (raw doubles, timestamps,
+    * micro-priced amounts) where [[ksDrift]]'s exact per-value window
+    * would stop at the domain guard. The value is coarsened to
+    * `buckets` equal-width bins over the global [min, max] (one scalar
+    * aggregate, driver-held), then the EXACT rational KS fold runs on
+    * the bin ids: the result is the true KS statistic of the bucketed
+    * distributions — a lower bound on the continuous D (coarsening can
+    * only merge CDF evaluation points, never widen a gap) — with the
+    * same engine-exact integer discipline, and state bounded by
+    * `buckets` per group BY CONSTRUCTION, so the domain guard is
+    * statically satisfied and disabled.
+    *
+    * Bin arithmetic is plain IEEE double ops (width = (max−min)/k;
+    * id = min(k−1, ⌊(v−min)/width⌋)) so an oracle replays it
+    * bit-identically; a degenerate max==min domain lands everything in
+    * bin 0 (D = 0, the honest answer for a constant column).
+    */
+  def ksDriftBucketed(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, popCol: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets: $buckets")
+    val vals = df.select(valueCol.cast("double").as("__raw"))
+      .filter(col("__raw").isNotNull)
+    val mm = vals.agg(min(col("__raw")), max(col("__raw"))).head()
+    require(!mm.isNullAt(0), "ksDriftBucketed: no non-null values")
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val bucketed =
+      if (mx == mn) lit(0L)
+      else least(lit(buckets - 1L),
+        floor((valueCol.cast("double") - lit(mn)) /
+          lit((mx - mn) / buckets)))
+    ksDrift(
+      df.filter(valueCol.isNotNull)
+        .withColumn("__bucket", bucketed),
+      groupCols, col("__bucket"), popCol, domainCap = 0L)
   }
 
   /** The KS fold over a pre-built distribution frame (group...,
@@ -261,6 +347,72 @@ object Profiling {
           (col("n_a") * col("n_b")).cast("double"))
   }
 
+  /** Two-sample Cramér–von Mises per group, EXACT: the
+    * integrated-square companion completing the drift-test triple —
+    * KS sees the max CDF gap (sensitive to one sharp localized move),
+    * MWU sees direction, CvM weighs EVERY gap (sensitive to diffuse
+    * shifts spread across the whole distribution that never open one
+    * large gap).
+    *
+    * With ties, the statistic over the pooled multiset is
+    * ω² = (n_a·n_b / N²) · Σ_v m_v (F_a(v) − F_b(v))²  (N = n_a+n_b,
+    * m_v = pooled multiplicity at v). Substituting the integer gap
+    * D_v = ca_v·n_b − cb_v·n_a = n_a·n_b·(F_a − F_b):
+    * cvm_num = Σ_v m_v·D_v² and ω² = cvm_num / (n_a·n_b·N²) — all
+    * integers until one final division (the family discipline).
+    *
+    * Overflow bound — TIGHTER than the siblings' ~3e9: cvm_num is
+    * worst-case N·(n_a·n_b)² (two fully separated populations hold the
+    * max gap across the whole middle), which exceeds DECIMAL(38,0) past
+    * ~3e7 rows per population; typical overlapping distributions carry
+    * far smaller gaps and reach ~1e9. Past the decimal ceiling the
+    * exact-integer discipline gives out — and it gives out LOUDLY:
+    * decimal overflow throws under ANSI semantics rather than shipping
+    * a wrapped statistic. Monitors at that scale should CvM a per-key
+    * sample (the statistic's power saturates long before 1e9 rows)
+    * rather than trade away engine-exactness.
+    *
+    * Same counts shuffle, window frame, null discipline, and binding
+    * [[guardKsDomain]] contract as [[ksDrift]].
+    */
+  def cvmDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      popCol: Column, domainCap: Long = DefaultKsDomainCap): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = df
+      .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+    guardKsDomain(counts, domainCap, "cvmDrift")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    counts
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+      .withColumn("__ta", sum(col("__na")).over(wAll))
+      .withColumn("__tb", sum(col("__nb")).over(wAll))
+      // D_v as DECIMAL(38,0) BEFORE squaring — long² overflows at
+      // ~3e9·3e9 gaps; decimal² is checked by the analyzer instead
+      .withColumn("__d",
+        (col("__ca") * col("__tb") - col("__cb") * col("__ta"))
+          .cast("decimal(38,0)"))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__ta")).as("n_a"),
+        max(col("__tb")).as("n_b"),
+        sum(expr(
+          "cast((__na + __nb) as decimal(38,0)) * cast(__d * __d as decimal(38,0))"))
+          .cast("decimal(38,0)").as("cvm_num"))
+      .withColumn("cvm",
+        col("cvm_num").cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b") *
+            (col("n_a") + col("n_b")) * (col("n_a") + col("n_b")))
+            .cast("double"))
+  }
+
   /** Mann–Whitney U (rank-sum) per group, EXACT with midrank tie
     * handling: the nonparametric "is population A stochastically
     * larger" companion to [[ksDrift]] (KS answers "did the shape
@@ -275,15 +427,20 @@ object Profiling {
     * through DECIMAL(38,0) in the fold).
     */
   def mannWhitneyU(df: DataFrame, groupCols: Seq[String],
-      valueCol: Column, popCol: Column): DataFrame = {
+      valueCol: Column, popCol: Column,
+      domainCap: Long = DefaultKsDomainCap): DataFrame = {
     val g = groupCols.map(col)
     val counts = df
       .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
+      // same null discipline as ksDrift: a NULL has no rank, and its
+      // engine-dependent sort placement would shift every midrank
+      .filter(col("__v").isNotNull)
       .groupBy(g :+ col("__v"): _*)
       .agg(
         sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
         sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
       .withColumn("__n", col("__na") + col("__nb"))
+    guardKsDomain(counts, domainCap, "mannWhitneyU")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
     counts

@@ -160,4 +160,97 @@ object Floors {
     "q_curation_end2end" -> (("split", 3L)),
     "q_sample_allocation" -> (("alloc", 2L)),
     "q_stream_allocation" -> (("alloc", 2L)))
+
+  /** Explicit floor EXEMPTIONS (r14 verdict #1 — making the sweep
+    * self-enforcing): every registry query must either carry a
+    * minDistinct floor (inline at its QueryDef or in [[byName]]) or
+    * appear here under a reviewed category. QueriesSpec asserts the
+    * exact partition — floored and exempt are disjoint and together
+    * cover the registry — so a new pooling/fitting/distribution query
+    * cannot ship floorless by accident (it breaks the suite until it
+    * either declares a floor or is consciously added here), and a
+    * renamed/removed query cannot leave a stale entry. Reviewed at
+    * round close alongside the floor validation.
+    *
+    * Categories (the reason a floor adds nothing):
+    *  - JOIN/PAIR — output is a match/keeper set; degeneracy changes
+    *    the ROW COUNT, which the gate compares directly against the
+    *    oracle (plus the QueriesSpec >0-rows check at two SFs).
+    *  - PER-ROW — per-entity transform (row per doc/part/event/label);
+    *    same row-count argument, content pinned by the hash.
+    *  - TOPK — retrieval lists: exactly k rows per probe by
+    *    construction, membership + order pinned by the oracle hash.
+    *  - ENUM — relational aggregation/enumeration whose group domain
+    *    is either row-count-visible or pinned by a dedicated spec
+    *    (q1's distinct-group test, the hour pivot's 24-column total).
+    *  - SCALAR — deliberately few-row global diagnostics; a distinct
+    *    floor on a 1–5 row summary is vacuous by shape.
+    *  - SATURATED — a floor was tried in the r13 all-SF validation
+    *    and false-alarmed on legitimate corpus saturation (the cases
+    *    in the scaladoc above); exempt by measurement, not oversight.
+    */
+  val exempt: Set[String] = Set(
+    // ENUM — relational aggregation/enumeration
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q_above_nation_avg_balance", "q_cube_orders", "q_distinct_agg",
+    "q_grouping_sets_orders", "q_hour_pivot", "q_incremental_agg",
+    "q_region_order_stats", "q_rollup_lineitem", "q_salted_agg",
+    "q_setop_lapsed_customers", "q_setop_repeat_customers",
+    "q_union_all_priorities", "q_window_function_battery",
+    "q_window_running_qty", "q_window_top3_per_supplier",
+    "q_zorder_scan_totals", "q_orc_roundtrip_totals",
+    "q_stream_hour_pivot", "q_stream_incremental_agg",
+    "q_stream_late_pivot", "q_stream_late_pivot_update",
+    "q_stream_hll_vocab", "q_events_value_stats",
+    "q_attribution_touch", "q_attribution_models",
+    "q_pareto_frontier", "q_pareto_frontier_3d",
+    "q_pareto_frontier_brand",
+    // JOIN/PAIR — match/keeper/pair outputs
+    "q_anti_join_inactive", "q_asof_forward_purchase",
+    "q_asof_purchase_click", "q_bloom_join_revenue",
+    "q_bucketed_join_revenue", "q_containment_join",
+    "q_cross_source_dup", "q_embedding_lsh_neardup",
+    "q_embedding_neardup_sample", "q_fk_orphans", "q_fuzzy_join_top1",
+    "q_geo_neighbor_join", "q_incremental_join_view",
+    "q_jaccard_prefix_join", "q_knn_join", "q_media_neardup",
+    "q_minhash_lsh_neardup", "q_ngram_jaccard_sample",
+    "q_range_join_purchase_click", "q_salted_join",
+    "q_semi_join_big_spenders", "q_session_copresence",
+    "q_simhash_neardup", "q_simhash_neardup_guarantee",
+    "q_sorted_neighborhood", "q_sorted_neighborhood_adaptive",
+    "q_stream_containment", "q_stream_join_purchase_click",
+    "q_stream_media_neardup", "q_stream_neardup_index",
+    "q_neardup_index_served", "q_copurchase_components",
+    "q_corpus_dedup_keepers", "q_dedup_exact_keepers",
+    "q_stream_dedup_keys",
+    // TOPK — fixed-k retrieval lists
+    "q_ann_ivf_appended", "q_ann_ivf_served", "q_ann_ivf_topk",
+    "q_ann_ivfpq_adaptive", "q_ann_ivfpq_refined", "q_ann_ivfpq_served",
+    "q_ann_ivfpq_topk", "q_ann_lsh_topk", "q_ann_pq_adc_topk",
+    "q_ann_rp_topk", "q_ann_topk_cosine", "q_ann_topk_quantized",
+    "q_media_ann_topk", "q_mips_topk", "q_knn_label_mrr",
+    "q_knn_label_precision", "q_index_phrase_lookup",
+    "q_margin_mining", "q_margin_mining_ivf", "q_hard_negatives",
+    "q_negative_samples", "q_negative_samples_draws",
+    "q_negative_samples_sharded", "q_negative_samples_weighted",
+    "q_topk_customers", "q_topk_agg_prices_per_supplier",
+    // PER-ROW — per-entity transforms
+    "q_doc_chunking", "q_doc_fingerprint", "q_token_ids",
+    "q_pii_redaction", "q_part_string_ops", "q_events_from_json",
+    "q_events_json_extract", "q_resample_ffill", "q_scd2_pit",
+    "q_stream_scd2_pit", "q_multimodal_features",
+    "q_media_resize_budget", "q_quality_percentile_filter",
+    "q_bpe_encode_vocab", "q_stream_bpe_encode", "q_stream_file_sink",
+    "q_inverted_index", "q_common_ngrams", "q_bpe_merge_pairs",
+    "q_bpe_train_merges", "q_label_centroid_vectors",
+    "q_label_centroids", "q_label_outliers",
+    // SCALAR — few-row global diagnostics
+    "q_abtt_removed_share", "q_agg_strategy_advice",
+    "q_brier_decomposition", "q_centroid_auc", "q_cuped_adjust",
+    "q_diff_in_diff", "q_embedding_pca_top1", "q_join_size_estimate",
+    "q_key_skew", "q_langid_kappa", "q_source_datacard",
+    "q_stream_agg_advice", "q_stream_key_skew", "q_bpe_compression",
+    "q_degree_assortativity",
+    // SATURATED — floors false-alarmed in the r13 all-SF validation
+    "q_hour_pivot_min20", "q_leakfree_split", "q_hll_overlap")
 }

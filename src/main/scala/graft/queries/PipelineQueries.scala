@@ -202,9 +202,12 @@ object PipelineQueries {
           '__wm_sentinel' AS event_type,
           $sentinelHourCols
         FROM s CROSS JOIN waves"""),
-      // a one-wave-only output (the amendment path never firing) must
-      // fail loudly, not hash-compare: demand the types AND both
-      // sentinel waves worth of distinct dates
+      // floor guards event_type collapse only (a degenerate epoch with
+      // one non-click type would make the pivot vacuous). A missing
+      // amendment wave is NOT this floor's job: the oracle emits both
+      // waves per two-sided group, so a one-wave output fails the
+      // row-count gate (fewer rows than the oracle) before any hash —
+      // wave detection is already loud without a structural floor.
       minDistinct = Some(("event_type", 3L)))
   }
 
@@ -2149,7 +2152,8 @@ object PipelineQueries {
       base AS (
         SELECT e.event_type AS g, e.value AS v,
           CAST(e.ts AS DATE) < cut.c AS p
-        FROM events e, cut),
+        FROM events e, cut
+        WHERE e.value IS NOT NULL),
       counts AS (
         SELECT g, v,
           CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
@@ -2204,7 +2208,8 @@ object PipelineQueries {
       base AS (
         SELECT e.event_type AS g, e.value AS v,
           CAST(e.ts AS DATE) < cut.c AS p
-        FROM events e, cut),
+        FROM events e, cut
+        WHERE e.value IS NOT NULL),
       counts AS (
         SELECT g, v,
           CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
@@ -2227,6 +2232,160 @@ object PipelineQueries {
           AS auc_ab
       FROM r GROUP BY 1"""),
     minDistinct = Some(("auc_ab", 2L)))
+
+  /** Cramér–von Mises two-sample drift (ops/Profiling.cvmDrift) on the
+    * same population split: the integrated-square member completing
+    * the triple — KS sees the max gap, MWU the direction, CvM weighs
+    * EVERY gap (diffuse whole-distribution shifts that never open one
+    * large gap). cvm_num = Σ m_v·D_v² stays integral (DECIMAL(38,0));
+    * the output ships n_a, n_b and the one-division double. Both
+    * engines build the double the same way — exact integer numerator
+    * and denominator, ONE cast each, then one division — because the
+    * denominator n_a·n_b·N² exceeds 2^53 already at sf0.1 populations,
+    * where a double-by-double product chain would round differently.
+    */
+  private val qCvmDrift = QueryDef(
+    "q_cvm_value_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      graft.ops.Profiling.cvmDrift(ev, Seq("event_type"), col("value"),
+          to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("cvm"))
+    },
+    Some("""
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + INTERVAL 15 DAY AS c FROM events),
+      base AS (
+        SELECT e.event_type AS g, e.value AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut
+        WHERE e.value IS NOT NULL),
+      counts AS (
+        SELECT g, v,
+          CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM base GROUP BY 1, 2),
+      cum AS (
+        SELECT g, na, nb,
+          CAST(SUM(na) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+          CAST(SUM(nb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb,
+          CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+          CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb
+        FROM counts),
+      d AS (
+        SELECT g, na, nb, ta, tb,
+          CAST(ca * tb - cb * ta AS HUGEINT) AS dv
+        FROM cum)
+      SELECT g AS event_type,
+        CAST(MAX(ta) AS BIGINT) AS n_a,
+        CAST(MAX(tb) AS BIGINT) AS n_b,
+        CAST(SUM(CAST(na + nb AS HUGEINT) * dv * dv) AS DOUBLE) /
+          CAST(CAST(MAX(ta) AS HUGEINT) * MAX(tb) *
+            (MAX(ta) + MAX(tb)) * (MAX(ta) + MAX(tb)) AS DOUBLE) AS cvm
+      FROM d GROUP BY 1"""),
+    minDistinct = Some(("cvm", 2L)))
+
+  /** Shared oracle block: the exact-rational KS fold in SQL over a
+    * `base(g, v, p)` CTE the caller has already defined — counts,
+    * integer cumulative windows, max |ca·tb − cb·ta|, one final
+    * division. Kept as ONE string so every KS-family oracle replays
+    * the identical arithmetic.
+    */
+  private def ksOracleFold(baseRel: String): String = s"""
+      counts$baseRel AS (
+        SELECT g, v,
+          CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM base$baseRel GROUP BY 1, 2),
+      cum$baseRel AS (
+        SELECT g, v,
+          CAST(SUM(na) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+          CAST(SUM(nb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb,
+          CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+          CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb
+        FROM counts$baseRel),
+      ks$baseRel AS (
+        SELECT g AS event_type,
+          CAST(MAX(ta) AS BIGINT) AS n_a,
+          CAST(MAX(tb) AS BIGINT) AS n_b,
+          CAST(MAX(ABS(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+          CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE) /
+            CAST(MAX(ta) * MAX(tb) AS DOUBLE) AS ks
+        FROM cum$baseRel GROUP BY 1)"""
+
+  /** KS drift on the BUCKETED value (ops/Profiling.ksDriftBucketed) —
+    * the scale path for continuous domains where the exact per-value
+    * fold would stop at the domain guard: 64 equal-width bins over the
+    * global [min, max] (plain IEEE double arithmetic, replayed
+    * bit-identically by the oracle), then the identical exact-rational
+    * KS fold on the bin ids with state bounded by construction. D here
+    * is the true statistic of the bucketed distributions — a lower
+    * bound on the continuous D.
+    */
+  private val qKsBucketed = QueryDef(
+    "q_ks_bucketed_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      graft.ops.Profiling.ksDriftBucketed(ev, Seq("event_type"),
+        col("value"),
+        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15),
+        buckets = 64)
+    },
+    Some(s"""
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + INTERVAL 15 DAY AS c FROM events),
+      mm AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+        WHERE value IS NOT NULL),
+      base AS (
+        SELECT e.event_type AS g,
+          CASE WHEN mm.mx = mm.mn THEN CAST(0 AS BIGINT)
+               ELSE LEAST(CAST(63 AS BIGINT), CAST(FLOOR(
+                 (e.value - mm.mn) / ((mm.mx - mm.mn) / 64)) AS BIGINT))
+          END AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut, mm
+        WHERE e.value IS NOT NULL),
+      ${ksOracleFold("")}
+      SELECT * FROM ks"""),
+    minDistinct = Some(("ks", 2L)))
+
+  /** The KS monitor with state surviving a new-data arrival
+    * (StreamingForecast.runKsAppended, r14 verdict #6): reference
+    * window static, current population lands in two micro-batch waves
+    * on LIVE aggregation state, exact KS fold on each wave's full
+    * snapshot through the identical batch code path. The oracle
+    * replays both waves (wave 1 = current rows through day 22 only);
+    * a green hash proves wave 2's D is a cumulative merge — a
+    * rebuilt-state bug would compute it from days 23+ alone. Floor:
+    * both waves must be present in the output.
+    */
+  private val qStreamKsAppended = QueryDef(
+    "q_stream_ks_appended",
+    (s, d) => graft.streaming.StreamingForecast.runKsAppended(s, d),
+    Some(s"""
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + INTERVAL 15 DAY AS c,
+               CAST(MIN(ts) AS DATE) + INTERVAL 23 DAY AS c2
+        FROM events),
+      base1 AS (
+        SELECT e.event_type AS g, e.value AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut
+        WHERE e.value IS NOT NULL AND CAST(e.ts AS DATE) < cut.c2),
+      base2 AS (
+        SELECT e.event_type AS g, e.value AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut
+        WHERE e.value IS NOT NULL),
+      ${ksOracleFold("1")},
+      ${ksOracleFold("2")}
+      SELECT CAST(1 AS BIGINT) AS wave, * FROM ks1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS wave, * FROM ks2"""),
+    minDistinct = Some(("wave", 2L)))
 
   /** CUSUM control chart (ops/Changepoint.cusumFromDaily): on which
     * day would a one-sided chart (both directions) have alarmed on
@@ -2422,7 +2581,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -2,8 +2,10 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType,
+  StructField, StructType}
 
 /** Continuous seasonality scoring — the streaming face of
   * `ops/Forecast.seasonalNaiveMase`: day-grain counts per key are
@@ -219,6 +221,9 @@ object StreamingForecast {
     val name = s"stream_ks_${nameCounter.incrementAndGet()}"
     StreamingRun.withStatePartitions(spark, 4) { s =>
       val dist = StreamingHourPivot.eventsStream(s, sfDir)
+        // same null discipline as Profiling.ksDrift: a NULL value has
+        // no CDF position and would also bloat state with a dead key
+        .filter(col("value").isNotNull)
         .groupBy(col("event_type"), col("value").as("__v"),
           (to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
             .as("__p"))
@@ -233,13 +238,102 @@ object StreamingForecast {
       val snapshot = s.createDataFrame(
         s.table(name).collectAsList(), s.table(name).schema)
       s.catalog.dropTempView(name)
-      graft.ops.Profiling.ksFromCounts(
-        snapshot.groupBy(col("event_type"), col("__v"))
-          .agg(
-            sum(when(col("__p"), col("__n")).otherwise(0L)).as("__na"),
-            sum(when(col("__p"), lit(0L)).otherwise(col("__n")))
-              .as("__nb")),
-        Seq("event_type"))
+      val counts = snapshot.groupBy(col("event_type"), col("__v"))
+        .agg(
+          sum(when(col("__p"), col("__n")).otherwise(0L)).as("__na"),
+          sum(when(col("__p"), lit(0L)).otherwise(col("__n")))
+            .as("__nb"))
+      // the streaming twin carries the same bounded-domain contract as
+      // the batch path — state itself is distinct-values-per-group, so
+      // if the guard fires here the aggregation state was already the
+      // hazard; a deployment must bucket BEFORE the groupBy (the
+      // ksDriftBucketed bin expression works unchanged on a stream)
+      graft.ops.Profiling.guardKsDomain(counts,
+        graft.ops.Profiling.DefaultKsDomainCap, "runKsBatchEquivalent")
+      graft.ops.Profiling.ksFromCounts(counts, Seq("event_type"))
     }
+  }
+
+  /** The KS monitor with state SURVIVING a new-data arrival — the
+    * served/appended exhibit the ANN family models, for drift
+    * (r14 verdict #6). The reference population (first 15 days) is
+    * static; the CURRENT population arrives in two waves (days 15–22,
+    * then 23+), one micro-batch each over the shared arrival harness.
+    * The per-(type, value, pop) distribution counts are ONE
+    * complete-mode streaming aggregation whose state persists across
+    * the waves, and after EACH micro-batch the exact-rational KS fold
+    * runs on that batch's full snapshot through the identical batch
+    * code path (`Profiling.ksFromCounts`, via foreachBatch). Output is
+    * both snapshots tagged by wave: n_a is complete from wave 1 (the
+    * reference all arrived in batch 0), n_b grows, and a green hash
+    * proves the D statistic UPDATED correctly when new data landed on
+    * live state — wave 2's counts are cumulative merges, not a rebuild
+    * (a re-created-state bug would compute wave-2 D from days 23+
+    * alone and miss every earlier current row).
+    *
+    * Bounded-domain pre-flight: distinct (type, value) cardinality is
+    * probed batch-side BEFORE the stream commits to
+    * distribution-sized state — the deployment-shaped placement of
+    * [[graft.ops.Profiling.guardKsDomain]] (state, once built, is the
+    * hazard; bucket before the groupBy, not after).
+    */
+  def runKsAppended(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+    val d0 = to_date(lit(minTs))
+    val base = ev.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        col("value").cast("double").as("__v"),
+        (to_date(col("ts")) < date_add(d0, 15)).as("__p"),
+        to_date(col("ts")).as("__day"))
+    graft.ops.Profiling.guardKsDomain(
+      base.select(col("event_type"), col("__v")).distinct(),
+      graft.ops.Profiling.DefaultKsDomainCap, "runKsAppended")
+    val arrivals = Seq(
+      base.filter(col("__day") < date_add(d0, 23)).drop("__day"),
+      base.filter(col("__day") >= date_add(d0, 23)).drop("__day"))
+    val snapshots =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Row])]
+    StreamingRun.withArrivalDir(arrivals) { srcDir =>
+      StreamingRun.withStatePartitions(spark, 4) { s =>
+        val schema = StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("__v", DoubleType),
+          StructField("__p", BooleanType)))
+        val dist = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(srcDir)
+          .groupBy(col("event_type"), col("__v"), col("__p"))
+          .agg(count(lit(1)).as("__n"))
+        val q = dist.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batchDf: Dataset[Row], batchId: Long) =>
+            val folded = graft.ops.Profiling.ksFromCounts(
+              batchDf.groupBy(col("event_type"), col("__v"))
+                .agg(
+                  sum(when(col("__p"), col("__n")).otherwise(0L))
+                    .as("__na"),
+                  sum(when(col("__p"), lit(0L)).otherwise(col("__n")))
+                    .as("__nb")),
+              Seq("event_type")).collect().toSeq
+            snapshots.synchronized { snapshots += ((batchId, folded)) }
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    require(snapshots.map(_._1).sorted == Seq(0L, 1L),
+      s"runKsAppended: expected exactly micro-batches 0 and 1, got " +
+        snapshots.map(_._1).sorted.mkString("[", ",", "]"))
+    import spark.implicits._
+    snapshots.toSeq
+      .flatMap { case (id, rows) =>
+        rows.map(r => (id + 1L, r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4)))
+      }
+      .toDF("wave", "event_type", "n_a", "n_b", "ks_num", "ks")
   }
 }

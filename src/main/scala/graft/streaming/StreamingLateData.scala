@@ -66,68 +66,42 @@ object StreamingLateData {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** Write `df` as a single parquet file named `name` under `dir` with
-    * a strictly increasing modification time — the file source's
-    * arrival order.
-    */
-  private def writeArrival(df: DataFrame, work: java.io.File,
-      srcDir: java.io.File, name: String, order: Int): Unit = {
-    val tmp = new java.io.File(work, s"w_$name")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    val part = tmp.listFiles()
-      .find(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"no part file written for arrival batch $name"))
-    val dst = new java.io.File(srcDir, s"$name.parquet")
-    java.nio.file.Files.move(part.toPath, dst.toPath)
-    // fixed epoch + minute steps: deterministic arrival order however
-    // fast the writes ran
-    require(dst.setLastModified(1700000000000L + order * 60000L),
-      s"could not stamp arrival order on $dst")
-  }
-
   /** Replay `(ts, event_type)` batches in the given arrival order —
-    * one micro-batch each — through the watermarked hour pivot and
-    * return everything the chosen output mode emitted. Append: each
-    * finalized day×type row exactly once. Update: every per-batch
-    * amendment, so re-emissions are VISIBLE (the fixture spec pins
-    * both). Callers append their own far-future sentinel batches if
-    * they need trailing windows flushed.
+    * one micro-batch each (`StreamingRun.withArrivalDir`, the shared
+    * modification-time-stamped harness) — through the watermarked hour
+    * pivot and return everything the chosen output mode emitted.
+    * Append: each finalized day×type row exactly once. Update: every
+    * per-batch amendment, so re-emissions are VISIBLE (the fixture
+    * spec pins both). Callers append their own far-future sentinel
+    * batches if they need trailing windows flushed.
     */
   def lateReplayPivot(spark: SparkSession, batches: Seq[DataFrame],
       watermarkDelay: String = "1 hour",
       outputMode: String = "append"): DataFrame = {
-    require(batches.nonEmpty)
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_late_").toFile
-    val srcDir = new java.io.File(base, "arrivals")
-    require(srcDir.mkdirs(), s"could not create $srcDir")
-    batches.zipWithIndex.foreach { case (b, i) =>
-      writeArrival(b.select(col("ts"), col("event_type")),
-        base, srcDir, f"b$i%03d", i)
-    }
     val name = s"stream_late_pivot_${nameCounter.incrementAndGet()}"
-    try StreamingRun.withStatePartitions(spark, 4) { s =>
-      val schema = StructType(Seq(StructField("ts", TimestampType),
-        StructField("event_type", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(srcDir.getAbsolutePath)
-      val pivoted = StreamingHourPivot.pivotStream(
-        stream, col("ts"), Seq("event_type"),
-        watermarkDelay = watermarkDelay)
-      val q = pivoted.writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      // materialize before the fixture directory is deleted
-      s.table(name).localCheckpoint(true)
-    } finally StreamingRun.deleteRecursively(base.toPath)
+    StreamingRun.withArrivalDir(
+      batches.map(_.select(col("ts"), col("event_type")))) { srcDir =>
+      StreamingRun.withStatePartitions(spark, 4) { s =>
+        val schema = StructType(Seq(StructField("ts", TimestampType),
+          StructField("event_type", StringType)))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(srcDir)
+        val pivoted = StreamingHourPivot.pivotStream(
+          stream, col("ts"), Seq("event_type"),
+          watermarkDelay = watermarkDelay)
+        val q = pivoted.writeStream
+          .outputMode(outputMode)
+          .format("memory")
+          .queryName(name)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        // materialize before the fixture directory is deleted
+        s.table(name).localCheckpoint(true)
+      }
+    }
   }
 
   /** The late-replay hour pivot over the sf events table: non-clicks,

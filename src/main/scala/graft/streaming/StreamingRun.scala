@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Helpers for driving bounded batch-equivalence runs of streaming
   * plans.
@@ -44,5 +44,39 @@ object StreamingRun {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     f(s)
+  }
+
+  /** Stage `batches` as one parquet file each with strictly increasing
+    * modification times under a temp directory, run `f` with that
+    * directory's path, and delete everything afterwards. With
+    * `maxFilesPerTrigger=1` the file source then replays batch i as
+    * micro-batch i — the deterministic multi-arrival harness the
+    * late-data and appended-state exhibits drive their streams with.
+    * Fixed epoch + minute steps stamp the order deterministically
+    * however fast the writes ran.
+    */
+  def withArrivalDir[T](batches: Seq[DataFrame])(f: String => T): T = {
+    require(batches.nonEmpty, "withArrivalDir: no arrival batches")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_arrivals_").toFile
+    try {
+      val srcDir = new java.io.File(base, "arrivals")
+      require(srcDir.mkdirs(), s"could not create $srcDir")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val name = f"b$i%03d"
+        val tmp = new java.io.File(base, s"w_$name")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles()
+          .find(x => x.getName.startsWith("part-") &&
+            x.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part file written for arrival batch $name"))
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"could not stamp arrival order on $dst")
+      }
+      f(srcDir.getAbsolutePath)
+    } finally deleteRecursively(base.toPath)
   }
 }

@@ -194,19 +194,21 @@ object FuzzyJoin {
       .select(split(col(sortKeyCol), " ").getItem(0).as("__c"))
       .groupBy(col("__c")).agg(count(lit(1)).as("n"))
       .select(col("n"))
-    // Guard BEFORE the collect (r13 verdict #2): the 100k metadata
-    // contract must fire while the frame is still distributed — a
-    // bounded limit-probe counts at most 100001 rows executor-side, so
-    // a pathological vocabulary (tens of millions of first tokens on a
-    // real text corpus) hits the loud stop without the driver ever
-    // holding the frame.
-    val probed = sizeFrame.limit(100001).count()
-    require(probed > 0, "windowFromClusterSize: empty input")
-    require(probed <= 100000,
+    // Guard fused WITH the collect (r13 verdict #2, r14 ADVICE): the
+    // 100k metadata contract must fire while holding at most 100001
+    // longs driver-side — one limit-bounded collect serves as both the
+    // probe and the payload, so the first-token aggregation runs ONCE
+    // (the probe-then-collect pair paid the corpus scan/shuffle twice).
+    // A pathological vocabulary (tens of millions of first tokens on a
+    // real text corpus) hits the loud stop at 100001 collected rows
+    // without the driver ever holding the full frame.
+    val limited = sizeFrame.limit(100001).collect()
+    require(limited.nonEmpty, "windowFromClusterSize: empty input")
+    require(limited.length <= 100000,
       s"windowFromClusterSize: over 100000 distinct first tokens — " +
         "the driver-side quantile is metadata-sized only while the " +
         "token vocabulary is")
-    val sizes = sizeFrame.collect().map(_.getLong(0)).sorted
+    val sizes = limited.map(_.getLong(0)).sorted
     // discrete (type-1) quantile: value at 1-based position
     // ceil(q · n) of the ascending size multiset — tie order cannot
     // change the value, so this is engine-portable (DuckDB: the same

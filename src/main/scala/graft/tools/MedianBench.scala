@@ -13,7 +13,12 @@ import graft.Session
   * Pass 1 runs every registry query once (same noop-sink, cold-cache,
   * GC-per-query discipline as graft.Bench); every query whose single
   * draw exceeds the threshold then gets two more draws and a
-  * median-of-3. One JSON line per slow query + one summary line.
+  * median-of-3. HEADLINE queries get the median-of-3 unconditionally
+  * (r14 verdict #3: the queries whose round-over-round delta the
+  * verdict adjudicates were exactly the ones with no median record —
+  * q1's +33% single-draw outlier took a session to un-attribute), and
+  * every query emits a line — fast ones with their single draw — so
+  * the table COVERS the registry instead of sampling its tail.
   *
   * Usage: runMain graft.tools.MedianBench [thresholdSec]
   *   SPARK_GRAFT_SF_DIR picks the scale (default sf0.1).
@@ -46,19 +51,24 @@ object MedianBench {
     // first draw past the threshold artificially
     all.headOption.foreach(q => try once(q) catch { case _: Throwable => })
 
-    val firstDraws = all.map(q => q -> once(q))
-    val slow = firstDraws.filter { case (q, t) =>
-      t > threshold && !headline.contains(q.name)
+    // headline first: if the box degrades mid-run, the queries the
+    // verdict compares still got their full draws (graft.Bench's rule)
+    val firstDraws = all.sortBy(q => !headline.contains(q.name))
+      .map(q => q -> once(q))
+    val deep = firstDraws.filter { case (q, t) =>
+      t > threshold || headline.contains(q.name)
     }
-    System.err.println(s"[median-bench] ${slow.size} queries over " +
-      s"$threshold s (of ${all.size})")
-    slow.foreach { case (q, d1) =>
-      val d2 = once(q)
-      val d3 = once(q)
-      val ds = Seq(d1, d2, d3).sorted
-      println(s"""{"query":"${q.name}","median_sec":${f(ds(1))},"draws":[${ds.map(f).mkString(",")}],"sf":"${sfDir.split('/').last}"}""")
+    System.err.println(s"[median-bench] ${deep.size} queries get " +
+      s"median-of-3 (headline or over $threshold s, of ${all.size})")
+    val sf = sfDir.split('/').last
+    firstDraws.foreach { case (q, d1) =>
+      val isDeep = d1 > threshold || headline.contains(q.name)
+      val ds = (if (isDeep) Seq(d1, once(q), once(q)) else Seq(d1)).sorted
+      val med = ds(ds.length / 2)
+      val h = if (headline.contains(q.name)) ",\"headline\":true" else ""
+      println(s"""{"query":"${q.name}","median_sec":${f(med)},"draws":[${ds.map(f).mkString(",")}],"sf":"$sf"$h}""")
     }
-    println(s"""{"workload":"median_bench","threshold_sec":$threshold,"slow_queries":${slow.size},"total_queries":${all.size}}""")
+    println(s"""{"workload":"median_bench","threshold_sec":$threshold,"median3_queries":${deep.size},"total_queries":${all.size}}""")
     spark.stop()
   }
 }

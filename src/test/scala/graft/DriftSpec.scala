@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Profiling
+
+/** Hand-computed fixtures for the two-sample drift tests (KS and
+  * Mann–Whitney U) plus the bounded-domain guard added in r15: the
+  * exact window fold is distribution-sized only while the value
+  * domain is bounded, so past `domainCap` distinct values the call
+  * must THROW toward [[Profiling.ksDriftBucketed]] instead of paying
+  * a corpus-sized per-group window sort.
+  */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Session.builder("drift-test", "4").getOrCreate()
+  import spark.implicits._
+
+  // A = {1, 2, 3}, B = {2, 3, 3, 4}: at v = 1, 2, 3, 4 the rational
+  // gaps |ca·tb − cb·ta| are 4, 5, 3, 0 → ks_num = 5, D = 5/12.
+  test("ksDrift: exact rational D on a hand fixture, nulls dropped") {
+    val df = Seq(
+      (Some(1.0), true), (Some(2.0), true), (Some(3.0), true),
+      (Some(2.0), false), (Some(3.0), false), (Some(3.0), false),
+      (Some(4.0), false),
+      // null measurements must not shift any cumulative count
+      (None: Option[Double], true), (None: Option[Double], false))
+      .toDF("v", "p").withColumn("g", lit("x"))
+    val out = Profiling.ksDrift(df, Seq("g"), col("v"), col("p"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("ks_num") == 5L)
+    assert(r.getAs[Double]("ks") == 5.0 / 12.0)
+  }
+
+  test("mannWhitneyU: midrank ties exact, nulls dropped") {
+    // A = {1, 3}, B = {2, 3}: pooled ranks 1,2,(3,4 tied → midrank 3.5)
+    // R_a = 1 + 3.5 = 4.5 → 2·R_a = 9; 2·U_a = 9 − 2·3 = 3;
+    // auc = 3 / (2·2·2) = 0.375 = P(A>B) + P(=)/2 = (1 + 0.5·1)/4? —
+    // pairs: (1,2)<, (1,3)<, (3,2)>, (3,3)= → U_a = 1 + 0.5 = 1.5 ✓
+    val df = Seq(
+      (Some(1.0), true), (Some(3.0), true),
+      (Some(2.0), false), (Some(3.0), false),
+      (None: Option[Double], false))
+      .toDF("v", "p").withColumn("g", lit("x"))
+    val r = Profiling.mannWhitneyU(df, Seq("g"), col("v"), col("p"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L)
+    assert(r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u2_a") == 3L)
+    assert(r.getAs[Double]("auc_ab") == 0.375)
+  }
+
+  test("cvmDrift: exact integrated-square statistic on the KS fixture") {
+    // same A/B as the KS test: gaps D_v = 4, 5, 3, 0 with pooled
+    // multiplicities m_v = 1, 2, 3, 1 → cvm_num = 16 + 50 + 27 + 0 =
+    // 93; denominator 3·4·7² = 588
+    val df = Seq(
+      (Some(1.0), true), (Some(2.0), true), (Some(3.0), true),
+      (Some(2.0), false), (Some(3.0), false), (Some(3.0), false),
+      (Some(4.0), false),
+      (None: Option[Double], true))
+      .toDF("v", "p").withColumn("g", lit("x"))
+    val r = Profiling.cvmDrift(df, Seq("g"), col("v"), col("p"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[java.math.BigDecimal]("cvm_num").longValueExact == 93L)
+    assert(r.getAs[Double]("cvm") == 93.0 / 588.0)
+  }
+
+  test("domain guard: high-cardinality continuous values throw toward ksDriftBucketed") {
+    // 5000 distinct doubles — far past a domainCap of 1000: the exact
+    // fold must refuse rather than build a 5000-row-per-group window
+    val wide = spark.range(5000)
+      .select((col("id") % 2 === 0).as("p"),
+        (col("id").cast("double") + lit(0.25)).as("v"))
+      .withColumn("g", lit("x"))
+    val e = intercept[IllegalStateException] {
+      Profiling.ksDrift(wide, Seq("g"), col("v"), col("p"),
+        domainCap = 1000L)
+    }
+    assert(e.getMessage.contains("ksDriftBucketed"))
+    val e2 = intercept[IllegalStateException] {
+      Profiling.mannWhitneyU(wide, Seq("g"), col("v"), col("p"),
+        domainCap = 1000L)
+    }
+    assert(e2.getMessage.contains("ksDriftBucketed"))
+    // the bucketed variant runs on the same frame with state bounded
+    // by construction, and equals ksDrift on the pre-bucketed column
+    val bucketed = Profiling.ksDriftBucketed(wide, Seq("g"), col("v"),
+      col("p"), buckets = 16).collect().head
+    val mn = 0.25
+    val width = (4999.25 - mn) / 16
+    val manual = Profiling.ksDrift(
+      wide.withColumn("b",
+        least(lit(15L), floor((col("v") - lit(mn)) / lit(width)))),
+      Seq("g"), col("b"), col("p")).collect().head
+    assert(bucketed.getAs[Long]("ks_num") == manual.getAs[Long]("ks_num"))
+    assert(bucketed.getAs[Long]("n_a") == 2500L)
+    assert(bucketed.getAs[Long]("n_b") == 2500L)
+  }
+
+  test("ksDriftBucketed: constant column lands in one bin with D = 0") {
+    val const = Seq((1.0, true), (1.0, false), (1.0, true))
+      .toDF("v", "p").withColumn("g", lit("x"))
+    val r = Profiling.ksDriftBucketed(const, Seq("g"), col("v"),
+      col("p"), buckets = 8).collect().head
+    assert(r.getAs[Long]("ks_num") == 0L)
+    assert(r.getAs[Double]("ks") == 0.0)
+  }
+
+  test("runKsAppended: reference static, current grows, D updates on live state") {
+    val out = graft.streaming.StreamingForecast
+      .runKsAppended(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("wave"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("ks")))
+      .toMap
+    val types = out.keys.map(_._2).toSet
+    assert(out.keys.map(_._1).toSet == Set(1L, 2L))
+    types.foreach { t =>
+      val (na1, nb1, _) = out((1L, t))
+      val (na2, nb2, _) = out((2L, t))
+      // the reference window all arrived in batch 0 — n_a is final
+      assert(na1 == na2, s"$t: reference population changed across waves")
+      // wave 2 appended current rows onto live state
+      assert(nb2 > nb1, s"$t: current population did not grow")
+    }
+    // the statistic provably updated for at least one type
+    assert(types.exists(t => out((1L, t))._3 != out((2L, t))._3),
+      "no type's D moved when the second wave landed")
+  }
+}

@@ -90,6 +90,14 @@ class QueriesSpec extends AnyFunSuite {
           case (k, v) if graft.queries.Floors.byName.get(k).exists(_ != v) =>
             s"$k: py=$v scala=${graft.queries.Floors.byName(k)}"
         }.mkString(","))
+    // a typo'd name in Floors.byName is otherwise silently dropped —
+    // Registry.all fills floors via orElse keyed on EXISTING query
+    // names, so an unknown key would simply never enforce (r14 ADVICE)
+    val names = graft.queries.Registry.all.map(_.name).toSet
+    assert(graft.queries.Floors.byName.keySet.subsetOf(names),
+      "Floors.byName names unknown queries (typo — the floor would " +
+        "never enforce): " +
+        (graft.queries.Floors.byName.keySet -- names).mkString(","))
     // every declared floor (central + inline) must name a query that
     // exists and a column in its output schema — a typo'd floor would
     // otherwise only surface as a withdrawn dump at Verify time
@@ -100,6 +108,31 @@ class QueriesSpec extends AnyFunSuite {
       assert(cols.contains(c),
         s"$name floor column '$c' not in ${cols.mkString(",")}")
     }
+  }
+
+  test("every query is floored or explicitly exempt — the sweep is self-enforcing") {
+    // r14 verdict #1: the 139-floor sweep was a hand-maintained list;
+    // nothing stopped a future pooling query from shipping floorless
+    // and decaying the guard back toward the 3/266 state r13 caught.
+    // This test makes the partition EXACT: a new query must either
+    // declare a minDistinct floor or be consciously added to
+    // Floors.exempt under a reviewed category — and a removed/renamed
+    // query cannot leave a stale exempt entry behind.
+    val all = graft.queries.Registry.all
+    val floored = all.filter(_.minDistinct.nonEmpty).map(_.name).toSet
+    val names = all.map(_.name).toSet
+    val exempt = graft.queries.Floors.exempt
+    assert(exempt.subsetOf(names),
+      "stale exempt entries for queries that no longer exist: " +
+        (exempt -- names).mkString(","))
+    assert((exempt & floored).isEmpty,
+      "queries both floored and exempt (exempt list must stay tight): " +
+        (exempt & floored).mkString(","))
+    val uncovered = names -- floored -- exempt
+    assert(uncovered.isEmpty,
+      "queries with neither a minDistinct floor nor an exempt entry — " +
+        "declare a floor or add them to Floors.exempt with a category: " +
+        uncovered.mkString(","))
   }
 
   test("hour pivot has 24 hour columns and totals equal row count") {
