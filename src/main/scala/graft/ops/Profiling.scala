@@ -229,18 +229,7 @@ object Profiling {
     */
   def ksDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       popCol: Column, domainCap: Long = DefaultKsDomainCap): DataFrame = {
-    val g = groupCols.map(col)
-    val counts = df
-      .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
-      // NULL values carry no CDF position and their sort placement
-      // differs across engines (Spark windows: NULLS FIRST ASC; DuckDB:
-      // NULLS LAST) — drop them so the cumulative counts are
-      // engine-identical even on corpora with null measurements
-      .filter(col("__v").isNotNull)
-      .groupBy(g :+ col("__v"): _*)
-      .agg(
-        sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
-        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+    val counts = driftCounts(df, groupCols, valueCol, popCol)
     guardKsDomain(counts, domainCap, "ksDrift")
     ksFromCounts(counts, groupCols)
   }
@@ -377,15 +366,17 @@ object Profiling {
     */
   def cvmDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       popCol: Column, domainCap: Long = DefaultKsDomainCap): DataFrame = {
-    val g = groupCols.map(col)
-    val counts = df
-      .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
-      .filter(col("__v").isNotNull)
-      .groupBy(g :+ col("__v"): _*)
-      .agg(
-        sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
-        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+    val counts = driftCounts(df, groupCols, valueCol, popCol)
     guardKsDomain(counts, domainCap, "cvmDrift")
+    cvmFromCounts(counts, groupCols)
+  }
+
+  /** The CvM fold over a pre-built distribution frame (the
+    * [[ksFromCounts]] pattern — split out so continuously-maintained
+    * count state folds through the SAME code as the batch scan).
+    */
+  def cvmFromCounts(counts: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
@@ -413,6 +404,80 @@ object Profiling {
             .cast("double"))
   }
 
+  /** Shared (group, value) × population count builder for the drift
+    * family: null-filtered (no CDF position, engine-divergent sort
+    * placement), map-side combined, distribution-sized output.
+    */
+  private def driftCounts(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, popCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+  }
+
+  /** Exact 1-D Wasserstein-1 (earth mover's) drift per group over an
+    * INTEGER-SCALED value: the "HOW FAR did the distribution move"
+    * member — KS gives the max CDF gap (unitless), W1 gives the area
+    * between the CDFs, i.e. the average transport distance in the
+    * value's own units, which is what a cost/latency/price monitor
+    * actually wants to alarm on.
+    *
+    * W1 = ∫|F_a − F_b| dv = Σ_v (v⁺ − v)·|F_a(v) − F_b(v)| over the
+    * pooled distinct values (v⁺ = next value; the CDFs are step
+    * functions so the integral is exact). With the integer gap
+    * D_v = ca·n_b − cb·n_a: w1_num = Σ (v⁺ − v)·|D_v| and
+    * w1 = w1_num / (scale · n_a·n_b) — all integers until one final
+    * division, provided the caller ships the value pre-scaled to
+    * integers (a 2-decimal amount × 100) and passes the same `scale`.
+    * The caller owns the scaling because ONLY the caller knows the
+    * decimal width; scaling inside double arithmetic would re-open the
+    * engine-exactness hole the family exists to close.
+    *
+    * Same counts shuffle, window frame, null discipline and binding
+    * [[guardKsDomain]] contract as the siblings; products stay within
+    * LONG for value spans × populations under ~2^63 and lift through
+    * DECIMAL(38,0) in the sum.
+    */
+  def wassersteinDrift(df: DataFrame, groupCols: Seq[String],
+      intValueCol: Column, popCol: Column, scale: Long = 1L,
+      domainCap: Long = DefaultKsDomainCap): DataFrame = {
+    require(scale >= 1, s"scale: $scale")
+    val counts = driftCounts(df, groupCols, intValueCol, popCol)
+    guardKsDomain(counts, domainCap, "wassersteinDrift")
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    counts
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+      .withColumn("__ta", sum(col("__na")).over(wAll))
+      .withColumn("__tb", sum(col("__nb")).over(wAll))
+      .withColumn("__vnext", lead(col("__v"), 1).over(w))
+      // the last value contributes zero width (both CDFs are 1 past
+      // it) — keep the row rather than filter so a single-valued group
+      // still emits its honest W1 = 0 instead of vanishing
+      .withColumn("__seg",
+        when(col("__vnext").isNotNull,
+          ((col("__vnext") - col("__v")).cast("decimal(38,0)") *
+            abs(col("__ca") * col("__tb") - col("__cb") * col("__ta"))
+              .cast("decimal(38,0)")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__ta")).as("n_a"),
+        max(col("__tb")).as("n_b"),
+        sum(col("__seg")).cast("decimal(38,0)").as("w1_num"))
+      .withColumn("w1",
+        col("w1_num").cast("double") /
+          (lit(scale).cast("decimal(38,0)") * col("n_a") * col("n_b"))
+            .cast("double"))
+  }
+
   /** Mann–Whitney U (rank-sum) per group, EXACT with midrank tie
     * handling: the nonparametric "is population A stochastically
     * larger" companion to [[ksDrift]] (KS answers "did the shape
@@ -430,15 +495,7 @@ object Profiling {
       valueCol: Column, popCol: Column,
       domainCap: Long = DefaultKsDomainCap): DataFrame = {
     val g = groupCols.map(col)
-    val counts = df
-      .select(g :+ valueCol.as("__v") :+ popCol.as("__p"): _*)
-      // same null discipline as ksDrift: a NULL has no rank, and its
-      // engine-dependent sort placement would shift every midrank
-      .filter(col("__v").isNotNull)
-      .groupBy(g :+ col("__v"): _*)
-      .agg(
-        sum(when(col("__p"), 1L).otherwise(0L)).as("__na"),
-        sum(when(col("__p"), 0L).otherwise(1L)).as("__nb"))
+    val counts = driftCounts(df, groupCols, valueCol, popCol)
       .withColumn("__n", col("__na") + col("__nb"))
     guardKsDomain(counts, domainCap, "mannWhitneyU")
     val w = org.apache.spark.sql.expressions.Window

@@ -2286,6 +2286,73 @@ object PipelineQueries {
       FROM d GROUP BY 1"""),
     minDistinct = Some(("cvm", 2L)))
 
+  /** Streaming twin of q_cvm_value_drift (StreamingForecast
+    * .runCvmBatchEquivalent): the same continuous distribution-count
+    * state as the KS twin, folded through the identical cvmFromCounts
+    * batch code path on the snapshot, shared oracle.
+    */
+  private val qStreamCvm = QueryDef(
+    "q_stream_cvm_drift",
+    (s, d) => graft.streaming.StreamingForecast
+      .runCvmBatchEquivalent(s, d),
+    qCvmDrift.oracle,
+    minDistinct = Some(("cvm", 2L)))
+
+  /** Exact 1-D Wasserstein-1 drift (ops/Profiling.wassersteinDrift) on
+    * the same split: the area between the two CDFs — the AVERAGE
+    * transport distance in the value's own units, the number a
+    * cost/latency monitor actually alarms on (KS's max gap is
+    * unitless). events.value is a 2-decimal amount, so the caller
+    * ships it ×100 as an exact integer and passes scale=100 — the
+    * family's engine-exactness discipline (integers until one final
+    * division) extends to the value AXIS, not just the counts.
+    * round() before the cast: double×100 of a 2-decimal value lands
+    * within 1e-12 of the integer on either side, and truncation would
+    * map 0.29 → 28.
+    */
+  private val qWasserstein = QueryDef(
+    "q_wasserstein_value",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      graft.ops.Profiling.wassersteinDrift(ev, Seq("event_type"),
+          round(col("value") * 100).cast("long"),
+          to_date(col("ts")) < date_add(to_date(lit(minTs)), 15),
+          scale = 100L)
+        .select(col("event_type"), col("n_a"), col("n_b"), col("w1"))
+    },
+    Some("""
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + INTERVAL 15 DAY AS c FROM events),
+      base AS (
+        SELECT e.event_type AS g,
+          CAST(ROUND(e.value * 100) AS BIGINT) AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut
+        WHERE e.value IS NOT NULL),
+      counts AS (
+        SELECT g, v,
+          CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM base GROUP BY 1, 2),
+      cum AS (
+        SELECT g, v,
+          CAST(SUM(na) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+          CAST(SUM(nb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb,
+          CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+          CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb,
+          LEAD(v) OVER (PARTITION BY g ORDER BY v) AS vnext
+        FROM counts)
+      SELECT g AS event_type,
+        CAST(MAX(ta) AS BIGINT) AS n_a,
+        CAST(MAX(tb) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN vnext IS NULL THEN CAST(0 AS HUGEINT)
+          ELSE CAST(vnext - v AS HUGEINT) * ABS(ca * tb - cb * ta)
+          END) AS DOUBLE) /
+          CAST(CAST(100 AS HUGEINT) * MAX(ta) * MAX(tb) AS DOUBLE) AS w1
+      FROM cum GROUP BY 1"""),
+    minDistinct = Some(("w1", 2L)))
+
   /** Shared oracle block: the exact-rational KS fold in SQL over a
     * `base(g, v, p)` CTE the caller has already defined — counts,
     * integer cumulative windows, max |ca·tb − cb·ta|, one final
@@ -2581,7 +2648,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -215,14 +215,40 @@ object StreamingForecast {
     * a deployment would configure the reference window statically.
     */
   def runKsBatchEquivalent(spark: SparkSession,
-      sfDir: String): DataFrame = {
+      sfDir: String): DataFrame =
+    driftCountsSnapshot(spark, sfDir, "stream_ks",
+      graft.ops.Profiling.ksFromCounts(_, Seq("event_type")))
+
+  /** Streaming CvM twin — the same continuously-maintained
+    * distribution-count state, folded through
+    * `Profiling.cvmFromCounts` on the snapshot (the integrated-square
+    * member of the drift triple in its serving shape), sharing the
+    * batch oracle.
+    */
+  def runCvmBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame =
+    driftCountsSnapshot(spark, sfDir, "stream_cvm",
+      graft.ops.Profiling.cvmFromCounts(_, Seq("event_type"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("cvm")))
+
+  /** Shared serving shape of the drift family's batch-equivalence
+    * twins: per-(type, value, pop) distribution counts as ONE
+    * complete-mode streaming aggregation (state = distinct values per
+    * group — distribution-sized, the GroupQuantile caveat, never
+    * corpus rows), then `fold` runs on the snapshot through the
+    * identical batch code path. The population cut (first 15 days) is
+    * derived batch-side up front — a deployment would configure the
+    * reference window statically.
+    */
+  private def driftCountsSnapshot(spark: SparkSession, sfDir: String,
+      prefix: String, fold: DataFrame => DataFrame): DataFrame = {
     val minTs = graft.sources.Tables.events(spark, sfDir)
       .agg(min(col("ts"))).head().getTimestamp(0)
-    val name = s"stream_ks_${nameCounter.incrementAndGet()}"
+    val name = s"${prefix}_${nameCounter.incrementAndGet()}"
     StreamingRun.withStatePartitions(spark, 4) { s =>
       val dist = StreamingHourPivot.eventsStream(s, sfDir)
-        // same null discipline as Profiling.ksDrift: a NULL value has
-        // no CDF position and would also bloat state with a dead key
+        // same null discipline as Profiling.driftCounts: a NULL value
+        // has no CDF position and would also bloat state with a dead key
         .filter(col("value").isNotNull)
         .groupBy(col("event_type"), col("value").as("__v"),
           (to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
@@ -249,8 +275,8 @@ object StreamingForecast {
       // hazard; a deployment must bucket BEFORE the groupBy (the
       // ksDriftBucketed bin expression works unchanged on a stream)
       graft.ops.Profiling.guardKsDomain(counts,
-        graft.ops.Profiling.DefaultKsDomainCap, "runKsBatchEquivalent")
-      graft.ops.Profiling.ksFromCounts(counts, Seq("event_type"))
+        graft.ops.Profiling.DefaultKsDomainCap, s"${prefix}_twin")
+      fold(counts)
     }
   }
 

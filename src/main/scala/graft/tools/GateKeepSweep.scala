@@ -34,6 +34,7 @@ import graft.Session
   * Recorded in SCALE_NOTES "Quality-gate decision table".
   *
   * Usage: runMain graft.tools.GateKeepSweep [docsMillions] [hashRounds]
+  *          [keepPctList]   (default "1,10,30,60,99")
   */
 object GateKeepSweep {
   def main(args: Array[String]): Unit = {
@@ -82,7 +83,8 @@ object GateKeepSweep {
     }
     println(s"""{"workload":"gate_keep_sweep_header","docs":$n,"chain_rounds":$rounds,"gen_sec":${f1(genSec)},"corpus_move_sec":${f1(moveSec)},"auto_broadcast_threshold":"${spark.conf.get("spark.sql.autoBroadcastJoinThreshold")}"}""")
 
-    Seq(1, 10, 30, 60, 99).foreach { keepPct =>
+    args.lift(2).map(_.split(',').toSeq.map(_.toInt))
+      .getOrElse(Seq(1, 10, 30, 60, 99)).foreach { keepPct =>
       val p = 1.0 - keepPct / 100.0
 
       // arm A: unpinned double-eval
@@ -92,31 +94,68 @@ object GateKeepSweep {
           Seq(col("lang")), col("__q"), p).count()
       }
 
-      // arm C: narrow pin, PLANNER-chosen join-back
-      val narrow = pin(docs.select(col("doc_id"), col("lang"),
-        score(col("text")).as("q")))
-      val keptIds = graft.ops.GroupQuantile.filterAtQuantile(
-        narrow, Seq(col("lang")), col("q"), p).select(col("doc_id"))
-      val counted = docs.join(keptIds, Seq("doc_id"), "left_semi")
-        .groupBy().count()
-      // drive execution through THIS Dataset's own QueryExecution so
-      // the final adaptive plan (isFinalPlan=true) is inspectable —
-      // count()/write would build a fresh QE and discard the decision
-      val qe = counted.queryExecution
-      val (cKept, cSec) = timed { qe.executedPlan.executeCollect()
-        .head.getLong(0) }
-      val plan = qe.executedPlan.toString
-      val joinback =
-        if (plan.contains("BroadcastHashJoin")) "broadcast"
-        else if (plan.contains("SortMergeJoin") ||
-          plan.contains("ShuffledHashJoin")) "shuffle"
-        else "unknown"
+      // arm C: narrow pin, PLANNER-chosen join-back. The timed block
+      // covers the WHOLE arm — scorer pass (inside the pin), quantile
+      // threshold, and join-back — because the law compares total
+      // strategy costs, not join topologies in isolation.
+      val ((cKept, plan, narrow), cSec) = timed {
+        val narrow = pin(docs.select(col("doc_id"), col("lang"),
+          score(col("text")).as("q")))
+        val keptIds = graft.ops.GroupQuantile.filterAtQuantile(
+          narrow, Seq(col("lang")), col("q"), p).select(col("doc_id"))
+        val counted = docs.join(keptIds, Seq("doc_id"), "left_semi")
+          .groupBy().count()
+        // drive execution through THIS Dataset's own QueryExecution so
+        // the final adaptive plan (isFinalPlan=true) is inspectable —
+        // count()/write would build a fresh QE and discard the decision
+        val qe = counted.queryExecution
+        val k = qe.executedPlan.executeCollect().head.getLong(0)
+        (k, qe.executedPlan.toString, narrow)
+      }
+      // classify the TOP join-back only: the plan string ALWAYS
+      // contains an inner BroadcastHashJoin (filterAtQuantile's tiny
+      // per-group threshold table) — the first sweep cut matched it
+      // and mislabeled an 8M-doc SortMergeJoin join-back as broadcast.
+      // The join-back is the LeftSemi node; read the strategy off the
+      // line that carries it.
+      def strategy(p: String) =
+        p.linesIterator.find(_.contains("LeftSemi")) match {
+          case Some(l) if l.contains("BroadcastHashJoin") => "broadcast"
+          case Some(l) if l.contains("SortMergeJoin") ||
+            l.contains("ShuffledHashJoin") => "shuffle"
+          case _ => "unknown"
+        }
+      val joinback = strategy(plan)
+      if (sys.env.contains("SPARK_GRAFT_SWEEP_PLAN"))
+        System.err.println(s"---- keep=$keepPct% final plan ----\n" +
+          plan.linesIterator.take(80).mkString("\n"))
       narrow.unpersist(true)
 
-      require(aKept == cKept,
-        s"arms disagree at keep=$keepPct%: A=$aKept C=$cKept — " +
-          "identity broken, measurement void")
-      println(s"""{"workload":"gate_keep_sweep","keep_pct":$keepPct,"kept":$aKept,"unpinned_sec":${f1(aSec)},"narrow_auto_sec":${f1(cSec)},"joinback":"$joinback"}""")
+      // arm D: same narrow pin, but the surviving ids are MATERIALIZED
+      // through a shuffle (repartition) before the join-back — the
+      // static estimate above is the compressed-cache size with NO
+      // filter selectivity applied (keep-blind); a shuffle boundary
+      // lets AQE read the ids' TRUE runtime size and re-pick the
+      // topology per keep rate, which is what a deployment that cannot
+      // hand-hint broadcast() should do.
+      val ((dKept, dPlan, narrowD), dSec) = timed {
+        val nd = pin(docs.select(col("doc_id"), col("lang"),
+          score(col("text")).as("q")))
+        val keptIds = graft.ops.GroupQuantile.filterAtQuantile(
+          nd, Seq(col("lang")), col("q"), p).select(col("doc_id"))
+          .repartition(32)
+        val counted = docs.join(keptIds, Seq("doc_id"), "left_semi")
+          .groupBy().count()
+        val qe = counted.queryExecution
+        val k = qe.executedPlan.executeCollect().head.getLong(0)
+        (k, qe.executedPlan.toString, nd)
+      }
+      narrowD.unpersist(true)
+
+      require(aKept == cKept && cKept == dKept,
+        s"arms disagree at keep=$keepPct%: A=$aKept C=$cKept D=$dKept " +
+          "— identity broken, measurement void")
+      println(s"""{"workload":"gate_keep_sweep","keep_pct":$keepPct,"kept":$aKept,"id_bytes_nominal":${aKept * 8L},"unpinned_sec":${f1(aSec)},"narrow_auto_sec":${f1(cSec)},"joinback":"$joinback","narrow_aqe_sec":${f1(dSec)},"joinback_aqe":"${strategy(dPlan)}"}""")
     }
     spark.stop()
   }

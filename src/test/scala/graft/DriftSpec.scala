@@ -73,6 +73,35 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getAs[Double]("cvm") == 93.0 / 588.0)
   }
 
+  test("wassersteinDrift: exact CDF-area distance, single-valued group survives") {
+    // same A/B: segments (v → v⁺) × |D| are 1·4, 1·5, 1·3 → w1_num =
+    // 12; w1 = 12 / (1 · 3·4) = 1.0 (by hand: ∫|F_a−F_b| =
+    // 1/3 + 5/12 + 1/4 = 1)
+    val df = Seq(
+      (Some(1L), true, "x"), (Some(2L), true, "x"), (Some(3L), true, "x"),
+      (Some(2L), false, "x"), (Some(3L), false, "x"),
+      (Some(3L), false, "x"), (Some(4L), false, "x"),
+      (None: Option[Long], true, "x"),
+      // group y: every row holds ONE value — W1 must be an honest 0,
+      // not a vanished group
+      (Some(7L), true, "y"), (Some(7L), false, "y"))
+      .toDF("v", "p", "g")
+    val out = Profiling.wassersteinDrift(df, Seq("g"), col("v"),
+      col("p")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("x").getAs[Double]("w1") == 1.0)
+    assert(out("x").getAs[java.math.BigDecimal]("w1_num")
+      .longValueExact == 12L)
+    assert(out("y").getAs[Double]("w1") == 0.0)
+    // scale divides the final statistic only: values shipped ×100
+    // with scale=100 give the identical answer
+    val scaled = Profiling.wassersteinDrift(
+      df.withColumn("v", col("v") * 100), Seq("g"), col("v"),
+      col("p"), scale = 100L).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("w1")).toMap
+    assert(scaled("x") == 1.0 && scaled("y") == 0.0)
+  }
+
   test("domain guard: high-cardinality continuous values throw toward ksDriftBucketed") {
     // 5000 distinct doubles — far past a domainCap of 1000: the exact
     // fold must refuse rather than build a 5000-row-per-group window
