@@ -445,9 +445,17 @@ object Profiling {
   def wassersteinDrift(df: DataFrame, groupCols: Seq[String],
       intValueCol: Column, popCol: Column, scale: Long = 1L,
       domainCap: Long = DefaultKsDomainCap): DataFrame = {
-    require(scale >= 1, s"scale: $scale")
     val counts = driftCounts(df, groupCols, intValueCol, popCol)
     guardKsDomain(counts, domainCap, "wassersteinDrift")
+    wassersteinFromCounts(counts, groupCols, scale)
+  }
+
+  /** The W1 fold over a pre-built distribution frame (the
+    * [[ksFromCounts]] pattern, for the streaming twin).
+    */
+  def wassersteinFromCounts(counts: DataFrame, groupCols: Seq[String],
+      scale: Long = 1L): DataFrame = {
+    require(scale >= 1, s"scale: $scale")
     val g = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
@@ -494,10 +502,19 @@ object Profiling {
   def mannWhitneyU(df: DataFrame, groupCols: Seq[String],
       valueCol: Column, popCol: Column,
       domainCap: Long = DefaultKsDomainCap): DataFrame = {
-    val g = groupCols.map(col)
     val counts = driftCounts(df, groupCols, valueCol, popCol)
-      .withColumn("__n", col("__na") + col("__nb"))
     guardKsDomain(counts, domainCap, "mannWhitneyU")
+    mwuFromCounts(counts, groupCols)
+  }
+
+  /** The rank-sum fold over a pre-built distribution frame (the
+    * [[ksFromCounts]] pattern, for the streaming twin).
+    */
+  def mwuFromCounts(rawCounts: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = rawCounts
+      .withColumn("__n", col("__na") + col("__nb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
     counts

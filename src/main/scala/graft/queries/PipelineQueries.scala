@@ -2353,6 +2353,29 @@ object PipelineQueries {
       FROM cum GROUP BY 1"""),
     minDistinct = Some(("w1", 2L)))
 
+  /** Streaming twin of q_wasserstein_value: the distribution-count
+    * state is keyed on the integer-scaled value, the identical
+    * wassersteinFromCounts fold runs on the snapshot, shared oracle —
+    * the full drift quartet (KS / MWU / CvM / W1) now has its serving
+    * shape verified.
+    */
+  /** Streaming twin of q_mannwhitney_value: identical mwuFromCounts
+    * fold on the continuous count-state snapshot, shared oracle.
+    */
+  private val qStreamMwu = QueryDef(
+    "q_stream_mannwhitney",
+    (s, d) => graft.streaming.StreamingForecast
+      .runMwuBatchEquivalent(s, d),
+    qMannWhitney.oracle,
+    minDistinct = Some(("auc_ab", 2L)))
+
+  private val qStreamWasserstein = QueryDef(
+    "q_stream_wasserstein",
+    (s, d) => graft.streaming.StreamingForecast
+      .runWassersteinBatchEquivalent(s, d),
+    qWasserstein.oracle,
+    minDistinct = Some(("w1", 2L)))
+
   /** Shared oracle block: the exact-rational KS fold in SQL over a
     * `base(g, v, p)` CTE the caller has already defined — counts,
     * integer cumulative windows, max |ca·tb − cb·ta|, one final
@@ -2648,7 +2671,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

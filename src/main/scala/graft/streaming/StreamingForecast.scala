@@ -231,6 +231,28 @@ object StreamingForecast {
       graft.ops.Profiling.cvmFromCounts(_, Seq("event_type"))
         .select(col("event_type"), col("n_a"), col("n_b"), col("cvm")))
 
+  /** Streaming Mann–Whitney twin — same continuous count state,
+    * identical mwuFromCounts rank-sum fold on the snapshot, shared
+    * oracle.
+    */
+  def runMwuBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame =
+    driftCountsSnapshot(spark, sfDir, "stream_mwu",
+      graft.ops.Profiling.mwuFromCounts(_, Seq("event_type")))
+
+  /** Streaming Wasserstein-1 twin — state keyed on the INTEGER-SCALED
+    * value (the batch query's exactness-on-the-value-axis discipline
+    * applies to the state key too), identical wassersteinFromCounts
+    * fold on the snapshot, shared oracle.
+    */
+  def runWassersteinBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame =
+    driftCountsSnapshot(spark, sfDir, "stream_w1",
+      graft.ops.Profiling.wassersteinFromCounts(_, Seq("event_type"),
+        scale = 100L)
+        .select(col("event_type"), col("n_a"), col("n_b"), col("w1")),
+      valueExpr = round(col("value") * 100).cast("long"))
+
   /** Shared serving shape of the drift family's batch-equivalence
     * twins: per-(type, value, pop) distribution counts as ONE
     * complete-mode streaming aggregation (state = distinct values per
@@ -241,7 +263,8 @@ object StreamingForecast {
     * reference window statically.
     */
   private def driftCountsSnapshot(spark: SparkSession, sfDir: String,
-      prefix: String, fold: DataFrame => DataFrame): DataFrame = {
+      prefix: String, fold: DataFrame => DataFrame,
+      valueExpr: org.apache.spark.sql.Column = col("value")): DataFrame = {
     val minTs = graft.sources.Tables.events(spark, sfDir)
       .agg(min(col("ts"))).head().getTimestamp(0)
     val name = s"${prefix}_${nameCounter.incrementAndGet()}"
@@ -250,7 +273,7 @@ object StreamingForecast {
         // same null discipline as Profiling.driftCounts: a NULL value
         // has no CDF position and would also bloat state with a dead key
         .filter(col("value").isNotNull)
-        .groupBy(col("event_type"), col("value").as("__v"),
+        .groupBy(col("event_type"), valueExpr.as("__v"),
           (to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
             .as("__p"))
         .agg(count(lit(1)).as("__n"))
