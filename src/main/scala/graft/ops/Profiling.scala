@@ -538,4 +538,123 @@ object Profiling {
       .select(g :+ col("n_a") :+ col("n_b") :+
         col("u2_a").cast("long").as("u2_a") :+ col("auc_ab"): _*)
   }
+
+  /** Total variation distance per group over a CATEGORICAL column,
+    * EXACT: the drift family's missing categorical DISTANCE. chi2
+    * answers "is the composition shift statistically surprising"
+    * (scale-dependent: at 100 TB everything is significant); TVD
+    * answers "HOW MUCH of the probability mass moved" —
+    * TVD = ½·Σ_c |p_a(c) − p_b(c)| ∈ [0, 1] is the fraction of rows
+    * that would have to change category to equalize the mixes, the
+    * number a composition monitor actually thresholds on (and, unlike
+    * PSI, log-free — so the family's engine-exact integer discipline
+    * holds: tvd_num = Σ_c |cnt_a(c)·n_b − cnt_b(c)·n_a|, one final
+    * division by 2·n_a·n_b).
+    *
+    * A category present in only one population contributes its full
+    * mass (cnt·n_other) — no smoothing constant to pick, another
+    * advantage over PSI whose log blows up on empty cells.
+    *
+    * Scale shape: the shared [[driftCounts]] shuffle, then a
+    * PARTITION-ONLY window (no ORDER BY — TVD needs totals, not
+    * cumulatives, so there is no sort) and one final aggregate.
+    * Categorical domains are small by nature but nothing stops a
+    * caller passing an id column, so the binding [[guardKsDomain]]
+    * contract applies unchanged. Overflow: each |term| ≤ 2·n_a·n_b,
+    * and the SUM lifts through DECIMAL(38,0), so the ~3e9
+    * rows-per-group family bound holds.
+    *
+    * Output: (group..., n_a, n_b, tvd) with tvd ∈ [0, 1].
+    */
+  def tvdDrift(df: DataFrame, groupCols: Seq[String], catCol: Column,
+      popCol: Column, domainCap: Long = DefaultKsDomainCap): DataFrame = {
+    val counts = driftCounts(df, groupCols, catCol, popCol)
+    guardKsDomain(counts, domainCap, "tvdDrift")
+    tvdFromCounts(counts, groupCols)
+  }
+
+  /** The TVD fold over a pre-built distribution frame (the
+    * [[ksFromCounts]] pattern, for the streaming twin).
+    */
+  def tvdFromCounts(counts: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    counts
+      .withColumn("__ta", sum(col("__na")).over(wAll))
+      .withColumn("__tb", sum(col("__nb")).over(wAll))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__ta")).as("n_a"),
+        max(col("__tb")).as("n_b"),
+        sum(abs(col("__na") * col("__tb") - col("__nb") * col("__ta"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("__tvd_num"))
+      .withColumn("tvd",
+        col("__tvd_num").cast("double") /
+          (lit(2).cast("decimal(38,0)") * col("n_a") * col("n_b"))
+            .cast("double"))
+      .select(g :+ col("n_a") :+ col("n_b") :+ col("tvd"): _*)
+  }
+
+  /** Kuiper V per group, EXACT: the two-tail / CYCLIC companion to
+    * [[ksDrift]]. KS takes max |F_a − F_b| — one signed excursion; a
+    * shift that moves mass INTO one tail and OUT of the other (or any
+    * drift on a circular domain like hour-of-day, where "midnight" is
+    * an arbitrary cut) splits its evidence into a positive and a
+    * negative excursion and KS keeps only the larger. Kuiper keeps
+    * both: V = D⁺ + D⁻ with D⁺ = max_v (F_a − F_b) and
+    * D⁻ = max_v (F_b − F_a) — on a circular domain V is invariant to
+    * where the cycle is cut, which no relabeling trick buys KS.
+    *
+    * Integer discipline: the signed gap D_v = ca·n_b − cb·n_a is the
+    * family's rational CDF gap ×(n_a·n_b); both maxima are ≥ 0 because
+    * the last pooled value always closes the gap to exactly 0 (both
+    * CDFs reach 1), so dplus_num = max(D_v), dminus_num = max(−D_v),
+    * kuiper_num = dplus_num + dminus_num, one final division. Overflow:
+    * kuiper_num ≤ 2·n_a·n_b — LONG-safe for populations under ~2.1e9
+    * rows per group (half the siblings' bound, the price of the sum).
+    *
+    * Same counts shuffle, window frame, null discipline and binding
+    * [[guardKsDomain]] contract as [[ksDrift]].
+    *
+    * Output: (group..., n_a, n_b, dplus_num, dminus_num, kuiper_num,
+    * kuiper) with kuiper = V ∈ [0, 1], same band as KS and V ≥ D
+    * always: CDF monotonicity caps the sum (a D⁺ excursion of d₁ at
+    * v₁ and a D⁻ of d₂ at v₂ > v₁ force G(v₂) ≥ d₁ + d₂, so
+    * d₁ + d₂ ≤ 1; the mirrored order bounds F the same way), with
+    * V = 1 attained exactly by disjoint supports.
+    */
+  def kuiperDrift(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, popCol: Column,
+      domainCap: Long = DefaultKsDomainCap): DataFrame = {
+    val counts = driftCounts(df, groupCols, valueCol, popCol)
+    guardKsDomain(counts, domainCap, "kuiperDrift")
+    kuiperFromCounts(counts, groupCols)
+  }
+
+  /** The Kuiper fold over a pre-built distribution frame (the
+    * [[ksFromCounts]] pattern, for the streaming twin).
+    */
+  def kuiperFromCounts(counts: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    counts
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+      .withColumn("__ta", sum(col("__na")).over(wAll))
+      .withColumn("__tb", sum(col("__nb")).over(wAll))
+      .withColumn("__d", col("__ca") * col("__tb") - col("__cb") * col("__ta"))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__ta")).as("n_a"),
+        max(col("__tb")).as("n_b"),
+        max(col("__d")).as("dplus_num"),
+        max(-col("__d")).as("dminus_num"))
+      .withColumn("kuiper_num", col("dplus_num") + col("dminus_num"))
+      .withColumn("kuiper",
+        col("kuiper_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+  }
 }

@@ -2376,6 +2376,120 @@ object PipelineQueries {
     qWasserstein.oracle,
     minDistinct = Some(("w1", 2L)))
 
+  /** Categorical composition drift (ops/Profiling.tvdDrift): total
+    * variation distance of the event-type MIX between the reference
+    * and current windows, per traffic segment (user_id mod 4 — the
+    * shard-level granularity a composition monitor alarms at). chi2
+    * (q_chi2_independence's machinery) says whether the shift is
+    * surprising; TVD says how much mass moved — ½·Σ|p_a − p_b|, the
+    * fraction of traffic that changed category, log-free so the
+    * family's exact-integer discipline holds with no smoothing
+    * constant on categories absent from one side (PSI's weakness).
+    */
+  private val qTvdDrift = QueryDef(
+    "q_tvd_category_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      graft.ops.Profiling.tvdDrift(
+        ev.withColumn("segment", pmod(col("user_id"), lit(4L))),
+        Seq("segment"), col("event_type"),
+        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+    },
+    Some("""
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + INTERVAL 15 DAY AS c FROM events),
+      base AS (
+        SELECT e.user_id % 4 AS g, e.event_type AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut
+        WHERE e.event_type IS NOT NULL),
+      counts AS (
+        SELECT g, v,
+          CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM base GROUP BY 1, 2),
+      tot AS (
+        SELECT g, na, nb,
+          CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+          CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb
+        FROM counts)
+      SELECT g AS segment,
+        CAST(MAX(ta) AS BIGINT) AS n_a,
+        CAST(MAX(tb) AS BIGINT) AS n_b,
+        CAST(SUM(ABS(CAST(na AS HUGEINT) * tb -
+                     CAST(nb AS HUGEINT) * ta)) AS DOUBLE) /
+          CAST(2 * CAST(MAX(ta) AS HUGEINT) * MAX(tb) AS DOUBLE) AS tvd
+      FROM tot GROUP BY 1"""),
+    minDistinct = Some(("tvd", 2L)))
+
+  /** Streaming twin of q_tvd_category_drift (StreamingForecast
+    * .runTvdBatchEquivalent): the composition monitor in its serving
+    * shape — state is (segment, category, pop) counts, the SMALLEST
+    * state in the drift family (category domain × segments, not a
+    * value distribution), folded through the identical tvdFromCounts
+    * batch code on the snapshot, shared oracle.
+    */
+  private val qStreamTvd = QueryDef(
+    "q_stream_tvd_drift",
+    (s, d) => graft.streaming.StreamingForecast
+      .runTvdBatchEquivalent(s, d),
+    qTvdDrift.oracle,
+    minDistinct = Some(("tvd", 2L)))
+
+  /** Kuiper V drift on hour-of-day (ops/Profiling.kuiperDrift): the
+    * two-tail / CYCLIC member. Hour-of-day is a circle — "midnight"
+    * is an arbitrary cut — and a daypart shift (morning mass moving
+    * to evening) opens one positive and one negative CDF excursion;
+    * KS keeps only the larger while V = D⁺ + D⁻ keeps both and is
+    * invariant to where the cycle is cut. Exact: both excursion
+    * maxima are integers (the family's ca·n_b − cb·n_a gap), summed
+    * before one final division; hour's 24-value domain satisfies the
+    * bounded-domain contract by construction.
+    */
+  private val qKuiperDrift = QueryDef(
+    "q_kuiper_hour_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      graft.ops.Profiling.kuiperDrift(ev, Seq("event_type"),
+        hour(col("ts")),
+        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+    },
+    Some("""
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + INTERVAL 15 DAY AS c FROM events),
+      base AS (
+        SELECT e.event_type AS g, EXTRACT(HOUR FROM e.ts) AS v,
+          CAST(e.ts AS DATE) < cut.c AS p
+        FROM events e, cut
+        WHERE e.ts IS NOT NULL),
+      counts AS (
+        SELECT g, v,
+          CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM base GROUP BY 1, 2),
+      cum AS (
+        SELECT g,
+          CAST(SUM(na) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+          CAST(SUM(nb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb,
+          CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+          CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb
+        FROM counts),
+      d AS (
+        SELECT g, ta, tb, CAST(ca * tb - cb * ta AS BIGINT) AS dv
+        FROM cum)
+      SELECT g AS event_type,
+        CAST(MAX(ta) AS BIGINT) AS n_a,
+        CAST(MAX(tb) AS BIGINT) AS n_b,
+        CAST(MAX(dv) AS BIGINT) AS dplus_num,
+        CAST(MAX(-dv) AS BIGINT) AS dminus_num,
+        CAST(MAX(dv) + MAX(-dv) AS BIGINT) AS kuiper_num,
+        CAST(MAX(dv) + MAX(-dv) AS DOUBLE) /
+          CAST(MAX(ta) * MAX(tb) AS DOUBLE) AS kuiper
+      FROM d GROUP BY 1"""),
+    minDistinct = Some(("kuiper", 2L)))
+
   /** Shared oracle block: the exact-rational KS fold in SQL over a
     * `base(g, v, p)` CTE the caller has already defined — counts,
     * integer cumulative windows, max |ca·tb − cb·ta|, one final
@@ -2671,7 +2785,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qTvdDrift, qStreamTvd, qKuiperDrift, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

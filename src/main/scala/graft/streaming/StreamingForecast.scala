@@ -253,6 +253,21 @@ object StreamingForecast {
         .select(col("event_type"), col("n_a"), col("n_b"), col("w1")),
       valueExpr = round(col("value") * 100).cast("long"))
 
+  /** Streaming TVD twin — the categorical composition monitor in its
+    * serving shape: state is (segment, event_type, pop) counts — the
+    * category DOMAIN per traffic segment, the smallest state any
+    * member of the family carries — and the snapshot folds through
+    * the identical `Profiling.tvdFromCounts` batch code, shared
+    * oracle.
+    */
+  def runTvdBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame =
+    driftCountsSnapshot(spark, sfDir, "stream_tvd",
+      graft.ops.Profiling.tvdFromCounts(_, Seq("segment")),
+      valueExpr = col("event_type"),
+      groupName = "segment",
+      groupExpr = pmod(col("user_id"), lit(4L)))
+
   /** Shared serving shape of the drift family's batch-equivalence
     * twins: per-(type, value, pop) distribution counts as ONE
     * complete-mode streaming aggregation (state = distinct values per
@@ -264,7 +279,9 @@ object StreamingForecast {
     */
   private def driftCountsSnapshot(spark: SparkSession, sfDir: String,
       prefix: String, fold: DataFrame => DataFrame,
-      valueExpr: org.apache.spark.sql.Column = col("value")): DataFrame = {
+      valueExpr: org.apache.spark.sql.Column = col("value"),
+      groupName: String = "event_type",
+      groupExpr: org.apache.spark.sql.Column = col("event_type")): DataFrame = {
     val minTs = graft.sources.Tables.events(spark, sfDir)
       .agg(min(col("ts"))).head().getTimestamp(0)
     val name = s"${prefix}_${nameCounter.incrementAndGet()}"
@@ -272,8 +289,8 @@ object StreamingForecast {
       val dist = StreamingHourPivot.eventsStream(s, sfDir)
         // same null discipline as Profiling.driftCounts: a NULL value
         // has no CDF position and would also bloat state with a dead key
-        .filter(col("value").isNotNull)
-        .groupBy(col("event_type"), valueExpr.as("__v"),
+        .filter(valueExpr.isNotNull)
+        .groupBy(groupExpr.as(groupName), valueExpr.as("__v"),
           (to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
             .as("__p"))
         .agg(count(lit(1)).as("__n"))
@@ -287,7 +304,7 @@ object StreamingForecast {
       val snapshot = s.createDataFrame(
         s.table(name).collectAsList(), s.table(name).schema)
       s.catalog.dropTempView(name)
-      val counts = snapshot.groupBy(col("event_type"), col("__v"))
+      val counts = snapshot.groupBy(col(groupName), col("__v"))
         .agg(
           sum(when(col("__p"), col("__n")).otherwise(0L)).as("__na"),
           sum(when(col("__p"), lit(0L)).otherwise(col("__n")))

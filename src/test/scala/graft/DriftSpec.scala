@@ -143,6 +143,52 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ks") == 0.0)
   }
 
+  test("tvdDrift: exact mass-moved fraction, one-sided categories, nulls dropped") {
+    // A = {x, x, y}, B = {y, z}: p_a = (2/3, 1/3, 0), p_b = (0, ½, ½)
+    // → TVD = ½(2/3 + 1/6 + 1/2) = 2/3. Integer terms |na·tb − nb·ta|:
+    // x: |2·2 − 0·3| = 4, y: |1·2 − 1·3| = 1, z: |0·2 − 1·3| = 3 →
+    // num = 8, tvd = 8 / (2·3·2). The one-sided categories (x only in
+    // A, z only in B) contribute their full mass with no smoothing.
+    val df = Seq(
+      (Some("x"), true), (Some("x"), true), (Some("y"), true),
+      (Some("y"), false), (Some("z"), false),
+      (None: Option[String], true), (None: Option[String], false))
+      .toDF("v", "p").withColumn("g", lit("s"))
+    val r = Profiling.tvdDrift(df, Seq("g"), col("v"), col("p"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("tvd") == 8.0 / 12.0)
+  }
+
+  test("kuiperDrift: keeps both excursions and is invariant to the cyclic cut") {
+    // A = {1, 4}, B = {2, 3} on a 4-value circle: gaps D_v =
+    // ca·tb − cb·ta over v = 1..4 are 2, 0, −2, 0 → D⁺ = D⁻ = 2,
+    // V = 4/4 = 1.0 while KS keeps only one excursion (D = 2/4).
+    val df = Seq((1, true), (4, true), (2, false), (3, false))
+      .toDF("v", "p").withColumn("g", lit("s"))
+    val r = Profiling.kuiperDrift(df, Seq("g"), col("v"), col("p"))
+      .collect().head
+    assert(r.getAs[Long]("dplus_num") == 2L)
+    assert(r.getAs[Long]("dminus_num") == 2L)
+    assert(r.getAs[Long]("kuiper_num") == 4L)
+    assert(r.getAs[Double]("kuiper") == 1.0)
+    val ks = Profiling.ksDrift(df, Seq("g"), col("v"), col("p"))
+      .collect().head
+    assert(ks.getAs[Double]("ks") == 0.5, "fixture must split its evidence for KS")
+    // rotate the cut: v' = (v mod 4) + 1 relabels where the circle is
+    // cut. V_num = max(D) − min(D) is invariant under the rotation
+    // (cumsums restart, shifting every gap by a constant); KS is not.
+    val rot = df.withColumn("v", (col("v") % 4) + 1)
+    val r2 = Profiling.kuiperDrift(rot, Seq("g"), col("v"), col("p"))
+      .collect().head
+    assert(r2.getAs[Long]("kuiper_num") == 4L, "V changed under the cut rotation")
+    val ks2 = Profiling.ksDrift(rot, Seq("g"), col("v"), col("p"))
+      .collect().head
+    assert(ks2.getAs[Double]("ks") == 1.0,
+      "rotation should have concentrated KS's single excursion")
+  }
+
   test("runKsAppended: reference static, current grows, D updates on live state") {
     val out = graft.streaming.StreamingForecast
       .runKsAppended(spark, "/root/testdata/sf0.001")
