@@ -237,7 +237,12 @@ object Profiling {
   /** Hard cap on pooled distinct (group, value) pairs a KS/rank-sum
     * fold will window over before [[guardKsDomain]] stops it. 2^20
     * distinct values is far past any bucketed/discretized feature and
-    * far below where a per-group window sort becomes a straggler task.
+    * a MEASURED ~3× over the fold's flat (scan-bound) floor — past it
+    * the wall grows linearly in the domain as the single-task window
+    * sort takes over, reaching 27× the floor at all-distinct on a
+    * 20M-row group while ksDriftBucketed holds the floor on the same
+    * input (tools/KsDomainProbe; SCALE_NOTES "domain cap is now a
+    * measured boundary").
     */
   val DefaultKsDomainCap: Long = 1L << 20
 

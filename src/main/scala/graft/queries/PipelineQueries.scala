@@ -2391,8 +2391,12 @@ object PipelineQueries {
     (s, d) => {
       val ev = Tables.events(s, d)
       val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      // signed % on BOTH sides (not pmod): Spark's Remainder and
+      // DuckDB's % agree for every sign of user_id; pmod would
+      // silently diverge on a negative id (the null-order lesson
+      // applied to modular arithmetic)
       graft.ops.Profiling.tvdDrift(
-        ev.withColumn("segment", pmod(col("user_id"), lit(4L))),
+        ev.withColumn("segment", col("user_id") % 4),
         Seq("segment"), col("event_type"),
         to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
     },
@@ -2488,6 +2492,20 @@ object PipelineQueries {
         CAST(MAX(dv) + MAX(-dv) AS DOUBLE) /
           CAST(MAX(ta) * MAX(tb) AS DOUBLE) AS kuiper
       FROM d GROUP BY 1"""),
+    minDistinct = Some(("kuiper", 2L)))
+
+  /** Streaming twin of q_kuiper_hour_drift (StreamingForecast
+    * .runKuiperBatchEquivalent): hour-of-day counts as continuous
+    * state — bounded at 24 values × types by construction, the
+    * drift family's only domain that needs no guard even in
+    * principle — identical kuiperFromCounts fold on the snapshot,
+    * shared oracle.
+    */
+  private val qStreamKuiper = QueryDef(
+    "q_stream_kuiper_drift",
+    (s, d) => graft.streaming.StreamingForecast
+      .runKuiperBatchEquivalent(s, d),
+    qKuiperDrift.oracle,
     minDistinct = Some(("kuiper", 2L)))
 
   /** Shared oracle block: the exact-rational KS fold in SQL over a
@@ -2785,7 +2803,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qTvdDrift, qStreamTvd, qKuiperDrift, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qTvdDrift, qStreamTvd, qKuiperDrift, qStreamKuiper, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

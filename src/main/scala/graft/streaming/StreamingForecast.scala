@@ -253,6 +253,16 @@ object StreamingForecast {
         .select(col("event_type"), col("n_a"), col("n_b"), col("w1")),
       valueExpr = round(col("value") * 100).cast("long"))
 
+  /** Streaming Kuiper twin — hour-of-day distribution counts as
+    * continuous state (24 values × types, bounded by construction),
+    * identical kuiperFromCounts fold on the snapshot, shared oracle.
+    */
+  def runKuiperBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame =
+    driftCountsSnapshot(spark, sfDir, "stream_kuiper",
+      graft.ops.Profiling.kuiperFromCounts(_, Seq("event_type")),
+      valueExpr = hour(col("ts")))
+
   /** Streaming TVD twin — the categorical composition monitor in its
     * serving shape: state is (segment, event_type, pop) counts — the
     * category DOMAIN per traffic segment, the smallest state any
@@ -266,16 +276,19 @@ object StreamingForecast {
       graft.ops.Profiling.tvdFromCounts(_, Seq("segment")),
       valueExpr = col("event_type"),
       groupName = "segment",
-      groupExpr = pmod(col("user_id"), lit(4L)))
+      // signed % to match the oracle's % for every sign of user_id
+      groupExpr = col("user_id") % 4)
 
   /** Shared serving shape of the drift family's batch-equivalence
-    * twins: per-(type, value, pop) distribution counts as ONE
+    * twins: per-(group, value, pop) distribution counts as ONE
     * complete-mode streaming aggregation (state = distinct values per
     * group — distribution-sized, the GroupQuantile caveat, never
     * corpus rows), then `fold` runs on the snapshot through the
-    * identical batch code path. The population cut (first 15 days) is
-    * derived batch-side up front — a deployment would configure the
-    * reference window statically.
+    * identical batch code path. The group key defaults to event_type;
+    * the TVD twin re-keys on traffic segment with the CATEGORY as the
+    * value. The population cut (first 15 days) is derived batch-side
+    * up front — a deployment would configure the reference window
+    * statically.
     */
   private def driftCountsSnapshot(spark: SparkSession, sfDir: String,
       prefix: String, fold: DataFrame => DataFrame,
