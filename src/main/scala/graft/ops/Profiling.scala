@@ -544,6 +544,68 @@ object Profiling {
         col("u2_a").cast("long").as("u2_a") :+ col("auc_ab"): _*)
   }
 
+  /** Rolling-reference KS drift TIME SERIES — the shape a deployed
+    * monitor actually charts. [[ksDrift]] answers "did the
+    * distribution move across ONE fixed split"; a monitor wants D per
+    * evaluation day, each day comparing its trailing `curDays`-day
+    * current window against the `refDays`-day reference window
+    * immediately before it: for eval day e, reference =
+    * [e − (refDays+curDays) + 1, e − curDays], current =
+    * [e − curDays + 1, e]. Only days with FULLY populated windows
+    * (e ≥ min_day + refDays + curDays − 1) are emitted — a partially
+    * filled reference would alarm on window-fill, not drift.
+    *
+    * Mechanics: per-(group, day, value) counts (one map-side-combined
+    * shuffle, distribution × active-days sized), a compact
+    * eval-day frame joined by a day-range predicate (BroadcastNested-
+    * Loop on a ~days-sized build side — the right plan for a tiny
+    * theta join; each counts row lands in at most refDays+curDays
+    * eval windows, so the expansion is bounded by the window span,
+    * never the corpus), then the UNCHANGED exact-rational
+    * [[ksFromCounts]] fold per (group, eval_day). The binding
+    * [[guardKsDomain]] contract applies to the post-join frame
+    * (domain × window-span rows per group).
+    *
+    * Output: (group..., eval_day, n_a, n_b, ks_num, ks), one row per
+    * group × fully-windowed day — the chart a monitor renders, exact
+    * on every point.
+    */
+  def ksDriftTimeseries(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, dayCol: Column, refDays: Int = 7,
+      curDays: Int = 7,
+      domainCap: Long = DefaultKsDomainCap): DataFrame = {
+    require(refDays >= 1 && curDays >= 1, s"$refDays/$curDays")
+    val span = refDays + curDays
+    val g = groupCols.map(col)
+    val dayCounts = df
+      .select(g :+ valueCol.as("__v") :+ dayCol.as("__day"): _*)
+      .filter(col("__v").isNotNull && col("__day").isNotNull)
+      .groupBy(g :+ col("__v") :+ col("__day"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val minDay = df.select(dayCol.as("__day"))
+      .filter(col("__day").isNotNull)
+      .agg(min(col("__day"))).head().getDate(0)
+    val evalDays = df.select(dayCol.as("eval_day")).distinct()
+      .filter(col("eval_day") >= date_add(lit(minDay), span - 1))
+    val joined = dayCounts.join(broadcast(evalDays),
+      col("__day").between(date_sub(col("eval_day"), span - 1),
+        col("eval_day")))
+    val counts = joined
+      .groupBy(g :+ col("eval_day") :+ col("__v"): _*)
+      .agg(
+        sum(when(col("__day") <= date_sub(col("eval_day"), curDays),
+          col("__n")).otherwise(0L)).as("__na"),
+        sum(when(col("__day") <= date_sub(col("eval_day"), curDays),
+          lit(0L)).otherwise(col("__n"))).as("__nb"))
+    guardKsDomain(counts, domainCap, "ksDriftTimeseries")
+    // an empty reference or current window has no verdict (and its
+    // 0/0 division is engine-divergent: Spark NaN, DuckDB NULL) —
+    // a monitor emits nothing for that (group, day) rather than a
+    // number that means "the window was empty"
+    ksFromCounts(counts, groupCols :+ "eval_day")
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+  }
+
   /** Total variation distance per group over a CATEGORICAL column,
     * EXACT: the drift family's missing categorical DISTANCE. chi2
     * answers "is the composition shift statistically surprising"

@@ -2508,6 +2508,58 @@ object PipelineQueries {
     qKuiperDrift.oracle,
     minDistinct = Some(("kuiper", 2L)))
 
+  /** Rolling-reference drift time series (ops/Profiling
+    * .ksDriftTimeseries): D per (event_type, day), each day's
+    * trailing 7-day current window against the 7 days before it —
+    * the chart a deployed monitor renders, exact on every point,
+    * where the fixed-split queries (q_ks_value_drift) answer a
+    * one-shot question. Only fully-windowed days emit (a half-filled
+    * reference alarms on window fill, not drift), and empty-window
+    * (group, day) rows emit NOTHING rather than an engine-divergent
+    * 0/0.
+    */
+  private val qKsTimeseries = QueryDef(
+    "q_ks_drift_timeseries",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Profiling.ksDriftTimeseries(ev, Seq("event_type"),
+        col("value"), to_date(col("ts")), refDays = 7, curDays = 7)
+    },
+    Some("""
+      WITH mind AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+      days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS ed FROM events, mind
+        WHERE CAST(ts AS DATE) >= d0 + 13),
+      dc AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day, value AS v,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2, 3),
+      j AS (
+        SELECT dc.g, days.ed, dc.v, dc.day <= days.ed - 7 AS p, dc.n
+        FROM dc JOIN days ON dc.day BETWEEN days.ed - 13 AND days.ed),
+      counts AS (
+        SELECT g, ed, v,
+          CAST(SUM(CASE WHEN p THEN n ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN p THEN 0 ELSE n END) AS BIGINT) AS nb
+        FROM j GROUP BY 1, 2, 3),
+      cum AS (
+        SELECT g, ed,
+          CAST(SUM(na) OVER (PARTITION BY g, ed ORDER BY v) AS BIGINT) AS ca,
+          CAST(SUM(nb) OVER (PARTITION BY g, ed ORDER BY v) AS BIGINT) AS cb,
+          CAST(SUM(na) OVER (PARTITION BY g, ed) AS BIGINT) AS ta,
+          CAST(SUM(nb) OVER (PARTITION BY g, ed) AS BIGINT) AS tb
+        FROM counts)
+      SELECT g AS event_type, ed AS eval_day,
+        CAST(MAX(ta) AS BIGINT) AS n_a,
+        CAST(MAX(tb) AS BIGINT) AS n_b,
+        CAST(MAX(ABS(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+        CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE) /
+          CAST(MAX(ta) * MAX(tb) AS DOUBLE) AS ks
+      FROM cum GROUP BY 1, 2
+      HAVING MAX(ta) > 0 AND MAX(tb) > 0"""),
+    minDistinct = Some(("ks", 2L)))
+
   /** Shared oracle block: the exact-rational KS fold in SQL over a
     * `base(g, v, p)` CTE the caller has already defined — counts,
     * integer cumulative windows, max |ca·tb − cb·ta|, one final
@@ -2803,7 +2855,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qTvdDrift, qStreamTvd, qKuiperDrift, qStreamKuiper, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qTvdDrift, qStreamTvd, qKuiperDrift, qStreamKuiper, qKsTimeseries, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

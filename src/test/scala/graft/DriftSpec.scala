@@ -189,6 +189,34 @@ class DriftSpec extends AnyFunSuite {
       "rotation should have concentrated KS's single excursion")
   }
 
+  test("ksDriftTimeseries: window boundaries exact, empty-reference rows emit nothing") {
+    // group x: v=1 on days 1–7, v=2 on days 8–15. Eval days start at
+    // d0+13 = day 14 (earlier days have a half-filled window).
+    //   day 14: ref = days 1–7 (all v=1), cur = days 8–14 (all v=2)
+    //           → full separation, ks = 1 (num 49)
+    //   day 15: ref = days 2–8 (six v=1, one v=2), cur = days 9–15
+    //           → gap at v=1 is |6·7 − 0·7| = 42, ks = 6/7
+    // group y exists only on days 14–15: its reference windows are
+    // EMPTY → no verdict rows at all (not a NaN/NULL 0/0).
+    val rows =
+      (1 to 7).map(d => ("x", f"2024-01-$d%02d", 1.0)) ++
+        (8 to 15).map(d => ("x", f"2024-01-$d%02d", 2.0)) ++
+        Seq(("y", "2024-01-14", 9.0), ("y", "2024-01-15", 9.0))
+    val df = rows.toDF("g", "day", "v")
+      .withColumn("day", to_date(col("day")))
+    val out = Profiling.ksDriftTimeseries(df, Seq("g"), col("v"),
+      col("day"), refDays = 7, curDays = 7).collect()
+    assert(out.forall(_.getString(0) == "x"),
+      "empty-reference group y must emit nothing")
+    val byDay = out.map(r =>
+      r.getDate(1).toString -> (r.getAs[Long]("ks_num"),
+        r.getAs[Double]("ks"))).toMap
+    assert(byDay.keySet == Set("2024-01-14", "2024-01-15"),
+      s"eval days wrong: ${byDay.keySet}")
+    assert(byDay("2024-01-14") == ((49L, 1.0)))
+    assert(byDay("2024-01-15") == ((42L, 6.0 / 7.0)))
+  }
+
   test("runKsAppended: reference static, current grows, D updates on live state") {
     val out = graft.streaming.StreamingForecast
       .runKsAppended(spark, "/root/testdata/sf0.001")

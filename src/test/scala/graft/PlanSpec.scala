@@ -822,4 +822,14 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-wide sort on doc_id:\n$p")
     assert(sorts <= 4, s"too many sorts for a bucket-formula plan:\n$p")
   }
+
+  test("drift timeseries: eval-day range join broadcasts the tiny frame") {
+    val p = planString("q_ks_drift_timeseries")
+    // the day-range theta join must put the ~days-sized eval frame on
+    // a broadcast build side; a shuffle or cartesian here would move
+    // the corpus-sized distribution frame for a <100-row dimension
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
