@@ -606,6 +606,36 @@ object Profiling {
       .filter(col("n_a") > 0 && col("n_b") > 0)
   }
 
+  /** The KS REJECTION DECISION as exact integer arithmetic — the
+    * promise the [[ksDrift]] scaladoc has carried since r14 ("compare
+    * ks_num² against c²·n_a·n_b·N — still integer"), delivered.
+    * Large-sample two-sample KS rejects at level α when
+    * D > c(α)·√(N/(n_a·n_b)) with c(α) = √(ln(2/α)/2); squaring and
+    * substituting D = ks_num/(n_a·n_b) gives the integer form
+    *
+    *   alarm ⇔ ks_num² · c2Den > c2Num · n_a·n_b·(n_a+n_b)
+    *
+    * where c² = c2Num/c2Den is the DECLARED rational critical
+    * constant (default 36889/20000 = 1.84445 ≈ ln(40)/2 for
+    * α = 0.05 — the constant is a published table value, the DECISION
+    * given the constant is exact: no sqrt, no ln, no float compare
+    * that two engines could round apart on a borderline day).
+    *
+    * Overflow: ks_num² reaches (n_a·n_b)² and then multiplies by
+    * c2Den — DECIMAL(38,0) holds it for populations up to ~2.6e8 rows
+    * per side (tighter than the fold's ~3e9; ANSI overflow throws
+    * loudly). Monitors past that scale should alarm on a per-key
+    * sample — the test's power saturates far earlier anyway.
+    */
+  def withKsAlarm(ks: DataFrame, c2Num: Long = 36889L,
+      c2Den: Long = 20000L): DataFrame = {
+    require(c2Num > 0 && c2Den > 0, s"$c2Num/$c2Den")
+    ks.withColumn("alarm",
+      col("ks_num").cast("decimal(38,0)") * col("ks_num") * c2Den >
+        lit(c2Num).cast("decimal(38,0)") * col("n_a") * col("n_b") *
+          (col("n_a") + col("n_b")))
+  }
+
   /** Total variation distance per group over a CATEGORICAL column,
     * EXACT: the drift family's missing categorical DISTANCE. chi2
     * answers "is the composition shift statistically surprising"

@@ -2560,6 +2560,29 @@ object PipelineQueries {
       HAVING MAX(ta) > 0 AND MAX(tb) > 0"""),
     minDistinct = Some(("ks", 2L)))
 
+  /** The monitor's DECISION column (ops/Profiling.withKsAlarm): the
+    * drift time series with the α = 0.05 rejection computed as exact
+    * integer arithmetic — ks_num²·20000 > 36889·n_a·n_b·N, the
+    * declared-rational-critical-constant form, so a borderline day
+    * cannot flip between engines on a sqrt/ln rounding. The oracle
+    * replays the identical comparison in HUGEINT around the shared
+    * time-series SQL.
+    */
+  private val qKsAlarm = QueryDef(
+    "q_ks_drift_alarm",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Profiling.withKsAlarm(
+        graft.ops.Profiling.ksDriftTimeseries(ev, Seq("event_type"),
+          col("value"), to_date(col("ts")), refDays = 7, curDays = 7))
+    },
+    qKsTimeseries.oracle.map(ts => s"""
+      SELECT event_type, eval_day, n_a, n_b, ks_num, ks,
+        (CAST(ks_num AS HUGEINT) * ks_num * 20000 >
+         CAST(36889 AS HUGEINT) * n_a * n_b * (n_a + n_b)) AS alarm
+      FROM ($ts) ts"""),
+    minDistinct = Some(("ks", 2L)))
+
   /** Shared oracle block: the exact-rational KS fold in SQL over a
     * `base(g, v, p)` CTE the caller has already defined — counts,
     * integer cumulative windows, max |ca·tb − cb·ta|, one final
@@ -2855,7 +2878,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(qAttribution, qAttributionModels, qRollingDistinct, qDailyGrowth, qDowProfile, qStreamDowProfile, qSeasonalMase,
     qStreamSeasonalMase, qSessionSequences, qMadOutliers, qStreamMad,
     qEwma, qStreamEwma, qTheilSen,
-    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qTvdDrift, qStreamTvd, qKuiperDrift, qStreamKuiper, qKsTimeseries, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
+    qStreamTheilSen, qAllocation, qStreamAllocation, qKsDrift, qStreamKs, qMannWhitney, qKsBucketed, qStreamKsAppended, qCvmDrift, qStreamCvm, qWasserstein, qStreamWasserstein, qStreamMwu, qTvdDrift, qStreamTvd, qKuiperDrift, qStreamKuiper, qKsTimeseries, qKsAlarm, qCusum, qStreamCusum,qPivot, qPivotMin, qStreamLatePivot, qStreamLatePivotUpdate, qStreamUpdateWaves, qUnpivot, qResample, qAnomaly, qRollingMedian, qStreamRollingMedian, qJson, qValues, qHllRolling, qStreamHllRolling, qStream,
     qStreamDedup, qStreamFileSink, qStreamJoin, qSessions, qStreamSessions, qCopresence, qPurgedSplit, qConformal, qStreamConformal, qFunnel, qFunnelLatency, qValueVolumeCorr, qSpearmanCorr, qChangepoint, qStreamChangepoint, qRetention,
     qScd2, qScd2Apply, qStreamScd2, qScd2Pit, qStreamPit, qAbTest, qDid, qCuped, qTransitions, qEventPaths, qGolden, qWinsorized, qRfm, qChi2, qHllOverlap, qKeySkew, qStreamKeySkew, qJoinSizeEst)
 }

@@ -217,6 +217,23 @@ class DriftSpec extends AnyFunSuite {
     assert(byDay("2024-01-15") == ((42L, 6.0 / 7.0)))
   }
 
+  test("withKsAlarm: rejection decision is exact integer arithmetic") {
+    // full separation at n = 7 vs 7: ks_num = 49, and
+    // 49²·20000 = 48,020,000 > 36889·7·7·14 = 25,305,854 → alarm
+    val sep = Seq.tabulate(7)(i => (i + 1.0, true)) ++
+      Seq.tabulate(7)(i => (i + 8.0, false))
+    val a = Profiling.withKsAlarm(
+      Profiling.ksDrift(sep.toDF("v", "p").withColumn("g", lit("x")),
+        Seq("g"), col("v"), col("p"))).collect().head
+    assert(a.getAs[Boolean]("alarm"))
+    // identical distributions: ks_num = 0 → never alarms
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+    val b = Profiling.withKsAlarm(
+      Profiling.ksDrift(same.toDF("v", "p").withColumn("g", lit("x")),
+        Seq("g"), col("v"), col("p"))).collect().head
+    assert(!b.getAs[Boolean]("alarm"))
+  }
+
   test("runKsAppended: reference static, current grows, D updates on live state") {
     val out = graft.streaming.StreamingForecast
       .runKsAppended(spark, "/root/testdata/sf0.001")
