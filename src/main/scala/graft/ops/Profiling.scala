@@ -587,6 +587,21 @@ object Profiling {
       .agg(min(col("__day"))).head().getDate(0)
     val evalDays = df.select(dayCol.as("eval_day")).distinct()
       .filter(col("eval_day") >= date_add(lit(minDay), span - 1))
+    ksTimeseriesFold(dayCounts, evalDays, groupCols, refDays, curDays,
+      domainCap)
+  }
+
+  /** The time-series fold over a pre-built per-day distribution frame
+    * (group..., `__v`, `__day`, `__n`) and an eval-day frame — the
+    * [[ksFromCounts]] split, so the streaming twin's continuously
+    * maintained day-windowed count state folds through the SAME
+    * join + fold code as the batch scan.
+    */
+  def ksTimeseriesFold(dayCounts: DataFrame, evalDays: DataFrame,
+      groupCols: Seq[String], refDays: Int, curDays: Int,
+      domainCap: Long = DefaultKsDomainCap): DataFrame = {
+    val span = refDays + curDays
+    val g = groupCols.map(col)
     val joined = dayCounts.join(broadcast(evalDays),
       col("__day").between(date_sub(col("eval_day"), span - 1),
         col("eval_day")))

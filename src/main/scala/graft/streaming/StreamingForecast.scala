@@ -253,6 +253,56 @@ object StreamingForecast {
         .select(col("event_type"), col("n_a"), col("n_b"), col("w1")),
       valueExpr = round(col("value") * 100).cast("long"))
 
+  /** Streaming drift-time-series twin — the monitor's PRODUCTION
+    * shape: per-(type, value, day) counts maintained as ONE
+    * complete-mode streaming aggregation (state = distribution ×
+    * active days per type; the window membership of a day changes as
+    * eval days advance, but the COUNT state never does — that is why
+    * a monitor maintains day-grain counts rather than windowed
+    * statistics), then the identical `Profiling.ksTimeseriesFold`
+    * join + exact fold runs on the snapshot, shared oracle. The
+    * eval-day frame is derived batch-side like every twin's
+    * configuration (a deployment derives it from the monitor's
+    * calendar, not from stream state).
+    */
+  def runKsTimeseriesBatchEquivalent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val minDay = ev.select(to_date(col("ts")).as("__day"))
+      .filter(col("__day").isNotNull)
+      .agg(min(col("__day"))).head().getDate(0)
+    val evalDays = ev.select(to_date(col("ts")).as("eval_day"))
+      .distinct()
+      .filter(col("eval_day") >= date_add(lit(minDay), 13))
+      .collect().map(_.getDate(0))
+    val name = s"stream_ks_ts_${nameCounter.incrementAndGet()}"
+    StreamingRun.withStatePartitions(spark, 4) { s =>
+      val dist = StreamingHourPivot.eventsStream(s, sfDir)
+        .filter(col("value").isNotNull && to_date(col("ts")).isNotNull)
+        .groupBy(col("event_type"), col("value").as("__v"),
+          to_date(col("ts")).as("__day"))
+        .agg(count(lit(1)).as("__n"))
+      val q = dist.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snapshot = s.createDataFrame(
+        s.table(name).collectAsList(), s.table(name).schema)
+      s.catalog.dropTempView(name)
+      import scala.jdk.CollectionConverters._
+      val evalFrame = s.createDataFrame(
+        evalDays.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("eval_day",
+            org.apache.spark.sql.types.DateType))))
+      graft.ops.Profiling.ksTimeseriesFold(snapshot, evalFrame,
+        Seq("event_type"), refDays = 7, curDays = 7)
+    }
+  }
+
   /** Streaming Kuiper twin — hour-of-day distribution counts as
     * continuous state (24 values × types, bounded by construction),
     * identical kuiperFromCounts fold on the snapshot, shared oracle.
