@@ -56,20 +56,65 @@ object RelationalQueries {
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
   // ---------------------------------------------------------------- q1
+  /** r15 OPTIMIZATION (split-long money sums, guide §1.2 "per-task
+    * work"): q1's wall was ONE task — the single-row-group scan fuses
+    * with the partial aggregate, and the partial aggregate did ALL the
+    * money arithmetic through BigDecimal (3 Decimal multiplies + a
+    * double→Decimal cast per row; Q1Probe: the same agg over plain
+    * doubles costs 0.22 s vs 1.04 s). Reformulated as EXACT integer
+    * cents: round(x·100) longs, products as long multiplies, and every
+    * money sum split into TWO primitive long sums (value div 1e6,
+    * value mod 1e6) so the codegen'd aggregate buffers stay unboxed
+    * longs — recombined and divided ONCE per group in DECIMAL(38),
+    * where the arithmetic is exact and the final DOUBLE cast is the
+    * same single correctly-rounded conversion the decimal form
+    * produced. Value-identical (Q1ParProbe asserts cell-for-cell
+    * double equality vs the decimal form; oracle unchanged).
+    *
+    * Rounding exactness: the data is 2-decimal; for x < 1e6 with two
+    * decimals, x·100 sits within 1e-8 of an integer, so round() always
+    * recovers the exact cents (the cast-to-DECIMAL(12,2) HALF_UP did
+    * the same).
+    *
+    * Overflow headroom (the mNarrow ledger, now wider): worst addend
+    * hi(charge) = charge_e6 div 1e6 ≤ 1.1e6·(price<1e6); at TPC-H
+    * SF 100k (~100 TB, ~1.5e11 rows/group) Σhi ≈ 5.7e15 and
+    * Σlo < 1.5e17 — both ~10³× under the 9.2e18 long cap, vs the ~2×
+    * margin the previous DECIMAL(18,2) narrow sum shipped with.
+    * Median A/B (interleaved ×7, sf0.1): 1.12 → 0.51 s.
+    */
   private val q1 = QueryDef(
     "q1_pricing_summary",
     (s, d) => {
       val li = Tables.lineitem(s, d)
+      val pc = expr("cast(round(l_extendedprice * 100) as bigint)")
+      val dc = expr("cast(round(l_discount * 100) as bigint)")
+      val tc = expr("cast(round(l_tax * 100) as bigint)")
+      val disc = pc * (lit(100L) - dc)          // price·(1−d) at scale 4
+      val charge = disc * (lit(100L) + tc)      // ·(1+t) at scale 6
+      val K = lit(1000000L)
+      val d38 = DecimalType(38, 0)
+      // (c / K) is double division, exact here: c ≤ 1.2e12 < 2^53 and
+      // the remainder keeps the true quotient ≥ 1e-6 away from the
+      // next integer while the division's rounding error is ≤ ~1e-10 —
+      // the truncating cast always lands on c div K.
+      def split(c: Column, name: String) = Seq(
+        sum((c / K).cast("bigint")).as(s"__${name}_hi"),
+        sum(pmod(c, K)).as(s"__${name}_lo"))
+      def rec(name: String, den: Long) =
+        ((col(s"__${name}_hi").cast(d38) * 1000000L +
+          col(s"__${name}_lo").cast(d38)) / den).cast("double")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(mNarrow(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(m(col("l_extendedprice")) * (oneR - r(col("l_discount")))
-            * (oneR + r(col("l_tax")))).cast("double").as("sum_charge"),
-          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          count(lit(1)).as("count_order"))
+          (split(pc, "p") ++ split(disc, "d") ++ split(charge, "c")) ++ Seq(
+            (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")): _*)
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          rec("p", 100L).as("sum_base_price"),
+          rec("d", 10000L).as("sum_disc_price"),
+          rec("c", 1000000L).as("sum_charge"),
+          col("avg_qty"), col("count_order"))
     },
     Some(s"""
       SELECT l_returnflag, l_linestatus,

@@ -13,8 +13,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema memo, keyed by (path, mtime, length) so a testdata
+    * regeneration mid-session mints a new key instead of serving a
+    * stale schema.
+    *
+    * r15 OPTIMIZATION (guide §6 — metadata, not data): a bare
+    * `spark.read.parquet(path)` pays file listing + parquet footer
+    * schema inference on the DRIVER for every call, and every declared
+    * query calls it for every table it touches — measured 0.75 s per
+    * 6-table query vs 0.075 s with the schema supplied
+    * (tools/ReadSetupProbe, median of 7). This memo is the
+    * catalog-table model (a metastore/manifest serves the schema; at
+    * 100 TB you would never re-infer per query): schema resolved once
+    * per file version per JVM, every read still scans the parquet
+    * itself. No row, aggregate, or result is cached.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val f = new java.io.File(path)
+    // nanosAsLong changes what inference RETURNS for nanos timestamps
+    // (events.ts: LongType vs an unsupported-type error), so a session
+    // with a different setting must not be served the other's schema
+    val nanosConf = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val key = s"$path:${f.lastModified}:${f.length}:$nanosConf"
+    val schema = schemaMemo.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
