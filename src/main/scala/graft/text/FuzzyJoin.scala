@@ -108,7 +108,13 @@ object FuzzyJoin {
       .drop("__rd")
       .withColumn("__r", col("__r") + 1)
       .withColumn("__tag", lit(1))
+    // r15: pin the window's exchange width too (same rationale as the
+    // verify repartition below — the frame is byte-tiny, so AQE
+    // coalesced the per-super-bucket window + w−1-lead explode into
+    // ONE task, ~2 s serial at sf0.1)
     val frame = tagged.withColumn("__tag", lit(0)).unionByName(tails)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__r"))
     val wOrd = Window.partitionBy(col("__r")).orderBy(col("key"), col("id"))
     // lead columns first (one shared window sort), then explode
     val withLeads = frame.select(
@@ -124,7 +130,20 @@ object FuzzyJoin {
       .select(col("id_a"), col("p.id_b").as("id_b"))
     val grams = charGramFrame(df, idCol, textCol, q)
     val sets = grams.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
-    cand
+    // r15 OPTIMIZATION (guide §2.5 — per-row-expensive operators need
+    // row-count, not byte-count, parallelism): the candidate frame is a
+    // few MB of id pairs, so AQE's byte-based coalescing collapsed the
+    // whole verify (two set joins + array_intersect over n·(w−1) pairs)
+    // to ONE task — 7.3 s of the adaptive query's 9.5 s wall was that
+    // single task (StageBreakdown). An explicit repartition at the
+    // planner's own partition count pins the verify at full width: the
+    // count is what a planner exchange would use (scale knob unchanged),
+    // but a user-pinned repartition is not AQE-coalescable, which here
+    // is precisely the point. Measured (this + the window-width pin
+    // above): 9.54 → 4.29 s wall at sf0.1.
+    val candSpread = cand.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col("id_a"))
+    candSpread
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("__common", size(array_intersect(col("sh_a"), col("sh_b"))))
