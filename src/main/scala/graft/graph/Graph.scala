@@ -78,8 +78,9 @@ object Graph {
       iters: Int = 3, base: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(true)
+    // r15: count-pinned repartition (see pinEdges) so the checkpointed
+    // partitioning actually satisfies the per-round join requirement
+    val e = pinEdges(edges, "src")
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val teleport = base * (dampDen - dampNum) / dampDen
@@ -140,9 +141,12 @@ object Graph {
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    // r15: the caller's edge PLAN fed both the degree agg and the join
+    // chain — two executions of the co-occurrence self-join; pin once
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = ed.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
-    val e = edges
+    val e = ed
       .join(deg.select(col("n").as("src"), col("d").as("dx")), Seq("src"))
       .join(deg.select(col("n").as("dst"), col("d").as("dy")), Seq("dst"))
     val m = e.agg(
@@ -193,8 +197,9 @@ object Graph {
       base: Long = 1000000L, dampNum: Long = 85L,
       dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(true)
+    // r15: count-pinned repartition (see pinEdges) so the checkpointed
+    // partitioning actually satisfies the per-round join requirement
+    val e = pinEdges(edges, "src")
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val teleport = base * (dampDen - dampNum) / dampDen
@@ -305,9 +310,35 @@ object Graph {
     * synchronous updates and integer tie-breaks the whole trajectory
     * is deterministic — the oracle unrolls it round by round.
     */
+  /** r15 OPTIMIZATION (guide §2.4 — pay each pass once): iterative
+    * operators reference their edge frame once or twice PER ROUND, and
+    * the graph queries pass a raw co-occurrence PLAN (per-group
+    * self-join, ~2 s task CPU / 24 MB at sf0.1) — labelprop re-ran it
+    * 3×, kCore 6× (two semi-joins per round). Materialize ONCE,
+    * pre-partitioned on the per-round join key so at scale only the
+    * node-sized frame moves per round (the pageRank discipline, now
+    * uniform across the family). StageBreakdown before/after on
+    * q_copurchase_labelprop: three 23.9 MB edge-build stages → one.
+    *
+    * NO pre-repartition on the join key — measured (r15): under AQE,
+    * `Dataset.localCheckpoint` captures the physical plan's
+    * partitioning as UnknownPartitioning(0) (the adaptive plan's
+    * partitioning is not final when the checkpoint snapshots it), so a
+    * repartition before the checkpoint can never satisfy a downstream
+    * join requirement — it is a pure extra exchange. pageRank carried
+    * exactly that dead repartition since round 7 ("edges never move
+    * again" — they moved every round). The honest per-round cost at
+    * scale is therefore one edge-side exchange per round when the
+    * node frame outgrows broadcast; locally the node side broadcasts
+    * and the checkpoint scan fuses straight into the join.
+    */
+  private def pinEdges(edges: DataFrame, key: String): DataFrame =
+    edges.select(col("src"), col("dst")).localCheckpoint(true)
+
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       nodes: DataFrame, idCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "labelPropagation needs iters >= 1")
+    val e = pinEdges(edges, "src")
     val seedsN = seeds
       .select(col(idCol).cast("long").as("id"),
         col("label").cast("long").as("seed_label"))
@@ -317,7 +348,7 @@ object Graph {
       .select(col("id"), col("seed_label").as("label"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val votes = edges
+      val votes = e
         .join(labels.where(col("label").isNotNull)
           .select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"), col("label"))
@@ -362,9 +393,12 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, nodes: DataFrame,
       idCol: String, maxBroadcastEdges: Long = 0L): DataFrame = {
-    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    // r15: pin the caller's edge plan — it fed the degree agg AND the
+    // orientation join (two executions of the co-occurrence self-join)
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = ed.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // total order: (degree, id); keep each undirected edge low→high
-    val withDeg = edges
+    val withDeg = ed
       .join(deg.select(col("n").as("src"), col("d").as("ds")), Seq("src"))
       .join(deg.select(col("n").as("dst"), col("d").as("dd")), Seq("dst"))
     val oriented = withDeg.where(
@@ -421,11 +455,12 @@ object Graph {
   def bfsLevels(edges: DataFrame, seeds: DataFrame, idCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, "bfsLevels needs maxHops >= 1")
+    val e = pinEdges(edges, "src") // r15: one edge materialize, not per hop
     var reached = seeds.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint(true)
     var frontier = reached.select(col("id"))
     for (i <- 1 to maxHops) {
-      val next = edges
+      val next = e
         .join(frontier.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(reached.select(col("id")), Seq("id"), "left_anti")
@@ -486,13 +521,14 @@ object Graph {
       k: Int, iters: Int, runToFixpoint: Boolean = false)
       : (DataFrame, Int, Boolean) = {
     require(k >= 1 && iters >= 1, "kCore needs k >= 1, iters >= 1")
+    val e = pinEdges(edges, "src") // r15: was re-built twice per round
     val all = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
     var survivors = all
     var round = 0
     var converged = false
     while (round < iters && !converged) {
-      val deg = edges
+      val deg = e
         .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(survivors.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
@@ -522,12 +558,13 @@ object Graph {
       idCol: String, iters: Int,
       runToFixpoint: Boolean = false): (DataFrame, Int, Boolean) = {
     require(iters >= 1, "connectedComponents needs iters >= 1")
+    val e = pinEdges(edges, "src") // r15: one edge materialize, not per round
     var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var round = 0
     var converged = false
     while (round < iters && !converged) {
-      val msgs = edges
+      val msgs = e
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
       val next = labels.join(msgs, Seq("id"), "left")

@@ -715,12 +715,14 @@ object Dedup {
     val undirected = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
-    // pre-partition edges on the per-round join key so only the (small)
-    // labels side shuffles each iteration
+    // r15: the pre-repartition on the join key was dead weight — under
+    // AQE, localCheckpoint captures UnknownPartitioning(0), so the
+    // partitioning never satisfied the per-round join anyway (measured,
+    // graph/Graph.pinEdges); dropping it removes one full exchange of
+    // the edge frame from the build
     val edges = undirected
       .unionByName(undirected
         .select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
       .localCheckpoint(true)
