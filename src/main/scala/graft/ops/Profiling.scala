@@ -582,11 +582,17 @@ object Profiling {
       .filter(col("__v").isNotNull && col("__day").isNotNull)
       .groupBy(g :+ col("__v") :+ col("__day"): _*)
       .agg(count(lit(1)).as("__n"))
+    // r15: the min-day scalar rides the PLAN (broadcast 1-row cross
+    // join — the repo's 1-row-side pattern) instead of a driver-side
+    // head(): the old form paid a full extra scan of `df` plus a
+    // driver barrier before the real query could even be submitted
     val minDay = df.select(dayCol.as("__day"))
       .filter(col("__day").isNotNull)
-      .agg(min(col("__day"))).head().getDate(0)
+      .agg(min(col("__day")).as("__mind"))
     val evalDays = df.select(dayCol.as("eval_day")).distinct()
-      .filter(col("eval_day") >= date_add(lit(minDay), span - 1))
+      .crossJoin(broadcast(minDay))
+      .filter(col("eval_day") >= date_add(col("__mind"), span - 1))
+      .select(col("eval_day"))
     ksTimeseriesFold(dayCounts, evalDays, groupCols, refDays, curDays,
       domainCap)
   }

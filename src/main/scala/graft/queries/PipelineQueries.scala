@@ -2141,10 +2141,13 @@ object PipelineQueries {
   private val qKsDrift = QueryDef(
     "q_ks_value_drift",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      // r15: the min-ts scalar rides the plan (broadcast 1-row cross
+      // join) instead of a driver head() that paid an extra full scan
+      // + barrier per query — same cut date, same oracle
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.crossJoin(broadcast(ev0.agg(min(col("ts")).as("__mints"))))
       graft.ops.Profiling.ksDrift(ev, Seq("event_type"), col("value"),
-        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+        to_date(col("ts")) < date_add(to_date(col("__mints")), 15))
     },
     Some("""
       WITH cut AS (
@@ -2196,11 +2199,14 @@ object PipelineQueries {
   private val qMannWhitney = QueryDef(
     "q_mannwhitney_value",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      // r15: the min-ts scalar rides the plan (broadcast 1-row cross
+      // join) instead of a driver head() that paid an extra full scan
+      // + barrier per query — same cut date, same oracle
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.crossJoin(broadcast(ev0.agg(min(col("ts")).as("__mints"))))
       graft.ops.Profiling.mannWhitneyU(ev, Seq("event_type"),
         col("value"),
-        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+        to_date(col("ts")) < date_add(to_date(col("__mints")), 15))
     },
     Some("""
       WITH cut AS (
@@ -2247,10 +2253,13 @@ object PipelineQueries {
   private val qCvmDrift = QueryDef(
     "q_cvm_value_drift",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      // r15: the min-ts scalar rides the plan (broadcast 1-row cross
+      // join) instead of a driver head() that paid an extra full scan
+      // + barrier per query — same cut date, same oracle
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.crossJoin(broadcast(ev0.agg(min(col("ts")).as("__mints"))))
       graft.ops.Profiling.cvmDrift(ev, Seq("event_type"), col("value"),
-          to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+          to_date(col("ts")) < date_add(to_date(col("__mints")), 15))
         .select(col("event_type"), col("n_a"), col("n_b"), col("cvm"))
     },
     Some("""
@@ -2313,11 +2322,14 @@ object PipelineQueries {
   private val qWasserstein = QueryDef(
     "q_wasserstein_value",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      // r15: the min-ts scalar rides the plan (broadcast 1-row cross
+      // join) instead of a driver head() that paid an extra full scan
+      // + barrier per query — same cut date, same oracle
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.crossJoin(broadcast(ev0.agg(min(col("ts")).as("__mints"))))
       graft.ops.Profiling.wassersteinDrift(ev, Seq("event_type"),
           round(col("value") * 100).cast("long"),
-          to_date(col("ts")) < date_add(to_date(lit(minTs)), 15),
+          to_date(col("ts")) < date_add(to_date(col("__mints")), 15),
           scale = 100L)
         .select(col("event_type"), col("n_a"), col("n_b"), col("w1"))
     },
@@ -2389,8 +2401,11 @@ object PipelineQueries {
   private val qTvdDrift = QueryDef(
     "q_tvd_category_drift",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      // r15: the min-ts scalar rides the plan (broadcast 1-row cross
+      // join) instead of a driver head() that paid an extra full scan
+      // + barrier per query — same cut date, same oracle
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.crossJoin(broadcast(ev0.agg(min(col("ts")).as("__mints"))))
       // signed % on BOTH sides (not pmod): Spark's Remainder and
       // DuckDB's % agree for every sign of user_id; pmod would
       // silently diverge on a negative id (the null-order lesson
@@ -2398,7 +2413,7 @@ object PipelineQueries {
       graft.ops.Profiling.tvdDrift(
         ev.withColumn("segment", col("user_id") % 4),
         Seq("segment"), col("event_type"),
-        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+        to_date(col("ts")) < date_add(to_date(col("__mints")), 15))
     },
     Some("""
       WITH cut AS (
@@ -2454,11 +2469,14 @@ object PipelineQueries {
   private val qKuiperDrift = QueryDef(
     "q_kuiper_hour_drift",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      // r15: the min-ts scalar rides the plan (broadcast 1-row cross
+      // join) instead of a driver head() that paid an extra full scan
+      // + barrier per query — same cut date, same oracle
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.crossJoin(broadcast(ev0.agg(min(col("ts")).as("__mints"))))
       graft.ops.Profiling.kuiperDrift(ev, Seq("event_type"),
         hour(col("ts")),
-        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15))
+        to_date(col("ts")) < date_add(to_date(col("__mints")), 15))
     },
     Some("""
       WITH cut AS (
@@ -2638,11 +2656,14 @@ object PipelineQueries {
   private val qKsBucketed = QueryDef(
     "q_ks_bucketed_drift",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+      // r15: the min-ts scalar rides the plan (broadcast 1-row cross
+      // join) instead of a driver head() that paid an extra full scan
+      // + barrier per query — same cut date, same oracle
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.crossJoin(broadcast(ev0.agg(min(col("ts")).as("__mints"))))
       graft.ops.Profiling.ksDriftBucketed(ev, Seq("event_type"),
         col("value"),
-        to_date(col("ts")) < date_add(to_date(lit(minTs)), 15),
+        to_date(col("ts")) < date_add(to_date(col("__mints")), 15),
         buckets = 64)
     },
     Some(s"""
