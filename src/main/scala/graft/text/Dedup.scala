@@ -245,7 +245,7 @@ object Dedup {
     val est = (0 until numHashes).map(i =>
       when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
       .reduce(_ + _) / numHashes.toDouble
-    val prefiltered = banded.as("a").join(banded.as("b"),
+    val prefiltered = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
