@@ -74,8 +74,14 @@ object NegativeSampling {
         anchors.crossJoin(broadcast(pool))
       else {
         // past broadcast reach: hash-shard the pool, replicate each
-        // 8-byte anchor id across the shards, meet on the shard key
-        val poolS = pool.withColumn("__shard",
+        // 8-byte anchor id across the shards, meet on the shard key.
+        // r15: fanOut the POOL leg too — at runtime the small exploded
+        // anchor side broadcasts, making the pool scan the STREAM side
+        // of the join, and a single-split pool file then ran the whole
+        // anchors×pool digest stage as ONE task (measured 3.2 s of the
+        // query's 3.9 s wall; the anchors fanOut alone was defeated).
+        // No-op at real scale where the pool already has many splits.
+        val poolS = Partitioning.fanOut(pool).withColumn("__shard",
           pmod(xxhash64(col("neg_id")), lit(shards.toLong)).cast("int"))
         val anchorsS = anchors.select(col("anchor_id"),
           explode(sequence(lit(0), lit(shards - 1))).as("__shard"))
