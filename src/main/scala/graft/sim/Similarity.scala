@@ -596,7 +596,11 @@ object Similarity {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).as("__qv")))
-    corpus.crossJoin(q)
+    // r15: fanOut — the corpus is the stream side of the broadcast
+    // cross join, and a single-split corpus file ran the whole
+    // |corpus|×|queries| scoring as ONE task (q_margin_mining: two
+    // 3.5 s single-task stages). No-op at real scale.
+    graft.ops.Partitioning.fanOut(corpus).crossJoin(q)
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"),
         scoreFn(col(vecCol), col("__qv")).as("__s"),
