@@ -53,14 +53,20 @@ object Resample {
     val ffill = last(col("v"), ignoreNulls = true).over(
       Window.partitionBy(col("k")).orderBy(col("bucket_us"))
         .rowsBetween(Window.unboundedPreceding, 0))
-    // r15 (guide §2.5): pin the per-key exchange at the planner's own
-    // width — the grid frame is byte-tiny, so AQE coalesced the ffill
-    // window (and the anomaly window downstream, which reuses this
-    // partitioning) into ONE task: 3.3 s of q_series_anomaly's 4.6 s
-    // wall ran serially. A user-pinned repartition is not coalescable;
-    // downstream per-key windows reuse it with no further exchange.
+    // r15 (guide §2.5): pin the per-key exchange — the grid frame is
+    // byte-tiny, so AQE coalesced the ffill window (and the anomaly
+    // window downstream, which reuses this partitioning) into ONE
+    // task: 3.3 s of q_series_anomaly's 4.6 s wall ran serially. A
+    // user-pinned repartition is not coalescable — but at EXACTLY the
+    // planner's width on the same key the optimizer deletes it as
+    // redundant against the upstream agg exchange (measured: the pin
+    // vanished from the plan and the coalesce returned), so pin at 2×
+    // the planner width: never redundant, still hash-clustered by k
+    // for both windows, and a width a cluster would tolerate on a
+    // per-row-heavy window stage anyway.
     grid.join(latest, Seq("k", "bucket_us"), "left")
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(
+        2 * df.sparkSession.sessionState.conf.numShufflePartitions,
         col("k"))
       .select(col("k").as(keyCol), col("bucket_us"),
         col("v").as("v_obs"), ffill.as("v_ffill"))
