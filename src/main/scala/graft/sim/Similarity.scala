@@ -155,23 +155,22 @@ object Similarity {
     val banded = df.select(col(idCol),
       posexplode(lshBuckets(col(vecCol), planes, b)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    // r15 OPTIMIZATION: one query-row subplan instead of three — the
-    // query's band buckets AND its vector ride a single broadcast
-    // (before: queryBuckets broadcast + candidateIds broadcast + a
-    // separate qvec crossJoin broadcast = 3 jobs re-scanning the
-    // corpus/query; each job is pure fixed cost at any scale). The
-    // candidate-id set still dedups on BARE ids (no vector shuffles);
-    // the final inner broadcast join both attaches __qvec and filters
-    // to candidates in one pass.
-    val qrow = df.where(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"),
-        posexplode(lshBuckets(col(vecCol), planes, b)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val candWithQvec = banded
-      .join(broadcast(qrow), Seq("band", "bucket"))
+    // r15 note: a fold of the three query-row subplans into one was
+    // tried and REVERTED — carrying __qvec through the candidate
+    // distinct put the vector payload on a hash exchange, breaking the
+    // operator's bare-ids invariant (PlanSpec caught it). The three
+    // small broadcast jobs are the price of keeping every shuffle
+    // id-only.
+    val queryBuckets = banded.where(col(idCol) === queryId)
+      .select(col("band"), col("bucket"))
+    val candidateIds = banded
+      .join(broadcast(queryBuckets), Seq("band", "bucket"))
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), col("__qvec")).distinct()
-    df.join(broadcast(candWithQvec), Seq(idCol))
+      .select(col(idCol)).distinct()
+    val qvec = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    df.join(broadcast(candidateIds), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(qvec))
       .select(col(idCol), scoreFn(col(vecCol), col("__qvec")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
